@@ -1,0 +1,462 @@
+"""Relational + KCVS-surface queries (SURVEY §2.1/§2.2) with DuckDB oracles.
+
+Each query exercises a reference operator (cited) as a declarative Spark
+plan. Conventions for oracle hash-stability:
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded identically on both sides;
+- window orderings always carry a unique tiebreaker column.
+
+All literals (custkey 42, orderkeys 0-4, ...) exist at every scale factor
+(keys are 0-based and dense; see FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import kcvs
+from ..sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# KCVS operator surface (SURVEY §2.1 ops #1,#2,#5,#6,#7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_slice_point",
+    oracle="""
+    SELECT l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey = 7 AND l_linenumber >= 1 AND l_linenumber < 6
+    ORDER BY l_linenumber
+    LIMIT 4
+    """,
+)
+def q01_slice_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSlice #1 (ClickhouseKeyColumnValueStore.java:78-95): point row
+    lookup + half-open column range + sort + limit → TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kcvs.slice_query(
+        li, key_col="l_orderkey", col_col="l_linenumber", key=7,
+        col_start=1, col_end=6, limit=4,
+        projection=["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+
+@query(
+    "q02_slice_multikey",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS rn
+      FROM lineitem
+      WHERE l_orderkey IN (0, 1, 2, 3, 4)
+    ) WHERE rn <= 2
+    """,
+)
+def q02_slice_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSlice #2 (ClickhouseKeyColumnValueStore.java:108-112): the
+    reference loops keys sequentially (multiQuery=false); here one scan +
+    per-key window top-K."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (li.filter(F.col("l_orderkey").isin([0, 1, 2, 3, 4]))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 2)
+              .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+
+
+@query(
+    "q03_key_range_scan",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_custkey >= 10 AND o_custkey < 60
+    ORDER BY o_custkey
+    """,
+)
+def q03_key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getKeys #5 (KEY_QUERY, QueryHelper.java:65): ordered distinct keys in
+    range; the reference's eager materialization + N+1 slices collapse into
+    one distributed scan."""
+    return kcvs.key_range_scan(_t(spark, sf_dir, "orders"),
+                               key_col="o_custkey", key_start=10, key_end=60)
+
+
+@query(
+    "q04_multi_range_scan",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE (l_quantity >= 1 AND l_quantity < 10)
+       OR (l_quantity >= 40 AND l_quantity < 50)
+    GROUP BY l_returnflag
+    """,
+)
+def q04_multi_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getKeys(MultiSlicesQuery) #7 — UnsupportedOperationException in the
+    reference (ClickhouseKeyColumnValueStore.java:218-220); here one scan
+    with OR'd range predicates pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    scanned = kcvs.multi_range_scan(li, "l_quantity", [(1, 10), (40, 50)])
+    return (scanned.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+@query(
+    "q05_unordered_scan_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q05_unordered_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getKeys(unordered) #6 — unsupported in the reference
+    (ClickhouseKeyColumnValueStore.java:213-215) — plus order().by().limit():
+    full scan + global top-K (TakeOrderedAndProject, no total sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return kcvs.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / grouping (Gremlin group()/groupCount()/fold() surface, §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q06_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q06_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: hash aggregate with automatic
+    partial/final combine (the map-side combine the reference cannot do)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@query(
+    "q07_group_count",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q07_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin groupCount() (client-side in the reference system; SURVEY
+    §2.3) → one hash aggregate."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Joins = adjacency expansion (out()/in() traversals, §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q08_customer_top_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS spend,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE c.c_custkey = 42
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY spend DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def q08_customer_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (SURVEY §7 M1): g.V(cust).out('placed').out('contains') —
+    point lookup (ref op #1) + two adjacency joins + agg + top-K.  The
+    customer filter is pushed below the joins; `part` is broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    spend = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (F.broadcast(c)
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_partkey", "p_name")
+            .agg(F.round(F.sum(spend), 2).alias("spend"),
+                 F.sum("l_quantity").alias("total_qty"))
+            .orderBy(F.col("spend").desc(), F.col("p_partkey"))
+            .limit(10))
+
+
+@query(
+    "q09_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 40000)
+    """,
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin where(out(...)) → left-semi join (SURVEY §2.3 adjacency
+    row): customers having at least one order over 40000."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 40000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "q10_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin not(out(...)) → left-anti join: customers with no finished
+    order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "q11_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q11_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → two shuffles max; the
+    customer side is broadcast after the segment filter."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (F.broadcast(c)
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@query(
+    "q12_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q12_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-hop: 5 joins; all dimension sides broadcast so
+    the only shuffles are the orders↔lineitem equi-join and the final agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey)
+                   & (s.s_nationkey == c.c_nationkey))
+             .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+             .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Predicate library / dedup / union / windows (§2.3 scalar surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_predicate_library",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND c_acctbal BETWEEN 1000 AND 6000
+      AND c_name LIKE 'Customer#%'
+      AND regexp_matches(c_name, '[02468]$')
+    """,
+)
+def q13_predicate_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JanusGraph predicate surface (within / between / textPrefix /
+    textRegex — SURVEY §2.3) → isin / between / startswith / rlike, all
+    Catalyst-visible and pushed to the scan."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+             .filter(F.col("c_acctbal").between(1000, 6000))
+             .filter(F.col("c_name").startswith("Customer#"))
+             .filter(F.col("c_name").rlike("[02468]$"))
+             .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+
+
+@query(
+    "q14_union_dedup",
+    oracle="""
+    SELECT DISTINCT c_custkey, c_name FROM (
+      SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3
+      UNION ALL
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q14_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin union(...).dedup() → unionByName + dropDuplicates
+    (ReplaceDistinctWithAggregate gives partial/final hash agg)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_nationkey") == 3).select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    return a.unionByName(b).dropDuplicates()
+
+
+@query(
+    "q15_per_group_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q15_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order().by().limit(): top-3 customers by balance per
+    nation via window row_number (ref emits only global ORDER BY+LIMIT,
+    QueryHelper.java:61)."""
+    c = _t(spark, sf_dir, "customer")
+    return kcvs.top_k(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        order_cols=[F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3, partition_by=["c_nationkey"])
+
+
+@query(
+    "q16_distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q16_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup() — DISTINCT pushdown analog (QueryHelper.java:65)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q17_scalar_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE upper(o_orderstatus) = 'O'
+    GROUP BY order_year, order_month
+    """,
+)
+def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/math/string scalar surface (stored as opaque bytes by the
+    reference, computed by nothing in it — SURVEY §2.3): year/month
+    extraction + min/max/sum rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.upper(F.col("o_orderstatus")) == "O")
+             .groupBy(F.year("o_orderdate").cast("int").alias("order_year"),
+                      F.month("o_orderdate").cast("int").alias("order_month"))
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total"),
+                  F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                  F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+@query(
+    "q18_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           count(*) AS cnt
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type, k_value
+    """,
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events props column (from_json /
+    get_json_object — SURVEY §2.3)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (e.withColumn("k_value", k)
+             .filter(F.col("k_value") >= 50)
+             .groupBy("event_type", "k_value")
+             .agg(F.count(F.lit(1)).alias("cnt")))

@@ -1,0 +1,127 @@
+"""Table catalog: explicit-schema parquet loaders.
+
+The reference bootstraps a fixed set of 9 byte-array tables
+(``QueryHelper.java:99-111``, ``CREATE TABLE … (k Array(Int8), c Array(Int8),
+v Array(Int8))`` at ``QueryHelper.java:57``) and probes them with
+``EXISTS TABLE`` (``QueryHelper.java:119-129``).  Our analog is a typed,
+columnar catalog: one parquet table per entity with an explicit ``StructType``
+(schema-on-write, never inferred), registered as temp views for the SQL
+surface.  ``spark.catalog.tableExists`` / ``CREATE TABLE IF NOT EXISTS``
+replace the EXISTS/CREATE bootstrap (SURVEY §2.1 ops #10/#11/#14/#15).
+
+At 100 TB the important property is that every reader goes through
+``spark.read.schema(...).parquet(path)`` — column pruning and predicate
+pushdown reach the scan because the schema is explicit and the relation is a
+plain FileSourceScanExec, not an opaque RDD.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Explicit schemas for the driver-generated tables (FIXTURES.md).
+TABLES: dict[str, T.StructType] = {
+    "region": T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]),
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+# Small dimension tables: always broadcast-join these (they stay tiny even
+# at sf=100TB — region/nation are fixed-cardinality).
+BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table with its explicit schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(TABLES[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   prefix: str = "") -> dict[str, DataFrame]:
+    """Register every table as a temp view for the spark.sql surface."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(prefix + name)
+    return dfs
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Analog of the reference's EXISTS TABLE probe
+    (``QueryHelper.java:119-129``)."""
+    return spark.catalog.tableExists(name)

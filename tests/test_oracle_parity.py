@@ -1,0 +1,39 @@
+"""Mirror of the driver's t2 gate: every declared query with an oracle must
+hash-match DuckDB at sf0.01; oracle-less queries must at least run and
+return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from .oracle_harness import compare_query
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_oracle, name):
+    fn = QUERIES[name]
+    sql = ORACLES.get(name)
+    if sql is None:
+        df = fn(spark, sf_oracle)
+        assert df.columns, f"{name}: no columns"
+        assert df.count() >= 0
+        return
+    res = compare_query(spark, fn, sql, sf_oracle)
+    assert res["cols_match"], f"{name}: column mismatch {res}"
+    assert res["spark_rowcount"] == res["oracle_rowcount"], f"{name}: {res}"
+    assert res["values_match"], f"{name}: value mismatch {res}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["p_partkey", "p_name", "spend", "total_qty"]
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
