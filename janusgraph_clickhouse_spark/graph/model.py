@@ -1,0 +1,171 @@
+"""Property-graph model: vertices/edges DataFrames (SURVEY §1.3).
+
+The reference persists the graph as JanusGraph's `edgestore` wide rows —
+row key = vertex id, columns = sorted adjacency list of opaque bytes
+(ClickhouseKeyColumnValueStore.java + table list QueryHelper.java:99-111).
+Idiomatic Spark replaces that with the GraphX/GraphFrames convention: two
+typed DataFrames,
+
+    vertices(id LONG, label STRING, ...typed props)
+    edges(src LONG, dst LONG, label STRING, ...typed props)
+
+An adjacency slice (the reference's getSlice on edgestore) is then
+`edges.filter(src == id)` with the filter pushed into the parquet scan; a
+label-restricted slice (column-prefix range in the reference) is a plain
+label equality filter.  At 100 TB the edges table is what you bucket/sort
+by `src` so expansions are co-partitioned joins (the Spark analog of the
+MergeTree `ORDER BY (k,c)` clustering, QueryHelper.java:57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# Label → id offset: JanusGraph allocates ids from partitioned id blocks
+# (janusgraph_ids store, QueryHelper.java:110); we derive stable ids by
+# offsetting each label's natural key into a disjoint range.
+ID_OFFSETS = {
+    "customer": 1_000_000_000,
+    "order": 2_000_000_000,
+    "part": 3_000_000_000,
+    "supplier": 4_000_000_000,
+    "nation": 5_000_000_000,
+    "region": 6_000_000_000,
+}
+
+
+class PropertyGraph:
+    """vertices(id, label, props...) + edges(src, dst, label, props...)."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self.vertices = vertices
+        self.edges = edges
+
+    def degrees(self, direction: str = "out") -> DataFrame:
+        """Per-vertex degree (Gremlin out()/in()/both().count())."""
+        if direction == "out":
+            return self.edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree"))
+        if direction == "in":
+            return self.edges.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree"))
+        both = (self.edges.select(F.col("src").alias("id"))
+                .unionAll(self.edges.select(F.col("dst").alias("id"))))
+        return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    def undirected_edges(self) -> DataFrame:
+        """Canonical undirected edge set (src < dst, deduped) — the input
+        shape for triangle counting and connected components."""
+        e = self.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        return e.dropDuplicates(["src", "dst"])
+
+
+def star_schema_graph(spark: SparkSession, sf_dir: str,
+                      edge_labels: set[str] | None = None) -> PropertyGraph:
+    """Derive the property graph from the star schema (FIXTURES.md):
+
+    vertices: customer/order/part/supplier/nation/region (offset ids)
+    edges: placed (customer→order), contains (order→part, qty/price props),
+           supplied_by (part→supplier), in_nation (customer→nation,
+           supplier→nation), in_region (nation→region).
+
+    `edge_labels` restricts which edge sets are built (skips reading
+    unneeded tables — at scale each edge set is its own scan).
+    """
+    want = edge_labels  # None → all
+
+    def _w(label: str) -> bool:
+        return want is None or label in want
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    verts = [
+        c.select((F.col("c_custkey") + ID_OFFSETS["customer"]).alias("id"),
+                 F.lit("customer").alias("label"),
+                 F.col("c_name").alias("name")),
+        n.select((F.col("n_nationkey") + ID_OFFSETS["nation"]).alias("id"),
+                 F.lit("nation").alias("label"),
+                 F.col("n_name").alias("name")),
+        r.select((F.col("r_regionkey") + ID_OFFSETS["region"]).alias("id"),
+                 F.lit("region").alias("label"),
+                 F.col("r_name").alias("name")),
+    ]
+    edges = []
+
+    if _w("in_nation"):
+        edges.append(c.select(
+            (F.col("c_custkey") + ID_OFFSETS["customer"]).alias("src"),
+            (F.col("c_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
+            F.lit("in_nation").alias("label")))
+    if _w("in_region"):
+        edges.append(n.select(
+            (F.col("n_nationkey") + ID_OFFSETS["nation"]).alias("src"),
+            (F.col("n_regionkey").cast("long") + ID_OFFSETS["region"]).alias("dst"),
+            F.lit("in_region").alias("label")))
+
+    if want is None or {"placed", "contains", "supplied_by",
+                        "supplier_in_nation"} & want:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier")
+        p = load_table(spark, sf_dir, "part")
+        verts += [
+            o.select((F.col("o_orderkey") + ID_OFFSETS["order"]).alias("id"),
+                     F.lit("order").alias("label"),
+                     F.col("o_orderstatus").alias("name")),
+            p.select((F.col("p_partkey") + ID_OFFSETS["part"]).alias("id"),
+                     F.lit("part").alias("label"),
+                     F.col("p_name").alias("name")),
+            s.select((F.col("s_suppkey") + ID_OFFSETS["supplier"]).alias("id"),
+                     F.lit("supplier").alias("label"),
+                     F.col("s_name").alias("name")),
+        ]
+        if _w("placed"):
+            edges.append(o.select(
+                (F.col("o_custkey") + ID_OFFSETS["customer"]).alias("src"),
+                (F.col("o_orderkey") + ID_OFFSETS["order"]).alias("dst"),
+                F.lit("placed").alias("label")))
+        if _w("contains"):
+            edges.append(li.select(
+                (F.col("l_orderkey") + ID_OFFSETS["order"]).alias("src"),
+                (F.col("l_partkey") + ID_OFFSETS["part"]).alias("dst"),
+                F.lit("contains").alias("label")))
+        if _w("supplied_by"):
+            edges.append(li.select(
+                (F.col("l_partkey") + ID_OFFSETS["part"]).alias("src"),
+                (F.col("l_suppkey") + ID_OFFSETS["supplier"]).alias("dst"),
+                F.lit("supplied_by").alias("label")).dropDuplicates(["src", "dst"]))
+        if _w("supplier_in_nation"):
+            edges.append(s.select(
+                (F.col("s_suppkey") + ID_OFFSETS["supplier"]).alias("src"),
+                (F.col("s_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
+                F.lit("in_nation").alias("label")))
+
+    vertices = verts[0]
+    for v in verts[1:]:
+        vertices = vertices.unionByName(v)
+    edf = edges[0]
+    for e in edges[1:]:
+        edf = edf.unionByName(e)
+    return PropertyGraph(vertices, edf)
+
+
+def graph_from_edge_list(spark: SparkSession,
+                         edges: list[tuple[int, int]]) -> PropertyGraph:
+    """Micro-graph builder for closed-form algorithm tests."""
+    e = spark.createDataFrame(
+        [(int(s), int(d), "e") for s, d in edges], "src long, dst long, label string")
+    v = (e.select(F.col("src").alias("id"))
+          .unionAll(e.select(F.col("dst").alias("id")))
+          .distinct()
+          .withColumn("label", F.lit("v"))
+          .withColumn("name", F.col("id").cast("string")))
+    return PropertyGraph(v, e)

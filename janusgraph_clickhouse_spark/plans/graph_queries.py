@@ -1,1 +1,182 @@
-"""Populated in a later milestone."""
+"""Graph-analytics queries (SURVEY §2.3 graph core) with DuckDB oracles.
+
+The graph is derived from the star schema (FIXTURES.md "derived
+property-graph fixture"): offset vertex ids per label (ID_OFFSETS), edges
+placed/contains/supplied_by/in_nation/in_region.  Oracles re-derive the
+same answers relationally — e.g. connected components of the
+customer→nation→region forest are provably "min vertex id in the region
+subtree", which one window function computes.
+
+PageRank keeps no SQL oracle (iterative fixpoint — driver records a
+rows-only check); its invariants are pytest-verified on closed-form
+graphs instead (tests/test_graph_algorithms.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.algorithms import bfs_distances, connected_components, pagerank
+from ..graph.model import ID_OFFSETS, PropertyGraph, star_schema_graph
+from ..graph.traversal import Traversal
+from ..sources import load_table
+from .registry import query
+
+_C = ID_OFFSETS["customer"]
+_O = ID_OFFSETS["order"]
+_P = ID_OFFSETS["part"]
+_S = ID_OFFSETS["supplier"]
+_N = ID_OFFSETS["nation"]
+_R = ID_OFFSETS["region"]
+
+
+@query(
+    "g01_out_degree",
+    oracle=f"""
+    SELECT o_custkey + {_C} AS id, count(*) AS degree
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def g01_out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().hasLabel('customer').out('placed').count() per vertex — one
+    hash aggregate over the placed edge set (SURVEY §2.3 degree row)."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed"})
+    return g.degrees("out").select("id", "degree")
+
+
+@query(
+    "g02_two_hop_parts",
+    oracle=f"""
+    SELECT DISTINCT l.l_partkey + {_P} AS id
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = 42
+    """,
+)
+def g02_two_hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V(cust42).out('placed').out('contains').dedup() — the flagship
+    traversal through the DSL: one Catalyst plan, two equi-joins, not
+    per-vertex slice round trips (SURVEY §3 EP1)."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    t = (Traversal.V(g, 42 + _C)
+         .out("placed")
+         .out("contains")
+         .dedup())
+    return t.values("id")
+
+
+@query(
+    "g03_supplier_triangles",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    )
+    SELECT count(*) AS triangles FROM pairs e1
+    JOIN pairs e2 ON e1.dst = e2.src
+    JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-supply projection (suppliers
+    linked when they supply the same part).  Canonical (src<dst)
+    orientation → each triangle counted exactly once, no /3 division
+    (SURVEY §2.3 triangle row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_partkey").alias("p"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    b = sp.select(F.col("p"), F.col("s").alias("s2"))
+    pairs = (sp.join(b, "p")
+             .filter(F.col("s") < F.col("s2"))
+             .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+             .distinct())
+    e1 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = pairs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+@query(
+    "g04_connected_components",
+    oracle=f"""
+    WITH vs AS (
+      SELECT c_custkey + {_C} AS id, n_regionkey AS rk
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      UNION ALL
+      SELECT n_nationkey + {_N} AS id, n_regionkey AS rk FROM nation
+      UNION ALL
+      SELECT r_regionkey + {_R} AS id, r_regionkey AS rk FROM region
+    )
+    SELECT id, min(id) OVER (PARTITION BY rk) AS component FROM vs
+    """,
+)
+def g04_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-id propagation on the
+    customer→nation→region forest.  The oracle exploits the known
+    structure: each region subtree is one component whose min id is a
+    window min — so the iterative algorithm is checked against a
+    closed-form relational answer."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"in_nation", "in_region"})
+    return connected_components(g, max_iter=10).select("id", "component")
+
+
+@query(
+    "g05_bfs_distances",
+    oracle=f"""
+    WITH h1o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 42),
+    h1n AS (SELECT c_nationkey FROM customer WHERE c_custkey = 42),
+    h2p AS (SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM h1o)),
+    sp  AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    h3s AS (SELECT DISTINCT l_suppkey FROM sp
+            WHERE l_partkey IN (SELECT l_partkey FROM h2p))
+    SELECT 42 + {_C} AS id, 0 AS distance
+    UNION ALL SELECT o_orderkey + {_O}, 1 FROM h1o
+    UNION ALL SELECT c_nationkey + {_N}, 1 FROM h1n
+    UNION ALL SELECT l_partkey + {_P}, 2 FROM h2p
+    UNION ALL SELECT n_regionkey + {_R}, 2 FROM nation
+              WHERE n_nationkey IN (SELECT c_nationkey FROM h1n)
+    UNION ALL SELECT l_suppkey + {_S}, 3 FROM h3s
+    """,
+)
+def g05_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from customer 42, ≤3 hops, over the full directed
+    edge set.  The layered star-schema graph gives a closed-form oracle
+    (orders/nation at 1, parts/region at 2, suppliers at 3)."""
+    g = star_schema_graph(spark, sf_dir)
+    out = bfs_distances(g, [42 + _C], max_hops=3, directed=True)
+    return out.select("id", F.col("distance").cast("int").alias("distance"))
+
+
+@query("g06_pagerank")  # iterative fixpoint — rows-only check by design
+def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the full derived graph (damping 0.85, 8 supersteps).
+    No SQL oracle (Catalyst has no fixpoint; neither does DuckDB without
+    recursion depth games) — invariants (sum(rank)=|V|, star-graph
+    closed form) are pytest-checked instead."""
+    g = star_schema_graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=8)
+    return pr.select("id", F.round(F.col("rank"), 6).alias("rank"))
+
+
+@query(
+    "g07_traversal_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c.c_nationkey = 3
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def g07_traversal_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g.V().has('nation',3).where(out('placed')) via the DSL —
+    where(out()) compiles to a left-semi join (SURVEY §2.3)."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "in_nation"})
+    c = load_table(spark, sf_dir, "customer")
+    nat3 = c.filter(F.col("c_nationkey") == 3).select(
+        (F.col("c_custkey") + _C).alias("id"))
+    t = Traversal(g, g.vertices.join(nat3, "id", "left_semi"))
+    kept = t.where_out("placed").to_df()
+    return kept.select((F.col("id") - _C).alias("c_custkey"),
+                       F.col("name").alias("c_name"))

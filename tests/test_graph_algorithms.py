@@ -1,0 +1,82 @@
+"""Closed-form + invariant tests for the graph algorithms (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from janusgraph_clickhouse_spark.graph.algorithms import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+from janusgraph_clickhouse_spark.graph.model import graph_from_edge_list
+from janusgraph_clickhouse_spark.graph.traversal import Traversal
+
+
+def test_cc_two_components(spark):
+    # path 1-2-3 and pair 10-11: components {1,2,3}->1, {10,11}->10
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (10, 11)])
+    cc = {r.id: r.component for r in connected_components(g).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_cycle(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 1)])
+    cc = {r.id: r.component for r in connected_components(g).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1}
+
+
+def test_bfs_path_graph(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    d = {r.id: r.distance for r in bfs_distances(g, [1], max_hops=3).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond max_hops
+
+
+def test_bfs_undirected(spark):
+    g = graph_from_edge_list(spark, [(2, 1), (2, 3)])
+    d = {r.id: r.distance
+         for r in bfs_distances(g, [1], max_hops=2, directed=False).collect()}
+    assert d == {1: 0, 2: 1, 3: 2}
+
+
+def test_triangle_count(spark):
+    # one triangle + a dangling edge
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert triangle_count(g) == 1
+    # K4 has 4 triangles
+    k4 = graph_from_edge_list(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert triangle_count(k4) == 4
+
+
+def test_pagerank_sum_invariant(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 1), (4, 1)])
+    pr = pagerank(g, max_iter=15)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 4.0, rel_tol=1e-6)
+
+
+def test_pagerank_star_graph(spark):
+    # star: spokes 2..5 all point at hub 1; hub is dangling.
+    g = graph_from_edge_list(spark, [(2, 1), (3, 1), (4, 1), (5, 1)])
+    pr = {r.id: r.rank for r in pagerank(g, max_iter=30).collect()}
+    assert pr[1] > pr[2]
+    assert math.isclose(sum(pr.values()), 5.0, rel_tol=1e-6)
+    # spokes are symmetric
+    assert math.isclose(pr[2], pr[5], rel_tol=1e-9)
+
+
+def test_traversal_dsl_micro(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (1, 4)])
+    assert sorted(
+        r.id for r in Traversal.V(g, 1).out().to_df().collect()) == [2, 4]
+    assert Traversal.V(g, 1).out().out().to_df().collect()[0].id == 3
+    assert sorted(r.id for r in
+                  Traversal.V(g).where_out().to_df().collect()) == [1, 2]
+    assert sorted(r.id for r in
+                  Traversal.V(g).not_out().to_df().collect()) == [3, 4]
+    both = Traversal.V(g, 2).both().dedup().to_df()
+    assert sorted(r.id for r in both.collect()) == [1, 3]
