@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding near-dup.
+
+Scale shape (the part that matters at 100 TB):
+- exact dedup is one hash aggregate on the text (or its md5);
+- n-gram Jaccard is the *exact* quadratic baseline — explode shingles,
+  self-join on shingle, one aggregate; use it as the rerank stage, never
+  the full-corpus pass;
+- MinHash-LSH is the full-corpus pass: signatures in one groupBy (H mins),
+  banding turns the all-pairs problem into same-bucket joins, candidates
+  get exact-Jaccard reranked (candidates only — the classic LSH recipe);
+- SimHash packs a document into 64 bits; near-dup = small Hamming
+  distance, blocked by 16-bit bands so the join never goes all-pairs.
+
+Everything except the SimHash signature is JVM-side built-ins; SimHash
+uses one Arrow-batched pandas UDF (per-word md5 bit-vote) because Spark
+lacks a per-element 64-bit hash fold that stays deterministic across
+engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# -- shingling --------------------------------------------------------------
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (space-joined), empty when the
+    document has fewer than n tokens.  Pure array expressions — codegen."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.split(c, " ")
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.when(cnt >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded set representation."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(word_shingles(text_col, n)).alias("shingle"))
+            .distinct())
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Group identical texts: (keep_id = min id, dup_count).  One hash
+    aggregate; at scale group on md5(text) so the shuffle key is 16 bytes,
+    not the document."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    keep = (df.groupBy(text_col).agg(F.min(id_col).alias(id_col)))
+    return df.join(keep, [id_col, text_col], "left_semi")
+
+
+# -- exact n-gram Jaccard (quadratic baseline / rerank stage) ---------------
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  threshold: float = 0.4,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ threshold.
+
+    With `candidates` (doc_a, doc_b) supplied, computes Jaccard only for
+    those pairs (the LSH rerank path).  Threshold compares the exact
+    integer ratio — bit-identical across engines.
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates.select("doc_a", "doc_b").distinct(),
+                           ["doc_a", "doc_b"], "left_semi")
+    jac = (inter
+           .join(sizes.select(F.col("id").alias("doc_a"),
+                              F.col("sz").alias("sz_a")), "doc_a")
+           .join(sizes.select(F.col("id").alias("doc_b"),
+                              F.col("sz").alias("sz_b")), "doc_b")
+           .withColumn("jaccard_raw",
+                       F.col("inter").cast("double")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard_raw") >= threshold))
+    return jac.select("doc_a", "doc_b",
+                      F.round("jaccard_raw", 6).alias("jaccard"))
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 48) -> DataFrame:
+    """(id, sig ARRAY<LONG>[num_hashes]): sig[i] = min over shingles of
+    xxhash64(i, shingle).  One explode + ONE groupBy with H min-aggregates
+    (a single shuffle; signature width is a constant column count)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 16,
+                   rows_per_band: int = 3) -> DataFrame:
+    """Banding: docs sharing any band bucket become candidate pairs.
+    Explode to (band, bucket_hash, id), self-join per bucket — the join key
+    is (band, bucket), so identical buckets co-locate in one shuffle."""
+    buckets = signatures.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.lit(b), *[
+                F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)])
+            for b in range(bands)
+        ])).alias("band", "bucket"))
+    x = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
+    y = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
+    return (x.join(y, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.4,
+                        num_hashes: int = 48, bands: int = 16) -> DataFrame:
+    """Full fuzzy-dedup pipeline: MinHash → LSH bands → exact-Jaccard
+    rerank of candidates only.  Band parameters (16 bands × 3 rows) put
+    the S-curve threshold at (1/16)^(1/3) ≈ 0.40."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = lsh_candidates(sig, bands, rows_per_band)
+    return jaccard_pairs(df, id_col, text_col, n, threshold,
+                         candidates=cand)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def _simhash64_udf():
+    """64-bit SimHash of a token list: per-word md5-derived 64-bit hash,
+    bitwise ±1 vote, sign → bit.  Arrow-batched; md5 keeps it
+    deterministic across workers/runs.  (Built lazily — pandas_udf needs
+    an active session to resolve its return type.)"""
+    from pyspark.sql.types import LongType
+
+    def one(words) -> int:
+        votes = [0] * 64
+        if words is not None:
+            for w in words:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if votes[b] > 0:
+                out |= (1 << b)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    @pandas_udf(LongType())
+    def _simhash64(tokens: pd.Series) -> pd.Series:
+        return tokens.apply(one)
+
+    return _simhash64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash LONG)."""
+    fn = _simhash64_udf()
+    return df.select(F.col(id_col).alias("id"),
+                     fn(F.split(F.col(text_col), " ")).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into 4 16-bit bands; by pigeonhole any
+    pair within Hamming ≤ 3·bands shares at least one exact band, so the
+    join runs per (band, value) bucket, never all-pairs.  Exact Hamming
+    check (bit_count of xor) reranks bucket collisions.
+    """
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)))
+            for b in range(4)])).alias("band", "val"))
+    x = bands.select(F.col("id").alias("doc_a"),
+                     F.col("simhash").alias("sim_a"), "band", "val")
+    y = bands.select(F.col("id").alias("doc_b"),
+                     F.col("simhash").alias("sim_b"), "band", "val")
+    pairs = (x.join(y, ["band", "val"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sim_a", "sim_b")
+             .distinct()
+             .withColumn("hamming", F.bit_count(
+                 F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             block_col: str | None = None) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  Brute-force within optional blocks
+    (label, LSH bucket, IVF cell...); the full-corpus path should block
+    first (see similarity.lsh_ann_topk) — an unblocked cross join is the
+    documented-slow baseline."""
+    from .similarity import cosine_expr
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"),
+                  *( [F.col(block_col).alias("blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"),
+                  *( [F.col(block_col).alias("blk")] if block_col else []))
+    joined = a.join(b, ["blk"] if block_col else None) if block_col \
+        else a.crossJoin(b)
+    out = (joined.filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+           .filter(F.col("cosine") >= threshold))
+    return out.select("id_a", "id_b", "cosine")

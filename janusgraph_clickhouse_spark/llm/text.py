@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split / transform /
+aggregate / array_* — whole-stage codegen); nothing here crosses into
+Python.  Language-ID and quality scoring are heuristic (lexicon overlap,
+length/stopword ratios) — the shapes a 100 TB pre-filter actually uses
+before anything model-based sees the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language lexicons for the stopword-overlap language-ID
+# heuristic.  Deliberately small: the operator's value is the *shape*
+# (explode → broadcast lexicon join → per-doc argmax), not the lexicon.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["de", "shi", "le", "bu", "zai", "you", "wo", "ta"],
+}
+
+EN_STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization (the corpus is pre-normalized); swap in a
+    BPE-ish regex via F.regexp_extract_all for raw text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def distinct_token_ratio(text_col: str | Column) -> Column:
+    t = tokens(text_col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def stopword_ratio(text_col: str | Column,
+                   stopwords: list[str] | None = None) -> Column:
+    t = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    inter = F.filter(t, lambda w: F.array_contains(sw, w))
+    return F.size(inter) / F.size(t)
+
+
+def avg_token_length(text_col: str | Column) -> Column:
+    t = tokens(text_col)
+    total = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.size(t)
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, lexical
+    diversity, a sane stopword fraction.  Weights are illustrative; the
+    operator shape (pure column expressions, no UDF) is the point."""
+    n = token_count(text_col).cast("double")
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = distinct_token_ratio(text_col)
+    sw = stopword_ratio(text_col)
+    sw_term = F.lit(1.0) - F.abs(sw - F.lit(0.15)) / F.lit(0.85)
+    return (F.lit(0.4) * length_term + F.lit(0.4) * diversity
+            + F.lit(0.2) * sw_term)
+
+
+def language_id(text_col: str | Column,
+                lexicons: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language = argmax over languages of lexicon-hit count
+    (ties break alphabetically).  Pure column expressions: one pass over
+    the token array per language, no shuffle, no UDF."""
+    lex = lexicons or LANG_LEXICONS
+    t = tokens(text_col)
+    scored = []  # (score, lang) structs → array_max picks argmax
+    for lang in sorted(lex, reverse=True):  # reverse so ties pick first alpha
+        words = F.array(*[F.lit(w) for w in lex[lang]])
+        score = F.size(F.filter(t, lambda w: F.array_contains(words, w)))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on structs orders by (score, lang); with reverse-sorted
+    # langs at equal score the LAST struct field comparison still picks the
+    # lexicographically greatest lang — so invert: take max score, then min
+    # lang among maxima via a second pass.
+    arr = F.array(*scored)
+    best = F.array_max(F.transform(arr, lambda s: s["score"]))
+    winners = F.filter(arr, lambda s: s["score"] == best)
+    return F.array_min(F.transform(winners, lambda s: s["lang"]))
+
+
+def content_fingerprint(text_col: str | Column) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text (cheap,
+    cross-engine reproducible)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.trim(F.lower(c)))
+
+
+def rolling_fingerprints(text_col: str | Column, k: int = 5,
+                         window: int = 4) -> Column:
+    """Winnowing-style fingerprint set: xxhash64 over word k-shingles,
+    then the min hash of each sliding window of `window` consecutive
+    shingle hashes (array expressions only; dedup via array_distinct)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    sh_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    shingles = F.transform(
+        sh_idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i + 1, k), " ")))
+    win_idx = F.sequence(F.lit(0), F.greatest(F.size(shingles) - window,
+                                              F.lit(-1)))
+    mins = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(shingles, i + 1, window)))
+    return F.array_distinct(mins)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats block (token count, diversity, stopword ratio,
+    avg token length, quality score)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(avg_token_length(text_col), 6).alias("avg_token_len"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+    )

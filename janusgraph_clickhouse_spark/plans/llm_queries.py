@@ -1,1 +1,237 @@
-"""Populated in a later milestone."""
+"""LLM-data-pipeline queries (dedup / similarity / text / multimodal).
+
+Oracle notes:
+- Jaccard thresholds compare exact integer ratios (bit-identical across
+  engines); cosine thresholds and orderings use the ROUNDED score with id
+  tiebreakers so float ulp noise can't flip membership or order.
+- MinHash-LSH, SimHash and ANN keep no SQL oracle (engine-specific hash
+  functions); they are pytest-checked against the exact baselines
+  (tests/test_llm_ops.py) and driver-checked rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import multimodal as M
+from ..llm import similarity as S
+from ..llm import text as X
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "l01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one hash aggregate keyed on md5(text) (16-byte
+    shuffle key instead of the document body)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "l02_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    words AS (SELECT doc_id, generate_subscripts(w,1) AS i, unnest(w) AS word
+              FROM toks),
+    sh AS (SELECT DISTINCT a.doc_id,
+                  a.word || ' ' || b.word || ' ' || c.word AS s
+           FROM words a
+           JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(m::DOUBLE / (sa.n + sb.n - m), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.4
+    """,
+)
+def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the
+    quadratic baseline the LSH path reranks against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+
+
+@query("l03_minhash_lsh_pairs")  # engine-specific hashes → rows-only
+def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(48) → 16×3 LSH bands → exact-Jaccard rerank of candidates.
+    pytest checks this equals the exact l02 answer on the fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+
+
+@query("l04_simhash_pairs")  # md5-bit-vote signature → rows-only
+def l04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 8) with 16-bit band blocking;
+    the only pandas-UDF stage in the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id)
+                .select("embedding").first()[0])
+
+
+@query(
+    "l05_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, id
+    LIMIT 10
+    """,
+)
+def l05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector: JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return S.brute_force_topk(emb, "vec_id", "embedding", qv, k=10,
+                              exclude_id=0)
+
+
+@query(
+    "l06_cosine_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.35
+    """,
+)
+def l06_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35), brute-force all-pairs —
+    the exact baseline; the blocked/LSH path is l11 + pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.35)
+
+
+@query(
+    "l07_text_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                  FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+           round(len(list_filter(w, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it','for','on'], x)
+               ))::DOUBLE / len(w), 6) AS stopword_ratio,
+           round(length(replace(text, ' ', ''))::DOUBLE / len(w), 6)
+             AS avg_token_len
+    FROM toks
+    """,
+)
+def l07_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats — all codegen'd column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(X.avg_token_length("text"), 6).alias("avg_token_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    parts = []
+    for lang, words in sorted(X.LANG_LEXICONS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(w, x -> list_contains([{lst}], x))) AS score "
+            f"FROM toks")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    scores AS ({union}),
+    best AS (SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id)
+    SELECT s.doc_id, min(s.lang) AS pred_lang
+    FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.score = b.ms
+    GROUP BY s.doc_id
+    """
+
+
+@query("l08_language_id", oracle=_langid_oracle())
+def l08_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: lexicon-overlap argmax (alphabetical
+    tiebreak), pure array expressions — the oracle recomputes the same
+    argmax relationally from the identical lexicons."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.language_id("text").alias("pred_lang"))
+
+
+@query(
+    "l09_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(lower(text))) AS fingerprint FROM documents
+    """,
+)
+def l09_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text); the winnowing-style
+    rolling fingerprint is pytest-covered (no cross-engine hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.content_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "l10_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           strlen(text) AS n_bytes,
+           ascii(text) AS first_byte
+    FROM documents
+    """,
+)
+def l10_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: build binary blobs + metadata, run
+    the Arrow-batched mapInPandas feature extractor, project the metadata
+    the oracle can recompute (byte length, first byte).  Real codec decode
+    is stubbed (multimodal.decode_image) — the batch shape is what's
+    under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary(docs, "doc_id", "text", mime="text/plain")
+    feats = M.extract_features(media)
+    return feats.select("media_id", "n_bytes",
+                        F.col("first_byte").cast("int").alias("first_byte"))
+
+
+@query("l11_ann_lsh_topk")  # seeded hyperplanes → rows-only + pytest recall
+def l11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: 4 hyperplane tables × 8 bits,
+    bucket-filtered candidates, exact rerank.  pytest checks recall vs the
+    brute-force l05 answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return S.lsh_ann_topk(emb, "vec_id", "embedding", qv, k=10,
+                          exclude_id=0)

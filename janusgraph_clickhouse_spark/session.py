@@ -59,4 +59,37 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static conf on some builds; fine either way
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via addPyFile.
+
+    Pandas-UDF / mapInPandas closures reference functions in this package;
+    workers unpickle them by importing the module, so the package must be
+    on every worker's sys.path.  Driver-side sys.path edits don't
+    propagate (workers are separate processes — on a real cluster,
+    separate machines), so we zip the package once per session and
+    `sc.addPyFile` it: the standard way to ship Python deps with a job.
+    """
+    flag = "spark.jcs.package.shipped"
+    try:
+        if spark.conf.get(flag, "") == "true":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+
+    import janusgraph_clickhouse_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    staging = tempfile.mkdtemp(prefix="jcs_pyfiles_")
+    zip_base = os.path.join(staging, "janusgraph_clickhouse_spark")
+    zip_path = shutil.make_archive(
+        zip_base, "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set(flag, "true")

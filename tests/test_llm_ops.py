@@ -1,0 +1,126 @@
+"""LLM-op tests: LSH paths vs exact baselines, multimodal plumbing,
+fingerprints (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from janusgraph_clickhouse_spark.llm import dedup as D
+from janusgraph_clickhouse_spark.llm import multimodal as M
+from janusgraph_clickhouse_spark.llm import similarity as S
+from janusgraph_clickhouse_spark.llm import text as X
+from janusgraph_clickhouse_spark.sources import load_table
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return load_table(spark, sf, "embeddings")
+
+
+def test_minhash_lsh_matches_exact(spark, sf_oracle):
+    """LSH+rerank must recover the exact Jaccard pairs (precision 1.0 by
+    construction of the rerank; recall ≈1 for 0.8+ planted dups)."""
+    docs = _docs(spark, sf_oracle)
+    exact = {(r.doc_a, r.doc_b)
+             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.4).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in D.minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.4).collect()}
+    assert lsh <= exact                     # rerank ⇒ no false positives
+    assert len(lsh) >= 0.9 * len(exact)     # high recall on planted dups
+    assert len(exact) > 0
+
+
+def test_simhash_finds_planted_dups(spark, sf_oracle):
+    docs = _docs(spark, sf_oracle)
+    exact = {(r.doc_a, r.doc_b)
+             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()}
+    sim = {(r.doc_a, r.doc_b)
+           for r in D.simhash_pairs(docs, "doc_id", "text", 8).collect()}
+    # simhash(hamming≤8) should recover most 0.8+ jaccard dups
+    assert len(exact & sim) >= 0.8 * len(exact)
+
+
+def test_exact_dedup_keeps_one_per_text(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    deduped = D.exact_dedup(docs, "doc_id", "text")
+    assert deduped.count() == docs.select("text").distinct().count()
+
+
+def test_ann_recall_vs_brute_force(spark, sf_oracle):
+    emb = _emb(spark, sf_oracle)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r.id for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    approx = [r.id for r in S.lsh_ann_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall {recall} too low: {approx} vs {exact}"
+
+
+def test_topk_join_per_query(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.brute_force_topk_join(queries, emb, "vec_id", "embedding",
+                                  "vec_id", "embedding", k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    for q in (0, 1, 2):
+        mine = [r for r in rows if r.query_id == q]
+        # the query vector itself is its own nearest neighbor (cosine 1.0)
+        best = max(mine, key=lambda r: r.cosine)
+        assert best.id == q and abs(best.cosine - 1.0) < 1e-6
+
+
+def test_multimodal_features_deterministic(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke).limit(20)
+    media = M.attach_binary(docs, "doc_id", "text")
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for mid, row in by_id.items():
+        raw = src[mid].encode()
+        assert row.n_bytes == len(raw)
+        assert row.first_byte == raw[0]
+        assert abs(row.byte_mean - sum(raw) / len(raw)) < 1e-9
+        assert len(row.feature) == 4
+
+
+def test_multimodal_decode_is_stubbed():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_shape(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke).limit(5)
+    media = M.attach_binary(docs, "doc_id", "text")
+    frames = M.frame_sample(media, every_n_bytes=50).collect()
+    src = {r.media_id: r.n_bytes for r in media.collect()}
+    for mid, nb in src.items():
+        expect = (nb + 49) // 50
+        got = len([f for f in frames if f.media_id == mid])
+        assert got == expect
+
+
+def test_rolling_fingerprints_detect_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (3, "one two three four five six seven eight nine ten")],
+        "id long, text string")
+    fp = df.select("id", X.rolling_fingerprints("text", k=3, window=2)
+                   .alias("fps"))
+    rows = {r.id: set(r.fps) for r in fp.collect()}
+    assert rows[1] == rows[2]
+    assert not (rows[1] & rows[3])
+
+
+def test_quality_score_range(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    q = docs.select(X.quality_score("text").alias("q"))
+    mn, mx = q.agg(F.min("q"), F.max("q")).first()
+    assert 0.0 <= mn and mx <= 1.0
