@@ -1,1 +1,128 @@
-"""Populated in a later milestone."""
+"""Streaming-semantics queries, oracle-checked in their batch form.
+
+Spark's unified API means the exact transformations used by the streaming
+operators (janusgraph_clickhouse_spark.streaming.ops) also run on batch
+DataFrames — so the DuckDB oracle checks the *semantics* (window
+alignment, session gap rules, dedup-keep-first) while pytest separately
+runs the true streaming path (file source → availableNow → memory sink)
+and asserts it equals the batch answer.
+
+Window alignment note: Spark tumbling windows align to the epoch; DuckDB
+`time_bucket` with minute-scale widths aligns to an origin that is itself
+epoch-aligned for widths dividing 10 minutes, so starts agree.  Outputs
+carry `unix_timestamp(start)` BIGINT rather than raw timestamps to stay
+out of ns-vs-µs precision mismatches (events.ts is TIMESTAMP_NS parquet;
+Spark truncates to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..streaming.ops import session_stats, sliding_counts, tumbling_counts
+from .registry import query
+
+
+@query(
+    "s01_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+             AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type — identical code path as
+    the streaming operator (unified API)."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_counts(events)
+
+
+@query(
+    "s02_sliding_window",
+    oracle="""
+    SELECT window_start, count(*) AS cnt FROM (
+      SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+               AS window_start
+      FROM events
+      UNION ALL
+      SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts,
+                                    INTERVAL '5 minutes')) AS BIGINT)
+      FROM events
+    ) GROUP BY window_start
+    """,
+)
+def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width / 5 min slide): every event falls in
+    exactly two windows; the oracle reproduces that as two offset
+    tumbling bucketings unioned."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_counts(events)
+
+
+@query(
+    "s03_session_window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user.  The oracle
+    sessionizes relationally (lag + gap-flag + running sum) — same
+    semantics Spark's session_window implements in state."""
+    events = load_table(spark, sf_dir, "events")
+    out = session_stats(events)
+    # session_start from session_window.start is the first event's ts
+    return out.select("user_id",
+                      F.col("session_start").cast("bigint").alias("session_start"),
+                      "n_events", "sum_value")
+
+
+@query(
+    "s04_dedup_keep_first",
+    oracle="""
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — the deterministic batch
+    analog of dropDuplicatesWithinWatermark (whose streaming form keeps
+    the first *arrival*; here first by event time with id tiebreak).
+    Timestamps surface as epoch seconds: events.ts is ns-precision
+    parquet, which Spark truncates to µs — raw values would diverge."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (events.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id",
+                    F.unix_timestamp("ts").alias("ts_sec"),
+                    "user_id", "event_type", "value"))

@@ -75,9 +75,14 @@ TABLES: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampType()),
     ]),
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as its
+    # µs TimestampType (PARQUET_TYPE_ILLEGAL) — the on-disk schema reads the
+    # raw INT64 nanos (with spark.sql.legacy.parquet.nanosAsLong=true, set
+    # by session.get_spark/tune_session) and load_table converts to a real
+    # timestamp column.
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -105,7 +110,14 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(TABLES[name]).parquet(path)
+    df = spark.read.schema(TABLES[name]).parquet(path)
+    if name == "events":
+        # ns → µs conversion (see TABLES["events"] note); truncation, like
+        # every engine that narrows ns to µs
+        from pyspark.sql import functions as F
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,149 @@
+"""Structured Streaming operators (SURVEY §2.3 Streaming).
+
+The reference's streaming-shaped surface is JanusGraph's `txlog` /
+`systemlog` change-log stores (QueryHelper.java:101-102) plus the
+delete-before-insert mutate contract
+(ClickhouseKeyColumnValueStore.java:118-121,133-171).  Spark-native
+replacements:
+
+- change streams       → `readStream` file/Kafka source over the events
+                         table; checkpointing replaces the WAL role
+- windowed analytics   → watermark + tumbling/sliding/session windows
+- exactly-once-ish     → `dropDuplicatesWithinWatermark` (bounded state)
+- mutate / mutateMany  → `foreachBatch` upsert keeping deletions strictly
+                         before additions, batched per micro-batch (the
+                         reference batches per 1000 rows,
+                         QueryHelper.java:262-278 — a micro-batch is the
+                         same idea with a time bound)
+
+Every transformation here works identically on a batch DataFrame (Spark's
+unified API) — the correctness oracles run the batch form; pytest runs
+the streaming form through a memory sink with availableNow and asserts it
+matches the batch answer.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.kcvs import mutate
+from ..sources.catalog import TABLES
+
+
+def events_stream(spark: SparkSession, events_path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events table (schema explicit — file
+    streams require it; also what you'd do on cloud storage drops).
+
+    The fixture's `ts` is parquet TIMESTAMP(NANOS), unreadable as Spark's
+    µs TimestampType — the catalog schema reads the raw INT64 nanos
+    (sources.catalog.TABLES note) and we convert explicitly, mirroring
+    the batch loader."""
+    reader = spark.readStream.schema(TABLES["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(events_path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound.
+    Watermark bounds state: windows older than max(event time) - watermark
+    finalize and evict (late rows beyond it drop — the explicit policy)."""
+    e = events.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "cnt", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows)."""
+    e = events.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", width, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "cnt"))
+
+
+def session_stats(events: DataFrame, gap: str = "5 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after `gap` of inactivity
+    (state size bounded by watermark — the SURVEY §7 'hard part')."""
+    e = events.withWatermark("ts", watermark)
+    return (e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def stateful_dedup(events: DataFrame, keys: list[str],
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Stateful dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped; state for older keys is evicted."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def foreach_batch_upsert(stream: DataFrame, target_path: str,
+                         key_cols: list[str],
+                         checkpoint_dir: str | None = None):
+    """The mutate/mutateMany analog (SURVEY §2.1 #3/#4): per micro-batch,
+    delete target rows matching the batch's keys, then append the batch —
+    deletions strictly before additions, exactly the reference's contract
+    (ClickhouseKeyColumnValueStore.java:118-121) without per-row ALTER
+    DELETE mutations (QueryHelper.java:73).
+
+    Plain-parquet caveat (documented, not hidden): read-modify-overwrite
+    of the whole table is atomic only per micro-batch and assumes one
+    writer.  At real scale back the target with a transactional table
+    format or partition-overwrite discipline; the operator shape
+    (anti-join ∪ additions inside foreachBatch) is identical.
+    """
+    spark = stream.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            merged = mutate(current, additions=batch_df, deletions=None,
+                            key_cols=key_cols)
+            merged.write.mode("overwrite").parquet(target_path + "_stage")
+            staged = spark.read.parquet(target_path + "_stage")
+            staged.write.mode("overwrite").parquet(target_path)
+        else:
+            batch_df.write.mode("overwrite").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def run_to_memory(stream: DataFrame, mode: str = "complete",
+                  name: str | None = None) -> DataFrame:
+    """Run a streaming query to completion with availableNow into a memory
+    sink and return the result as a batch DataFrame (test/driver helper)."""
+    qname = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream
+         .format("memory")
+         .queryName(qname)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream.sparkSession.table(qname)

@@ -1,0 +1,95 @@
+"""True Structured-Streaming path tests: file source → availableNow →
+memory sink, asserted equal to the batch answers (unified-API check),
+plus the foreachBatch upsert contract (deletes-before-adds)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from janusgraph_clickhouse_spark.sources import load_table
+from janusgraph_clickhouse_spark.streaming import (
+    events_stream,
+    foreach_batch_upsert,
+    run_to_memory,
+    session_stats,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_smoke):
+    """File-source streams want a directory of files."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_smoke}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir, sf_smoke):
+    stream = events_stream(spark, events_dir)
+    got = run_to_memory(tumbling_counts(stream), mode="complete")
+    want = tumbling_counts(load_table(spark, sf_smoke, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_sessions_equal_batch(spark, events_dir, sf_smoke):
+    stream = events_stream(spark, events_dir)
+    got = run_to_memory(session_stats(stream), mode="complete")
+    want = session_stats(load_table(spark, sf_smoke, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stateful_dedup_stream(spark, events_dir, sf_smoke):
+    stream = events_stream(spark, events_dir)
+    got = run_to_memory(stateful_dedup(stream, ["user_id", "event_type"]),
+                        mode="append")
+    # streaming keep-first is arrival-order — only the (key → one row)
+    # property is stable, so check cardinality, not which row survived
+    want = (load_table(spark, sf_smoke, "events")
+            .select("user_id", "event_type").distinct().count())
+    assert got.count() == want
+
+
+def test_foreach_batch_upsert_delete_before_add(spark, events_dir, tmp_path):
+    target = str(tmp_path / "target.parquet")
+    # seed the target with rows the stream will overwrite: same keys,
+    # sentinel values (load through the catalog so ts is a real timestamp,
+    # matching the stream's schema)
+    events = load_table(spark, events_dir, "events")
+    old = events.limit(100).withColumn("value", F.lit(-999.0))
+    old.write.mode("overwrite").parquet(target)
+
+    stream = events_stream(spark, events_dir)
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_upsert(stream, target, key_cols=["event_id"],
+                             checkpoint_dir=ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = spark.read.parquet(target)
+    # every sentinel row was deleted-then-replaced (delete-before-add)
+    assert final.filter(F.col("value") == -999.0).count() == 0
+    # exactly one row per event_id, equal to the source
+    assert final.count() == events.count()
+    assert final.select("event_id").distinct().count() == events.count()
+
+
+def test_late_data_drop_policy(spark, sf_smoke):
+    """Watermark semantics sanity on batch: rows older than the horizon
+    would be dropped in streaming; here we verify the windowing itself
+    never produces a window older than its inputs."""
+    events = load_table(spark, sf_smoke, "events")
+    out = tumbling_counts(events)
+    bounds = events.agg(F.min("ts"), F.max("ts")).first()
+    min_ws = out.agg(F.min("window_start")).first()[0]
+    import calendar
+    lo = calendar.timegm(bounds[0].timetuple())
+    assert min_ws <= lo < min_ws + 600
