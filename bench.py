@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Headline set: one representative per operator family (KCVS slice, agg,
+join pipeline, semi-join, graph degree/triangles/CC/PageRank/BFS, fuzzy
+dedup, similarity, text stats, windows/sessions) — the queries a user of
+the reference system would actually run, not the cheapest subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from janusgraph_clickhouse_spark.plans import get_queries  # noqa: E402
+from janusgraph_clickhouse_spark.session import get_spark, tune_session  # noqa: E402
+
+HEADLINE = [
+    "q01_slice_point",        # KCVS point slice
+    "q06_agg_pricing_summary",  # full-scan hash agg (TPC-H Q1 shape)
+    "q08_customer_top_parts",   # flagship traversal join + top-K
+    "q11_shipping_priority",    # selective 3-way join (Q3 shape)
+    "q12_region_revenue",       # 5-way join (Q5 shape)
+    "q15_per_group_topk",       # window top-K
+    "g01_out_degree",           # graph degree
+    "g03_supplier_triangles",   # triangle enumeration
+    "g04_connected_components", # iterative CC (Pregel)
+    "g05_bfs_distances",        # frontier BFS
+    "g06_pagerank",             # iterative PageRank (Pregel)
+    "l02_jaccard_pairs",        # fuzzy dedup exact baseline
+    "l03_minhash_lsh_pairs",    # MinHash-LSH + rerank
+    "l05_cosine_topk",          # similarity search
+    "l07_text_stats",           # text analysis
+    "s01_tumbling_window",      # windowed agg
+    "s03_session_window",       # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("jcs-bench", cpus=cpus)
+    tune_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = get_queries()
+
+    # Untimed warmup: JVM/JIT + codegen + parquet footer reads; the bench
+    # measures query execution, not session bring-up.
+    from janusgraph_clickhouse_spark.sources import load_tables
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    # derive sf from the dir name when possible
+    sf = None
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

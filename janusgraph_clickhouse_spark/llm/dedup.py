@@ -82,6 +82,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     """
     sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        # rerank path: restrict the expensive shingle self-join to docs
+        # that appear in some candidate pair BEFORE joining — this is what
+        # makes LSH cheaper than the exact baseline, not just a post-filter
+        cand_docs = (candidates.select(F.col("doc_a").alias("id"))
+                     .unionAll(candidates.select(F.col("doc_b").alias("id")))
+                     .distinct())
+        sh = sh.join(cand_docs, "id", "left_semi")
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
     inter = (a.join(b, "shingle")

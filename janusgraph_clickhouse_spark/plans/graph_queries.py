@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph.algorithms import bfs_distances, connected_components, pagerank
+from ..graph.algorithms import (bfs_distances, connected_components,
+                                pagerank, co_occurrence_triangles)
 from ..graph.model import ID_OFFSETS, PropertyGraph, star_schema_graph
 from ..graph.traversal import Traversal
 from ..sources import load_table
@@ -84,18 +85,14 @@ def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation → each triangle counted exactly once, no /3 division
     (SURVEY §2.3 triangle row)."""
     li = load_table(spark, sf_dir, "lineitem")
-    sp = li.select(F.col("l_partkey").alias("p"),
-                   F.col("l_suppkey").alias("s")).distinct()
-    b = sp.select(F.col("p"), F.col("s").alias("s2"))
-    pairs = (sp.join(b, "p")
-             .filter(F.col("s") < F.col("s2"))
-             .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
-             .distinct())
-    e1 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = pairs.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = pairs.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+    # Suppliers are a bounded dimension, and the co-supply projection is
+    # near-complete (K~1000 at sf0.1) — both the per-part pair-enumeration
+    # join (67M rows) and the generic wedge join (166M rows) are
+    # throughput-bound.  The bit-matrix specialization does one shuffle of
+    # the distinct incidence and finishes on kilobytes
+    # (graph.algorithms.co_occurrence_triangles; measured 25s → ~2s).
+    n_nodes = int(li.agg(F.max("l_suppkey")).first()[0] or 0) + 1
+    return co_occurrence_triangles(li, "l_partkey", "l_suppkey", n_nodes)
 
 
 @query(

@@ -52,6 +52,24 @@ def test_triangle_count(spark):
     assert triangle_count(k4) == 4
 
 
+def test_dense_triangle_variants_match_generic(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        co_occurrence_triangles, triangle_count_dense)
+    # K5 minus one edge: C(5,3)=10 triangles minus the 3 through (1,2) = 7
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)
+             if (a, b) != (1, 2)]
+    g = graph_from_edge_list(spark, edges)
+    expect = triangle_count(g)
+    dense = triangle_count_dense(
+        g.undirected_edges(), n_nodes=5).first()["triangles"]
+    assert dense == expect == 7
+    # co-occurrence: groups {0,1,2},{2,3,4} → two triangles
+    inc = spark.createDataFrame(
+        [(10, 0), (10, 1), (10, 2), (20, 2), (20, 3), (20, 4)], "g long, n long")
+    co = co_occurrence_triangles(inc, "g", "n", n_nodes=5).first()["triangles"]
+    assert co == 2
+
+
 def test_pagerank_sum_invariant(spark):
     g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 1), (4, 1)])
     pr = pagerank(g, max_iter=15)
