@@ -177,3 +177,43 @@ def g07_traversal_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = t.where_out("placed").to_df()
     return kept.select((F.col("id") - _C).alias("c_custkey"),
                        F.col("name").alias("c_name"))
+
+
+@query(
+    "g08_path_query",
+    oracle=f"""
+    SELECT DISTINCT [o.o_custkey + {_C}, o.o_orderkey + {_O},
+                     l.l_partkey + {_P}] AS path
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = 42
+    """,
+)
+def g08_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path query with path accumulation (SURVEY §2.3 path/cycle row):
+    the traversal carries an ARRAY<LONG> path column grown per hop via
+    array_append — one Catalyst plan, no driver-side path assembly."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    t = (Traversal.V(g, 42 + _C, with_path=True)
+         .out("placed")
+         .out("contains")
+         .dedup())
+    return t.values("path").dropDuplicates()
+
+
+@query(
+    "g09_in_traversal",
+    oracle=f"""
+    SELECT DISTINCT o.o_custkey + {_C} AS id
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_partkey = 7
+    """,
+)
+def g09_in_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse expansion g.V(part 7).in('contains').in('placed').dedup()
+    — in() flips the join side (dst→src), same single-plan compilation."""
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    t = (Traversal.V(g, 7 + _P)
+         .in_("contains")
+         .in_("placed")
+         .dedup())
+    return t.values("id")

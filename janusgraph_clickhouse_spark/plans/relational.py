@@ -460,3 +460,65 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("k_value") >= 50)
              .groupBy("event_type", "k_value")
              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query(
+    "q19_mutate_upsert",
+    oracle="""
+    WITH additions AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey < 100
+    ),
+    kept AS (
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderkey >= 100 AND o_orderkey < 200)
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM additions)
+    ),
+    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM additions)
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) FILTER (o_orderstatus = 'X') AS n_upserted
+    FROM merged
+    """,
+)
+def q19_mutate_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate/mutateMany semantics (SURVEY §2.1 #3/#4) as a single plan:
+    deletions strictly before additions, additions overwrite their own
+    keys (ClickhouseKeyColumnValueStore.java:118-121,150-158) — expressed
+    as anti-join ∪ additions, zero per-row deletes.  The oracle replays
+    the same mutation relationally and checks the merged aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    additions = (o.filter(F.col("o_orderkey") < 100)
+                 .withColumn("o_orderstatus", F.lit("X"))
+                 .withColumn("o_totalprice",
+                             F.round(F.col("o_totalprice") * 1.1, 2)))
+    deletions = o.filter(F.col("o_orderkey").between(100, 199))
+    merged = kcvs.mutate(o, additions, deletions, key_cols=["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias("n_upserted"))
+
+
+@query(
+    "q20_group_collect",
+    oracle="""
+    SELECT c_nationkey, list_sort(list(c_name)) AS names,
+           count(*) AS n
+    FROM customer
+    WHERE c_acctbal > 8000
+    GROUP BY c_nationkey
+    """,
+)
+def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin group().by(nation).by(values('name').fold()) →
+    groupBy + sort_array(collect_list(...)) (sorted for determinism —
+    collect order is partition-dependent in any engine)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_acctbal") > 8000)
+            .groupBy("c_nationkey")
+            .agg(F.sort_array(F.collect_list("c_name")).alias("names"),
+                 F.count(F.lit(1)).alias("n")))

@@ -1,0 +1,60 @@
+"""Physical layout control: the Spark analog of the reference's clustered
+storage.
+
+The reference gets efficient range slices from MergeTree clustering:
+``CREATE TABLE … ENGINE = MergeTree() ORDER BY (k,c)``
+(QueryHelper.java:57) — the primary index makes every (k, c-range) read an
+index scan.  In Spark the equivalent physical choices are ours to make at
+WRITE time (SURVEY §4 "layout choice is ours, not Catalyst's"):
+
+- **bucketing** on the key column co-locates equal keys → joins and
+  groupBys on that key skip the shuffle entirely (bucket pruning for
+  point lookups);
+- **sortWithinPartitions** on (key, col) gives parquet row-group min/max
+  stats that act like the MergeTree primary index: a (k, c-range) filter
+  prunes row groups before decoding anything;
+- **partitionBy** on a coarse column (e.g. label, date) is the
+  partition-pruning layer above that.
+
+At 100 TB the adjacency table (edges bucketed by src, sorted by (src,
+label, dst)) is what makes frontier joins co-partitioned instead of
+all-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_clustered_table(df: DataFrame, table_name: str, key_col: str,
+                          sort_cols: list[str], num_buckets: int = 16,
+                          partition_by: list[str] | None = None) -> None:
+    """Write a bucketed + sorted managed table (the ORDER BY (k,c) analog).
+
+    Bucketed tables require the catalog (saveAsTable); readers that join
+    or aggregate on `key_col` then avoid the shuffle when bucket specs
+    line up on both sides.
+    """
+    writer = (df.write.mode("overwrite")
+              .bucketBy(num_buckets, key_col)
+              .sortBy(*sort_cols))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table_name)
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
+                         repartition_col: str | None = None,
+                         num_files: int | None = None) -> None:
+    """Plain-parquet variant when no catalog is available: repartition by
+    the key (clusters equal keys into the same files) then sort within
+    partitions so row-group min/max stats prune range scans."""
+    out = df
+    if repartition_col is not None:
+        out = (out.repartition(num_files, repartition_col)
+               if num_files else out.repartition(repartition_col))
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def table_scan(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

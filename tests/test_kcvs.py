@@ -1,0 +1,110 @@
+"""Unit tests for the KCVS operator surface (SURVEY §2.1 parity) and the
+clustered layout writers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from janusgraph_clickhouse_spark.functions import P, apply_predicate
+from janusgraph_clickhouse_spark.operators import kcvs
+from janusgraph_clickhouse_spark.sources.layout import (
+    write_sorted_parquet,
+)
+
+
+def _store(spark):
+    # a tiny KCV store: key k, column c, value v
+    rows = [(k, c, f"v{k}{c}") for k in range(5) for c in range(4)]
+    return spark.createDataFrame(rows, "k long, c long, v string")
+
+
+def test_slice_query_bounds_sort_limit(spark):
+    df = _store(spark)
+    out = kcvs.slice_query(df, "k", "c", key=2, col_start=1, col_end=3,
+                           limit=5).collect()
+    assert [(r.k, r.c) for r in out] == [(2, 1), (2, 2)]
+    out = kcvs.slice_query(df, "k", "c", key=2, limit=2).collect()
+    assert [(r.c) for r in out] == [0, 1]
+
+
+def test_multi_key_slice_per_key_limit(spark):
+    df = _store(spark)
+    out = kcvs.multi_key_slice(df, "k", "c", keys=[1, 3], col_start=1,
+                               limit_per_key=2).collect()
+    got = sorted((r.k, r.c) for r in out)
+    assert got == [(1, 1), (1, 2), (3, 1), (3, 2)]
+
+
+def test_key_range_scan_distinct_sorted(spark):
+    df = _store(spark)
+    out = kcvs.key_range_scan(df, "k", key_start=1, key_end=4).collect()
+    assert [r.k for r in out] == [1, 2, 3]
+
+
+def test_multi_range_scan_disjunction(spark):
+    df = _store(spark)
+    out = kcvs.multi_range_scan(df, "c", [(0, 1), (3, 4)])
+    assert sorted(set(r.c for r in out.collect())) == [0, 3]
+
+
+def test_mutate_delete_before_add(spark):
+    """The reference's contract: deletions apply strictly before
+    additions, and every addition overwrites its own (k,c)
+    (ClickhouseKeyColumnValueStore.java:118-121,150-158)."""
+    df = _store(spark)
+    additions = spark.createDataFrame(
+        [(2, 1, "NEW"), (9, 0, "FRESH")], "k long, c long, v string")
+    deletions = spark.createDataFrame([(0, 0)], "k long, c long")
+    out = kcvs.mutate(df, additions, deletions, key_cols=["k", "c"])
+    rows = {(r.k, r.c): r.v for r in out.collect()}
+    assert (0, 0) not in rows                 # explicit delete
+    assert rows[(2, 1)] == "NEW"              # overwrite, not duplicate
+    assert rows[(9, 0)] == "FRESH"            # plain insert
+    assert len(rows) == 20 - 1 + 1
+    # a (k,c) deleted AND re-added in the same mutation → addition wins
+    both = kcvs.mutate(df, additions=spark.createDataFrame(
+        [(1, 1, "REBORN")], "k long, c long, v string"),
+        deletions=spark.createDataFrame([(1, 1)], "k long, c long"),
+        key_cols=["k", "c"])
+    assert {(r.k, r.c): r.v for r in both.collect()}[(1, 1)] == "REBORN"
+
+
+def test_top_k_global_and_grouped(spark):
+    df = _store(spark)
+    top = kcvs.top_k(df, [F.col("c").desc(), F.col("k")], k=3).collect()
+    assert [(r.k, r.c) for r in top] == [(0, 3), (1, 3), (2, 3)]
+    per = kcvs.top_k(df, [F.col("c").desc()], k=1, partition_by=["k"])
+    assert sorted((r.k, r.c) for r in per.collect()) == [
+        (k, 3) for k in range(5)]
+
+
+def test_predicate_library(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world", 10.0), (2, "help wanted", 20.0),
+         (3, "goodbye", 30.0)], "id long, txt string, x double")
+    assert df.filter(P.between("x", 10, 30)).count() == 2      # half-open
+    assert df.filter(P.inside("x", 10, 30)).count() == 1
+    assert df.filter(P.outside("x", 15, 25)).count() == 2
+    assert df.filter(P.within("id", [1, 3])).count() == 2
+    assert df.filter(P.without("id", [1, 3])).count() == 1
+    assert df.filter(P.text_contains("txt", "world")).count() == 1
+    assert df.filter(P.text_contains("txt", "orl")).count() == 0  # token, not substr
+    assert df.filter(P.text_prefix("txt", "hel")).count() == 2
+    assert df.filter(P.text_regex("txt", "hel.*")).count() == 2
+    assert df.filter(P.text_regex("txt", "hel")).count() == 0     # whole match
+    assert df.filter(P.text_fuzzy("txt", "goodby")).count() == 1
+    assert df.filter(apply_predicate("gt", "x", 15)).count() == 2
+
+
+def test_sorted_parquet_layout_prunes(spark, tmp_path):
+    """write_sorted_parquet clusters keys; re-read + range slice returns
+    the same answer (and the scan carries pushed filters)."""
+    df = _store(spark)
+    path = str(tmp_path / "clustered")
+    write_sorted_parquet(df, path, sort_cols=["k", "c"],
+                         repartition_col="k", num_files=4)
+    back = spark.read.parquet(path)
+    out = kcvs.slice_query(back, "k", "c", key=3, col_start=1, col_end=4)
+    assert [r.c for r in out.collect()] == [1, 2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushed" in plan.lower()
