@@ -522,3 +522,33 @@ def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_nationkey")
             .agg(F.sort_array(F.collect_list("c_name")).alias("names"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "q21_array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct,
+           list_sort(list_distinct(list_intersect(
+               w, ['spark', 'table', 'query', 'join']))) AS kw_hits,
+           w[1] AS first_token,
+           w[-1] AS last_token
+    FROM t
+    """,
+)
+def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function surface (SURVEY §2.3: array_* family — the
+    reference stores arrays as opaque bytes and computes nothing): size,
+    distinct, intersect with a literal set, element_at from both ends."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    kw = F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("join"))
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.sort_array(F.array_distinct(F.array_intersect(w, kw))).alias("kw_hits"),
+        F.element_at(w, 1).alias("first_token"),
+        F.element_at(w, -1).alias("last_token"))

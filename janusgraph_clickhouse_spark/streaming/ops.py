@@ -134,6 +134,38 @@ def foreach_batch_upsert(stream: DataFrame, target_path: str,
     return writer
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.3:
+    'applyInPandasWithState for custom stateful operators').
+
+    Keeps (n_events, sum_value) per user across micro-batches and emits
+    the updated running totals each batch — the arbitrary-state shape
+    (fraud counters, session models, rate limiters) that windowed aggs
+    can't express.  State is a tiny fixed-width tuple per key, so state
+    store size is O(#users), not O(#events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(total, 2)]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream: DataFrame, mode: str = "complete",
                   name: str | None = None) -> DataFrame:
     """Run a streaming query to completion with availableNow into a memory

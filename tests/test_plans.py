@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions (SURVEY §4): the optimizations the
+engine relies on at scale must actually appear in the executed plans —
+pushdown at the scan, broadcast for dimensions, top-K instead of total
+sort, partial aggregation. Guards against silent plan regressions."""
+
+from __future__ import annotations
+
+from janusgraph_clickhouse_spark.plans.graph_queries import g02_two_hop_parts
+from janusgraph_clickhouse_spark.plans.relational import (
+    q01_slice_point,
+    q05_unordered_scan_topk,
+    q06_agg_pricing_summary,
+    q08_customer_top_parts,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_point_slice_pushes_filters_and_prunes_columns(spark, sf_smoke):
+    df = q01_slice_point(spark, sf_smoke)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_orderkey" in plan.split("PushedFilters")[1][:400]
+    # column pruning: the scan schema must not include unprojected columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_smoke):
+    df = q05_unordered_scan_topk(spark, sf_smoke)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_agg_has_partial_final_pair(spark, sf_smoke):
+    df = q06_agg_pricing_summary(spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_" in plan
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_smoke):
+    df = q08_customer_top_parts(spark, sf_smoke)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the point-filtered customer must be pushed to its scan
+    assert "c_custkey" in plan.split("PushedFilters")[1][:2000] or \
+           plan.count("PushedFilters") >= 2
+
+
+def test_traversal_is_single_plan_with_joins(spark, sf_smoke):
+    df = g02_two_hop_parts(spark, sf_smoke).to_df() if hasattr(
+        g02_two_hop_parts(spark, sf_smoke), "to_df") else \
+        g02_two_hop_parts(spark, sf_smoke)
+    plan = _optimized(df)
+    # two adjacency expansions → at least two joins in ONE plan tree
+    assert plan.count("Join") >= 2
+
+
+def test_semi_anti_joins_compile_as_such(spark, sf_smoke):
+    from janusgraph_clickhouse_spark.plans.relational import (
+        q09_semi_join, q10_anti_join)
+    assert "LeftSemi" in _optimized(q09_semi_join(spark, sf_smoke))
+    assert "LeftAnti" in _optimized(q10_anti_join(spark, sf_smoke))

@@ -93,3 +93,38 @@ def test_late_data_drop_policy(spark, sf_smoke):
     import calendar
     lo = calendar.timegm(bounds[0].timetuple())
     assert min_ws <= lo < min_ws + 600
+
+
+def test_apply_in_pandas_with_state(spark, events_dir, sf_smoke):
+    """Custom stateful operator: running per-user totals must equal the
+    batch groupBy answer once the stream drains."""
+    from janusgraph_clickhouse_spark.streaming.ops import running_user_totals
+    stream = events_stream(spark, events_dir)
+    got = run_to_memory(running_user_totals(stream), mode="update")
+    # "update" emits one row per user per batch; the LAST row per user is
+    # the final running total (single batch here → exactly one row each)
+    final = {r.user_id: (r.n_events, r.sum_value) for r in got.collect()}
+    want = {r.user_id: (r.n, r.s) for r in
+            load_table(spark, sf_smoke, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("s")).collect()}
+    assert final == want
+
+
+def test_catalog_bootstrap_ddl(spark, sf_smoke):
+    """create/drop/exists analogs of the reference's table bootstrap."""
+    from janusgraph_clickhouse_spark.sources.catalog import (
+        check_exists, create_tables, drop_table, table_exists)
+    for n in ("region", "nation"):
+        drop_table(spark, n)
+    missing = check_exists(spark, ["region", "nation"])
+    assert missing == ["region", "nation"]
+    created = create_tables(spark, sf_smoke, ["region", "nation"])
+    assert created == ["region", "nation"]
+    assert table_exists(spark, "region")
+    assert spark.table("region").count() == 5
+    # idempotent (IF NOT EXISTS): second call creates nothing
+    assert create_tables(spark, sf_smoke, ["region", "nation"]) == []
+    for n in ("region", "nation"):
+        drop_table(spark, n)
