@@ -152,6 +152,61 @@ def bfs_distances(graph: PropertyGraph, source_ids: list[int],
     return visited
 
 
+def shortest_paths(graph: PropertyGraph, source_ids: list[int],
+                   weight_col: str | None = None, max_iter: int = 20,
+                   directed: bool = True) -> DataFrame:
+    """Single-source (or multi-source) WEIGHTED shortest paths; returns
+    (id, distance DOUBLE) for reachable vertices.
+
+    Bellman-Ford-on-Pregel: each superstep relaxes every edge once
+    (message = dist[src] + w), min-aggregates at dst, and keeps the
+    smaller of old/new distance.  Converges in ≤ |longest shortest path|
+    supersteps with an early-exit probe; unweighted BFS is the w=1
+    special case (bfs_distances is the cheaper frontier form for that).
+    """
+    e = graph.edges
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    edges = e.select("src", "dst", w.alias("w"))
+    if not directed:
+        edges = edges.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     w.alias("w")))
+    edges = edges.cache()
+    inf = float("inf")
+    state = graph.vertices.select(
+        "id",
+        F.when(F.col("id").isin([int(s) for s in source_ids]), F.lit(0.0))
+         .otherwise(F.lit(inf)).alias("dist"))
+
+    def make_messages(st: DataFrame, ed: DataFrame) -> DataFrame:
+        reach = st.filter(F.col("dist") != inf)
+        return (ed.join(reach.select(F.col("id").alias("src"), "dist"), "src")
+                .select("dst", (F.col("dist") + F.col("w")).alias("msg")))
+
+    def agg_messages(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(F.min("msg").alias("new_dist"))
+
+    def update(st: DataFrame, agg: DataFrame) -> DataFrame:
+        return (st.join(agg.withColumnRenamed("dst", "id"), "id", "left")
+                .select("id", F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("new_dist"), F.col("dist"))
+                ).alias("dist")))
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        changed = (old.select("id", F.col("dist").alias("d_old"))
+                   .join(new, "id")
+                   .filter(F.col("dist") < F.col("d_old"))
+                   .limit(1).count())
+        return changed == 0
+
+    out = pregel(state, edges, make_messages, agg_messages, update,
+                 max_iter=max_iter, converged=converged,
+                 checkpoint_interval=1)
+    edges.unpersist()
+    return out.filter(F.col("dist") != inf)
+
+
 def triangle_count(graph: PropertyGraph) -> int:
     """Global triangle count on the canonical undirected edge set.
 

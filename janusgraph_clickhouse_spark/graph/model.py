@@ -104,12 +104,14 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
         edges.append(c.select(
             (F.col("c_custkey") + ID_OFFSETS["customer"]).alias("src"),
             (F.col("c_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
-            F.lit("in_nation").alias("label")))
+            F.lit("in_nation").alias("label"),
+            F.lit(1.0).alias("weight")))
     if _w("in_region"):
         edges.append(n.select(
             (F.col("n_nationkey") + ID_OFFSETS["nation"]).alias("src"),
             (F.col("n_regionkey").cast("long") + ID_OFFSETS["region"]).alias("dst"),
-            F.lit("in_region").alias("label")))
+            F.lit("in_region").alias("label"),
+            F.lit(1.0).alias("weight")))
 
     if want is None or {"placed", "contains", "supplied_by",
                         "supplier_in_nation"} & want:
@@ -132,22 +134,26 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
             edges.append(o.select(
                 (F.col("o_custkey") + ID_OFFSETS["customer"]).alias("src"),
                 (F.col("o_orderkey") + ID_OFFSETS["order"]).alias("dst"),
-                F.lit("placed").alias("label")))
+                F.lit("placed").alias("label"),
+                F.lit(1.0).alias("weight")))
         if _w("contains"):
             edges.append(li.select(
                 (F.col("l_orderkey") + ID_OFFSETS["order"]).alias("src"),
                 (F.col("l_partkey") + ID_OFFSETS["part"]).alias("dst"),
-                F.lit("contains").alias("label")))
+                F.lit("contains").alias("label"),
+                F.col("l_quantity").alias("weight")))  # edge property
         if _w("supplied_by"):
             edges.append(li.select(
                 (F.col("l_partkey") + ID_OFFSETS["part"]).alias("src"),
                 (F.col("l_suppkey") + ID_OFFSETS["supplier"]).alias("dst"),
-                F.lit("supplied_by").alias("label")).dropDuplicates(["src", "dst"]))
+                F.lit("supplied_by").alias("label"),
+                F.lit(1.0).alias("weight")).dropDuplicates(["src", "dst"]))
         if _w("supplier_in_nation"):
             edges.append(s.select(
                 (F.col("s_suppkey") + ID_OFFSETS["supplier"]).alias("src"),
                 (F.col("s_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
-                F.lit("in_nation").alias("label")))
+                F.lit("in_nation").alias("label"),
+                F.lit(1.0).alias("weight")))
 
     vertices = verts[0]
     for v in verts[1:]:
@@ -162,7 +168,8 @@ def graph_from_edge_list(spark: SparkSession,
                          edges: list[tuple[int, int]]) -> PropertyGraph:
     """Micro-graph builder for closed-form algorithm tests."""
     e = spark.createDataFrame(
-        [(int(s), int(d), "e") for s, d in edges], "src long, dst long, label string")
+        [(int(s), int(d), "e", 1.0) for s, d in edges],
+        "src long, dst long, label string, weight double")
     v = (e.select(F.col("src").alias("id"))
           .unionAll(e.select(F.col("dst").alias("id")))
           .distinct()

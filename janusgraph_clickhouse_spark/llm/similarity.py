@@ -87,6 +87,77 @@ def lsh_bucket_expr(vec_col: str | Column,
     return bucket
 
 
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
+                  n_cells: int = 16, n_iters: int = 2,
+                  seed_ids: list[int] | None = None) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids trained with `n_iters`
+    Lloyd steps.  Assignment is distributed (argmin over broadcast
+    centroids, pure column expressions); the centroid update is one
+    groupBy-avg — per iteration cost is a scan plus a k×dim aggregate.
+    Seeding is deterministic: the first `n_cells` ids (or caller-given)."""
+    import numpy as np
+
+    if seed_ids is None:
+        seeds = (df.select(F.col(id_col).alias("id"))
+                 .orderBy("id").limit(n_cells).collect())
+        seed_ids = [r.id for r in seeds]
+    cents = [list(map(float, r[0])) for r in
+             df.filter(F.col(id_col).isin(seed_ids))
+               .orderBy(id_col).select(vec_col).collect()]
+    for _ in range(n_iters):
+        assigned = df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _nearest_cell_expr(vec_col, cents).alias("cell"))
+        rows = (assigned
+                .select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                .collect())
+        dim = len(cents[0])
+        new = {c: [0.0] * dim for c in {r.cell for r in rows}}
+        for r in rows:
+            new[r.cell][r.pos] = r.m
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def _nearest_cell_expr(vec_col: str | Column,
+                       centroids: list[list[float]]) -> Column:
+    """argmin over centroids of squared L2 distance — an array of structs
+    (dist, idx) reduced with array_min; no UDF."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cd = c.cast("array<double>")
+    scored = []
+    for i, cent in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cent])
+        d2 = F.aggregate(F.zip_with(cd, lit, lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*scored))["i"]
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+             query_vec: list[float], k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, centroids: list[list[float]] | None = None,
+             exclude_id=None) -> DataFrame:
+    """IVF approximate top-k: assign rows to their nearest centroid cell,
+    search only the `n_probe` cells nearest the query, exact rerank
+    inside.  The inverted-file structure is the scale path when the
+    corpus no longer fits a brute-force scan per query — cells are the
+    partition-pruning layer (write the corpus partitioned by cell and
+    only n_probe/n_cells of the data is read)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_cells)
+    q = np.asarray(query_vec, dtype=float)
+    order = sorted(range(len(centroids)),
+                   key=lambda i: float(np.sum((q - np.asarray(centroids[i])) ** 2)))
+    probe = order[:n_probe]
+    cands = df.filter(_nearest_cell_expr(vec_col, centroids).isin(probe))
+    return brute_force_topk(cands, id_col, vec_col, query_vec, k,
+                            exclude_id=exclude_id)
+
+
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str,
                  query_vec: list[float], k: int = 10, n_planes: int = 4,
                  n_tables: int = 8, seed: int = 42,

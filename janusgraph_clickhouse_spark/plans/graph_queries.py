@@ -217,3 +217,28 @@ def g09_in_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
          .in_("placed")
          .dedup())
     return t.values("id")
+
+
+@query(
+    "g10_weighted_sssp",
+    oracle=f"""
+    WITH o42 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 42)
+    SELECT 42 + {_C} AS id, 0.0 AS dist
+    UNION ALL
+    SELECT o_orderkey + {_O}, 1.0 FROM o42
+    UNION ALL
+    SELECT l_partkey + {_P}, 1.0 + min(l_quantity)
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o42)
+    GROUP BY l_partkey
+    """,
+)
+def g10_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from customer 42 over
+    placed (w=1) and contains (w=l_quantity edge property) —
+    Bellman-Ford-on-Pregel (graph.algorithms.shortest_paths).  The
+    layered DAG gives the closed-form oracle: dist(part) = 1 + min
+    quantity over the customer's lineitems for that part."""
+    from ..graph.algorithms import shortest_paths
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    out = shortest_paths(g, [42 + _C], weight_col="weight", max_iter=6)
+    return out.select("id", F.round(F.col("dist"), 2).alias("dist"))

@@ -235,3 +235,15 @@ def l11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     return S.lsh_ann_topk(emb, "vec_id", "embedding", qv, k=10,
                           exclude_id=0)
+
+
+@query("l12_ivf_ann_topk")  # k-means cells are engine-side → rows-only
+def l12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic-seed k-means cells, probe the
+    4 nearest of 16, exact rerank inside (the partition-pruning ANN shape
+    for corpora too large to scan per query).  pytest checks recall and
+    score-exactness vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
+                      n_cells=16, n_probe=4, exclude_id=0)

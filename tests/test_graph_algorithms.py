@@ -98,3 +98,20 @@ def test_traversal_dsl_micro(spark):
                   Traversal.V(g).not_out().to_df().collect()) == [3, 4]
     both = Traversal.V(g, 2).both().dedup().to_df()
     assert sorted(r.id for r in both.collect()) == [1, 3]
+
+
+def test_weighted_shortest_paths(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import shortest_paths
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    from pyspark.sql import functions as F
+    # 1→2 (w=5), 1→3 (w=1), 3→2 (w=1): shortest 1→2 is 2 via 3, not 5
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 2.0)],
+        "src long, dst long, w double")
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "id long")
+    g = PropertyGraph(v, e)
+    d = {r.id: r.dist for r in shortest_paths(g, [1], "w").collect()}
+    assert d == {1: 0.0, 3: 1.0, 2: 2.0, 4: 4.0}  # 9 unreachable, absent
+    # unweighted defaults to hop counts (1→2 direct = 1 hop, 4 via 2)
+    d2 = {r.id: r.dist for r in shortest_paths(g, [1]).collect()}
+    assert d2[2] == 1.0 and d2[4] == 2.0

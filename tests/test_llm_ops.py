@@ -124,3 +124,22 @@ def test_quality_score_range(spark, sf_smoke):
     q = docs.select(X.quality_score("text").alias("q"))
     mn, mx = q.agg(F.min("q"), F.max("q")).first()
     assert 0.0 <= mn and mx <= 1.0
+
+
+def test_ivf_topk_recall(spark, sf_oracle):
+    emb = _emb(spark, sf_oracle)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r.id for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    approx = [r.id for r in S.ivf_topk(
+        emb, "vec_id", "embedding", qv, k=10, n_cells=16, n_probe=6,
+        exclude_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall}: {approx} vs {exact}"
+    # results are a subset of the probed cells reranked exactly → scores
+    # must match the exact scores for the ids it did return
+    exact_scores = {r.id: r.cosine for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=2000, exclude_id=0).collect()}
+    for r in S.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
+                        n_cells=16, n_probe=6, exclude_id=0).collect():
+        assert abs(exact_scores[r.id] - r.cosine) < 1e-9
