@@ -164,6 +164,33 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
     return PropertyGraph(vertices, edf)
 
 
+def interaction_graph(spark: SparkSession, sf_dir: str,
+                      window: str = "10 minutes") -> PropertyGraph:
+    """Temporal interaction graph sessionized from the events stream
+    (FIXTURES.md: `interacted` user→user edges): users co-occurring in
+    the same tumbling activity window are linked.
+
+    Derivation is one distinct + one self-join on the window key — the
+    join fans out only within a window, so skew is bounded by per-window
+    activity, not corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.select("user_id", F.window("ts", window).alias("w"))
+         .select("user_id", F.col("w.start").alias("w"))
+         .distinct())
+    b2 = b.select(F.col("user_id").alias("user2"), "w")
+    edges = (b.join(b2, "w")
+             .filter(F.col("user_id") < F.col("user2"))
+             .select(F.col("user_id").alias("src"),
+                     F.col("user2").alias("dst"))
+             .distinct()
+             .withColumn("label", F.lit("interacted"))
+             .withColumn("weight", F.lit(1.0)))
+    vertices = (ev.select(F.col("user_id").alias("id")).distinct()
+                .withColumn("label", F.lit("user"))
+                .withColumn("name", F.col("id").cast("string")))
+    return PropertyGraph(vertices, edges)
+
+
 def graph_from_edge_list(spark: SparkSession,
                          edges: list[tuple[int, int]]) -> PropertyGraph:
     """Micro-graph builder for closed-form algorithm tests."""

@@ -89,6 +89,30 @@ def _moment_vector(b: bytes | None, dim: int) -> list[float]:
             for i in range(dim)]
 
 
+def resize(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' shape over binary columns: emit a fixed-size downsampled
+    blob per row (the 1:1 blob→smaller-blob batch shape of a real image
+    resize; the resampling itself is a deterministic byte stride —
+    the codec call it stands in for is `decode_image`, stubbed here)."""
+    schema = "media_id long, blob binary, n_bytes long"
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "blob": [], "n_bytes": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    small = b""
+                else:
+                    stride = max(1, len(blob) // target_bytes)
+                    small = bytes(blob[::stride][:target_bytes])
+                out["media_id"].append(mid)
+                out["blob"].append(small)
+                out["n_bytes"].append(len(small))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(shrink, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' shape over binary columns: emit one row per sampled
     offset per blob (mapInPandas fan-out — the row-multiplying batch shape

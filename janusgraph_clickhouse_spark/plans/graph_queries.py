@@ -242,3 +242,26 @@ def g10_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
     out = shortest_paths(g, [42 + _C], weight_col="weight", max_iter=6)
     return out.select("id", F.round(F.col("dist"), 2).alias("dist"))
+
+
+@query(
+    "g11_interaction_degree",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id,
+                      time_bucket(INTERVAL '10 minutes', ts) AS w
+               FROM events),
+    e AS (SELECT DISTINCT a.user_id AS u1, c.user_id AS u2
+          FROM b a JOIN b c ON a.w = c.w AND a.user_id < c.user_id)
+    SELECT id, count(*) AS degree FROM (
+      SELECT u1 AS id FROM e UNION ALL SELECT u2 AS id FROM e
+    ) GROUP BY id
+    """,
+)
+def g11_interaction_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph derived from the event stream: users co-active in
+    the same 10-minute window are linked (FIXTURES 'interacted' edges);
+    output = undirected degree per user.  Shows graph derivation from
+    streaming-shaped data — window bucketing bounds the self-join."""
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    return g.degrees("both").select("id", "degree")

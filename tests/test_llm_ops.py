@@ -143,3 +143,13 @@ def test_ivf_topk_recall(spark, sf_oracle):
     for r in S.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
                         n_cells=16, n_probe=6, exclude_id=0).collect():
         assert abs(exact_scores[r.id] - r.cosine) < 1e-9
+
+
+def test_multimodal_resize_fixed_width(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke).limit(10)
+    media = M.attach_binary(docs, "doc_id", "text")
+    small = M.resize(media, target_bytes=64).collect()
+    assert len(small) == 10
+    for r in small:
+        assert r.n_bytes <= 64 and r.n_bytes == len(r.blob)
+        assert r.n_bytes > 0
