@@ -552,3 +552,174 @@ def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_distinct(F.array_intersect(w, kw))).alias("kw_hits"),
         F.element_at(w, 1).alias("first_token"),
         F.element_at(w, -1).alias("last_token"))
+
+
+@query(
+    "q22_left_outer_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q22_left_outer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    two stacked aggregations (per-customer count → histogram)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("n_orders")))
+    return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q23_having",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 35 AND sum(l_quantity) > 800
+    """,
+)
+def q23_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty"),
+                 F.sum("l_quantity").alias("_raw_qty"))
+            .filter((F.col("cnt") >= 35) & (F.col("_raw_qty") > 800))
+            .drop("_raw_qty"))
+
+
+@query(
+    "q24_correlated_min",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, round(m.min_price, 2) AS min_price
+    FROM part p
+    JOIN (SELECT l_partkey, min(l_extendedprice) AS min_price
+          FROM lineitem GROUP BY l_partkey) m
+      ON m.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    """,
+)
+def q24_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum joined back (the decorrelated
+    form of a correlated scalar subquery — what Catalyst rewrites such
+    subqueries into)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = _t(spark, sf_dir, "lineitem")
+    m = (li.groupBy("l_partkey")
+         .agg(F.min("l_extendedprice").alias("min_price")))
+    return (F.broadcast(p)
+            .join(m, p.p_partkey == m.l_partkey)
+            .select("p_partkey", "p_name",
+                    F.round("min_price", 2).alias("min_price")))
+
+
+@query(
+    "q25_count_distinct",
+    oracle="""
+    SELECT p.p_type,
+           count(DISTINCT l.l_suppkey) AS n_suppliers,
+           count(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q25_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over a join (expand + two-phase distinct
+    aggregation in Spark's planner)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_type")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+@query(
+    "q26_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) — the
+    grouping-sets surface the reference system lacks entirely."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+            .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+@query(
+    "q27_set_operations",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 30000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q27_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION / EXCEPT set algebra (left-assoc, matching SQL
+    precedence of the oracle: ((A∩B)∪C)∖D)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = (c.filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey")))
+    b = (o.filter(F.col("o_totalprice") > 30000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    u = (c.filter(F.col("c_acctbal") > 9900).select("c_custkey"))
+    d = (o.filter(F.col("o_orderstatus") == "P")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return a.intersect(b).union(u).distinct().exceptAll(d.distinct())
+
+
+@query(
+    "q28_sql_surface",
+    oracle="""
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           round(avg(o.o_totalprice), 2) AS avg_order
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    HAVING count(*) > 50
+    """,
+)
+def q28_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) textual surface: the same ANSI SQL the oracle
+    runs, executed through Catalyst over registered temp views — showing
+    both API layers (DataFrame and SQL) hit the identical engine."""
+    from ..sources import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               round(avg(o.o_totalprice), 2) AS avg_order
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+        HAVING count(*) > 50
+    """)
