@@ -723,3 +723,70 @@ def q28_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         HAVING count(*) > 50
     """)
+
+
+@query(
+    "q29_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(l_extendedprice) FILTER (l_linestatus = 'F'), 0), 2) AS F,
+           round(coalesce(sum(l_extendedprice) FILTER (l_linestatus = 'O'), 0), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): groupBy().pivot() with explicit value
+    list so the planner needs no extra pass to discover pivot values —
+    at scale always pass the values explicitly."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2)))
+    return out.select("l_returnflag", F.col("F").alias("F"),
+                      F.col("O").alias("O"))
+
+
+@query(
+    "q30_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    linear-interpolation quantile_cont).  At 100 TB swap to
+    percentile_approx (t-digest) — exact percentile needs a per-group
+    sort; the query keeps the exact form because the oracle must match
+    bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))
+
+
+@query(
+    "q31_statistics",
+    oracle="""
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 2) AS var,
+           round(corr(o_totalprice, o_custkey), 6) AS c,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS cov
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q31_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/corr/covariance
+    (all single-pass, partial+final combinable)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+                 F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+                 F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("c"),
+                 F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov")))
