@@ -265,3 +265,27 @@ def g11_interaction_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.model import interaction_graph
     g = interaction_graph(spark, sf_dir, "10 minutes")
     return g.degrees("both").select("id", "degree")
+
+
+@query(
+    "g12_motif_count",
+    oracle="""
+    SELECT count(*) AS matches
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN lineitem l2 ON l2.l_partkey = l.l_partkey
+    JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+    WHERE o.o_custkey <> o2.o_custkey
+    """,
+)
+def g12_motif_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif query: (c1)-[placed]->(o1)-[contains]->(p)<-[contains]-(o2)
+    <-[placed]-(c2), c1≠c2 — 'two different customers ordered the same
+    part' — compiled from the declarative pattern into one join tree
+    (graph.motif.find)."""
+    from ..graph.motif import find
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    m = find(g, [("c1", "placed", "o1"), ("o1", "contains", "p"),
+                 ("c2", "placed", "o2"), ("o2", "contains", "p")])
+    return (m.filter(F.col("c1") != F.col("c2"))
+            .agg(F.count(F.lit(1)).alias("matches")))

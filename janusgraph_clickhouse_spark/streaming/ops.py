@@ -166,6 +166,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  on: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a (broadcast)
+    dimension — the streaming face of the graphindex lookup.  The static
+    side is re-resolved per micro-batch, so slowly-changing dims pick up
+    updates without restarting the query."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def self_join_within(events: DataFrame, key: str, interval: str = "5 minutes",
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream self-join: pair events on the same key within a time
+    interval (click↔purchase attribution shape).  Both sides carry
+    watermarks and the join condition bounds event-time distance, so the
+    state store can evict rows older than watermark+interval — without
+    the time bound the state would grow forever."""
+    a = (events.withWatermark("ts", watermark)
+         .select(F.col(key).alias("k"), F.col("ts").alias("ts_a"),
+                 F.col("event_id").alias("id_a"),
+                 F.col("event_type").alias("type_a")))
+    b = (events.withWatermark("ts", watermark)
+         .select(F.col(key).alias("k"), F.col("ts").alias("ts_b"),
+                 F.col("event_id").alias("id_b"),
+                 F.col("event_type").alias("type_b")))
+    return a.join(
+        b,
+        (a.k == b.k) & (a.id_a < b.id_b)
+        & (b.ts_b >= a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")))
+
+
 def run_to_memory(stream: DataFrame, mode: str = "complete",
                   name: str | None = None) -> DataFrame:
     """Run a streaming query to completion with availableNow into a memory

@@ -115,3 +115,19 @@ def test_weighted_shortest_paths(spark):
     # unweighted defaults to hop counts (1→2 direct = 1 hop, 4 via 2)
     d2 = {r.id: r.dist for r in shortest_paths(g, [1]).collect()}
     assert d2[2] == 1.0 and d2[4] == 2.0
+
+
+def test_motif_finding(spark):
+    from janusgraph_clickhouse_spark.graph.motif import count_motif, find
+    # triangle 1→2→3→1 plus chord 1→4
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+    chains = find(g, [("a", None, "b"), ("b", None, "c")]).collect()
+    assert sorted(tuple(r) for r in chains) == [
+        (1, 2, 3), (2, 3, 1), (3, 1, 2), (3, 1, 4)]
+    cycles = count_motif(
+        g, [("x", None, "y"), ("y", None, "z"), ("z", None, "x")],
+        distinct_vertices=True).first()["matches"]
+    assert cycles == 3  # the 3 rotations of the one directed triangle
+    # repeated-variable pattern: out-and-back (none in this DAG-ish graph)
+    assert count_motif(g, [("a", None, "b"), ("b", None, "a")]) \
+        .first()["matches"] == 0

@@ -128,3 +128,37 @@ def test_catalog_bootstrap_ddl(spark, sf_smoke):
     assert create_tables(spark, sf_smoke, ["region", "nation"]) == []
     for n in ("region", "nation"):
         drop_table(spark, n)
+
+
+def test_stream_static_enrich(spark, events_dir, sf_smoke):
+    from janusgraph_clickhouse_spark.streaming.ops import enrich_stream
+    stream = events_stream(spark, events_dir)
+    dim = (load_table(spark, sf_smoke, "events")
+           .select("user_id").distinct()
+           .withColumn("user_tier",
+                       (F.col("user_id") % 3).cast("int")))
+    got = run_to_memory(enrich_stream(stream, dim, "user_id"),
+                        mode="append")
+    batch = load_table(spark, sf_smoke, "events")
+    assert got.count() == batch.count()
+    assert got.filter(F.col("user_tier").isNull()).count() == 0
+    one = got.filter(F.col("user_id") == got.first().user_id).first()
+    assert one.user_tier == one.user_id % 3
+
+
+def test_stream_stream_self_join(spark, events_dir, sf_smoke):
+    from janusgraph_clickhouse_spark.streaming.ops import self_join_within
+    stream = events_stream(spark, events_dir)
+    got = run_to_memory(self_join_within(stream, "user_id", "5 minutes"),
+                        mode="append")
+    # batch equivalent on the same data
+    ev = load_table(spark, sf_smoke, "events")
+    a = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("ts_a"),
+                  F.col("event_id").alias("id_a"))
+    b = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("ts_b"),
+                  F.col("event_id").alias("id_b"))
+    want = a.join(b, (a.k == b.k) & (a.id_a < b.id_b)
+                  & (b.ts_b >= a.ts_a)
+                  & (b.ts_b <= a.ts_a + F.expr("INTERVAL 5 minutes"))).count()
+    assert got.count() == want
+    assert want > 0
