@@ -131,3 +131,11 @@ def test_motif_finding(spark):
     # repeated-variable pattern: out-and-back (none in this DAG-ish graph)
     assert count_motif(g, [("a", None, "b"), ("b", None, "a")]) \
         .first()["matches"] == 0
+
+
+def test_traversal_edge_steps(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (1, 4)])
+    oe = Traversal.V(g, 1).out_e().collect()
+    assert sorted((r.src, r.dst) for r in oe) == [(1, 2), (1, 4)]
+    ie = Traversal.V(g, 3).in_e().collect()
+    assert [(r.src, r.dst) for r in ie] == [(2, 3)]
