@@ -324,10 +324,11 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
     n_bytes = (n_nodes + 7) // 8
     spark = incidence.sparkSession
 
+    # collect_set dedupes inside the aggregate → ONE shuffle instead of
+    # distinct + groupBy (two); np.unique below tolerates any residue
     groups = (incidence
               .select(F.col(group_col).alias("g"), F.col(node_col).alias("n"))
-              .distinct()
-              .groupBy("g").agg(F.collect_list("n").alias("members")))
+              .groupBy("g").agg(F.collect_set("n").alias("members")))
 
     def partial_adj(batches):
         A = np.zeros((n_nodes, n_bytes), dtype=np.uint8)

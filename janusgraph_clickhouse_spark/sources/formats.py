@@ -1,0 +1,60 @@
+"""Additional source/sink formats beyond parquet.
+
+The reference's only I/O is its JDBC table surface; a full engine needs
+the common lake formats.  All readers take EXPLICIT schemas — schema
+inference is a full extra pass over the data at 100 TB and produces
+unstable types; never rely on it in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    """CSV with explicit schema; malformed rows land in PERMISSIVE mode's
+    null columns rather than failing the scan (swap to FAILFAST when the
+    pipeline should halt on bad input)."""
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .option("delimiter", delimiter)
+            .option("mode", "PERMISSIVE")
+            .csv(path))
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType) -> DataFrame:
+    """JSON-lines with explicit schema (no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 8, lower_bound=None,
+              upper_bound=None, **options) -> DataFrame:
+    """JDBC source — the Spark-native replacement for the reference's
+    HikariCP pool + hand-rolled statement batching
+    (ClickhouseDatasource.java, QueryHelper.java:224-317): executors read
+    `num_partitions` bounded range slices in parallel instead of one
+    synchronous connection.  Untested here (no database in the test
+    environment) — parameters mirror spark.read.jdbc's contract."""
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

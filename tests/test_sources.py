@@ -1,0 +1,75 @@
+"""Format round-trip tests + hypothesis model-based check of mutate
+semantics (SURVEY §5 property-based spot checks)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from janusgraph_clickhouse_spark.operators import kcvs
+from janusgraph_clickhouse_spark.sources import load_table
+from janusgraph_clickhouse_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+
+def test_csv_roundtrip(spark, sf_smoke, tmp_path):
+    src = load_table(spark, sf_smoke, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, src.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, sf_smoke, tmp_path):
+    src = load_table(spark, sf_smoke, "customer")
+    path = str(tmp_path / "cust_json")
+    write_json(src, path)
+    back = read_json(spark, path, src.schema)
+    assert back.count() == src.count()
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
+
+
+# -- model-based mutate check ----------------------------------------------
+
+KV = st.tuples(st.integers(0, 5), st.integers(0, 3))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.dictionaries(KV, st.text("ab", min_size=1, max_size=3),
+                         max_size=12),
+    additions=st.dictionaries(KV, st.text("cd", min_size=1, max_size=3),
+                              max_size=6),
+    deletions=st.sets(KV, max_size=6),
+)
+def test_mutate_matches_dict_model(spark, base, additions, deletions):
+    """kcvs.mutate must behave exactly like the dict model of the
+    reference's contract (ClickhouseKeyColumnValueStore.java:118-121):
+    apply all deletions, then all additions (additions overwrite)."""
+    model = dict(base)
+    for k in deletions:
+        model.pop(k, None)
+    model.update(additions)
+
+    schema = "k long, c long, v string"
+    df = spark.createDataFrame(
+        [(k, c, v) for (k, c), v in base.items()] or [], schema)
+    add_df = spark.createDataFrame(
+        [(k, c, v) for (k, c), v in additions.items()] or [], schema)
+    del_df = spark.createDataFrame(
+        [(k, c) for (k, c) in deletions] or [],
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("c", T.LongType())]))
+    out = kcvs.mutate(df, add_df if additions else None,
+                      del_df if deletions else None, key_cols=["k", "c"])
+    got = {(r.k, r.c): r.v for r in out.collect()}
+    assert got == model
