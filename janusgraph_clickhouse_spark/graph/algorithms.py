@@ -100,11 +100,22 @@ def connected_components(graph: PropertyGraph, max_iter: int = 20) -> DataFrame:
         return msgs.groupBy("dst").agg(F.min("msg").alias("min_nbr"))
 
     def update(st: DataFrame, agg: DataFrame) -> DataFrame:
-        return (st.join(agg.withColumnRenamed("dst", "id"), "id", "left")
+        merged = (st.join(agg.withColumnRenamed("dst", "id"), "id", "left")
                   .select("id", F.least(
                       F.col("component"),
                       F.coalesce(F.col("min_nbr"), F.col("component"))
                   ).alias("component")))
+        # pointer jumping (path halving): component ← component(component).
+        # Plain label propagation needs O(diameter) rounds — a 1M-hop
+        # chain would need 1M supersteps; composing the label map with
+        # itself each round gives O(log diameter) convergence.
+        lookup = merged.select(F.col("id").alias("component"),
+                               F.col("component").alias("cc2"))
+        return (merged.join(lookup, "component", "left")
+                .select("id", F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("cc2"), F.col("component"))
+                ).alias("component")))
 
     def converged(old: DataFrame, new: DataFrame) -> bool:
         changed = (old.select("id", F.col("component").alias("c_old"))

@@ -139,3 +139,12 @@ def test_traversal_edge_steps(spark):
     assert sorted((r.src, r.dst) for r in oe) == [(1, 2), (1, 4)]
     ie = Traversal.V(g, 3).in_e().collect()
     assert [(r.src, r.dst) for r in ie] == [(2, 3)]
+
+
+def test_cc_long_path_converges_fast(spark):
+    """Pointer jumping: a 60-hop chain must resolve well under 60
+    supersteps (label propagation alone would need the full diameter)."""
+    g = graph_from_edge_list(spark, [(i, i + 1) for i in range(60)])
+    cc = connected_components(g, max_iter=10).collect()
+    assert {r.component for r in cc} == {0}
+    assert len(cc) == 61
