@@ -1,0 +1,99 @@
+"""Temporal operators Spark lacks natively: as-of join and
+multi-granularity time rollups (the 'hypertable' surface).
+
+As-of join is the canonical time-series operator (match each left row to
+the LATEST right row at-or-before it, per key).  Spark has no ASOF join;
+the naive formulation (inequality join + argmax) is a quadratic
+per-key cross product.  This implementation uses the union-merge trick:
+
+    tag both sides → union → one window sorted by (ts, side) →
+    last non-null right value carried forward → keep left rows
+
+— a single shuffle on the key, linear in input size, no UDF, and the
+window state is one row.  That is the shape that survives 100 TB of
+ticks joined to quotes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+               right_cols: list[str] | None = None,
+               tolerance_seconds: float | None = None) -> DataFrame:
+    """For each left row: values from the latest right row with
+    right.ts <= left.ts and matching key (ties include the right row).
+
+    right_cols: columns carried from the right side (default: all except
+    key/ts).  tolerance_seconds: matches older than this are nulled (the
+    ASOF tolerance clause).
+    Output: all left columns + right_cols (+ `matched_ts`).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts)]
+    lcols = left.columns
+
+    l = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    l = l.withColumn("__rts", F.lit(None).cast(dict(right.dtypes)[ts]))
+
+    r = right.select(
+        key, ts,
+        *[F.col(c) for c in right_cols]).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.withColumn("__rts", F.col(ts))
+
+    unioned = l.select(*lcols, *right_cols, "__rts", "__side").unionByName(
+        r.select(*lcols, *right_cols, "__rts", "__side"))
+
+    w = (Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
+               for c in right_cols]
+    matched_ts = F.last(F.when(F.col("__side") == 0, F.col("__rts")),
+                        ignorenulls=True).over(w).alias("__mts")
+
+    out = (unioned.select(*lcols, F.col("__side"), matched_ts, *carried)
+           .filter(F.col("__side") == 1))
+    if tolerance_seconds is not None:
+        in_tol = (F.unix_timestamp(ts) - F.unix_timestamp("__mts")
+                  <= tolerance_seconds)
+        out = out.select(
+            *lcols,
+            F.when(in_tol, F.col("__mts")).alias("matched_ts"),
+            *[F.when(in_tol, F.col(f"__c_{c}")).alias(c)
+              for c in right_cols])
+    else:
+        out = out.select(*lcols, F.col("__mts").alias("matched_ts"),
+                         *[F.col(f"__c_{c}").alias(c) for c in right_cols])
+    return out
+
+
+def time_rollup(df: DataFrame, ts: str, grains: dict[str, str],
+                group_extra: list[str], aggs: list) -> DataFrame:
+    """Multi-granularity time rollup ('continuous aggregate' /
+    hypertable shape): one pass producing every grain via grouping sets
+    over precomputed bucket columns.  grains: output_col -> window width
+    (e.g. {"h": "1 hour", "d": "1 day"}).  Coarser grains come from the
+    SAME scan — no per-grain re-read."""
+    out = df
+    grain_cols = []
+    for col_name, width in grains.items():
+        out = out.withColumn(
+            col_name, F.unix_timestamp(F.window(ts, width)["start"]))
+        grain_cols.append(col_name)
+    sets = ", ".join(
+        f"({', '.join(grain_cols[:i + 1] + group_extra)})"
+        for i in range(len(grain_cols)))
+    out.createOrReplaceTempView("__rollup_in")
+    agg_sql = ", ".join(aggs)
+    grain_sql = ", ".join(grain_cols + group_extra)
+    return out.sparkSession.sql(
+        f"SELECT {grain_sql}, {agg_sql} FROM __rollup_in "
+        f"GROUP BY GROUPING SETS ({sets})")

@@ -126,3 +126,64 @@ def s04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id",
                     F.unix_timestamp("ts").alias("ts_sec"),
                     "user_id", "event_type", "value"))
+
+
+@query(
+    "s05_asof_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_sec,
+           round(p.value, 2) AS purchase_value,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS matched_ts_sec,
+           round(v.value, 2) AS last_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def s05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (each purchase matched to the user's latest prior view)
+    — an operator Spark lacks; implemented as the union-merge single-
+    shuffle pattern (operators.temporal.as_of_join), oracle-checked
+    against DuckDB's native ASOF JOIN."""
+    from ..operators.temporal import as_of_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("value").alias("view_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    joined = as_of_join(purchases, views, key="user_id", ts="ts",
+                        right_cols=["view_value"])
+    return joined.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round("value", 2).alias("purchase_value"),
+        F.unix_timestamp("matched_ts").alias("matched_ts_sec"),
+        F.round("view_value", 2).alias("last_view_value"))
+
+
+@query(
+    "s06_time_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS h,
+           CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS d,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((h, event_type), (h, d, event_type))
+    """,
+)
+def s06_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour and hour+day
+    grains from one scan via grouping sets (operators.temporal
+    .time_rollup)."""
+    from ..operators.temporal import time_rollup
+    ev = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        ev, "ts", grains={"h": "1 hour", "d": "1 day"},
+        group_extra=["event_type"],
+        aggs=["count(*) AS cnt", "round(sum(value), 2) AS sum_value"])

@@ -138,3 +138,34 @@ def test_salted_join_matches_plain(spark, sf_smoke):
          .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
     plain = o.join(c, "o_custkey").count()
     assert salted_join(o, c, "o_custkey", n_salts=4).count() == plain
+
+
+def test_as_of_join_micro(spark):
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    left = spark.createDataFrame(
+        [(1, 10.0, "L1"), (1, 20.0, "L2"), (2, 5.0, "L3")],
+        "k long, ts double, lv string").withColumn(
+            "ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 8.0, "X"), (1, 15.0, "Y"), (1, 20.0, "Z"), (3, 1.0, "W")],
+        "k long, ts double, rv string").withColumn(
+            "ts", F.timestamp_seconds("ts"))
+    out = {r.lv: (r.rv, r.matched_ts) for r in
+           as_of_join(left, right, key="k", ts="ts").collect()}
+    assert out["L1"][0] == "X"      # latest right ≤ 10 is ts=8
+    assert out["L2"][0] == "Z"      # tie at ts=20 matches (inclusive)
+    assert out["L3"][0] is None     # key 2 has no right rows
+    # tolerance: L1's match at ts=8 is 2s old; tolerance 1s nulls it
+    tol = {r.lv: r.rv for r in
+           as_of_join(left, right, key="k", ts="ts",
+                      tolerance_seconds=1).collect()}
+    assert tol["L1"] is None and tol["L2"] == "Z"
+
+
+def test_approx_distinct_within_tolerance(spark, sf_oracle):
+    from janusgraph_clickhouse_spark.sources import load_table
+    li = load_table(spark, sf_oracle, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+                    .alias("a")).first()["a"]
+    assert abs(approx - exact) / exact < 0.05
