@@ -1,0 +1,41 @@
+"""Dataset splitting & sampling for training pipelines.
+
+The split assignment must be a pure function of the record key — never
+of partitioning, sampling order, or run — so that re-running the
+pipeline (or re-sharding the corpus) keeps every document on the same
+side of the train/eval wall.  md5(key) provides an engine-portable,
+seed-stable hash (xxhash64 would be faster but is Spark-specific — used
+where cross-engine reproducibility doesn't matter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key_col: str | Column, n_buckets: int = 100,
+                salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets): md5 of the stringified key
+    (first 8 hex chars → int).  Stable across engines, runs, partitions."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          c.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("bigint") % n_buckets).cast("int")
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         train_pct: int = 80, val_pct: int = 10,
+                         salt: str = "") -> DataFrame:
+    """Adds `bucket` (0-99) and `split` ∈ {train, val, test} columns."""
+    b = hash_bucket(key_col, 100, salt)
+    split = (F.when(b < train_pct, "train")
+             .when(b < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum sampling (class-balanced subsets) — deterministic for
+    a fixed seed and input."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -247,3 +247,56 @@ def l12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     return S.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
                       n_cells=16, n_probe=4, exclude_id=0)
+
+
+@query(
+    "l13_hash_split",
+    oracle="""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT % 100 AS INT) AS bucket
+          FROM documents)
+    """,
+)
+def l13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a pure function of the
+    record key (md5 bucket), so re-runs and re-shards never migrate a
+    document across the train/eval wall — reproduced bit-for-bit by the
+    oracle's independent md5 computation."""
+    from ..llm.split import train_val_test_split
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id").select(
+        "doc_id", "bucket", "split")
+
+
+@query(
+    "l14_groupwise_normalize",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6)
+             AS z
+    FROM events
+    """,
+)
+def l14_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map normalization via applyInPandas (per-group z-score):
+    the grouped pandas API the feature-engineering stage of a training
+    pipeline uses; checked against the relational window formulation."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"],
+                             "z": z.round(6)})
+
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, schema="event_id long, z double")

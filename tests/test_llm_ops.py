@@ -153,3 +153,39 @@ def test_multimodal_resize_fixed_width(spark, sf_smoke):
     for r in small:
         assert r.n_bytes <= 64 and r.n_bytes == len(r.blob)
         assert r.n_bytes > 0
+
+
+def test_hash_split_stability_and_proportions(spark, sf_oracle):
+    from janusgraph_clickhouse_spark.llm.split import train_val_test_split
+    docs = _docs(spark, sf_oracle)
+    a = {r.doc_id: r.split for r in
+         train_val_test_split(docs, "doc_id").collect()}
+    # repartitioning must not move any document across the wall
+    b = {r.doc_id: r.split for r in
+         train_val_test_split(docs.repartition(7), "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    n = len(a)
+    assert 0.7 < c["train"] / n < 0.9
+    assert c["train"] + c["val"] + c["test"] == n
+    # salt changes the assignment
+    s = {r.doc_id: r.split for r in
+         train_val_test_split(docs, "doc_id", salt="v2").collect()}
+    assert s != a
+
+
+def test_stratified_sample_deterministic(spark, sf_oracle):
+    from janusgraph_clickhouse_spark.llm.split import stratified_sample
+    docs = _docs(spark, sf_oracle)
+    fr = {"en": 0.5, "de": 1.0, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    a = sorted(r.doc_id for r in
+               stratified_sample(docs, "lang", fr, seed=7).collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(docs, "lang", fr, seed=7).collect())
+    assert a == b and len(a) > 0
+    # all 'de' kept at fraction 1.0
+    n_de = docs.filter(F.col("lang") == "de").count()
+    got_de = (stratified_sample(docs, "lang", fr, seed=7)
+              .filter(F.col("lang") == "de").count())
+    assert got_de == n_de
