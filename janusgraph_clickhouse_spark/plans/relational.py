@@ -864,3 +864,37 @@ def q33_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name", "o_orderkey",
                     F.round("o_totalprice", 2).alias("o_totalprice"),
                     "total_qty"))
+
+
+@query(
+    "q34_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+           round(percent_rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface: running sums, lag deltas, ntile
+    quartiles, percent_rank — one shuffle per distinct partitioning, all
+    orderings carry unique tiebreakers for cross-engine determinism."""
+    o = _t(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+         .alias("running_total"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(wt), 2)
+         .alias("delta_prev"),
+        F.ntile(4).over(wp).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("pr"))
