@@ -300,3 +300,74 @@ def l14_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("event_type").applyInPandas(
         normalize, schema="event_id long, z double")
+
+
+@query(
+    "l15_label_centroids",
+    oracle="""
+    WITH el AS (SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings),
+    dims AS (SELECT label, pos, round(avg(x), 6) AS m
+             FROM el GROUP BY label, pos)
+    SELECT label, list(m ORDER BY pos) AS centroid, count(*) AS dim
+    FROM dims GROUP BY label
+    """,
+)
+def l15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors: posexplode → per-dimension mean →
+    re-assembled ordered array.  The distributed shape of k-means'
+    centroid update (and of class-prototype computation) — one shuffle
+    keyed by (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select("label", F.posexplode(
+        F.col("embedding").cast("array<double>")).alias("pos", "x"))
+    dims = (el.groupBy("label", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m")))
+    return (dims.groupBy("label")
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("centroid"),
+                 F.count(F.lit(1)).alias("dim")))
+
+
+@query(
+    "l16_pipeline_composed",
+    oracle="""
+    WITH deduped AS (
+      SELECT * FROM documents d
+      WHERE doc_id = (SELECT min(doc_id) FROM documents d2
+                      WHERE d2.text = d.text)
+    ),
+    filtered AS (
+      SELECT * FROM deduped
+      WHERE len(string_split(text, ' ')) >= 40
+    ),
+    split AS (
+      SELECT lang,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 AS INT) < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 AS INT) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM filtered
+    )
+    SELECT lang, split, count(*) AS n FROM split GROUP BY lang, split
+    """,
+)
+def l16_pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline as ONE composed plan: exact
+    dedup → token-count quality gate → deterministic split → per-
+    (lang, split) counts.  Each stage is the library operator; Catalyst
+    fuses the whole chain (single plan, no materialization between
+    stages)."""
+    from ..llm.dedup import exact_dedup
+    from ..llm.split import train_val_test_split
+    from ..llm.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, "doc_id", "text")
+    filtered = deduped.filter(token_count("text") >= 40)
+    split = train_val_test_split(filtered, "doc_id")
+    return (split.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
