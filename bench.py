@@ -63,17 +63,26 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
+    # best-of-N per query: the box shares CPU with other tenants, and
+    # single observations mix external load into the number (observed
+    # ±50% swings on identical code). Min over repeats measures the
+    # engine, not the neighbors.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {n} rows in {best:.2f}s (best of {repeats})",
+              file=sys.stderr)
 
     # derive sf from the dir name when possible
     sf = None
