@@ -64,18 +64,23 @@ def slice_query(df: DataFrame, key_col: str, col_col: str, key,
 
 
 def multi_key_slice(df: DataFrame, key_col: str, col_col: str,
-                    keys: Sequence, col_start=None, col_end=None,
-                    limit_per_key: int | None = None,
+                    keys: "Sequence | DataFrame", col_start=None,
+                    col_end=None, limit_per_key: int | None = None,
                     projection: Sequence[str] | None = None) -> DataFrame:
     """Multi-key slice in ONE pass.
 
     The reference loops keys sequentially (getSlice #2,
     ClickhouseKeyColumnValueStore.java:108-112, because multiQuery=false).
-    Here: a single `isin` scan + per-key window row_number ≤ limit — one
-    shuffle, fully parallel, scales to millions of keys (swap `isin` for a
-    broadcast semi-join when the key list itself is a DataFrame).
-    """
-    out = df.filter(F.col(key_col).isin(list(keys)))
+    Here: a single scan + per-key window row_number ≤ limit — one
+    shuffle, fully parallel.  `keys` may be a Python sequence (compiles
+    to an `isin` pushed into the scan) or a single-column DataFrame
+    (broadcast left-semi join — the form that scales to millions of keys
+    where an IN-list would blow up the plan)."""
+    if isinstance(keys, DataFrame):
+        key_df = keys.toDF(key_col).dropDuplicates()
+        out = df.join(F.broadcast(key_df), key_col, "left_semi")
+    else:
+        out = df.filter(F.col(key_col).isin(list(keys)))
     if col_start is not None:
         out = out.filter(F.col(col_col) >= F.lit(col_start))
     if col_end is not None:

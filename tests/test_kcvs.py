@@ -169,3 +169,23 @@ def test_approx_distinct_within_tolerance(spark, sf_oracle):
     approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)
                     .alias("a")).first()["a"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_multi_key_slice_dataframe_keys(spark):
+    from janusgraph_clickhouse_spark.operators import kcvs
+    df = _store(spark)
+    keys = spark.createDataFrame([(1,), (3,), (3,), (99,)], "k long")
+    out = kcvs.multi_key_slice(df, "k", "c", keys=keys, col_start=1,
+                               limit_per_key=2).collect()
+    assert sorted((r.k, r.c) for r in out) == [(1, 1), (1, 2), (3, 1), (3, 2)]
+
+
+def test_aggregate_neighbors_helper(spark):
+    from janusgraph_clickhouse_spark.graph.pregel import aggregate_neighbors
+    state = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, val double")
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 2)], "src long, dst long")
+    out = {r.dst: r.s for r in aggregate_neighbors(
+        state, edges, "val", F.sum("val").alias("s")).collect()}
+    assert out == {3: 30.0, 2: 10.0}
