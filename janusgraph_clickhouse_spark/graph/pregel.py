@@ -39,6 +39,7 @@ def pregel(
     max_iter: int,
     checkpoint_interval: int = 5,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    converge_check_interval: int = 1,
 ) -> DataFrame:
     """Run supersteps until max_iter or convergence.
 
@@ -56,7 +57,12 @@ def pregel(
         new_state = update_state(state, agg)
         if (i + 1) % checkpoint_interval == 0 or i == max_iter - 1:
             new_state = new_state.localCheckpoint(eager=True)
-        if converged is not None and converged(state, new_state):
+        # the probe is itself a Spark job; for fast-converging algorithms
+        # check every round, for long loops amortize with a larger interval
+        # (worst case: interval-1 extra supersteps after convergence)
+        if (converged is not None
+                and (i + 1) % converge_check_interval == 0
+                and converged(state, new_state)):
             state = new_state
             break
         state = new_state

@@ -162,3 +162,36 @@ def test_stream_stream_self_join(spark, events_dir, sf_smoke):
                   & (b.ts_b <= a.ts_a + F.expr("INTERVAL 5 minutes"))).count()
     assert got.count() == want
     assert want > 0
+
+
+def test_foreach_batch_upsert_multiple_microbatches(spark, sf_smoke, tmp_path):
+    """Incremental semantics across several micro-batches: 3 source files
+    + maxFilesPerTrigger=1 → 3 sequential upserts into the same target."""
+    import shutil
+    src_dir = str(tmp_path / "incoming")
+    import os
+    os.makedirs(src_dir)
+    # write splits in the fixture's on-disk convention (ts = raw int64
+    # nanos), which is what events_stream's schema expects
+    from janusgraph_clickhouse_spark.sources.catalog import TABLES
+    events = (spark.read.schema(TABLES["events"])
+              .parquet(f"{sf_smoke}/events.parquet"))
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=1)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src_dir}/batch{i}.parquet")
+        for f in os.listdir(f"{src_dir}/batch{i}.parquet"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src_dir}/batch{i}.parquet/{f}",
+                            f"{src_dir}/file{i}.parquet")
+        shutil.rmtree(f"{src_dir}/batch{i}.parquet")
+
+    target = str(tmp_path / "target.parquet")
+    stream = events_stream(spark, src_dir, max_files_per_trigger=1)
+    q = foreach_batch_upsert(stream, target, key_cols=["event_id"],
+                             checkpoint_dir=str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = spark.read.parquet(target)
+    assert final.count() == events.count()
+    assert final.select("event_id").distinct().count() == events.count()
