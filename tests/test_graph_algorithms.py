@@ -148,3 +148,34 @@ def test_cc_long_path_converges_fast(spark):
     cc = connected_components(g, max_iter=10).collect()
     assert {r.component for r in cc} == {0}
     assert len(cc) == 61
+
+
+def test_graph_persistence_roundtrip(spark, sf_smoke, tmp_path):
+    from janusgraph_clickhouse_spark.graph.model import star_schema_graph
+    from janusgraph_clickhouse_spark.graph.persistence import (
+        load_graph, save_graph)
+    g = star_schema_graph(spark, sf_smoke, edge_labels={"placed"})
+    path = str(tmp_path / "graph")
+    save_graph(g, path, num_files=4)
+    back = load_graph(spark, path)
+    assert back.vertices.count() == g.vertices.count()
+    assert back.edges.count() == g.edges.count()
+    # adjacency slice on the clustered layout still answers correctly
+    t = Traversal.V(back, 42 + 1_000_000_000).out("placed")
+    want = Traversal.V(g, 42 + 1_000_000_000).out("placed")
+    assert sorted(r.id for r in t.to_df().collect()) == \
+        sorted(r.id for r in want.to_df().collect())
+
+
+def test_props_map_column(spark, sf_smoke):
+    from janusgraph_clickhouse_spark.graph.model import props_map
+    from janusgraph_clickhouse_spark.sources import load_table
+    c = load_table(spark, sf_smoke, "customer")
+    v = c.select(F.col("c_custkey").alias("id"),
+                 props_map("c_mktsegment", "c_acctbal").alias("props"))
+    # dynamic property access: g.V().has('mktsegment', 'BUILDING')
+    hit = v.filter(F.element_at("props", "c_mktsegment") == "BUILDING")
+    want = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert hit.count() == want
+    row = v.first()
+    assert set(row.props.keys()) == {"c_mktsegment", "c_acctbal"}
