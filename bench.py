@@ -45,6 +45,9 @@ HEADLINE = [
     "l07_text_stats",           # text analysis
     "s01_tumbling_window",      # windowed agg
     "s03_session_window",       # session windows
+    "s05_asof_join",            # as-of join (union-merge)
+    "q34_window_analytics",     # running sums / lag / ntile
+    "l16_pipeline_composed",    # dedup→filter→split composed pipeline
 ]
 
 
