@@ -223,6 +223,47 @@ def shortest_paths(graph: PropertyGraph, source_ids: list[int],
     return out.filter(F.col("dist") != inf)
 
 
+def longest_path_levels(graph: PropertyGraph, max_iter: int = 20) -> DataFrame:
+    """Topological levels of a DAG: level(v) = length of the LONGEST path
+    from any source to v (critical-path layering; scheduling / lineage
+    depth).  Returns (id, level INT).
+
+    Max-propagation on the Pregel kernel: every superstep relaxes each
+    edge with level[src]+1 and max-aggregates at dst; converges in
+    ≤ depth(DAG) supersteps (the early-exit probe stops it).  On a cyclic
+    graph levels on cycles would grow forever — max_iter bounds it; pass
+    a DAG.
+    """
+    edges = graph.edges.select("src", "dst").cache()
+    state = graph.vertices.select("id", F.lit(0).alias("level"))
+
+    def make_messages(st: DataFrame, e: DataFrame) -> DataFrame:
+        return (e.join(st.select(F.col("id").alias("src"), "level"), "src")
+                .select("dst", (F.col("level") + 1).alias("msg")))
+
+    def agg_messages(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(F.max("msg").alias("cand"))
+
+    def update(st: DataFrame, agg: DataFrame) -> DataFrame:
+        return (st.join(agg.withColumnRenamed("dst", "id"), "id", "left")
+                .select("id", F.greatest(
+                    F.col("level"),
+                    F.coalesce(F.col("cand"), F.col("level"))
+                ).alias("level")))
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (old.select("id", F.col("level").alias("l_old"))
+                .join(new, "id")
+                .filter(F.col("level") > F.col("l_old"))
+                .limit(1).count()) == 0
+
+    out = pregel(state, edges, make_messages, agg_messages, update,
+                 max_iter=max_iter, converged=converged,
+                 checkpoint_interval=1)
+    edges.unpersist()
+    return out.select("id", F.col("level").cast("int").alias("level"))
+
+
 def triangle_count(graph: PropertyGraph) -> int:
     """Global triangle count on the canonical undirected edge set.
 

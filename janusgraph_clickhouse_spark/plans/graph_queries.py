@@ -289,3 +289,31 @@ def g12_motif_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ("c2", "placed", "o2"), ("o2", "contains", "p")])
     return (m.filter(F.col("c1") != F.col("c2"))
             .agg(F.count(F.lit(1)).alias("matches")))
+
+
+@query(
+    "g13_topo_levels",
+    oracle=f"""
+    SELECT c_custkey + {_C} AS id, 0 AS level FROM customer
+    UNION ALL
+    SELECT o_orderkey + {_O}, 1 FROM orders
+    UNION ALL
+    SELECT p_partkey + {_P},
+           CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                             WHERE l.l_partkey = p.p_partkey)
+                THEN 2 ELSE 0 END
+    FROM part p
+    """,
+)
+def g13_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path topological levels (critical-path layering) on the
+    customer→order→part DAG.  Closed-form oracle: customers are sources
+    (0), every order has a customer (1), a part is 2 iff some lineitem
+    references it (else an isolated source at 0)."""
+    from ..graph.algorithms import longest_path_levels
+    g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
+    out = longest_path_levels(g, max_iter=5)
+    # restrict to the customer/order/part id ranges the subgraph models
+    # (the loader also materializes supplier/nation/region vertices, which
+    # are isolated here and not part of the oracle's universe)
+    return out.filter(F.col("id") < ID_OFFSETS["supplier"])

@@ -179,3 +179,12 @@ def test_props_map_column(spark, sf_smoke):
     assert hit.count() == want
     row = v.first()
     assert set(row.props.keys()) == {"c_mktsegment", "c_acctbal"}
+
+
+def test_longest_path_levels_micro(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        longest_path_levels)
+    # diamond with a long leg: 1→2→3→5, 1→4→5 — level(5) = 3 (longest)
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 5), (1, 4), (4, 5)])
+    lv = {r.id: r.level for r in longest_path_levels(g).collect()}
+    assert lv == {1: 0, 2: 1, 3: 2, 4: 1, 5: 3}
