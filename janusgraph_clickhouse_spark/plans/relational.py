@@ -898,3 +898,22 @@ def q34_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("delta_prev"),
         F.ntile(4).over(wp).cast("int").alias("quartile"),
         F.round(F.percent_rank().over(wp), 6).alias("pr"))
+
+
+@query(
+    "q35_range_step",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 10
+    """,
+)
+def q35_range_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin range(10, 25) — paging within a sorted traversal: ORDER BY
+    + OFFSET + LIMIT.  (Deep paging re-sorts the prefix each page; at
+    scale prefer keyset pagination — filter on the last-seen sort key —
+    which this same plan expresses as a WHERE instead of OFFSET.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .offset(10).limit(15))
