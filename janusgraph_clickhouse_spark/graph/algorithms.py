@@ -22,11 +22,18 @@ from .pregel import pregel
 
 
 def pagerank(graph: PropertyGraph, max_iter: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, tol: float | None = None) -> DataFrame:
     """PageRank over the directed edges; returns (id, rank).
 
     Dangling mass is redistributed uniformly each superstep so
     sum(rank) == |V| holds (the invariant the tests check).
+
+    tol: early-exit convergence threshold — stop when no vertex's rank
+    moved by more than tol in a superstep.  None (default) runs exactly
+    max_iter supersteps: the probe costs one old-vs-new join per round,
+    and a FIXED superstep count is what makes the result reproducible
+    against a bounded-iteration oracle; pass tol when iterating to a
+    fixpoint matters more than a deterministic step count.
     """
     v = graph.vertices.select("id")
     n_total = v.count()  # scalar; one tiny job, reused every superstep
@@ -66,12 +73,21 @@ def pagerank(graph: PropertyGraph, max_iter: int = 10,
                               + F.lit(damping) * F.col("msg_sum"))
                   .select("id", "rank", "out_deg"))
 
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        moved = (old.select("id", F.col("rank").alias("r_old"))
+                 .join(new, "id")
+                 .filter(F.abs(F.col("rank") - F.col("r_old")) > tol)
+                 .limit(1).count())
+        return moved == 0
+
     # eager checkpoints every other superstep: each update references the
     # previous state twice (messages + dangling agg), so unbounded lineage
     # would re-execute the whole chain; every-2 keeps recompute bounded
     # while halving checkpoint jobs
     out = pregel(state, edges, make_messages, agg_messages, update,
-                 max_iter=max_iter, checkpoint_interval=2)
+                 max_iter=max_iter,
+                 converged=converged if tol is not None else None,
+                 checkpoint_interval=2 if tol is None else 1)
     edges.unpersist()
     return out.select("id", "rank")
 
@@ -134,15 +150,39 @@ def connected_components(graph: PropertyGraph, max_iter: int = 20) -> DataFrame:
     return out
 
 
+# Frontier rows above which BFS stops broadcasting and shuffle-joins
+# instead: a broadcast frontier is one driver copy + one per executor —
+# a hub's hop-2 frontier can be tens of millions of ids, which OOMs the
+# driver.  1M ids ≈ 8 MB serialized: comfortably broadcastable; beyond
+# that the shuffle join is the safe (and perfectly scalable) path.
+BFS_BROADCAST_MAX = 1_000_000
+
+
+def _next_frontier(edges: DataFrame, frontier: DataFrame, visited: DataFrame,
+                   hop: int, use_broadcast: bool) -> DataFrame:
+    """One BFS expansion: frontier⋈edges → new ids not yet visited."""
+    probe = frontier.select(F.col("id").alias("src"))
+    if use_broadcast:
+        probe = F.broadcast(probe)
+    return (edges.join(probe, "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("distance", F.lit(hop)))
+
+
 def bfs_distances(graph: PropertyGraph, source_ids: list[int],
-                  max_hops: int, directed: bool = True) -> DataFrame:
+                  max_hops: int, directed: bool = True,
+                  broadcast_threshold: int = BFS_BROADCAST_MAX) -> DataFrame:
     """Unweighted shortest-path hop counts from the source set; returns
     (id, distance) for vertices reached within max_hops.
 
     Frontier-join iteration: only the most-recently-discovered frontier is
-    joined against edges each round (not the whole visited set), and the
-    frontier is broadcast while small — the Spark analog of the
-    reference's per-frontier-vertex slice loop (SURVEY §2.3 multi-hop)."""
+    joined against edges each round (not the whole visited set).  The
+    frontier is broadcast ONLY while its known row count is under
+    `broadcast_threshold` (the count falls out of the per-hop exit check
+    on checkpointed data — no extra job); large frontiers shuffle-join,
+    so a hub fan-out can't OOM the driver."""
     edges = graph.edges.select("src", "dst")
     if not directed:
         edges = edges.unionAll(edges.select(F.col("dst").alias("src"),
@@ -152,15 +192,13 @@ def bfs_distances(graph: PropertyGraph, source_ids: list[int],
     visited = spark.createDataFrame(
         [(int(s), 0) for s in source_ids], "id long, distance int")
     frontier = visited
+    frontier_n = len(source_ids)
     for hop in range(1, max_hops + 1):
-        nxt = (edges.join(F.broadcast(frontier.withColumnRenamed("id", "src")),
-                          "src")
-               .select(F.col("dst").alias("id"))
-               .distinct()
-               .join(visited.select("id"), "id", "left_anti")
-               .withColumn("distance", F.lit(hop)))
+        nxt = _next_frontier(edges, frontier, visited, hop,
+                             use_broadcast=frontier_n <= broadcast_threshold)
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        frontier_n = nxt.count()  # exit probe doubles as the size probe
+        if frontier_n == 0:
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -363,12 +401,18 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
     (125KB for 1000 nodes), so instead:
 
       distinct(group, node) → groupBy group: node-set bitmask (numpy)
-      → per-partition OR of outer products (partial adjacency matrices)
-      → driver ORs the ≤ #partitions partials (KBs) and counts triangles
-        as sum((B@B)*B) on the upper-triangular matrix via BLAS.
+      → ≤ 4 partial adjacency matrices (coalesced partial stage)
+      → one in-Spark OR-reduce task folds them into ONE matrix
+      → the driver collects exactly one n²-bit matrix and counts
+        triangles as sum((B@B)*B) on the upper triangle via BLAS.
 
-    Distributed work is one shuffle of the distinct incidence; what
-    reaches the driver is kilobytes (an aggregate, not data).
+    Distributed work is one shuffle of the distinct incidence.  Memory
+    honestly: one matrix is n²/8 bytes — 125 KB at n=1000, ~0.5 GB at the
+    n≈64k cap.  The coalesce(4) bounds the partial count so neither the
+    reduce task (≤ 4 matrices resident) nor the driver (exactly 1) ever
+    holds #partitions × n²/8 — the unbounded form collected one partial
+    PER PARTITION to the driver, which at 200 partitions × n=64k is
+    ~100 GB of driver heap.
     """
     import numpy as np
     import pandas as pd
@@ -400,10 +444,26 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
         else:
             yield pd.DataFrame({"adj": pd.array([], dtype=object)})
 
-    partials = groups.mapInPandas(partial_adj, schema="adj binary").collect()
+    def or_reduce(batches):
+        acc = np.zeros(n_nodes * n_bytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for blob in pdf["adj"]:
+                acc |= np.frombuffer(blob, dtype=np.uint8)
+                touched = True
+        if touched:
+            yield pd.DataFrame({"adj": [acc.tobytes()]})
+        else:
+            yield pd.DataFrame({"adj": pd.array([], dtype=object)})
+
+    partials = (groups.coalesce(4)
+                .mapInPandas(partial_adj, schema="adj binary"))
+    reduced = (partials.coalesce(1)
+               .mapInPandas(or_reduce, schema="adj binary").collect())
+    assert len(reduced) <= 1, "OR-reduce must yield exactly one matrix"
 
     A = np.zeros((n_nodes, n_bytes), dtype=np.uint8)
-    for row in partials:
+    for row in reduced:
         A |= np.frombuffer(row.adj, dtype=np.uint8).reshape(n_nodes, n_bytes)
     # bitorder must match the LSB-first packing above
     bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_nodes]

@@ -66,9 +66,17 @@ class PropertyGraph:
         return e.dropDuplicates(["src", "dst"])
 
 
+_KNOWN_EDGE_SETS = {"placed", "contains", "supplied_by", "in_nation",
+                    "in_region", "supplier_in_nation"}
+# building any of these requires the fact-side tables (and adds their
+# vertex sets)
+_FACT_EDGE_SETS = {"placed", "contains", "supplied_by", "supplier_in_nation"}
+
+
 def star_schema_graph(spark: SparkSession, sf_dir: str,
-                      edge_labels: set[str] | None = None) -> PropertyGraph:
-    """Derive the property graph from the star schema (FIXTURES.md):
+                      edge_labels: set[str] | None = None,
+                      clustered: bool | None = None) -> PropertyGraph:
+    """Property graph over the star schema (FIXTURES.md):
 
     vertices: customer/order/part/supplier/nation/region (offset ids)
     edges: placed (customer→order), contains (order→part, qty/price props),
@@ -77,11 +85,45 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
 
     `edge_labels` restricts which edge sets are built (skips reading
     unneeded tables — at scale each edge set is its own scan).
-    """
+
+    `clustered` (default on; env SPARK_GRAFT_CLUSTERED=0 disables): read
+    the persisted clustered adjacency (persistence.ensure_clustered_graph
+    — built once per sf_dir; edges partitioned by edge set and sorted by
+    (src, dst), vertices partitioned by label), the Spark analog of the
+    reference's MergeTree ``ORDER BY (k,c)`` edgestore layout
+    (QueryHelper.java:57).  Every graph query then starts from ONE narrow
+    pre-derived table with partition pruning on the edge set and
+    row-group pruning on src, instead of re-deriving vertices/edges from
+    the star schema per query."""
+    if clustered is None:
+        import os as _os
+        clustered = _os.environ.get("SPARK_GRAFT_CLUSTERED", "1") == "1"
+    if edge_labels is not None and not (edge_labels & _KNOWN_EDGE_SETS):
+        raise ValueError(
+            f"edge_labels {sorted(edge_labels)} match no known edge set "
+            f"{sorted(_KNOWN_EDGE_SETS)}")
+    if clustered:
+        from .persistence import clustered_star_graph
+        return clustered_star_graph(spark, sf_dir, edge_labels)
+    return derive_star_graph(spark, sf_dir, edge_labels)
+
+
+def derive_star_graph(spark: SparkSession, sf_dir: str,
+                      edge_labels: set[str] | None = None,
+                      with_etype: bool = False) -> PropertyGraph:
+    """In-plan derivation of the star-schema graph (no persisted layout).
+
+    `with_etype` adds the build-key column (`etype`) to edges — it
+    differs from `label` only for supplier→nation edges (etype
+    `supplier_in_nation`, label `in_nation`), and is what the clustered
+    layout partitions by so label restriction stays faithful."""
     want = edge_labels  # None → all
 
     def _w(label: str) -> bool:
         return want is None or label in want
+
+    def _tag(df: DataFrame, etype: str) -> DataFrame:
+        return df.withColumn("etype", F.lit(etype)) if with_etype else df
 
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -101,17 +143,17 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
     edges = []
 
     if _w("in_nation"):
-        edges.append(c.select(
+        edges.append(_tag(c.select(
             (F.col("c_custkey") + ID_OFFSETS["customer"]).alias("src"),
             (F.col("c_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
             F.lit("in_nation").alias("label"),
-            F.lit(1.0).alias("weight")))
+            F.lit(1.0).alias("weight")), "in_nation"))
     if _w("in_region"):
-        edges.append(n.select(
+        edges.append(_tag(n.select(
             (F.col("n_nationkey") + ID_OFFSETS["nation"]).alias("src"),
             (F.col("n_regionkey").cast("long") + ID_OFFSETS["region"]).alias("dst"),
             F.lit("in_region").alias("label"),
-            F.lit(1.0).alias("weight")))
+            F.lit(1.0).alias("weight")), "in_region"))
 
     if want is None or {"placed", "contains", "supplied_by",
                         "supplier_in_nation"} & want:
@@ -131,29 +173,30 @@ def star_schema_graph(spark: SparkSession, sf_dir: str,
                      F.col("s_name").alias("name")),
         ]
         if _w("placed"):
-            edges.append(o.select(
+            edges.append(_tag(o.select(
                 (F.col("o_custkey") + ID_OFFSETS["customer"]).alias("src"),
                 (F.col("o_orderkey") + ID_OFFSETS["order"]).alias("dst"),
                 F.lit("placed").alias("label"),
-                F.lit(1.0).alias("weight")))
+                F.lit(1.0).alias("weight")), "placed"))
         if _w("contains"):
-            edges.append(li.select(
+            edges.append(_tag(li.select(
                 (F.col("l_orderkey") + ID_OFFSETS["order"]).alias("src"),
                 (F.col("l_partkey") + ID_OFFSETS["part"]).alias("dst"),
                 F.lit("contains").alias("label"),
-                F.col("l_quantity").alias("weight")))  # edge property
+                F.col("l_quantity").alias("weight")), "contains"))  # edge prop
         if _w("supplied_by"):
-            edges.append(li.select(
+            edges.append(_tag(li.select(
                 (F.col("l_partkey") + ID_OFFSETS["part"]).alias("src"),
                 (F.col("l_suppkey") + ID_OFFSETS["supplier"]).alias("dst"),
                 F.lit("supplied_by").alias("label"),
-                F.lit(1.0).alias("weight")).dropDuplicates(["src", "dst"]))
+                F.lit(1.0).alias("weight")).dropDuplicates(["src", "dst"]),
+                "supplied_by"))
         if _w("supplier_in_nation"):
-            edges.append(s.select(
+            edges.append(_tag(s.select(
                 (F.col("s_suppkey") + ID_OFFSETS["supplier"]).alias("src"),
                 (F.col("s_nationkey").cast("long") + ID_OFFSETS["nation"]).alias("dst"),
                 F.lit("in_nation").alias("label"),
-                F.lit(1.0).alias("weight")))
+                F.lit(1.0).alias("weight")), "supplier_in_nation"))
 
     vertices = verts[0]
     for v in verts[1:]:

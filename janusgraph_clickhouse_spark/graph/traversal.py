@@ -42,13 +42,26 @@ class Traversal:
             f = f.withColumn("path", F.array(F.col("id")))
         return cls(graph, f, with_path)
 
+    # -- lazy vertex-prop resolution --------------------------------------
+    def _resolve(self, *needed: str) -> DataFrame:
+        """Frontier with the named columns available, joining the vertex
+        table only if they're missing.  Expansion keeps the frontier as
+        bare ids (+path), so an N-hop traversal does N edge joins and AT
+        MOST one vertex-prop join at the terminal step — not one per hop
+        (2N joins was the round-1 shape)."""
+        missing = [c for c in needed if c not in self.frontier.columns]
+        if not missing:
+            return self.frontier
+        return self.frontier.join(self.graph.vertices, "id")
+
     # -- filters -----------------------------------------------------------
     def has(self, column: str, value) -> "Traversal":
         """g.V().has(k, v): plain or predicate filter (pass a Column for
         predicate forms, e.g. has('age', F.col('age') > 30))."""
         from pyspark.sql import Column
         cond = value if isinstance(value, Column) else (F.col(column) == value)
-        return Traversal(self.graph, self.frontier.filter(cond), self.with_path)
+        return Traversal(self.graph, self._resolve(column).filter(cond),
+                         self.with_path)
 
     def has_label(self, label: str) -> "Traversal":
         return self.has("label", label)
@@ -65,12 +78,10 @@ class Traversal:
         cols = [F.col("_next").alias("id")]
         if self.with_path:
             cols.append(F.array_append(F.col("path"), F.col("_next")).alias("path"))
-        joined = self.frontier.join(e, "id").select(*cols)
-        nxt = joined.join(self.graph.vertices.drop("path"), "id") \
-            if not self.with_path else \
-            joined.join(self.graph.vertices, "id").select(
-                "id", "label", "name", "path")
-        return Traversal(self.graph, nxt, self.with_path)
+        # no vertex join here — props resolve lazily at terminal steps
+        # (_resolve), so expansion is ONE equi-join per hop
+        return Traversal(self.graph, self.frontier.join(e, "id").select(*cols),
+                         self.with_path)
 
     def out(self, label: str | None = None) -> "Traversal":
         return self._expand("src", "dst", label)
@@ -116,24 +127,31 @@ class Traversal:
                          self.with_path)
 
     def order_by(self, *cols) -> "Traversal":
-        return Traversal(self.graph, self.frontier.orderBy(*cols), self.with_path)
+        f = self._resolve(*[c for c in cols if isinstance(c, str)])
+        return Traversal(self.graph, f.orderBy(*cols), self.with_path)
 
     def limit(self, n: int) -> "Traversal":
         return Traversal(self.graph, self.frontier.limit(n), self.with_path)
 
     def union(self, other: "Traversal") -> "Traversal":
+        # frontiers may differ in resolved prop columns (one side expanded,
+        # one not) — align on the shared columns (id/path at minimum)
+        common = [c for c in self.frontier.columns
+                  if c in other.frontier.columns]
         return Traversal(self.graph,
-                         self.frontier.unionByName(other.frontier),
+                         self.frontier.select(*common)
+                         .unionByName(other.frontier.select(*common)),
                          self.with_path)
 
     def values(self, *cols: str) -> DataFrame:
-        return self.frontier.select(*cols)
+        return self._resolve(*cols).select(*cols)
 
     def count(self) -> int:
         return self.frontier.count()
 
     def group_count(self, by: str = "label") -> DataFrame:
-        return self.frontier.groupBy(by).agg(F.count(F.lit(1)).alias("cnt"))
+        return (self._resolve(by).groupBy(by)
+                .agg(F.count(F.lit(1)).alias("cnt")))
 
     def to_df(self) -> DataFrame:
-        return self.frontier
+        return self._resolve(*self.graph.vertices.columns)

@@ -35,43 +35,49 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         right_cols = [c for c in right.columns if c not in (key, ts)]
     lcols = left.columns
 
-    l = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    l = l.withColumn("__rts", F.lit(None).cast(dict(right.dtypes)[ts]))
+    # Carry ALL right columns + the right ts as ONE struct so every carried
+    # value (and matched_ts) comes from the same right row — per-column
+    # last(ignorenulls) could stitch values from different rows when a
+    # right row holds NULL in one column.  The struct also serves as the
+    # deterministic tiebreaker when several right rows share (key, ts):
+    # ordering by it makes last() pick the max struct, same result every
+    # run and every engine.
+    rv = F.struct(F.col(ts).alias("__mts"),
+                  *[F.col(c) for c in right_cols]).alias("__rv")
+    rv_type = right.select(rv).schema[0].dataType.simpleString()
 
+    l = left.select(*lcols,
+                    F.lit(None).cast(rv_type).alias("__rv"),
+                    F.lit(1).alias("__side"))
+    ltypes = dict(left.dtypes)
     r = right.select(
-        key, ts,
-        *[F.col(c) for c in right_cols]).withColumn("__side", F.lit(0))
-    for c in lcols:
-        if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    r = r.withColumn("__rts", F.col(ts))
+        *[F.col(c).alias(c) if c in (key, ts)
+          else F.lit(None).cast(ltypes[c]).alias(c)
+          for c in lcols],
+        rv, F.lit(0).alias("__side"))
+    unioned = l.unionByName(r)
 
-    unioned = l.select(*lcols, *right_cols, "__rts", "__side").unionByName(
-        r.select(*lcols, *right_cols, "__rts", "__side"))
-
-    w = (Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("__side").asc())
+    # right rows sort before left rows at equal ts (__side 0 < 1) so ties
+    # are inclusive; among right ties the struct orders them
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col("__side").asc(),
+                  F.col("__rv").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
-               for c in right_cols]
-    matched_ts = F.last(F.when(F.col("__side") == 0, F.col("__rts")),
-                        ignorenulls=True).over(w).alias("__mts")
+    carried = F.last("__rv", ignorenulls=True).over(w).alias("__c")
 
-    out = (unioned.select(*lcols, F.col("__side"), matched_ts, *carried)
+    out = (unioned.select(*lcols, F.col("__side"), carried)
            .filter(F.col("__side") == 1))
     if tolerance_seconds is not None:
-        in_tol = (F.unix_timestamp(ts) - F.unix_timestamp("__mts")
+        in_tol = (F.unix_timestamp(ts) - F.unix_timestamp(F.col("__c.__mts"))
                   <= tolerance_seconds)
         out = out.select(
             *lcols,
-            F.when(in_tol, F.col("__mts")).alias("matched_ts"),
-            *[F.when(in_tol, F.col(f"__c_{c}")).alias(c)
+            F.when(in_tol, F.col("__c.__mts")).alias("matched_ts"),
+            *[F.when(in_tol, F.col(f"__c.{c}")).alias(c)
               for c in right_cols])
     else:
-        out = out.select(*lcols, F.col("__mts").alias("matched_ts"),
-                         *[F.col(f"__c_{c}").alias(c) for c in right_cols])
+        out = out.select(*lcols, F.col("__c.__mts").alias("matched_ts"),
+                         *[F.col(f"__c.{c}").alias(c) for c in right_cols])
     return out
 
 

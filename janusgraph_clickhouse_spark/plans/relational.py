@@ -506,7 +506,8 @@ def q19_mutate_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_group_collect",
     oracle="""
-    SELECT c_nationkey, list_sort(list(c_name)) AS names,
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(c_name)), '|') AS names,
            count(*) AS n
     FROM customer
     WHERE c_acctbal > 8000
@@ -516,11 +517,15 @@ def q19_mutate_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gremlin group().by(nation).by(values('name').fold()) →
     groupBy + sort_array(collect_list(...)) (sorted for determinism —
-    collect order is partition-dependent in any engine)."""
+    collect order is partition-dependent in any engine).  The folded list
+    is surfaced as a '|'-joined string: ARRAY result columns crash the
+    driver's pandas canonicalizer (unhashable), and a delimited string
+    hashes identically across engines."""
     c = _t(spark, sf_dir, "customer")
     return (c.filter(F.col("c_acctbal") > 8000)
             .groupBy("c_nationkey")
-            .agg(F.sort_array(F.collect_list("c_name")).alias("names"),
+            .agg(F.array_join(F.sort_array(F.collect_list("c_name")), "|")
+                 .alias("names"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -531,8 +536,9 @@ def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(w) AS n_tokens,
            len(list_distinct(w)) AS n_distinct,
-           list_sort(list_distinct(list_intersect(
-               w, ['spark', 'table', 'query', 'join']))) AS kw_hits,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(
+               w, ['spark', 'table', 'query', 'join']))), '|'), '')
+             AS kw_hits,
            w[1] AS first_token,
            w[-1] AS last_token
     FROM t
@@ -541,7 +547,9 @@ def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar-function surface (SURVEY §2.3: array_* family — the
     reference stores arrays as opaque bytes and computes nothing): size,
-    distinct, intersect with a literal set, element_at from both ends."""
+    distinct, intersect with a literal set, element_at from both ends.
+    kw_hits is surfaced '|'-joined (driver canonicalizer can't hash ARRAY
+    cells)."""
     d = _t(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     kw = F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("join"))
@@ -549,7 +557,8 @@ def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
-        F.sort_array(F.array_distinct(F.array_intersect(w, kw))).alias("kw_hits"),
+        F.array_join(F.sort_array(F.array_distinct(F.array_intersect(w, kw))),
+                     "|").alias("kw_hits"),
         F.element_at(w, 1).alias("first_token"),
         F.element_at(w, -1).alias("last_token"))
 
@@ -743,6 +752,9 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (li.groupBy("l_returnflag")
            .pivot("l_linestatus", ["F", "O"])
            .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2)))
+    # empty pivot cells are NULL (the in-agg coalesce never sees them);
+    # fill after the pivot so they match the oracle's coalesce(..., 0)
+    out = out.na.fill(0.0, ["F", "O"])
     return out.select("l_returnflag", F.col("F").alias("F"),
                       F.col("O").alias("O"))
 

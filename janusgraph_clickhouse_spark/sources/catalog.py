@@ -112,11 +112,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(TABLES[name]).parquet(path)
     if name == "events":
-        # ns → µs conversion (see TABLES["events"] note); truncation, like
-        # every engine that narrows ns to µs
+        # ns → µs conversion (see TABLES["events"] note); integer `div` —
+        # long/long `/` goes through DOUBLE, and epoch-nanos (~1.7e18)
+        # exceed double's 53-bit exact range, silently off-by-1µs for
+        # values not aligned to ms granularity
         from pyspark.sql import functions as F
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -73,3 +73,21 @@ def test_mutate_matches_dict_model(spark, base, additions, deletions):
                       del_df if deletions else None, key_cols=["k", "c"])
     got = {(r.k, r.c): r.v for r in out.collect()}
     assert got == model
+
+
+def test_jdbc_contract_surface(spark):
+    """JDBC is contract-only (no database in env): the builder must fail
+    at the driver/connection layer — i.e. the option surface is valid
+    spark.read.jdbc configuration, not a Python-side error."""
+    from janusgraph_clickhouse_spark.sources.formats import read_jdbc
+
+    try:
+        read_jdbc(spark, "jdbc:postgresql://localhost:5432/nope", "t",
+                  partition_column="id", lower_bound=0, upper_bound=10,
+                  num_partitions=2)
+        raise AssertionError("expected the connection layer to fail")
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — no driver/DB is the expected path
+        msg = str(e).lower()
+        assert "jdbc" in msg or "driver" in msg or "connection" in msg

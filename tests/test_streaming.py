@@ -195,3 +195,42 @@ def test_foreach_batch_upsert_multiple_microbatches(spark, sf_smoke, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == events.count()
     assert final.select("event_id").distinct().count() == events.count()
+
+
+def test_kafka_parse_contract(spark):
+    """Kafka wiring is contract-level (no broker in env): the parse stage
+    must turn the kafka source's exact wire schema (key/value BINARY,
+    topic/partition/offset/timestamp) into typed events, with the same
+    ns→µs integer-div rule as the batch loader."""
+    import json
+
+    from janusgraph_clickhouse_spark.streaming.ops import parse_kafka_events
+
+    ns = 1_700_000_000_123_456_789  # non-ms-aligned: catches float div
+    payload = {"event_id": 7, "ts": ns, "user_id": 42,
+               "event_type": "view", "value": 1.5, "props": "{}"}
+    wire = spark.createDataFrame(
+        [(b"k", json.dumps(payload).encode(), "events.txlog", 0, 123,
+          __import__("datetime").datetime(2023, 11, 14, 22, 13, 20))],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp")
+    out = parse_kafka_events(wire)
+    row = out.collect()[0]
+    assert row.event_id == 7 and row.user_id == 42
+    assert row.event_type == "view" and row.value == 1.5
+    # exact µs truncation of the ns value (123456789 ns → 123456 µs)
+    assert row.ts.microsecond == 123456
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_events_kafka_stream_builds_unresolved(spark):
+    """The source builder itself needs the kafka connector jar + broker —
+    absent here; assert it fails only at that layer (option surface OK),
+    not with a Python error."""
+    from janusgraph_clickhouse_spark.streaming.ops import events_kafka_stream
+
+    try:
+        events_kafka_stream(spark, "localhost:9092")
+    except Exception as e:  # noqa: BLE001 — jar missing is the expected path
+        msg = str(e)
+        assert "kafka" in msg.lower()
