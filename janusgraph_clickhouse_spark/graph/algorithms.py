@@ -456,7 +456,13 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
         else:
             yield pd.DataFrame({"adj": pd.array([], dtype=object)})
 
-    partials = (groups.coalesce(4)
+    # partial count adapts to matrix size: parallelism when matrices are
+    # small (n≈1000 → 125 KB, keep 32-way packing), bounded residency when
+    # they're big (n≈64k → 0.5 GB, ≤2 partials so the reduce task and the
+    # driver stay ~1 GB)
+    matrix_bytes = n_nodes * n_bytes
+    k = max(1, min(32, (1 << 30) // max(1, matrix_bytes)))
+    partials = (groups.coalesce(k)
                 .mapInPandas(partial_adj, schema="adj binary"))
     reduced = (partials.coalesce(1)
                .mapInPandas(or_reduce, schema="adj binary").collect())

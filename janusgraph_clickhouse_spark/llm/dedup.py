@@ -43,11 +43,19 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the exploded set representation."""
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(word_shingles(text_col, n)).alias("shingle"))
-            .distinct())
+                 n: int = 3, hashed: bool = True) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded set representation.
+
+    hashed=True (default) replaces each shingle string with its xxhash64:
+    the distinct, the self-join, and every downstream shuffle then move
+    8-byte longs instead of ~n-word strings (the dominant shuffle volume
+    of the whole dedup family).  Set-intersection counts are unchanged up
+    to 64-bit collisions — P ≈ m²/2⁶⁵ for m distinct shingles, ~1e-10 at
+    m=10⁶ — the standard trade every shingle-based dedup pipeline makes."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col, n)).alias("sh"))
+    key = F.xxhash64("sh") if hashed else F.col("sh")
+    return base.select("id", key.alias("shingle")).distinct()
 
 
 # -- exact dedup ------------------------------------------------------------
