@@ -61,11 +61,39 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
 # bump when the persisted layout/schema changes so stale caches rebuild
 LAYOUT_VERSION = 1
 
+# tables the star-schema graph derives from — their on-disk identity is
+# part of the cache key
+_SOURCE_TABLES = ("customer", "nation", "region", "orders", "lineitem",
+                  "supplier", "part")
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap stat-based identity of the source parquet: (size, mtime) per
+    file.  If the fixture directory is regenerated — same path, new
+    content — the fingerprint changes and the cache rebuilds instead of
+    silently serving a stale graph."""
+    parts = []
+    for t in _SOURCE_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        paths = [p]
+        if os.path.isdir(p):
+            paths = sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if not f.startswith("_") and not f.startswith("."))
+        for f in paths:
+            try:
+                st = os.stat(f)
+                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                parts.append(f"{f}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
 
 def clustered_graph_path(sf_dir: str, base_dir: str | None = None) -> str:
     root = base_dir or os.path.join(tempfile.gettempdir(), "jcs_graph_cache")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:v{LAYOUT_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}:v{LAYOUT_VERSION}"
+        f":{_source_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:12]
     return os.path.join(root, key)
 

@@ -23,7 +23,8 @@ all-shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_clustered_table(df: DataFrame, table_name: str, key_col: str,
@@ -58,3 +59,41 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
 
 def table_scan(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: bit-interleave k integer columns into one
+    LONG, so sorting by the key clusters rows that are close in EVERY
+    dimension — the multi-dimensional generalization of the single-key
+    clustering above.  A scan filtered on any subset of the dimensions
+    then prunes row groups via min/max stats, where a (x)-sorted layout
+    prunes only x.
+
+    Inputs must already be non-negative ints < 2^bits (pre-bucket with
+    ntile/width_bucket/scaling); k·bits must fit a signed long.  Pure
+    shift/mask expressions — whole-stage codegen, no UDF.
+    """
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a signed long")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            bit = F.shiftrightunsigned(col, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return key
+
+
+def write_zordered_parquet(df: DataFrame, path: str,
+                           cols: list[str], bits: int = 16,
+                           num_files: int = 8) -> None:
+    """Write parquet clustered on the Z-order of `cols`: range-partition
+    by the Morton key (files = contiguous key ranges) and sort within, so
+    both file-level and row-group min/max stats are tight in every
+    interleaved dimension."""
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    (keyed.repartitionByRange(num_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))

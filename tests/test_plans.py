@@ -68,3 +68,40 @@ def test_semi_anti_joins_compile_as_such(spark, sf_smoke):
         q09_semi_join, q10_anti_join)
     assert "LeftSemi" in _optimized(q09_semi_join(spark, sf_smoke))
     assert "LeftAnti" in _optimized(q10_anti_join(spark, sf_smoke))
+
+
+def test_clustered_graph_partition_pruning(spark, sf_smoke):
+    """Graph queries default to the persisted clustered adjacency: a
+    label-restricted traversal must show partition pruning on the edge
+    set (etype) — the MergeTree ORDER BY (k,c) analog — and exactly the
+    per-hop edge joins (vertex-prop joins deferred to terminal steps)."""
+    from janusgraph_clickhouse_spark.plans.graph_queries import (
+        g02_two_hop_parts)
+
+    df = g02_two_hop_parts(spark, sf_smoke)
+    plan = _plan(df)
+    assert "jcs_graph_cache" in plan  # reads the persisted layout
+    assert "PartitionFilters" in plan and "etype" in plan
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, f"expected <=2 joins (got {n_joins}):\n{plan}"
+
+
+def test_clustered_restriction_matches_derivation(spark, sf_smoke):
+    """The clustered read restricted by edge_labels must reproduce the
+    in-plan derivation exactly — including NOT leaking supplier→nation
+    edges into `in_nation` selections (etype, not label, is the key)."""
+    from janusgraph_clickhouse_spark.graph.model import (
+        derive_star_graph, star_schema_graph)
+
+    for labels in ({"in_nation", "in_region"}, {"placed"}, None):
+        clustered = star_schema_graph(spark, sf_smoke, labels,
+                                      clustered=True)
+        derived = derive_star_graph(spark, sf_smoke, labels)
+        ce = sorted(map(tuple, clustered.edges
+                        .select("src", "dst", "label").collect()))
+        de = sorted(map(tuple, derived.edges
+                        .select("src", "dst", "label").collect()))
+        assert ce == de, f"edge mismatch for {labels}"
+        cv = sorted(r.id for r in clustered.vertices.collect())
+        dv = sorted(r.id for r in derived.vertices.collect())
+        assert cv == dv, f"vertex mismatch for {labels}"

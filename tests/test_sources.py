@@ -91,3 +91,43 @@ def test_jdbc_contract_surface(spark):
     except Exception as e:  # noqa: BLE001 — no driver/DB is the expected path
         msg = str(e).lower()
         assert "jdbc" in msg or "driver" in msg or "connection" in msg
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """Z-order property: files cover tight ranges in BOTH dimensions
+    (multi-dim pruning), where an x-sorted layout leaves y unclustered."""
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.sources.layout import (
+        write_zordered_parquet, zorder_key)
+
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"))
+
+    # key is a bijective interleave: distinct count preserved
+    keyed = grid.select(zorder_key(["x", "y"], bits=8).alias("z"))
+    assert keyed.distinct().count() == n * n
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered_parquet(grid, zpath, ["x", "y"], bits=8, num_files=16)
+    xpath = str(tmp_path / "xsort")
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(xpath))
+
+    def extents(path):
+        df = (spark.read.parquet(path)
+              .withColumn("f", F.input_file_name())
+              .groupBy("f")
+              .agg((F.max("x") - F.min("x")).alias("ex"),
+                   (F.max("y") - F.min("y")).alias("ey")))
+        r = df.agg(F.avg("ex"), F.avg("ey")).first()
+        return float(r[0]), float(r[1])
+
+    zx, zy = extents(zpath)
+    sx, sy = extents(xpath)
+    # x-sorted: tight in x, unclustered in y (≈ full range)
+    assert sy > 0.9 * (n - 1)
+    # z-ordered: materially tighter than the full range in BOTH dims
+    assert zx < 0.5 * (n - 1) and zy < 0.5 * (n - 1), (zx, zy, sx, sy)
