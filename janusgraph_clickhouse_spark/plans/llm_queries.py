@@ -83,10 +83,38 @@ def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
 
 
-@query("l04_simhash_pairs")  # md5-bit-vote signature → rows-only
+@query(
+    "l04_simhash_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    hashes AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+               FROM words),
+    bits AS (SELECT unnest(range(64)) AS b),
+    votes AS (SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashes, bits GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                            ELSE 0::UBIGINT END)::UBIGINT AS s
+            FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.s, b.s)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 8
+    """,
+)
 def l04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 8) with 16-bit band blocking;
-    the only pandas-UDF stage in the dedup family."""
+    """SimHash-64 near-dup pairs (Hamming ≤ 8), banded pigeonhole-complete
+    blocking; the only pandas-UDF stage in the dedup family.
+
+    Hash-checked: the signature is md5-derived (not engine-specific), so
+    DuckDB re-derives the identical per-word big-endian-uint64 bit votes
+    relationally and compares all pairs exactly — valid because the
+    max_hamming+1 banding guarantees NO thresholded pair is missed (a
+    probabilistic blocking could not be oracled this way)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 
