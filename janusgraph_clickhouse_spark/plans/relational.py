@@ -555,8 +555,8 @@ def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("join"))
     return d.select(
         "doc_id",
-        F.size(w).alias("n_tokens"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
         F.array_join(F.sort_array(F.array_distinct(F.array_intersect(w, kw))),
                      "|").alias("kw_hits"),
         F.element_at(w, 1).alias("first_token"),
