@@ -36,8 +36,9 @@ def query(name: str, oracle: str | None = None):
 # llm/streaming queries past the cut — 20 queries got no correctness row).
 # These 50 names are emitted first: every family represented, every
 # oracle-backed query in-window, near-duplicate relational variants
-# (q02/q04/q05 ~ q01/q03, q22-q25/q27/q28/q31-q33 overlap other TPC-H
-# shapes) deferred to the tail.  A typo here would silently drop a query
+# (q02/q04/q05 ~ q01/q03, q22-q25/q27/q28/q31-q34 overlap other TPC-H /
+# window shapes already driver-evidenced in round 1) deferred to the
+# tail.  A typo here would silently drop a query
 # from the window — get_queries() asserts every name resolves.
 DRIVER_PRIORITY: list[str] = [
     # relational: KCVS core + one representative per distinct surface
@@ -45,7 +46,7 @@ DRIVER_PRIORITY: list[str] = [
     "q08_customer_top_parts", "q13_predicate_library",
     "q17_scalar_functions", "q18_json_extract", "q19_mutate_upsert",
     "q20_group_collect", "q21_array_functions", "q26_rollup", "q29_pivot",
-    "q30_percentiles", "q34_window_analytics", "q35_range_step",
+    "q30_percentiles", "q35_range_step",
     # graph: all
     "g01_out_degree", "g02_two_hop_parts", "g03_supplier_triangles",
     "g04_connected_components", "g05_bfs_distances", "g06_pagerank",
@@ -62,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     # streaming: all
     "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
     "s04_dedup_keep_first", "s05_asof_join", "s06_time_rollup",
+    "s07_interval_join",
 ]
 
 

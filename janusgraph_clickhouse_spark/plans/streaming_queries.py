@@ -187,3 +187,33 @@ def s06_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", grains={"h": "1 hour", "d": "1 day"},
         group_extra=["event_type"],
         aggs=["count(*) AS cnt", "round(sum(value), 2) AS sum_value"])
+
+
+@query(
+    "s07_interval_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id AS user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS ts_a_sec,
+           CAST(floor(epoch(b.ts)) AS BIGINT) AS ts_b_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    """,
+)
+def s07_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join semantics (click↔purchase attribution
+    shape), oracle-checked in batch form: pair events on the same user
+    within a 5-minute event-time interval.  The identical transformation
+    runs as a true watermarked stream-stream join in
+    streaming.ops.self_join_within (pytest: stream == batch); the time
+    bound is what lets the streaming state store evict — without it
+    state grows forever."""
+    from ..streaming.ops import self_join_within
+    ev = load_table(spark, sf_dir, "events")
+    out = self_join_within(ev, "user_id", interval="5 minutes")
+    return out.select(
+        "id_a", "id_b",
+        F.col("k").alias("user_id"),
+        F.unix_timestamp("ts_a").alias("ts_a_sec"),
+        F.unix_timestamp("ts_b").alias("ts_b_sec"))

@@ -243,7 +243,7 @@ def self_join_within(events: DataFrame, key: str, interval: str = "5 minutes",
         b,
         (a.k == b.k) & (a.id_a < b.id_b)
         & (b.ts_b >= a.ts_a)
-        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")))
+        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}"))).drop(b.k)
 
 
 def run_to_memory(stream: DataFrame, mode: str = "complete",
