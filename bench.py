@@ -41,6 +41,7 @@ HEADLINE = [
     "g06_pagerank",             # iterative PageRank (Pregel)
     "l02_jaccard_pairs",        # fuzzy dedup exact baseline
     "l03_minhash_lsh_pairs",    # MinHash-LSH + rerank
+    "l04_simhash_pairs",        # SimHash (vectorized signature UDF)
     "l05_cosine_topk",          # similarity search
     "l07_text_stats",           # text analysis
     "s01_tumbling_window",      # windowed agg

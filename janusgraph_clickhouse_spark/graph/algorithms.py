@@ -21,6 +21,18 @@ from .model import PropertyGraph
 from .pregel import pregel
 
 
+def _edges_aligned(graph: PropertyGraph) -> bool:
+    """True when graph.edges is bucketed on src AND the bucket count
+    matches this session's shuffle width, so the message join can reuse
+    the on-disk partitioning with no Exchange on either side."""
+    if not getattr(graph, "src_partitioned", False):
+        return False
+    from .persistence import EDGE_BUCKETS
+    spark = graph.edges.sparkSession
+    return int(spark.conf.get("spark.sql.shuffle.partitions",
+                              "200")) == EDGE_BUCKETS
+
+
 def pagerank(graph: PropertyGraph, max_iter: int = 10,
              damping: float = 0.85, tol: float | None = None) -> DataFrame:
     """PageRank over the directed edges; returns (id, rank).
@@ -44,9 +56,16 @@ def pagerank(graph: PropertyGraph, max_iter: int = 10,
               .withColumn("rank", F.lit(1.0)))
     # cache the edge set partitioned on the message-join key: every
     # superstep joins contribs on src, so hash-partitioning edges once
-    # lets each round reuse the layout (measured 22s → 15.5s at sf0.1)
-    width = graph.edges.sparkSession.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst").repartition(width, "src").cache()
+    # lets each round reuse the layout (measured 22s → 15.5s at sf0.1).
+    # A bucketed substrate (graph.src_partitioned) is ALREADY laid out on
+    # src — repartitioning it would just re-add the exchange it removed —
+    # but only when its bucket count matches the session's shuffle width
+    # (mismatched counts make EnsureRequirements re-shuffle a side).
+    edges = graph.edges.select("src", "dst")
+    if not _edges_aligned(graph):
+        width = graph.edges.sparkSession.sparkContext.defaultParallelism
+        edges = edges.repartition(width, "src")
+    edges = edges.cache()
 
     def make_messages(st: DataFrame, e: DataFrame) -> DataFrame:
         contrib = (st.filter(F.col("out_deg") > 0)
@@ -224,8 +243,12 @@ def shortest_paths(graph: PropertyGraph, source_ids: list[int],
         edges = edges.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                      w.alias("w")))
-    width = graph.edges.sparkSession.sparkContext.defaultParallelism
-    edges = edges.repartition(width, "src").cache()
+    # directed + bucketed substrate: already src-partitioned (the union
+    # for undirected breaks the layout, so only the directed path skips)
+    if not (directed and _edges_aligned(graph)):
+        width = graph.edges.sparkSession.sparkContext.defaultParallelism
+        edges = edges.repartition(width, "src")
+    edges = edges.cache()
     inf = float("inf")
     state = graph.vertices.select(
         "id",
@@ -464,7 +487,11 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
     k = max(1, min(32, (1 << 30) // max(1, matrix_bytes)))
     partials = (groups.coalesce(k)
                 .mapInPandas(partial_adj, schema="adj binary"))
-    reduced = (partials.coalesce(1)
+    # repartition (shuffle), NOT coalesce: coalesce(1) is a narrow dep that
+    # would merge all k partial_adj builds into the single reduce task,
+    # serializing the partial stage.  Only ≤k adjacency blobs cross the
+    # shuffle, so the exchange is cheap.
+    reduced = (partials.repartition(1)
                .mapInPandas(or_reduce, schema="adj binary").collect())
     assert len(reduced) <= 1, "OR-reduce must yield exactly one matrix"
 

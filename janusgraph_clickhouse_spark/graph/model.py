@@ -40,9 +40,15 @@ ID_OFFSETS = {
 class PropertyGraph:
     """vertices(id, label, props...) + edges(src, dst, label, props...)."""
 
-    def __init__(self, vertices: DataFrame, edges: DataFrame):
+    def __init__(self, vertices: DataFrame, edges: DataFrame,
+                 src_partitioned: bool = False):
         self.vertices = vertices
         self.edges = edges
+        # True when `edges` is already hash-co-partitioned on src (e.g.
+        # served from the bucketed catalog table): iterative consumers
+        # (pagerank, sssp) then skip their own repartition(src) — the
+        # edge side of every message join runs Exchange-free
+        self.src_partitioned = src_partitioned
 
     def degrees(self, direction: str = "out") -> DataFrame:
         """Per-vertex degree (Gremlin out()/in()/both().count())."""

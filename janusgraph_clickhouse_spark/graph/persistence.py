@@ -18,10 +18,13 @@ equivalent layers the same two ideas:
 under a content-keyed directory) and every `star_schema_graph` call
 reads it — graph queries start from one narrow pre-derived table
 instead of re-deriving vertices/edges from the star schema per query.
-On a real cluster the same writes go through `layout.
-write_clustered_table` (bucketBy) so frontier/pregel joins on src are
-additionally co-partitioned with zero exchange; plain sorted parquet is
-used here because bucketed tables need a (driver-owned) catalog.
+The build also writes the edge set as a BUCKETED external table
+(CLUSTERED BY src, SORTED BY (src, dst) — `_write_bucketed_edges`), the
+full analog of the reference's primary-index scan: full-graph reads
+(`clustered_star_graph` with no label restriction) serve edges through
+it, so every per-superstep pregel/frontier join on `src` runs with NO
+Exchange on the edge side.  The catalog entry is session-scoped DDL over
+persistent bucket files (`bucketed_edges` re-registers per session).
 """
 
 from __future__ import annotations
@@ -59,7 +62,17 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
 # -- clustered star-schema adjacency (build once per sf_dir) ----------------
 
 # bump when the persisted layout/schema changes so stale caches rebuild
-LAYOUT_VERSION = 1
+LAYOUT_VERSION = 2  # v2: + bucketed edge table (exchange-free pregel joins)
+
+# bucket count for the bucketed edge table.  MUST equal the session's
+# shuffle width (session.py sets spark.sql.shuffle.partitions = cpus=32):
+# the pregel state side is hash-partitioned at the shuffle width, and
+# when the two sides' partition counts differ EnsureRequirements
+# re-shuffles one of them — matching counts make the whole message join
+# Exchange-free.  Consumers verify the width at runtime and fall back to
+# an explicit repartition when it differs (algorithms.pagerank).  On a
+# real cluster this is the executor-core width, chosen at build time.
+EDGE_BUCKETS = 32
 
 # tables the star-schema graph derives from — their on-disk identity is
 # part of the cache key
@@ -83,7 +96,9 @@ def _source_fingerprint(sf_dir: str) -> str:
         for f in paths:
             try:
                 st = os.stat(f)
-                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+                # ns mtime: a fixture regenerated in-place within the same
+                # second at identical size must still change the key
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
             except OSError:
                 parts.append(f"{f}:absent")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
@@ -92,7 +107,7 @@ def _source_fingerprint(sf_dir: str) -> str:
 def clustered_graph_path(sf_dir: str, base_dir: str | None = None) -> str:
     root = base_dir or os.path.join(tempfile.gettempdir(), "jcs_graph_cache")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:v{LAYOUT_VERSION}"
+        f"{os.path.abspath(sf_dir)}:v{LAYOUT_VERSION}:b{EDGE_BUCKETS}"
         f":{_source_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:12]
     return os.path.join(root, key)
@@ -121,12 +136,62 @@ def ensure_clustered_graph(spark: SparkSession, sf_dir: str,
      .sortWithinPartitions("label", "id")
      .write.mode("overwrite").partitionBy("label")
      .parquet(os.path.join(tmp, "vertices")))
+    _write_bucketed_edges(spark, g.edges, tmp)
     open(os.path.join(tmp, "_BUILT"), "w").close()
     try:
         os.rename(tmp, path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
     return path
+
+
+def _edge_cols_ddl(df: DataFrame) -> str:
+    fields = [f for f in df.schema.fields
+              if f.name in ("src", "dst", "label", "weight")]
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+
+
+def _write_bucketed_edges(spark: SparkSession, edges: DataFrame,
+                          tmp_dir: str) -> None:
+    """Write the edge set as a BUCKETED external table inside the build's
+    temp dir (it rides ensure_clustered_graph's atomic rename — one
+    builder, one race mechanism).  Bucketing on src is the full analog of
+    the reference's MergeTree `ORDER BY (k,c)` primary index
+    (QueryHelper.java:57): every pregel/frontier join on src reads
+    co-partitioned buckets with NO Exchange on the edge side, vs the
+    sorted-parquet layout which gives pruning + row-group skipping only.
+    The catalog entry is session-scoped metadata (re-registered by
+    bucketed_edges per session); the bucket FILES are what persist."""
+    loc = os.path.join(tmp_dir, f"edges_bucketed{EDGE_BUCKETS}")
+    os.makedirs(loc, exist_ok=True)  # CREATE TABLE…LOCATION stats the dir
+    e = edges.select("src", "dst", "label", "weight")
+    tname = f"jcs_build_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"CREATE TABLE {tname} ({_edge_cols_ddl(e)}) USING parquet "
+        f"CLUSTERED BY (src) SORTED BY (src, dst) "
+        f"INTO {EDGE_BUCKETS} BUCKETS LOCATION '{loc}'")
+    e.write.mode("overwrite").insertInto(tname)
+    spark.sql(f"DROP TABLE {tname}")  # metadata only; bucket files stay
+
+
+def bucketed_edges(spark: SparkSession, sf_dir: str,
+                   base_dir: str | None = None) -> DataFrame:
+    """The clustered edge set served through its BUCKETED catalog table:
+    joins/aggregations keyed on src skip the edge-side Exchange entirely
+    (tests/test_plans.py pins the plan shape).  Registers the external
+    table in this session's catalog if absent — a pure-DDL step over the
+    already-built bucket files."""
+    path = ensure_clustered_graph(spark, sf_dir, base_dir)
+    loc = os.path.join(path, f"edges_bucketed{EDGE_BUCKETS}")
+    table = f"jcs_edges_{os.path.basename(path)}"
+    if not spark.catalog.tableExists(table):
+        cols = _edge_cols_ddl(spark.read.parquet(loc))
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src, dst) "
+            f"INTO {EDGE_BUCKETS} BUCKETS LOCATION '{loc}'")
+    return spark.table(table)
 
 
 def clustered_star_graph(spark: SparkSession, sf_dir: str,
@@ -138,14 +203,20 @@ def clustered_star_graph(spark: SparkSession, sf_dir: str,
     supplier→nation edges don't leak into `in_nation` selections; the
     vertex universe matches the derivation's table-skipping rule)."""
     path = ensure_clustered_graph(spark, sf_dir, base_dir)
-    edges = spark.read.parquet(os.path.join(path, "edges"))
     verts = spark.read.parquet(os.path.join(path, "vertices"))
-    if edge_labels is not None:
-        want = edge_labels & _KNOWN_EDGE_SETS
-        edges = edges.filter(F.col("etype").isin(sorted(want)))
-        vlabels = {"customer", "nation", "region"}
-        if want & _FACT_EDGE_SETS:
-            vlabels |= {"order", "part", "supplier"}
-        verts = verts.filter(F.col("label").isin(sorted(vlabels)))
+    if edge_labels is None:
+        # full-graph reads (pagerank/bfs/sssp) serve edges from the
+        # BUCKETED table: message joins on src run Exchange-free
+        return PropertyGraph(verts.select("id", "label", "name"),
+                             bucketed_edges(spark, sf_dir, base_dir)
+                             .select("src", "dst", "label", "weight"),
+                             src_partitioned=True)
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    want = edge_labels & _KNOWN_EDGE_SETS
+    edges = edges.filter(F.col("etype").isin(sorted(want)))
+    vlabels = {"customer", "nation", "region"}
+    if want & _FACT_EDGE_SETS:
+        vlabels |= {"order", "part", "supplier"}
+    verts = verts.filter(F.col("label").isin(sorted(vlabels)))
     return PropertyGraph(verts.select("id", "label", "name"),
                          edges.select("src", "dst", "label", "weight"))

@@ -119,6 +119,77 @@ class Traversal:
         return Traversal(self.graph, self.frontier.join(e, "id", "left_anti"),
                          self.with_path)
 
+    # -- bounded loops -----------------------------------------------------
+    def repeat(self, step, times: int | None = None, until=None,
+               emit: bool = False, max_iter: int = 20,
+               checkpoint_every: int = 2) -> "Traversal":
+        """Gremlin repeat()/times()/until()/emit() — the bounded-loop step
+        (the reference surface's multi-hop slices, SURVEY §2.3 multi-hop
+        row).  `step` is a sub-traversal fn (Traversal -> Traversal, e.g.
+        ``lambda t: t.out()``) compiled per iteration into the same
+        one-join-per-hop plans; lineage is cut with an eager
+        localCheckpoint every `checkpoint_every` iterations (the pregel
+        discipline — without it the plan doubles per hop).
+
+        times=n: exactly n applications.  emit=True returns the union of
+        every intermediate frontier (including the start), not just the
+        final one.
+
+        until=fn: fn(t) -> Traversal selecting the STOPPING subset (e.g.
+        ``lambda t: t.has_label('region')``); stopped traversers exit with
+        their current position, the rest keep stepping.  Variable-depth
+        traversals use SET semantics: the frontier dedups per iteration
+        and already-visited vertices are not re-expanded (guarantees
+        termination on cycles; each vertex is processed once, the BFS
+        work bound).  The per-iteration emptiness probe runs on the
+        checkpointed frontier, so it re-reads a materialized result
+        rather than re-running the join chain.  Bounded by max_iter.
+        """
+        if (times is None) == (until is None):
+            raise ValueError("exactly one of times/until must be given")
+        loop_cols = ["id", "path"] if self.with_path else ["id"]
+        if times is not None:
+            cur = self
+            # emitted frontiers union on the loop schema (id/path): the
+            # start frontier may carry resolved prop columns the hop
+            # frontiers don't have
+            parts = [cur.frontier.select(*loop_cols)] if emit else []
+            for i in range(times):
+                cur = step(cur)
+                f = cur.frontier
+                if (i + 1) % checkpoint_every == 0 and i + 1 < times:
+                    f = f.localCheckpoint(eager=True)
+                cur = Traversal(self.graph, f, self.with_path)
+                if emit:
+                    parts.append(cur.frontier.select(*loop_cols))
+            if emit:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return Traversal(self.graph, out, self.with_path)
+            return cur
+
+        cols = loop_cols
+        cur = self.frontier.select(*cols).dropDuplicates(["id"])
+        visited = cur.select("id")
+        done = None
+        for i in range(max_iter):
+            t = Traversal(self.graph, cur, self.with_path)
+            stop = until(t).frontier.select(*cols)
+            done = stop if done is None else done.unionByName(stop)
+            active = cur.join(stop.select("id"), "id", "left_anti")
+            nxt = (step(Traversal(self.graph, active, self.with_path))
+                   .frontier.select(*cols).dropDuplicates(["id"])
+                   .join(visited, "id", "left_anti")
+                   .localCheckpoint(eager=True))
+            if not nxt.take(1):
+                break
+            visited = visited.unionByName(nxt.select("id")) \
+                             .localCheckpoint(eager=True)
+            cur = nxt
+        return Traversal(self.graph,
+                         done.dropDuplicates(["id"]), self.with_path)
+
     # -- terminal / shaping steps -----------------------------------------
     def dedup(self) -> "Traversal":
         cols = ["id"] if not self.with_path else self.frontier.columns

@@ -178,27 +178,54 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def _simhash64_udf():
     """64-bit SimHash of a token list: per-word md5-derived 64-bit hash,
-    bitwise ±1 vote, sign → bit.  Arrow-batched; md5 keeps it
-    deterministic across workers/runs.  (Built lazily — pandas_udf needs
-    an active session to resolve its return type.)"""
+    bitwise ±1 vote, sign → bit.  Arrow-batched AND numpy-vectorized
+    inside the batch: md5 runs once per *unique* word, the 64-bit vote is
+    an unpackbits + segment-sum (no per-word/per-bit Python loop — that
+    scalar inner loop was the dedup family's throughput ceiling at corpus
+    scale).  Bit semantics are identical to the scalar form: word hash
+    h = int.from_bytes(md5(w)[:8], 'big'); bit b set iff strictly more
+    words have bit b set than clear.  (Built lazily — pandas_udf needs an
+    active session to resolve its return type.)"""
+    import numpy as np
     from pyspark.sql.types import LongType
 
-    def one(words) -> int:
-        votes = [0] * 64
-        if words is not None:
-            for w in words:
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-        out = 0
-        for b in range(64):
-            if votes[b] > 0:
-                out |= (1 << b)
-        return out - (1 << 64) if out >= (1 << 63) else out
+    def batch(tokens: pd.Series) -> np.ndarray:
+        lens = np.fromiter(
+            (0 if w is None else len(w) for w in tokens),
+            dtype=np.int64, count=len(tokens))
+        out = np.zeros(len(tokens), dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return out
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in tokens:
+            if w is not None and len(w):
+                flat[pos:pos + len(w)] = list(w)
+                pos += len(w)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        # md5(word)[:8] reversed = little-endian bytes of the big-endian
+        # 64-bit int; unpackbits(bitorder='little') then yields column b
+        # == bit b of h, matching the scalar (h >> b) & 1 vote
+        dig = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[7::-1] for w in uniq),
+            dtype=np.uint8).reshape(-1, 8)
+        ubits = np.unpackbits(dig, axis=1, bitorder="little").astype(np.int32)
+        word_bits = ubits[inv]                       # (total_words, 64)
+        nz = lens > 0
+        starts = np.zeros(len(tokens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ones = np.add.reduceat(word_bits, starts[nz], axis=0)
+        # votes[b] = ones - (n - ones) > 0  ⇔  2*ones > n
+        signbit = np.zeros((len(tokens), 64), dtype=bool)
+        signbit[nz] = (2 * ones) > lens[nz, None]
+        out = np.packbits(signbit, axis=1, bitorder="little") \
+            .view(np.int64).ravel()
+        return out
 
     @pandas_udf(LongType())
     def _simhash64(tokens: pd.Series) -> pd.Series:
-        return tokens.apply(one)
+        return pd.Series(batch(tokens), index=tokens.index)
 
     return _simhash64
 
@@ -211,21 +238,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8,
+                  sub_bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — COMPLETE
     (no missed pairs) by construction.
 
-    Blocking: split the 64-bit hash into max_hamming+1 bands; a pair with
-    ≤ max_hamming differing bits cannot differ in every one of the
-    max_hamming+1 bands (pigeonhole), so it agrees exactly on at least one
-    band and lands in that band's bucket join — blocked, never all-pairs,
-    and recall-complete (unlike a fixed band count, which is only complete
-    for Hamming ≤ bands-1).  Exact Hamming (bit_count of xor) reranks
-    bucket collisions.
+    Default blocking: split the 64-bit hash into max_hamming+1 bands; a
+    pair with ≤ max_hamming differing bits cannot differ in every one of
+    the max_hamming+1 bands (pigeonhole), so it agrees exactly on at least
+    one band and lands in that band's bucket join — blocked, never
+    all-pairs, and recall-complete (unlike a fixed band count, which is
+    only complete for Hamming ≤ bands-1).  Exact Hamming (bit_count of
+    xor) reranks bucket collisions.
+
+    SCALE LIMIT of the default: at max_hamming=8 the 9 bands are only
+    7-8 bits wide (≤256 buckets per band), so at corpus scale each
+    (band, val) bucket join degrades toward quadratic — the completeness
+    guarantee trades away blocking selectivity.
+
+    `sub_bands=m` (m > max_hamming) switches to combination blocking
+    (Manku et al., "Detecting Near-Duplicates for Web Crawling"): split
+    into m sub-bands and emit one key per C(m, m-h) combination of
+    (m-h) sub-bands, each key the concatenation of those sub-band values.
+    A pair within Hamming h differs in ≤h sub-bands, so ≥(m-h) agree and
+    at least one chosen combination matches entirely — still complete,
+    but each key is (m-h)·(64/m) bits wide (e.g. h=8, m=10 → 45 keys of
+    ~12.8 bits ≈ 7k buckets vs 256).  Rows per doc grow C(m, m-h)-fold;
+    pick m so C(m, m-h) stays small (m = h+2 → C(h+2, 2)).
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_bands = max_hamming + 1
+    n_bands = (sub_bands if sub_bands is not None else max_hamming + 1)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"need more bands than max_hamming: {n_bands} <= {max_hamming}")
     base, rem = divmod(64, n_bands)
     widths = [base + 1 if b < rem else base for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
@@ -236,10 +282,16 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                 .bitwiseAND(F.lit(mask)))
 
     sh = simhash(df, id_col, text_col)
+    if sub_bands is None:
+        keys = [_band(b) for b in range(n_bands)]
+    else:
+        from itertools import combinations
+        pick = n_bands - max_hamming
+        keys = [F.xxhash64(*(_band(b) for b in combo))
+                for combo in combinations(range(n_bands), pick)]
     bands = sh.select(
         "id", "simhash",
-        F.posexplode(F.array(*[_band(b) for b in range(n_bands)]))
-        .alias("band", "val"))
+        F.posexplode(F.array(*keys)).alias("band", "val"))
     x = bands.select(F.col("id").alias("doc_a"),
                      F.col("simhash").alias("sim_a"), "band", "val")
     y = bands.select(F.col("id").alias("doc_b"),
@@ -276,3 +328,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
            .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
            .filter(F.col("cosine") >= threshold))
     return out.select("id_a", "id_b", "cosine")
+
+
+def lsh_blocked_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                               threshold: float = 0.35, n_planes: int = 8,
+                               n_tables: int = 4,
+                               seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs blocked by COMPUTED LSH buckets — the
+    production block key (l06's `label` block is fixture luck; a real
+    corpus has no label).  Each of `n_tables` independent hyperplane
+    tables contributes one hash join on its n_planes-bit bucket; the
+    union is deduped on the pair key.  Scale shape: n_tables equi-joins
+    whose key cardinality (2^n_planes × corpus/bucket) is tunable, never
+    a CartesianProduct; recall follows the 1-(1-p^b)^T LSH curve and is
+    pytest-pinned against the exact all-pairs baseline."""
+    from .similarity import hyperplanes, lsh_bucket_expr
+    dim = len(df.select(vec_col).first()[0])
+    out = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        keyed = df.withColumn("__bkt", lsh_bucket_expr(vec_col, planes))
+        p = embedding_near_dup_pairs(keyed, id_col, vec_col, threshold,
+                                     block_col="__bkt")
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])

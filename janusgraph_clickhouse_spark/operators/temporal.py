@@ -38,30 +38,54 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     # Carry ALL right columns + the right ts as ONE struct so every carried
     # value (and matched_ts) comes from the same right row — per-column
     # last(ignorenulls) could stitch values from different rows when a
-    # right row holds NULL in one column.  The struct also serves as the
-    # deterministic tiebreaker when several right rows share (key, ts):
-    # ordering by it makes last() pick the max struct, same result every
-    # run and every engine.
+    # right row holds NULL in one column.
+    #
+    # Tiebreaking: when several right rows share (key, ts), the window
+    # orders them by a SECOND struct `__tb` holding only the ORDERABLE
+    # right columns (maps — and arrays/structs containing maps — are not
+    # orderable in Spark and would fail analysis if sorted).  last() then
+    # deterministically picks the row with the max orderable projection;
+    # rows identical in every orderable column but differing in a map
+    # column remain engine-order ties.  (Determinism note: round 1 broke
+    # ties per-column via last(ignorenulls); this struct form can pick a
+    # different — but now stable — winner for (key, ts) ties.)
     rv = F.struct(F.col(ts).alias("__mts"),
                   *[F.col(c) for c in right_cols]).alias("__rv")
     rv_type = right.select(rv).schema[0].dataType.simpleString()
 
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    tb_cols = [c for c in right_cols if _orderable(rtypes[c])]
+    tb = F.struct(F.col(ts).alias("__mts"),
+                  *[F.col(c) for c in tb_cols]).alias("__tb")
+    tb_type = right.select(tb).schema[0].dataType.simpleString()
+
     l = left.select(*lcols,
                     F.lit(None).cast(rv_type).alias("__rv"),
+                    F.lit(None).cast(tb_type).alias("__tb"),
                     F.lit(1).alias("__side"))
     ltypes = dict(left.dtypes)
     r = right.select(
         *[F.col(c).alias(c) if c in (key, ts)
           else F.lit(None).cast(ltypes[c]).alias(c)
           for c in lcols],
-        rv, F.lit(0).alias("__side"))
+        rv, tb, F.lit(0).alias("__side"))
     unioned = l.unionByName(r)
 
     # right rows sort before left rows at equal ts (__side 0 < 1) so ties
-    # are inclusive; among right ties the struct orders them
+    # are inclusive; among right ties the orderable struct orders them
     w = (Window.partitionBy(key)
          .orderBy(F.col(ts).asc(), F.col("__side").asc(),
-                  F.col("__rv").asc_nulls_first())
+                  F.col("__tb").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = F.last("__rv", ignorenulls=True).over(w).alias("__c")
 

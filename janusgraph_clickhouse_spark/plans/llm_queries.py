@@ -4,9 +4,13 @@ Oracle notes:
 - Jaccard thresholds compare exact integer ratios (bit-identical across
   engines); cosine thresholds and orderings use the ROUNDED score with id
   tiebreakers so float ulp noise can't flip membership or order.
-- MinHash-LSH, SimHash and ANN keep no SQL oracle (engine-specific hash
-  functions); they are pytest-checked against the exact baselines
-  (tests/test_llm_ops.py) and driver-checked rows-only.
+- Every hash/LSH query is oracled by re-deriving the SAME deterministic
+  computation in SQL: MinHash-LSH reranks to exact Jaccard (l03), SimHash
+  re-votes md5 bits (l04), hyperplane LSH emits its seeded planes as SQL
+  array literals and recomputes the sign-bit buckets (l11, l17), and IVF
+  unrolls its two seeded Lloyd iterations as chained CTEs (l12) — the
+  g06-pagerank emit-the-iteration pattern.  pytest additionally pins
+  recall vs exact baselines (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -268,27 +272,172 @@ def l10_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("first_byte").cast("int").alias("first_byte"))
 
 
-@query("l11_ann_lsh_topk")  # seeded hyperplanes → rows-only + pytest recall
+# Embedding fixture dimensionality (TESTDATA.md: 64 at every sf — the
+# oracle embeds the hyperplanes as literals, so it needs dim statically;
+# tests/test_oracle_parity.py exercises the same oracle at sf0.001/0.01).
+_EMB_DIM = 64
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB sign-bit bucket of `vec_expr` against literal hyperplanes —
+    the SQL twin of similarity.lsh_bucket_expr.  Float literals use
+    Python repr so both engines parse the identical double."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_inner_product({vec_expr}, {arr}) >= 0"
+                     f" THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _l11_oracle(k: int = 10, n_planes: int = 4, n_tables: int = 8,
+                seed: int = 42) -> str:
+    """Emit lsh_ann_topk's seeded hyperplanes as SQL literals, recompute
+    the per-table sign-bit buckets for both corpus and query vector, keep
+    rows matching the query's bucket in ANY table, exact-rerank — the
+    g06 emit-the-iteration pattern applied to ANN."""
+    sel = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        sel.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
+        sel.append(f"{_bucket_sql('q.qv', planes)} AS qb{t}")
+    cond = " OR ".join(f"b{t} = qb{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT e.vec_id, e.v, {", ".join(sel)} FROM e, q)
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+    FROM b
+    WHERE vec_id <> 0 AND ({cond})
+    ORDER BY cosine DESC, id
+    LIMIT {k}
+    """
+
+
+@query("l11_ann_lsh_topk", oracle=_l11_oracle())
 def l11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: 4 hyperplane tables × 8 bits,
-    bucket-filtered candidates, exact rerank.  pytest checks recall vs the
-    brute-force l05 answer."""
+    """Approximate nearest neighbors: 8 hyperplane tables × 4 bits,
+    bucket-filtered candidates, exact rerank.  Hash-checked: the seeded
+    hyperplanes are deterministic literals, so the oracle re-derives the
+    identical bucket membership + rerank in SQL (_l11_oracle); pytest
+    separately checks recall vs the brute-force l05 answer."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return S.lsh_ann_topk(emb, "vec_id", "embedding", qv, k=10,
                           exclude_id=0)
 
 
-@query("l12_ivf_ann_topk")  # k-means cells are engine-side → rows-only
+def _l12_oracle(n_cells: int = 16, n_probe: int = 4, n_iters: int = 2,
+                k: int = 10) -> str:
+    """Unroll ivf_topk's bounded Lloyd training as chained CTEs: seeds =
+    vectors of the n_cells smallest ids; per iteration assign = argmin
+    over the previous centroids (row_number tie-broken by cell, matching
+    _nearest_cell_expr's (d, i) struct-min), update = per-(cell, pos)
+    avg with empty cells keeping their previous centroid (coalesce —
+    ivf_centroids' new.get(i, cents[i])).  Then probe the n_probe cells
+    nearest the query and exact-rerank inside them."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,"
+        " unnest(v) AS x FROM e)",
+        f"""seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+          AS cell FROM (SELECT vec_id FROM e ORDER BY vec_id
+                        LIMIT {n_cells}))""",
+        "c0 AS (SELECT s.cell, ex.pos, ex.x AS m FROM seeds s"
+        " JOIN ex ON ex.vec_id = s.vec_id)",
+    ]
+    for it in range(n_iters):
+        parts.append(f"""d{it + 1} AS (
+      SELECT ex.vec_id, c.cell, sum((ex.x - c.m) * (ex.x - c.m)) AS d
+      FROM ex JOIN c{it} c ON c.pos = ex.pos
+      GROUP BY ex.vec_id, c.cell)""")
+        parts.append(f"""a{it + 1} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM d{it + 1}) WHERE rn = 1)""")
+        parts.append(f"""u{it + 1} AS (
+      SELECT a.cell, ex.pos, avg(ex.x) AS m
+      FROM a{it + 1} a JOIN ex ON ex.vec_id = a.vec_id
+      GROUP BY a.cell, ex.pos)""")
+        parts.append(f"""c{it + 1} AS (
+      SELECT c.cell, c.pos, coalesce(u.m, c.m) AS m
+      FROM c{it} c LEFT JOIN u{it + 1} u
+        ON u.cell = c.cell AND u.pos = c.pos)""")
+    cf = f"c{n_iters}"
+    parts += [
+        f"""qd AS (SELECT c.cell, sum((qx.x - c.m) * (qx.x - c.m)) AS d
+      FROM (SELECT pos, x FROM ex WHERE vec_id = 0) qx
+      JOIN {cf} c ON c.pos = qx.pos GROUP BY c.cell)""",
+        f"probe AS (SELECT cell FROM qd ORDER BY d, cell LIMIT {n_probe})",
+        f"""df AS (SELECT ex.vec_id, c.cell,
+             sum((ex.x - c.m) * (ex.x - c.m)) AS d
+      FROM ex JOIN {cf} c ON c.pos = ex.pos GROUP BY ex.vec_id, c.cell)""",
+        """af AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM df) WHERE rn = 1)""",
+        """cands AS (SELECT vec_id FROM af
+      WHERE cell IN (SELECT cell FROM probe))""",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(
+               e.v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS cosine
+    FROM e JOIN cands USING (vec_id)
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, id
+    LIMIT {k}""")
+
+
+@query("l12_ivf_ann_topk", oracle=_l12_oracle())
 def l12_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic-seed k-means cells, probe the
     4 nearest of 16, exact rerank inside (the partition-pruning ANN shape
-    for corpora too large to scan per query).  pytest checks recall and
-    score-exactness vs brute force."""
+    for corpora too large to scan per query).  Hash-checked: the
+    2-iteration Lloyd training is a bounded recurrence, unrolled as
+    chained CTEs in the oracle (_l12_oracle); pytest separately checks
+    recall and score-exactness vs brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return S.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
                       n_cells=16, n_probe=4, exclude_id=0)
+
+
+def _l17_oracle(threshold: float = 0.35, n_planes: int = 8,
+                n_tables: int = 4, seed: int = 42) -> str:
+    """l17's blocked semantics in SQL: pairs sharing a sign-bit bucket in
+    ANY of the seeded hyperplane tables, exact cosine ≥ threshold."""
+    bcols = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        bcols.append(f"{_bucket_sql('v', planes)} AS b{t}")
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {", ".join(bcols)} FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({cond})
+    WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+    """
+
+
+@query("l17_lsh_blocked_near_dup", oracle=_l17_oracle())
+def l17_lsh_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (cosine ≥ 0.35) blocked on COMPUTED LSH buckets
+    — the production block key, replacing l06's fixture-specific label
+    block: 4 hyperplane tables × 8 bits, one hash join per table, union
+    deduped on the pair key.  The oracle re-derives the identical blocked
+    semantics from the same plane literals; pytest pins recall vs the
+    exact all-pairs baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.lsh_blocked_near_dup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.35)
 
 
 @query(

@@ -100,6 +100,47 @@ def test_traversal_dsl_micro(spark):
     assert sorted(r.id for r in both.collect()) == [1, 3]
 
 
+def test_repeat_times_matches_chained_hops(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6)])
+    chained = sorted(r.id for r in
+                     Traversal.V(g, 1).out().out().to_df().collect())
+    looped = sorted(r.id for r in
+                    Traversal.V(g, 1).repeat(lambda t: t.out(), times=2)
+                    .to_df().collect())
+    assert looped == chained == [3, 6]
+
+
+def test_repeat_emit_unions_every_frontier(spark):
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4)])
+    got = sorted(r.id for r in
+                 Traversal.V(g, 1).repeat(lambda t: t.out(), times=3,
+                                          emit=True).to_df().collect())
+    assert got == [1, 2, 3, 4]  # start + each hop
+
+
+def test_repeat_until_stops_at_predicate(spark):
+    # path 1→2→3→4; stop at vertex 3: traverser exits there, never sees 4
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4)])
+    got = [r.id for r in
+           Traversal.V(g, 1)
+           .repeat(lambda t: t.out(),
+                   until=lambda t: t.has("id", F.col("id") == 3))
+           .to_df().collect()]
+    assert got == [3]
+
+
+def test_repeat_until_terminates_on_cycle(spark):
+    # 1→2→3→1 cycle with no vertex satisfying until: visited-set pruning
+    # must terminate the loop and return an empty frontier
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 1)])
+    got = (Traversal.V(g, 1)
+           .repeat(lambda t: t.out(),
+                   until=lambda t: t.has("id", F.col("id") == 99),
+                   max_iter=10)
+           .to_df().collect())
+    assert got == []
+
+
 def test_weighted_shortest_paths(spark):
     from janusgraph_clickhouse_spark.graph.algorithms import shortest_paths
     from janusgraph_clickhouse_spark.graph.model import PropertyGraph

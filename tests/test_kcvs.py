@@ -162,6 +162,22 @@ def test_as_of_join_micro(spark):
     assert tol["L1"] is None and tol["L2"] == "Z"
 
 
+def test_as_of_join_unorderable_right_column(spark):
+    """A MAP column on the right must be carried (not sorted): the window
+    tiebreaker only orders by the orderable projection, so unorderable
+    types no longer fail analysis."""
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    left = spark.createDataFrame(
+        [(1, 10.0, "L1")], "k long, ts double, lv string").withColumn(
+            "ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 8.0, {"a": 1}), (1, 9.0, {"b": 2})],
+        "k long, ts double, m map<string,int>").withColumn(
+            "ts", F.timestamp_seconds("ts"))
+    out = as_of_join(left, right, key="k", ts="ts").collect()
+    assert len(out) == 1 and out[0]["m"] == {"b": 2}  # latest right ≤ 10
+
+
 def test_approx_distinct_within_tolerance(spark, sf_oracle):
     from janusgraph_clickhouse_spark.sources import load_table
     li = load_table(spark, sf_oracle, "lineitem")

@@ -43,6 +43,55 @@ def test_simhash_finds_planted_dups(spark, sf_oracle):
     assert len(exact & sim) >= 0.8 * len(exact)
 
 
+def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
+    """Combination blocking (sub_bands=m, C(m, m-h) concatenated keys)
+    must return EXACTLY the same pair set as the default pigeonhole
+    banding — both are complete for Hamming ≤ h, and the exact Hamming
+    rerank removes any extra bucket collisions."""
+    docs = _docs(spark, sf_oracle)
+    base = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_pairs(docs, "doc_id", "text", 8).collect()}
+    multi = {(r.doc_a, r.doc_b, r.hamming)
+             for r in D.simhash_pairs(docs, "doc_id", "text", 8,
+                                      sub_bands=10).collect()}
+    assert multi == base
+    assert len(base) > 0
+
+
+def test_lsh_blocked_near_dup_subset_of_exact(spark, sf_oracle):
+    """Blocked pairs must be a SUBSET of the exact all-pairs baseline
+    (blocking only prunes candidates; the cosine threshold is exact).
+    Fixture similarities are moderate (~0.35-0.5) where the 8-bit LSH
+    curve gives low recall by design — the recall guarantee is pinned on
+    planted high-similarity vectors below."""
+    emb = _emb(spark, sf_oracle)
+    exact = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.35).collect()}
+    blocked = {(r.id_a, r.id_b) for r in D.lsh_blocked_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.35).collect()}
+    assert blocked <= exact
+    assert len(blocked) > 0
+
+
+def test_lsh_blocked_near_dup_recall_on_planted_dups(spark):
+    """In the production near-dup regime (cosine ≥ 0.95) the 4×8-bit
+    tables give per-pair hit probability ≥ 1-(1-0.9^8)^4 ≈ 0.93; on 20
+    planted pairs recall must be high."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        near = v + 0.05 * rng.randn(64)          # cosine ≈ 0.995
+        rows.append((100 + i, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in D.lsh_blocked_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95).collect()}
+    planted = {(i, 100 + i) for i in range(20)}
+    assert len(got & planted) >= 16  # ≥0.8 recall at ~0.93 expected
+
+
 def test_exact_dedup_keeps_one_per_text(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     deduped = D.exact_dedup(docs, "doc_id", "text")

@@ -86,6 +86,41 @@ def test_clustered_graph_partition_pruning(spark, sf_smoke):
     assert n_joins <= 2, f"expected <=2 joins (got {n_joins}):\n{plan}"
 
 
+def test_bucketed_pregel_join_has_no_edge_exchange(spark, sf_smoke):
+    """The per-superstep message join on src must show NO Exchange on the
+    bucketed edge side (and a Bucketed FileScan under it) — the full
+    analog of the reference's MergeTree ORDER BY (k,c) primary-index scan
+    (QueryHelper.java:57).  The contrib/state side, already partitioned
+    at the matching width, needs no new exchange either."""
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.graph.algorithms import _edges_aligned
+    from janusgraph_clickhouse_spark.graph.model import star_schema_graph
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # the test session runs at width 8; alignment (and the bench/
+        # production session) is the EDGE_BUCKETS width
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        g = star_schema_graph(spark, sf_smoke, clustered=True)
+        assert g.src_partitioned and _edges_aligned(g)
+        e = g.edges.select("src", "dst")
+        contrib = (g.vertices.select("id").repartition(32, "id")
+                   .select(F.col("id").alias("src"),
+                           F.lit(1.0).alias("msg")))
+        plan = _plan(e.join(contrib, "src"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    assert "Bucketed: true" in plan, plan
+    # edge branch = between the join's first child marker and the second
+    # child; it must contain the bucketed scan and no Exchange
+    edge_branch = plan.split(":- ")[1].split("+- Sort")[0]
+    assert "Exchange" not in edge_branch, plan
+
+
 def test_clustered_restriction_matches_derivation(spark, sf_smoke):
     """The clustered read restricted by edge_labels must reproduce the
     in-plan derivation exactly — including NOT leaking supplier→nation
