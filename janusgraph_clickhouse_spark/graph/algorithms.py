@@ -325,6 +325,90 @@ def longest_path_levels(graph: PropertyGraph, max_iter: int = 20) -> DataFrame:
     return out.select("id", F.col("level").cast("int").alias("level"))
 
 
+def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
+    """k-core of the undirected graph: the maximal induced subgraph in
+    which every vertex has degree ≥ k.  Returns (id, core_degree) — the
+    surviving vertices with their degree INSIDE the core.
+
+    Iterative peeling: each round drops every vertex whose degree within
+    the current survivor set is < k, until no vertex is dropped.  Rounds
+    needed = peel depth (typically ≪ |V|); each round is one semi-join to
+    induce the subgraph plus one hash aggregate for degrees — the same
+    two-shuffle shape at any scale, and the survivor set only shrinks, so
+    per-round cost is monotonically non-increasing.  localCheckpoint per
+    round keeps lineage flat (the survivor set feeds both next round's
+    induce and the exit probe)."""
+    sym = graph.undirected_edges()
+    edges = (sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+             .cache())
+    # isolated vertices have degree 0 < k (k ≥ 1): start from edge
+    # endpoints only, sparing the full vertex table a pass
+    alive = edges.select(F.col("src").alias("id")).distinct()
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
+    deg = None
+    for _ in range(max_iter):
+        induced = (edges.join(alive.select(F.col("id").alias("src")),
+                              "src", "left_semi")
+                   .join(alive.select(F.col("id").alias("dst")),
+                         "dst", "left_semi"))
+        deg = induced.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("core_degree"))
+        nxt = deg.filter(F.col("core_degree") >= k).select("id")
+        nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()  # exit probe doubles as progress tracking
+        alive = nxt
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    edges.unpersist()
+    # converged: every survivor's degree over the survivor set is ≥ k,
+    # so re-filtering deg gives (id, degree-inside-core) consistently
+    return deg.filter(F.col("core_degree") >= k)
+
+
+def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation; returns
+    (id, community).
+
+    Every vertex starts labeled with its own id; each superstep it adopts
+    the most frequent label among its neighbors (ties → smallest label;
+    no neighbors → keep).  All updates in a superstep read the PREVIOUS
+    superstep's labels (synchronous), which makes a FIXED iteration count
+    fully deterministic — the property that lets a bounded-unroll SQL
+    oracle re-derive it exactly (the g06 pattern).  LPA famously
+    oscillates on bipartite-ish structure rather than converging, so the
+    bounded count is the algorithm's own standard form (GraphX LPA ships
+    the same contract).
+
+    Per superstep: one message join on src + one (dst, label) count + one
+    per-dst argmax — two shuffles, both keyed on vertex id, at any scale.
+    """
+    from pyspark.sql import Window
+    sym = graph.undirected_edges()
+    edges = (sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+             .cache())
+    state = graph.vertices.select("id", F.col("id").alias("community"))
+    w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("community"))
+    for _ in range(max_iter):
+        votes = (edges
+                 .join(state.select(F.col("id").alias("src"),
+                                    "community"), "src")
+                 .groupBy(F.col("dst").alias("id"), "community")
+                 .agg(F.count(F.lit(1)).alias("votes")))
+        pick = (votes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("community").alias("new_c")))
+        state = (state.join(pick, "id", "left")
+                 .select("id", F.coalesce("new_c", "community")
+                         .alias("community")))
+        state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    return state
+
+
 def triangle_count(graph: PropertyGraph) -> int:
     """Global triangle count on the canonical undirected edge set.
 

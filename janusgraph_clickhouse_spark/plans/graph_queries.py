@@ -247,6 +247,97 @@ def g14_repeat_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.values("id")
 
 
+# The interaction graph (users linked iff co-active in the same 10-min
+# window — g11's derivation) re-derived in SQL, symmetrized: the shared
+# prelude of the k-core / label-propagation oracles.
+#
+# Every CTE in these unrolled-iteration oracles is AS MATERIALIZED:
+# DuckDB otherwise may inline a CTE at each reference, and a chained
+# recurrence where step t+1 reads step t twice re-expands the whole
+# prefix per reference — exponential plan growth that hangs the oracle
+# even at sf0.001.  Materialization evaluates each step exactly once
+# (semantics unchanged).
+_INTERACTION_EDGES_SQL = """
+    b AS MATERIALIZED (SELECT DISTINCT user_id,
+                 time_bucket(INTERVAL '10 minutes', ts) AS w FROM events),
+    eu AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+           FROM b a JOIN b c ON a.w = c.w AND a.user_id < c.user_id),
+    e AS MATERIALIZED (SELECT src, dst FROM eu
+                       UNION ALL SELECT dst, src FROM eu)"""
+
+
+def _kcore_oracle(k: int, rounds: int = 10) -> str:
+    """Unrolled peeling: v{t+1} = vertices of v{t} whose degree inside
+    the v{t}-induced subgraph is ≥ k.  `rounds` must exceed the peel
+    depth at every tested sf (verified: depth ≤ 4 at sf0.001-0.1) so the
+    last round is a fixpoint — then (id, degree-inside-core) matches the
+    converged Spark peel exactly."""
+    parts = [_INTERACTION_EDGES_SQL,
+             "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)"]
+    for t in range(rounds):
+        parts.append(f"""d{t} AS MATERIALIZED (
+      SELECT e.src AS id, count(*) AS core_degree FROM e
+      JOIN v{t} a ON e.src = a.id
+      JOIN v{t} c ON e.dst = c.id
+      GROUP BY e.src)""")
+        parts.append(f"v{t + 1} AS MATERIALIZED (SELECT id FROM d{t} "
+                     f"WHERE core_degree >= {k})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, core_degree FROM d{rounds - 1} "
+              f"WHERE core_degree >= {k}")
+
+
+@query("g15_kcore", oracle=_kcore_oracle(k=8))
+def g15_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the user-interaction graph — iterative peeling (drop
+    degree<k vertices until fixpoint), the standard corpus-quality /
+    community-density primitive.  Hash-checked against a bounded-unroll
+    peeling oracle (the g06 emit-the-iteration pattern); closed-form
+    invariants pytest-checked on micro graphs."""
+    from ..graph.algorithms import k_core
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    return k_core(g, k=8)
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation: per superstep every vertex
+    adopts the most frequent label among neighbors (ties → smallest
+    label, no neighbors → keep), all reads from the previous superstep.
+    Deterministic for a FIXED iteration count, so Spark and DuckDB agree
+    round for round by construction."""
+    parts = [_INTERACTION_EDGES_SQL,
+             "v AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM events)",
+             "s0 AS MATERIALIZED (SELECT id, id AS community FROM v)"]
+    for t in range(iters):
+        parts.append(f"""c{t} AS MATERIALIZED (
+      SELECT e.dst AS id, s.community, count(*) AS votes
+      FROM e JOIN s{t} s ON s.id = e.src
+      GROUP BY e.dst, s.community)""")
+        parts.append(f"""p{t} AS MATERIALIZED (
+      SELECT id, community FROM (
+        SELECT id, community, row_number() OVER (
+          PARTITION BY id ORDER BY votes DESC, community ASC) AS rn
+        FROM c{t}) WHERE rn = 1)""")
+        parts.append(f"""s{t + 1} AS MATERIALIZED (
+      SELECT s.id, coalesce(p.community, s.community) AS community
+      FROM s{t} s LEFT JOIN p{t} p ON p.id = s.id)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, community FROM s{iters}")
+
+
+@query("g16_label_propagation", oracle=_lpa_oracle(iters=4))
+def g16_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities on the interaction graph
+    (4 supersteps — GraphX LPA's bounded-iteration contract: LPA
+    oscillates rather than converging, so the fixed count IS the
+    semantics).  Hash-checked against the 4-step unrolled SQL oracle."""
+    from ..graph.algorithms import label_propagation
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    return label_propagation(g, max_iter=4)
+
+
 @query(
     "g07_traversal_semi_anti",
     oracle="""

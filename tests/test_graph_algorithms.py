@@ -305,3 +305,40 @@ def test_pagerank_tol_early_exit(spark):
     leaves = [v for k, v in pr.items() if k != 99]
     assert max(leaves) - min(leaves) < 1e-9
     assert pr[99] > max(leaves)
+
+
+def test_kcore_clique_with_pendant(spark):
+    """K4 plus a pendant chain: the 2-core is exactly the clique (pendant
+    path peels in two rounds), each survivor with degree 3 inside the
+    core; the 4-core is empty."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_core
+
+    g = graph_from_edge_list(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                (4, 5), (5, 6)])
+    core = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(g, k=4).count() == 0
+
+
+def test_kcore_whole_graph_is_core(spark):
+    """A cycle is its own 2-core: nothing peels, degrees all 2."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_core
+
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    core = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_label_propagation_disjoint_triangles(spark):
+    """Hand-computed sync LPA on a triangle: s0=(1,2,3) → (2,1,1) →
+    (1,1,1) fixpoint (ties → smallest label).  Two disjoint triangles
+    each converge to their own min-id community."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        label_propagation)
+
+    g = graph_from_edge_list(
+        spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    comm = {r.id: r.community for r in
+            label_propagation(g, max_iter=4).collect()}
+    assert comm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
