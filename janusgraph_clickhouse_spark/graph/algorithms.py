@@ -409,6 +409,45 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
     return state
 
 
+def adamic_adar(graph: PropertyGraph, top: int = 100) -> DataFrame:
+    """Link prediction over the undirected graph: for every NON-adjacent
+    vertex pair (u, v) with ≥1 common neighbor, the common-neighbor count
+    and the Adamic-Adar score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)); top-`top`
+    pairs by (rounded score desc, u, v).
+
+    One self-join on the middle vertex (the two-hop expansion), one
+    degree broadcast, one hash aggregate, one anti-join against existing
+    edges, TakeOrderedAndProject for the cut.  The two-hop fanout is
+    Σ_w deg(w)² — hub-dominated; at corpus scale cap or salt hub
+    vertices (deg(w) ≥ 2 always holds for a common neighbor, so the
+    1/ln(deg) term is finite by construction).
+
+    Score ordering uses the ROUNDED score with the (u, v) tiebreaker so
+    cross-engine float-sum noise can't reorder the cut (the l05/l06
+    discipline)."""
+    sym = graph.undirected_edges()
+    edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("d"))
+    hop = (edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+           .join(edges.select(F.col("src").alias("w"),
+                              F.col("dst").alias("v")), "w")
+           .filter(F.col("u") < F.col("v")))
+    # deg is |V|-sized — NOT broadcast (AQE may still choose to); the
+    # two-hop join above already hashed on w, so this join co-partitions
+    scores = (hop.join(deg, "w")
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                   F.round(F.sum(F.lit(1.0) / F.log("d")), 6)
+                   .alias("adamic_adar")))
+    existing = sym.select(F.least("src", "dst").alias("u"),
+                          F.greatest("src", "dst").alias("v")).distinct()
+    return (scores.join(existing, ["u", "v"], "left_anti")
+            .orderBy(F.col("adamic_adar").desc(), "u", "v")
+            .limit(top))
+
+
 def triangle_count(graph: PropertyGraph) -> int:
     """Global triangle count on the canonical undirected edge set.
 

@@ -352,3 +352,43 @@ def lsh_blocked_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                                      block_col="__bkt")
         out = p if out is None else out.unionByName(p)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+# -- cluster-level dedup ----------------------------------------------------
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                   threshold: float = 0.4) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs → connected components → one row per
+    duplicate cluster (the end product a corpus dedup actually ships —
+    pairs alone don't say which documents to drop).
+
+    Returns (cluster_id, n_members, members): cluster_id = min doc id in
+    the component (the canonical survivor — everything else in `members`
+    is droppable), members = the comma-joined ascending id list.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    docs with a thresholded near-dup), and connected_components is the
+    pointer-jumping min-id propagation — O(diameter) supersteps, keyed
+    shuffles only.  `members` is a per-cluster collect_list: bounded by
+    the largest dup cluster, which for boilerplate-heavy corpora can be
+    large — at 100 TB keep this column for audit samples or cap it with
+    slice(); the (cluster_id, n_members) part never skews."""
+    from ..graph.algorithms import connected_components
+    from ..graph.model import PropertyGraph
+    pairs = minhash_dedup_pairs(df, id_col, text_col, n=n,
+                                threshold=threshold)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .withColumn("label", F.lit("dup"))
+             .withColumn("weight", F.lit(1.0)))
+    verts = (edges.select(F.col("src").alias("id"))
+             .unionAll(edges.select(F.col("dst").alias("id"))).distinct()
+             .withColumn("label", F.lit("doc"))
+             .withColumn("name", F.col("id").cast("string")))
+    cc = connected_components(PropertyGraph(verts, edges))
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.array_join(
+                     F.transform(F.sort_array(F.collect_list("id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("members")))

@@ -49,9 +49,12 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                           q_id: str, q_vec: str, c_id: str, c_vec: str,
-                          k: int = 10) -> DataFrame:
+                          k: int = 10,
+                          exclude_self: bool = False) -> DataFrame:
     """Per-query top-k over a broadcastable query set: broadcast the
-    queries, one pass over the corpus, per-query window top-k."""
+    queries, one pass over the corpus, per-query window top-k.
+    ``exclude_self`` drops the id == query_id row (a corpus point
+    querying the corpus it lives in always ranks itself first)."""
     from pyspark.sql import Window
     qq = queries.select(F.col(q_id).alias("query_id"),
                         F.col(q_vec).cast("array<double>").alias("qv"))
@@ -60,6 +63,8 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
     scored = (cc.crossJoin(F.broadcast(qq))
               .withColumn("cosine", F.round(cosine_expr("cv", "qv"), 6))
               .drop("cv", "qv"))
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("id"))
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -502,3 +502,34 @@ def g13_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the loader also materializes supplier/nation/region vertices, which
     # are isolated here and not part of the oracle's universe)
     return out.filter(F.col("id") < ID_OFFSETS["supplier"])
+
+
+_G17_ORACLE = ("WITH " + _INTERACTION_EDGES_SQL + """,
+    deg AS MATERIALIZED (SELECT src AS w, count(*) AS d FROM e
+                         GROUP BY src),
+    hop AS MATERIALIZED (
+      SELECT a.src AS u, b.dst AS v, a.dst AS w
+      FROM e a JOIN e b ON a.dst = b.src AND a.src < b.dst),
+    agg AS MATERIALIZED (
+      SELECT u, v, count(*) AS common_neighbors,
+             round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+      FROM hop JOIN deg ON deg.w = hop.w
+      GROUP BY u, v),
+    ex AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src < dst)
+    SELECT u, v, common_neighbors, adamic_adar FROM agg
+    WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.u = agg.u AND ex.v = agg.v)
+    ORDER BY adamic_adar DESC, u, v LIMIT 100""")
+
+
+@query("g17_link_prediction", oracle=_G17_ORACLE)
+def g17_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the user-interaction graph: top-100
+    non-adjacent pairs by Adamic-Adar (Σ 1/ln(deg) over common
+    neighbors) with the common-neighbor count.  Two-hop self-join +
+    co-partitioned degree join + anti-join against existing edges;
+    ordering by the ROUNDED score with (u, v) tiebreak keeps the cut
+    cross-engine stable."""
+    from ..graph.algorithms import adamic_adar
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    return adamic_adar(g, top=100)

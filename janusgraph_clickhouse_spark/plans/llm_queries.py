@@ -559,3 +559,114 @@ def l16_pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = train_val_test_split(filtered, "doc_id")
     return (split.groupBy("lang", "split")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _l18_oracle(threshold: float = 0.4, rounds: int = 12) -> str:
+    """Dedup-cluster oracle: the exact word-3-gram Jaccard pairs (the
+    l02/l03 oracle's derivation) followed by `rounds` unrolled steps of
+    min-label propagation over the pair graph — the bounded-iteration
+    connected-components recurrence (g06/g15 emit-the-iteration
+    pattern).  `rounds` must exceed the dup-graph diameter (dup clusters
+    in the fixture are small; 12 ≫ observed diameter at sf ≤ 0.1).  All
+    CTEs MATERIALIZED: the recurrence references each step twice, and
+    DuckDB's inlining would otherwise re-expand the prefix
+    exponentially."""
+    parts = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents)""",
+        """words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks)""",
+        """sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""",
+        "sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh "
+        "GROUP BY doc_id)",
+        """inter AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)""",
+        f"""pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE m::DOUBLE / (sa.n + sb.n - m) >= {threshold})""",
+        """ed AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs)""",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp "
+        "FROM ed)",
+    ]
+    for t in range(rounds):
+        parts.append(f"""lab{t + 1} AS MATERIALIZED (
+      SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+      FROM lab{t} l
+      LEFT JOIN ed ON ed.dst = l.id
+      LEFT JOIN lab{t} n ON n.id = ed.src
+      GROUP BY l.id, l.comp)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT comp AS cluster_id, count(*) AS n_members,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+    FROM lab{rounds} GROUP BY comp""")
+
+
+@query("l18_dedup_clusters", oracle=_l18_oracle())
+def l18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components → one
+    row per cluster with the canonical survivor (min doc id) and the
+    droppable member list — the dedup family's actual end product.
+    Hash-checked against the unrolled min-propagation oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.4)
+
+
+@query(
+    "l19_knn_join",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS MATERIALIZED (
+      SELECT q.query_id, e.vec_id AS id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, id, cosine FROM (
+      SELECT query_id, id, cosine, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def l19_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN (every 50th vector queries the whole corpus for
+    its 5 nearest non-self neighbors): broadcast query side, ONE corpus
+    scan, per-query window top-k — the shape for bulk retrieval /
+    corpus-vs-corpus linking, vs l05's single-query TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk_join(qs, emb, "vec_id", "embedding",
+                                   "vec_id", "embedding", k=5,
+                                   exclude_self=True)
+
+
+@query(
+    "l20_vocab_topk",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, count(*) AS freq FROM words
+    GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+)
+def l20_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency — the first pass
+    of any BPE/vocab build.  explode → partial-agg count (map-side
+    combine moves (token, partial) not token instances) →
+    TakeOrderedAndProject; ordering by (freq desc, token) is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(X.tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), "token").limit(100))

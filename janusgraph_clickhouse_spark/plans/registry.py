@@ -70,15 +70,14 @@ DRIVER_PRIORITY: list[str] = [
     "q20_group_collect", "q21_array_functions", "g08_path_query",
     # rule 4: new queries registered in round 3
     "g14_repeat_until", "l17_lsh_blocked_near_dup",
-    "g15_kcore", "g16_label_propagation",
+    "g15_kcore", "g16_label_propagation", "g17_link_prediction",
+    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
     # rule 5: family sentinels (r2-green spot checks)
-    "q01_slice_point", "q03_key_range_scan",
+    "q01_slice_point",
     "g01_out_degree", "g02_two_hop_parts", "g05_bfs_distances",
     "l01_exact_dedup", "l03_minhash_lsh_pairs", "l05_cosine_topk",
     "l06_cosine_near_dup", "l16_pipeline_composed",
-    "s01_tumbling_window", "s03_session_window", "s07_interval_join",
-    # filler to exactly 50 (r2-green, next stale candidates for r4 rule 1)
-    "g10_weighted_sssp", "l13_hash_split",
+    "s01_tumbling_window", "s03_session_window",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

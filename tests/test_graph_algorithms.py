@@ -342,3 +342,16 @@ def test_label_propagation_disjoint_triangles(spark):
     comm = {r.id: r.community for r in
             label_propagation(g, max_iter=4).collect()}
     assert comm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_adamic_adar_square(spark):
+    """C4 cycle: the only non-adjacent pairs are the diagonals, each with
+    both off-diagonal vertices (deg 2) as common neighbors —
+    AA = 2/ln(2), common_neighbors = 2; adjacent pairs are excluded."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    rows = {(r.u, r.v): (r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g).collect()}
+    expect = round(2.0 / math.log(2.0), 6)
+    assert rows == {(1, 3): (2, expect), (2, 4): (2, expect)}

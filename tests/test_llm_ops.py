@@ -238,3 +238,40 @@ def test_stratified_sample_deterministic(spark, sf_oracle):
     got_de = (stratified_sample(docs, "lang", fr, seed=7)
               .filter(F.col("lang") == "de").count())
     assert got_de == n_de
+
+
+def test_dedup_clusters_known_components(spark):
+    """Three near-identical docs + two near-identical docs + one unique:
+    exactly two clusters, canonical survivor = min id, members ascending."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " today"),
+        (3, base + " tonight"),
+        (10, "pack my box with five dozen liquor jugs for the long trip"),
+        (11, "pack my box with five dozen liquor jugs for the long ride"),
+        (99, "completely unrelated text about spark query planning at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.cluster_id: (r.n_members, r.members)
+           for r in D.dedup_clusters(docs, "doc_id", "text").collect()}
+    assert out == {1: (3, "1,2,3"), 10: (2, "10,11")}
+
+
+def test_knn_join_excludes_self_and_bounds_k(spark):
+    """Every query gets ≤k rows, never itself, and its true nearest
+    neighbor ranks first (orthogonal unit vectors make ranks exact)."""
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.9, 0.1]),
+            (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.brute_force_topk_join(df.filter(F.col("vec_id").isin(0, 2)), df,
+                                  "vec_id", "embedding",
+                                  "vec_id", "embedding",
+                                  k=2, exclude_self=True).collect()
+    by_q = {}
+    for r in out:
+        assert r.id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.cosine, r.id))
+    assert set(by_q) == {0, 2} and all(len(v) == 2 for v in by_q.values())
+    assert max(by_q[0])[1] == 1 and max(by_q[2])[1] == 3
