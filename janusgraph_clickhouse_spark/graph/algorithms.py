@@ -642,3 +642,55 @@ def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
            .groupBy("id").agg(F.count(F.lit(1)).alias("triangles")))
     e.unpersist()
     return per
+
+
+def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
+    """HITS hubs/authorities over the directed edges; returns
+    (id, hub, authority) after `max_iter` synchronous updates with L1
+    normalization each half-step:
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u)   then  a ← a / Σ a
+        h_{t+1}(v) = Σ_{v→u} a_{t+1}(u)  then  h ← h / Σ h
+
+    Same substrate discipline as pagerank: edges cached pre-partitioned
+    on the join key (or served by the bucketed layout when aligned), the
+    normalizer folded in-plan as a broadcast 1-row cross join (no
+    per-superstep driver collect), localCheckpoint every other superstep
+    to keep lineage flat.  A FIXED iteration count makes the recurrence
+    bounded — SQL-oracle-able by unrolling (the g06 pattern)."""
+    width = graph.edges.sparkSession.sparkContext.defaultParallelism
+    edges = graph.edges.select("src", "dst")
+    if not _edges_aligned(graph):
+        edges = edges.repartition(width, "src")
+    edges = edges.cache()
+    state = graph.vertices.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+    for t in range(max_iter):
+        # authority from hubs: messages flow src→dst, keyed on src
+        a_msgs = (edges.join(state.select(F.col("id").alias("src"), "hub"),
+                             "src")
+                  .groupBy(F.col("dst").alias("id"))
+                  .agg(F.sum("hub").alias("a_raw")))
+        st = (state.join(a_msgs, "id", "left")
+              .select("id", "hub",
+                      F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
+        a_tot = st.agg(F.sum("a_raw").alias("t"))
+        st = (st.crossJoin(F.broadcast(a_tot))
+              .select("id", "hub", (F.col("a_raw") / F.col("t"))
+                      .alias("authority")))
+        # hubs from authorities: messages flow dst→src, keyed on dst
+        h_msgs = (edges.join(st.select(F.col("id").alias("dst"),
+                                       "authority"), "dst")
+                  .groupBy(F.col("src").alias("id"))
+                  .agg(F.sum("authority").alias("h_raw")))
+        st = (st.join(h_msgs, "id", "left")
+              .select("id", "authority",
+                      F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")))
+        h_tot = st.agg(F.sum("h_raw").alias("t"))
+        state = (st.crossJoin(F.broadcast(h_tot))
+                 .select("id", (F.col("h_raw") / F.col("t")).alias("hub"),
+                         "authority"))
+        if t % 2 == 1 or t == max_iter - 1:
+            state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    return state.select("id", "hub", "authority")

@@ -392,3 +392,36 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                      F.transform(F.sort_array(F.collect_list("id")),
                                  lambda x: x.cast("string")),
                      ",").alias("members")))
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        bench_filter: Column, n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag every (train doc, benchmark doc)
+    pair sharing ≥1 word n-gram, with the shared-shingle count and the
+    CONTAINMENT fraction (shared / benchmark-doc shingles) — the
+    standard eval-leakage test run before every pretraining job.
+
+    One shingle pass over the corpus, split train/bench by semi/anti
+    join on the benchmark predicate, then ONE equi-join on the hashed
+    shingle — identical scale economics to the Jaccard family: shuffles
+    move 8-byte xxhash64 keys, the join fans out only on genuinely
+    shared shingles, never all-pairs.  Containment is computed against
+    the benchmark side's shingle count (what leaked), not the train
+    doc's (how big the train doc is)."""
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    bench_ids = df.filter(bench_filter).select(F.col(id_col).alias("id"))
+    bench_sh = sh.join(bench_ids, "id", "left_semi")
+    train_sh = sh.join(bench_ids, "id", "left_anti")
+    bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
+    shared = (train_sh.select(F.col("id").alias("train_id"), "shingle")
+              .join(bench_sh.select(F.col("id").alias("bench_id"),
+                                    "shingle"), "shingle")
+              .groupBy("train_id", "bench_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
+                        "bench_id")
+            .select("train_id", "bench_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("bn"), 6)
+                    .alias("containment")))

@@ -533,3 +533,68 @@ def g17_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.model import interaction_graph
     g = interaction_graph(spark, sf_dir, "10 minutes")
     return adamic_adar(g, top=100)
+
+
+def _hits_oracle(iters: int = 8) -> str:
+    """Unrolled HITS: per iteration sum hubs into authorities, L1
+    normalize, sum authorities back into hubs, L1 normalize — the same
+    recurrence algorithms.hits runs, over the same star-schema edge set
+    as the pagerank oracle.  MATERIALIZED throughout (each step is
+    referenced by a scalar-subquery normalizer AND the next step)."""
+    parts = [
+        f"""verts AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS id FROM customer
+      UNION ALL SELECT n_nationkey + {_N} FROM nation
+      UNION ALL SELECT r_regionkey + {_R} FROM region
+      UNION ALL SELECT o_orderkey + {_O} FROM orders
+      UNION ALL SELECT p_partkey + {_P} FROM part
+      UNION ALL SELECT s_suppkey + {_S} FROM supplier)""",
+        f"""edges AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS src, c_nationkey + {_N} AS dst FROM customer
+      UNION ALL SELECT n_nationkey + {_N}, n_regionkey + {_R} FROM nation
+      UNION ALL SELECT o_custkey + {_C}, o_orderkey + {_O} FROM orders
+      UNION ALL SELECT l_orderkey + {_O}, l_partkey + {_P} FROM lineitem
+      UNION ALL SELECT DISTINCT l_partkey + {_P}, l_suppkey + {_S}
+                FROM lineitem
+      UNION ALL SELECT s_suppkey + {_S}, s_nationkey + {_N} FROM supplier)""",
+        """s0 AS MATERIALIZED (
+      SELECT id, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS authority FROM verts)""",
+    ]
+    for t in range(iters):
+        parts.append(f"""ar{t} AS MATERIALIZED (
+      SELECT e.dst AS id, sum(s.hub) AS a_raw
+      FROM edges e JOIN s{t} s ON s.id = e.src GROUP BY e.dst)""")
+        parts.append(f"""aa{t} AS MATERIALIZED (
+      SELECT s.id, s.hub, coalesce(ar.a_raw, 0.0) AS a_raw
+      FROM s{t} s LEFT JOIN ar{t} ar ON ar.id = s.id)""")
+        parts.append(f"""an{t} AS MATERIALIZED (
+      SELECT id, hub, a_raw / (SELECT sum(a_raw) FROM aa{t}) AS authority
+      FROM aa{t})""")
+        parts.append(f"""hr{t} AS MATERIALIZED (
+      SELECT e.src AS id, sum(an.authority) AS h_raw
+      FROM edges e JOIN an{t} an ON an.id = e.dst GROUP BY e.src)""")
+        parts.append(f"""hh{t} AS MATERIALIZED (
+      SELECT an.id, coalesce(hr.h_raw, 0.0) AS h_raw, an.authority
+      FROM an{t} an LEFT JOIN hr{t} hr ON hr.id = an.id)""")
+        parts.append(f"""s{t + 1} AS MATERIALIZED (
+      SELECT id, h_raw / (SELECT sum(h_raw) FROM hh{t}) AS hub, authority
+      FROM hh{t})""")
+    # 5dp: the pagerank-oracle lesson — cross-engine double-sum order
+    # noise compounds per iteration; a 1e-5 grid stays ~1000× from
+    # rounding boundaries
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+    SELECT id, round(hub, 5) AS hub, round(authority, 5) AS authority
+    FROM s{iters}""")
+
+
+@query("g18_hits", oracle=_hits_oracle(iters=8))
+def g18_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the full star-schema graph, 8 synchronous
+    L1-normalized iterations — hash-checked against the 8-step unrolled
+    oracle (the g06 emit-the-iteration pattern)."""
+    from ..graph.algorithms import hits
+    g = star_schema_graph(spark, sf_dir)
+    out = hits(g, max_iter=8)
+    return out.select("id", F.round("hub", 5).alias("hub"),
+                      F.round("authority", 5).alias("authority"))

@@ -670,3 +670,45 @@ def l20_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select(F.explode(X.tokens("text")).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.col("freq").desc(), "token").limit(100))
+
+
+@query(
+    "l21_decontaminate",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word
+             || ' ' || e.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+      JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+    bsh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    tsh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    bsz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS bn FROM bsh GROUP BY doc_id),
+    pairs AS MATERIALIZED (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             count(*) AS n_shared
+      FROM tsh t JOIN bsh b ON t.s = b.s
+      GROUP BY 1, 2)
+    SELECT train_id, bench_id, n_shared,
+           round(n_shared::DOUBLE / bn, 6) AS containment
+    FROM pairs JOIN bsz ON bsz.doc_id = bench_id
+    """,
+)
+def l21_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 7 == 0 play the
+    held-out eval set; every (train, bench) pair sharing a word 5-gram
+    is flagged with the shared count and containment fraction.  One
+    hashed-shingle equi-join — the Jaccard family's scale economics,
+    never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate_pairs(docs, "doc_id", "text",
+                                 F.col("doc_id") % 7 == 0, n=5)

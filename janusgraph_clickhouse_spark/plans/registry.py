@@ -72,10 +72,11 @@ DRIVER_PRIORITY: list[str] = [
     "g14_repeat_until", "l17_lsh_blocked_near_dup",
     "g15_kcore", "g16_label_propagation", "g17_link_prediction",
     "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
+    "g18_hits", "l21_decontaminate",
     # rule 5: family sentinels (r2-green spot checks)
     "q01_slice_point",
-    "g01_out_degree", "g02_two_hop_parts", "g05_bfs_distances",
-    "l01_exact_dedup", "l03_minhash_lsh_pairs", "l05_cosine_topk",
+    "g01_out_degree", "g05_bfs_distances",
+    "l01_exact_dedup", "l03_minhash_lsh_pairs",
     "l06_cosine_near_dup", "l16_pipeline_composed",
     "s01_tumbling_window", "s03_session_window",
 ]

@@ -355,3 +355,19 @@ def test_adamic_adar_square(spark):
             for r in adamic_adar(g).collect()}
     expect = round(2.0 / math.log(2.0), 6)
     assert rows == {(1, 3): (2, expect), (2, 4): (2, expect)}
+
+
+def test_hits_star_graph(spark):
+    """Directed star u_i → c (i=1..4): the center is the unique
+    authority (1.0), leaves split hub mass equally (0.25 each), and the
+    L1 invariants sum(hub) == sum(authority) == 1 hold."""
+    from janusgraph_clickhouse_spark.graph.algorithms import hits
+
+    g = graph_from_edge_list(spark, [(1, 9), (2, 9), (3, 9), (4, 9)])
+    out = {r.id: (r.hub, r.authority) for r in hits(g, max_iter=4).collect()}
+    assert abs(out[9][1] - 1.0) < 1e-9 and abs(out[9][0]) < 1e-9
+    for leaf in (1, 2, 3, 4):
+        assert abs(out[leaf][0] - 0.25) < 1e-9
+        assert abs(out[leaf][1]) < 1e-9
+    assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9

@@ -275,3 +275,19 @@ def test_knn_join_excludes_self_and_bounds_k(spark):
         by_q.setdefault(r.query_id, []).append((r.cosine, r.id))
     assert set(by_q) == {0, 2} and all(len(v) == 2 for v in by_q.values())
     assert max(by_q[0])[1] == 1 and max(by_q[2])[1] == 3
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding a benchmark doc's exact 5-gram run is
+    flagged with containment 1.0; disjoint docs are not flagged."""
+    bench = "alpha beta gamma delta epsilon"          # 1 five-gram
+    rows = [
+        (0, bench),                                    # benchmark (id%7==0)
+        (3, "prefix words then " + bench + " trailing tail here"),
+        (5, "totally different content with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.decontaminate_pairs(docs, "doc_id", "text",
+                                F.col("doc_id") % 7 == 0, n=5).collect()
+    assert [(r.train_id, r.bench_id, r.n_shared, r.containment)
+            for r in out] == [(3, 0, 1, 1.0)]
