@@ -49,6 +49,12 @@ HEADLINE = [
     "s05_asof_join",            # as-of join (union-merge)
     "q34_window_analytics",     # running sums / lag / ntile
     "l16_pipeline_composed",    # dedup→filter→split composed pipeline
+    # round-3 additions (new operator families; PERF.md tracks the
+    # headline-total discontinuity)
+    "g15_kcore",                # iterative peeling
+    "l18_dedup_clusters",       # pairs → CC → canonical survivors
+    "l20_vocab_topk",           # corpus token frequency
+    "l21_decontaminate",        # benchmark n-gram containment
 ]
 
 

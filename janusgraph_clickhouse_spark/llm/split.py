@@ -39,3 +39,24 @@ def stratified_sample(df: DataFrame, strata_col: str,
     """Per-stratum sampling (class-balanced subsets) — deterministic for
     a fixed seed and input."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def domain_sample(df: DataFrame, key_col: str, domain_col: str,
+                  rates: dict[str, float], default_rate: float = 0.1,
+                  salt: str = "mix", n_buckets: int = 10000) -> DataFrame:
+    """Deterministic per-domain downsampling — the data-mixing pass that
+    turns raw corpus proportions into a target training mixture.  A row
+    survives iff hash_bucket(key, n_buckets, salt) < rate(domain) ·
+    n_buckets, so membership is a pure function of the record key:
+    re-runs, re-shards, and incremental appends keep the same rows, and
+    per-domain subsets are NESTED as rates change (rate 0.25 ⊂ rate
+    0.5 ⊂ 1.0 — raising a domain's weight only ADDS documents).
+
+    Rates quantize to 1/n_buckets (default 1e-4).  No shuffle at all:
+    the filter is a scan-side predicate."""
+    rate = F.col(domain_col)
+    expr = F.lit(float(default_rate))
+    for dom, r in sorted(rates.items()):
+        expr = F.when(rate == dom, float(r)).otherwise(expr)
+    b = hash_bucket(key_col, n_buckets, salt)
+    return df.filter(b < (expr * n_buckets).cast("int"))

@@ -712,3 +712,77 @@ def l21_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.decontaminate_pairs(docs, "doc_id", "text",
                                  F.col("doc_id") % 7 == 0, n=5)
+
+
+@query(
+    "l22_domain_mixture",
+    oracle="""
+    WITH keyed AS MATERIALIZED (
+      SELECT lang,
+             ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 10000 AS bucket,
+             CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 5000
+                       WHEN 'es' THEN 2500 ELSE 1000 END AS cut
+      FROM documents)
+    SELECT lang, count(*) AS n_kept FROM keyed
+    WHERE bucket < cut GROUP BY lang
+    """,
+)
+def l22_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: keep all 'en', half of 'zh', a
+    quarter of 'es', 10% of the rest — the reweighting pass that shapes
+    a raw corpus into a target training mixture.  Membership is a pure
+    md5 function of doc_id (re-runs/re-shards keep the same rows;
+    raising a rate only ADDS documents), and the whole op is a
+    scan-side filter: zero shuffles before the final count."""
+    from ..llm.split import domain_sample
+    docs = load_table(spark, sf_dir, "documents")
+    kept = domain_sample(docs, "doc_id", "lang",
+                         {"en": 1.0, "zh": 0.5, "es": 0.25},
+                         default_rate=0.1)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "l23_repetition_stats",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    grams AS MATERIALIZED (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    agg AS MATERIALIZED (
+      SELECT doc_id, count(*) AS total_ngrams,
+             count(DISTINCT g) AS distinct_ngrams
+      FROM grams GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.total_ngrams, 0) AS total_ngrams,
+           coalesce(a.distinct_ngrams, 0) AS distinct_ngrams,
+           round(CASE WHEN a.total_ngrams > 0
+                 THEN 1.0 - a.distinct_ngrams::DOUBLE / a.total_ngrams
+                 ELSE 0.0 END, 6) AS repetition_ratio
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def l23_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-rule quality signal):
+    duplicate word-3-gram fraction per doc.  Pure array expressions —
+    size/array_distinct on the in-row shingle array, NO explode and NO
+    shuffle: the whole computation is scan-side codegen, the shape that
+    survives any corpus size untouched."""
+    from ..llm.dedup import word_shingles
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles("text", 3)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("total_ngrams"),
+        distinct.cast("long").alias("distinct_ngrams"),
+        F.round(F.when(total > 0,
+                       F.lit(1.0) - distinct.cast("double") / total)
+                .otherwise(0.0), 6).alias("repetition_ratio"))

@@ -73,11 +73,12 @@ DRIVER_PRIORITY: list[str] = [
     "g15_kcore", "g16_label_propagation", "g17_link_prediction",
     "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
     "g18_hits", "l21_decontaminate",
+    "l22_domain_mixture", "l23_repetition_stats",
     # rule 5: family sentinels (r2-green spot checks)
     "q01_slice_point",
-    "g01_out_degree", "g05_bfs_distances",
+    "g01_out_degree",
     "l01_exact_dedup", "l03_minhash_lsh_pairs",
-    "l06_cosine_near_dup", "l16_pipeline_composed",
+    "l16_pipeline_composed",
     "s01_tumbling_window", "s03_session_window",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)

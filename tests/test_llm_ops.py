@@ -291,3 +291,20 @@ def test_decontaminate_flags_planted_overlap(spark):
                                 F.col("doc_id") % 7 == 0, n=5).collect()
     assert [(r.train_id, r.bench_id, r.n_shared, r.containment)
             for r in out] == [(3, 0, 1, 1.0)]
+
+
+def test_domain_sample_nested_and_deterministic(spark):
+    """Raising a domain's rate only ADDS rows (nested subsets), and the
+    kept set is identical across repartitionings (pure key function)."""
+    from janusgraph_clickhouse_spark.llm.split import domain_sample
+
+    docs = _docs(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
+    lo = {r.doc_id for r in domain_sample(
+        docs, "doc_id", "lang", {"en": 0.25}, default_rate=0.2).collect()}
+    hi = {r.doc_id for r in domain_sample(
+        docs, "doc_id", "lang", {"en": 0.75}, default_rate=0.2).collect()}
+    assert lo <= hi and len(hi) > len(lo)
+    again = {r.doc_id for r in domain_sample(
+        docs.repartition(7), "doc_id", "lang", {"en": 0.75},
+        default_rate=0.2).collect()}
+    assert again == hi
