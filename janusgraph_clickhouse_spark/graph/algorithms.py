@@ -671,9 +671,18 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                              "src")
                   .groupBy(F.col("dst").alias("id"))
                   .agg(F.sum("hub").alias("a_raw")))
+        # Checkpoint BEFORE the normalizer agg: the broadcast side is a
+        # separate job that would otherwise re-execute the whole
+        # un-truncated state lineage (and the crossJoin re-embeds it a
+        # second time — 4 plan doublings per iteration).  Measured in a
+        # vanilla 1 GiB driver-sim: every-other-superstep checkpointing
+        # left 1,100+ stages / 55 s at sf0.01 and OOMed the task-binary
+        # broadcast under sweep cache pressure; per-half-step checkpoints
+        # keep the plan flat (~0.1 s, trivially sized state rows).
         st = (state.join(a_msgs, "id", "left")
               .select("id", "hub",
-                      F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
+                      F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+              .localCheckpoint(eager=True))
         a_tot = st.agg(F.sum("a_raw").alias("t"))
         st = (st.crossJoin(F.broadcast(a_tot))
               .select("id", "hub", (F.col("a_raw") / F.col("t"))
@@ -685,12 +694,12 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                   .agg(F.sum("authority").alias("h_raw")))
         st = (st.join(h_msgs, "id", "left")
               .select("id", "authority",
-                      F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")))
+                      F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+              .localCheckpoint(eager=True))
         h_tot = st.agg(F.sum("h_raw").alias("t"))
         state = (st.crossJoin(F.broadcast(h_tot))
                  .select("id", (F.col("h_raw") / F.col("t")).alias("hub"),
                          "authority"))
-        if t % 2 == 1 or t == max_iter - 1:
-            state = state.localCheckpoint(eager=True)
+    state = state.localCheckpoint(eager=True)
     edges.unpersist()
     return state.select("id", "hub", "authority")
