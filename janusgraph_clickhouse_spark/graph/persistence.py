@@ -62,7 +62,10 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
 # -- clustered star-schema adjacency (build once per sf_dir) ----------------
 
 # bump when the persisted layout/schema changes so stale caches rebuild
-LAYOUT_VERSION = 2  # v2: + bucketed edge table (exchange-free pregel joins)
+LAYOUT_VERSION = 3  # v3: unit-adaptive events.ts read (caches built by the
+# hard-coded ns loader against the µs fixture derived a 1000×-compressed
+# timeline — the source fingerprint alone can't see a LOADER bug, so the
+# version bump orphans them)
 
 # bucket count for the bucketed edge table.  MUST equal the session's
 # shuffle width (session.py sets spark.sql.shuffle.partitions = cpus=32):

@@ -75,11 +75,14 @@ TABLES: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampType()),
     ]),
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as its
-    # µs TimestampType (PARQUET_TYPE_ILLEGAL) — the on-disk schema reads the
-    # raw INT64 nanos (with spark.sql.legacy.parquet.nanosAsLong=true, set
-    # by session.get_spark/tune_session) and load_table converts to a real
-    # timestamp column.
+    # events.ts unit is FIXTURE-DEPENDENT: the driver has shipped both
+    # TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS) (round 3+)
+    # parquet.  Nanos cannot be read as Spark's µs TimestampType
+    # (PARQUET_TYPE_ILLEGAL) — that case reads the raw INT64 nanos (with
+    # spark.sql.legacy.parquet.nanosAsLong=true, set by session.get_spark/
+    # tune_session) and converts; micros reads natively.  load_table probes
+    # the parquet footer (events_ts_unit) and picks the right path — a
+    # hard-coded `div 1000` silently compresses a µs fixture 1000×.
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -107,18 +110,80 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 
 
+_TS_UNIT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Parquet footer probe: the time unit of events.ts ('ns', 'us', …).
+
+    The driver's fixture generator has flipped between TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across rounds; reading the footer (a driver-side
+    millisecond op, cached per (path, mtime)) keeps the loader correct for
+    both instead of baking in either assumption."""
+    import glob
+
+    f = path
+    if os.path.isdir(path):
+        inside = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not inside:
+            return "us"
+        f = inside[0]
+    try:
+        key = (f, os.stat(f).st_mtime_ns)
+    except OSError:
+        return "us"
+    if key not in _TS_UNIT_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(f)
+        arrow = pf.schema_arrow
+        idx = arrow.get_field_index("ts")
+        if pf.schema.column(idx).physical_type == "INT96":
+            # Spark's own legacy timestamp encoding (its default WRITE
+            # type) — reads natively as TimestampType; arrow mislabels
+            # it timestamp[ns]
+            _TS_UNIT_CACHE[key] = "us"
+        else:
+            t = arrow.field("ts").type
+            if pa.types.is_integer(t):
+                # raw INT64 without a timestamp logical type: the legacy
+                # (round 1-2) fixture convention — epoch nanos
+                _TS_UNIT_CACHE[key] = "ns"
+            else:
+                _TS_UNIT_CACHE[key] = getattr(t, "unit", "us")
+    return _TS_UNIT_CACHE[key]
+
+
+def events_schema(unit: str) -> T.StructType:
+    """The read schema for the events table at a given ts unit: nanos must
+    come in as a raw INT64 (converted after the scan); anything µs or
+    coarser reads natively as TimestampType."""
+    if unit == "ns":
+        return TABLES["events"]
+    return T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in TABLES["events"].fields])
+
+
+def convert_events_ts(df: DataFrame, unit: str) -> DataFrame:
+    """Post-scan ts normalization to Spark µs TimestampType."""
+    if unit != "ns":
+        return df
+    from pyspark.sql import functions as F
+    # integer `div` — long/long `/` goes through DOUBLE, and epoch-nanos
+    # (~1.7e18) exceed double's 53-bit exact range, silently off-by-1µs
+    # for values not aligned to ms granularity
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(TABLES[name]).parquet(path)
     if name == "events":
-        # ns → µs conversion (see TABLES["events"] note); integer `div` —
-        # long/long `/` goes through DOUBLE, and epoch-nanos (~1.7e18)
-        # exceed double's 53-bit exact range, silently off-by-1µs for
-        # values not aligned to ms granularity
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        unit = events_ts_unit(path)
+        df = spark.read.schema(events_schema(unit)).parquet(path)
+        return convert_events_ts(df, unit)
+    return spark.read.schema(TABLES[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

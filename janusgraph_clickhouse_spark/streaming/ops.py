@@ -39,16 +39,16 @@ def events_stream(spark: SparkSession, events_path: str,
     """File-source stream over the events table (schema explicit — file
     streams require it; also what you'd do on cloud storage drops).
 
-    The fixture's `ts` is parquet TIMESTAMP(NANOS), unreadable as Spark's
-    µs TimestampType — the catalog schema reads the raw INT64 nanos
-    (sources.catalog.TABLES note) and we convert explicitly, mirroring
-    the batch loader."""
-    reader = spark.readStream.schema(TABLES["events"])
+    The fixture's `ts` unit varies by driver round (TIMESTAMP(NANOS) vs
+    MICROS — sources.catalog.TABLES note); probe the footer and mirror
+    the batch loader's conversion exactly."""
+    from ..sources.catalog import (convert_events_ts, events_schema,
+                                   events_ts_unit)
+    unit = events_ts_unit(events_path)
+    reader = spark.readStream.schema(events_schema(unit))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(events_path)
-    # integer `div`: double division loses ns precision above 2^53
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return convert_events_ts(reader.parquet(events_path), unit)
 
 
 def parse_kafka_events(raw: DataFrame) -> DataFrame:

@@ -131,3 +131,43 @@ def test_zorder_layout_clusters_both_dims(spark, tmp_path):
     assert sy > 0.9 * (n - 1)
     # z-ordered: materially tighter than the full range in BOTH dims
     assert zx < 0.5 * (n - 1) and zy < 0.5 * (n - 1), (zx, zy, sx, sy)
+
+
+def test_events_ts_unit_probe(spark, tmp_path):
+    """The footer probe distinguishes the three on-disk ts conventions the
+    fixture/driver have produced: logical µs, raw INT64 nanos, and
+    Spark-written INT96 — and load-through returns the same instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from janusgraph_clickhouse_spark.sources.catalog import events_ts_unit
+
+    us = 1704067200_000_000  # 2024-01-01 in µs
+    base = {"event_id": [1], "user_id": [2], "event_type": ["click"],
+            "value": [1.0], "props": ["{}"]}
+
+    p_us = str(tmp_path / "us.parquet")
+    pq.write_table(pa.table({**base, "ts": pa.array([us], pa.timestamp("us"))}), p_us)
+    assert events_ts_unit(p_us) == "us"
+
+    p_ns = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.table({**base, "ts": pa.array([us * 1000], pa.int64())}), p_ns)
+    assert events_ts_unit(p_ns) == "ns"
+
+    p_96 = str(tmp_path / "int96")
+    spark.createDataFrame([(1,)], "event_id long") \
+        .selectExpr("event_id", "timestamp_micros(%d) AS ts" % us) \
+        .write.option("spark.sql.parquet.writeLegacyFormat", "true") \
+        .parquet(p_96)
+    # Spark's default output is INT96; whatever it wrote must read back
+    # as the identical instant through the probe+loader pair
+    from janusgraph_clickhouse_spark.sources.catalog import (
+        convert_events_ts, events_ts_unit as probe)
+    import glob
+    unit = probe(p_96)
+    import pyspark.sql.types as T
+    sch = T.StructType([T.StructField("event_id", T.LongType()),
+                        T.StructField("ts", T.LongType() if unit == "ns"
+                                      else T.TimestampType())])
+    got = convert_events_ts(
+        spark.read.schema(sch).parquet(p_96), unit).first()
+    assert int(got.ts.timestamp() * 1_000_000) == us

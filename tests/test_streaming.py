@@ -171,11 +171,11 @@ def test_foreach_batch_upsert_multiple_microbatches(spark, sf_smoke, tmp_path):
     src_dir = str(tmp_path / "incoming")
     import os
     os.makedirs(src_dir)
-    # write splits in the fixture's on-disk convention (ts = raw int64
-    # nanos), which is what events_stream's schema expects
-    from janusgraph_clickhouse_spark.sources.catalog import TABLES
-    events = (spark.read.schema(TABLES["events"])
-              .parquet(f"{sf_smoke}/events.parquet"))
+    # write splits through the unit-adaptive loader (typed TimestampType
+    # µs parquet — the current fixture convention; events_stream probes
+    # the footer of whatever convention it finds)
+    from janusgraph_clickhouse_spark.sources.catalog import load_table
+    events = load_table(spark, sf_smoke, "events")
     parts = events.randomSplit([1.0, 1.0, 1.0], seed=1)
     for i, p in enumerate(parts):
         p.coalesce(1).write.parquet(f"{src_dir}/batch{i}.parquet")
