@@ -703,3 +703,108 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     state = state.localCheckpoint(eager=True)
     edges.unpersist()
     return state.select("id", "hub", "authority")
+
+
+def personalized_pagerank(graph: PropertyGraph, source_ids: list[int],
+                          max_iter: int = 6,
+                          damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank: teleport restricted to `source_ids`;
+    returns (id, rank) with sum(rank) == 1.
+
+        r_{t+1}(v) = (1-d)·p(v) + d·D_t·p(v) + d·Σ_{u→v} r_t(u)/outdeg(u)
+        p(v) = 1/|S| for v ∈ S else 0;  D_t = Σ_{outdeg(u)=0} r_t(u)
+
+    Dangling mass teleports back to the sources (not uniformly), which is
+    what keeps the total mass 1 and the scores interpretable as visit
+    probabilities of an α-restarting random surfer — the standard
+    "related entities" primitive.  Same substrate discipline as
+    `pagerank`; a FIXED superstep count keeps the recurrence
+    SQL-oracle-able by unrolling (the g06 pattern)."""
+    p0 = 1.0 / len(source_ids)
+    v = graph.vertices.select("id")
+    deg = graph.degrees("out").withColumnRenamed("degree", "out_deg")
+    src_set = F.col("id").isin(source_ids)
+    state = (v.join(deg, "id", "left")
+              .fillna(0, subset=["out_deg"])
+              .withColumn("p", F.when(src_set, F.lit(p0)).otherwise(F.lit(0.0)))
+              .withColumn("rank", F.col("p")))
+    edges = graph.edges.select("src", "dst")
+    if not _edges_aligned(graph):
+        width = graph.edges.sparkSession.sparkContext.defaultParallelism
+        edges = edges.repartition(width, "src")
+    edges = edges.cache()
+
+    def make_messages(st: DataFrame, e: DataFrame) -> DataFrame:
+        contrib = (st.filter((F.col("out_deg") > 0) & (F.col("rank") != 0.0))
+                     .select(F.col("id").alias("src"),
+                             (F.col("rank") / F.col("out_deg")).alias("msg")))
+        return e.join(contrib, "src").select("dst", "msg")
+
+    def agg_messages(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(F.sum("msg").alias("msg_sum"))
+
+    def update(st: DataFrame, agg: DataFrame) -> DataFrame:
+        dang = (st.filter(F.col("out_deg") == 0)
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
+        return (st.select("id", "out_deg", "p")
+                  .join(agg.withColumnRenamed("dst", "id"), "id", "left")
+                  .fillna(0.0, subset=["msg_sum"])
+                  .crossJoin(F.broadcast(dang))
+                  .withColumn("rank",
+                              (F.lit(1.0 - damping)
+                               + F.lit(damping) * F.col("_dang")) * F.col("p")
+                              + F.lit(damping) * F.col("msg_sum"))
+                  .select("id", "rank", "out_deg", "p"))
+
+    out = pregel(state, edges, make_messages, agg_messages, update,
+                 max_iter=max_iter, checkpoint_interval=2)
+    edges.unpersist()
+    return out.select("id", "rank")
+
+
+def seeded_random_walks(graph: PropertyGraph, source_ids: list[int],
+                        steps: int, seed: str = "w") -> DataFrame:
+    """Deterministic seeded random walks (the node2vec/DeepWalk sampling
+    primitive): one walker per source; at step t the walker at u moves to
+
+        argmin_{v ∈ N_out(u)} md5(seed:walk_id:t:v)
+
+    i.e. the next hop is a pure hash function of (walk, step, candidate)
+    — re-runs, re-shards and both engines pick the identical neighbor,
+    so the walk is exactly reproducible (and SQL-oracle-able by
+    unrolling one argmin-join per step).  Walkers at sinks terminate.
+    Returns the full trace (walk_id, step, vertex), step 0 = source.
+
+    Scale shape: each step is one equi-join frontier × edges on src plus
+    a per-walk top-1 window — frontier rows = #walks, never the edge
+    set; localCheckpoint per step keeps lineage flat."""
+    from pyspark.sql import Window
+
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst")
+    if not _edges_aligned(graph):
+        edges = edges.repartition(spark.sparkContext.defaultParallelism,
+                                  "src")
+    edges = edges.cache()
+    cur = (graph.vertices.filter(F.col("id").isin(source_ids))
+           .select(F.col("id").alias("walk_id"), F.col("id").alias("cur")))
+    trace = cur.select("walk_id", F.lit(0).alias("step"),
+                       F.col("cur").alias("vertex"))
+    for t in range(1, steps + 1):
+        cand = (cur.join(edges, cur.cur == edges.src)
+                .select("walk_id", "dst",
+                        F.md5(F.concat_ws(
+                            ":", F.lit(seed),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("dst").cast("string"))).alias("score")))
+        w = Window.partitionBy("walk_id").orderBy("score", "dst")
+        cur = (cand.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("walk_id", F.col("dst").alias("cur"))
+               .localCheckpoint(eager=True))
+        trace = trace.unionAll(cur.select(
+            "walk_id", F.lit(t).alias("step"),
+            F.col("cur").alias("vertex")))
+    edges.unpersist()
+    return trace

@@ -356,6 +356,35 @@ def lsh_blocked_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 # -- cluster-level dedup ----------------------------------------------------
 
+def pairs_to_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                      b_col: str = "doc_b") -> DataFrame:
+    """Near-dup pair list → duplicate clusters via connected components.
+
+    Returns (cluster_id, n_members, members): cluster_id = min id in the
+    component (the canonical survivor), members = comma-joined ascending
+    id list.  Works over ANY pair source — MinHash text pairs, LSH
+    embedding pairs — the pair graph is tiny relative to the corpus
+    (only thresholded near-dups), and CC is min-id pointer jumping:
+    O(diameter) supersteps, keyed shuffles only."""
+    from ..graph.algorithms import connected_components
+    from ..graph.model import PropertyGraph
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .withColumn("label", F.lit("dup"))
+             .withColumn("weight", F.lit(1.0)))
+    verts = (edges.select(F.col("src").alias("id"))
+             .unionAll(edges.select(F.col("dst").alias("id"))).distinct()
+             .withColumn("label", F.lit("doc"))
+             .withColumn("name", F.col("id").cast("string")))
+    cc = connected_components(PropertyGraph(verts, edges))
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.array_join(
+                     F.transform(F.sort_array(F.collect_list("id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("members")))
+
+
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                    threshold: float = 0.4) -> DataFrame:
     """Near-dup CLUSTERS: LSH pairs → connected components → one row per
@@ -373,25 +402,9 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     the largest dup cluster, which for boilerplate-heavy corpora can be
     large — at 100 TB keep this column for audit samples or cap it with
     slice(); the (cluster_id, n_members) part never skews."""
-    from ..graph.algorithms import connected_components
-    from ..graph.model import PropertyGraph
     pairs = minhash_dedup_pairs(df, id_col, text_col, n=n,
                                 threshold=threshold)
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .withColumn("label", F.lit("dup"))
-             .withColumn("weight", F.lit(1.0)))
-    verts = (edges.select(F.col("src").alias("id"))
-             .unionAll(edges.select(F.col("dst").alias("id"))).distinct()
-             .withColumn("label", F.lit("doc"))
-             .withColumn("name", F.col("id").cast("string")))
-    cc = connected_components(PropertyGraph(verts, edges))
-    return (cc.groupBy(F.col("component").alias("cluster_id"))
-            .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.array_join(
-                     F.transform(F.sort_array(F.collect_list("id")),
-                                 lambda x: x.cast("string")),
-                     ",").alias("members")))
+    return pairs_to_clusters(pairs, "doc_a", "doc_b")
 
 
 # -- benchmark decontamination ---------------------------------------------

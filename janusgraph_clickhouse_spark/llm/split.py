@@ -60,3 +60,48 @@ def domain_sample(df: DataFrame, key_col: str, domain_col: str,
         expr = F.when(rate == dom, float(r)).otherwise(expr)
     b = hash_bucket(key_col, n_buckets, salt)
     return df.filter(b < (expr * n_buckets).cast("int"))
+
+
+def pack_sequences(df: DataFrame, key_col: str, text_col: str,
+                   budget: int = 2048, salt: str = "pack") -> DataFrame:
+    """Assign documents to fixed token-budget training sequences
+    (GPT-style "concat then chunk" packing at document granularity):
+    documents are laid out in a deterministic md5-shuffled order, and
+    each lands in the chunk where its first token falls —
+
+        seq_id = floor(global_token_offset / budget)
+
+    Returns (doc_id, tok, seq_id).
+
+    The global running sum is a DISTRIBUTED prefix sum, not a
+    single-partition window: the md5 key's first byte is the shard
+    (its own sort prefix, so shard order == key order), each shard
+    computes a local cumsum in parallel, and the 256-row shard-total
+    table — cumsum'd and broadcast — supplies each shard's global
+    offset.  At 100 TB this is one shuffle wide + one broadcast,
+    versus the naive `Window.orderBy(key)` which funnels the corpus
+    through ONE task."""
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    base = df.select(F.col(key_col).alias("doc_id"), key.alias("k"),
+                     shard.alias("shard"),
+                     token_count(text_col).cast("long").alias("tok"))
+    w_local = (Window.partitionBy("shard").orderBy("k", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("local_cum", F.sum("tok").over(w_local))
+    shard_tot = base.groupBy("shard").agg(F.sum("tok").alias("stot"))
+    w_off = (Window.orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (shard_tot
+            .withColumn("off", F.coalesce(F.sum("stot").over(w_off),
+                                          F.lit(0)))
+            .select("shard", "off"))
+    return (base.join(F.broadcast(offs), "shard")
+            .withColumn("start",
+                        F.col("off") + F.col("local_cum") - F.col("tok"))
+            .withColumn("seq_id", F.floor(F.col("start") / budget))
+            .select("doc_id", "tok", "seq_id"))

@@ -126,3 +126,67 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(avg_token_length(text_col), 6).alias("avg_token_len"),
         F.round(quality_score(text_col), 6).alias("quality"),
     )
+
+
+def bigram_instances(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair INSTANCE (duplicates
+    kept: counts, not sets).  Built scan-side with transform+element_at
+    (no positional self-join, no UDF): each token indexes its successor
+    in the same array, so the whole derivation is one explode."""
+    t = tokens(text_col)
+    pairs = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"),
+                              F.element_at(t, i + 2).alias("w2")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(pairs).alias("p"))
+            .select("id", F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    round_dp: int = 6) -> DataFrame:
+    """Per-document bigram language-model score — avg negative log
+    probability of the document's bigrams under the corpus-trained
+    bigram MLE (the cheap perplexity-style quality signal):
+
+        nll(doc) = avg over bigram instances of -ln(c(w1,w2) / c(w1·))
+
+    where c(w1·) is the bigram-prefix marginal (so P(·|w1) sums to 1).
+    Returns (id, n_bigrams, nll).  Training and scoring are the same
+    two hash aggregates + two equi-joins — fully JVM-side, shuffle keys
+    are tokens (bounded vocab), never document bodies."""
+    inst = bigram_instances(df, id_col, text_col)
+    c2 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (inst.join(c2, ["w1", "w2"]).join(c1, "w1")
+              .withColumn("nll", -F.log(F.col("c2") / F.col("c1"))))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("nll"), round_dp).alias("nll")))
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               k: int = 3, round_dp: int = 6) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df)); returns (id, token, tfidf).  tf and df are two
+    hash aggregates; N folds in as a broadcast 1-row cross join (no
+    driver collect); the per-doc cut is a window over the ROUNDED score
+    with the token as total-order tiebreaker."""
+    from pyspark.sql import Window
+
+    words = df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(text_col)).alias("token"))
+    tf = words.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n") / F.col("df")),
+                                  round_dp)))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("id", "token", "tfidf"))

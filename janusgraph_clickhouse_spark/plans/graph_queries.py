@@ -598,3 +598,119 @@ def g18_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hits(g, max_iter=8)
     return out.select("id", F.round("hub", 5).alias("hub"),
                       F.round("authority", 5).alias("authority"))
+
+
+_STAR_EDGES_SQL = f"""edges AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS src, c_nationkey + {_N} AS dst FROM customer
+      UNION ALL SELECT n_nationkey + {_N}, n_regionkey + {_R} FROM nation
+      UNION ALL SELECT o_custkey + {_C}, o_orderkey + {_O} FROM orders
+      UNION ALL SELECT l_orderkey + {_O}, l_partkey + {_P} FROM lineitem
+      UNION ALL SELECT DISTINCT l_partkey + {_P}, l_suppkey + {_S}
+                FROM lineitem
+      UNION ALL SELECT s_suppkey + {_S}, s_nationkey + {_N} FROM supplier)"""
+
+
+def _ppr_oracle(source: int, iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank from a single source: teleport (and
+    dangling mass) land on the source only —
+
+        r_{t+1}(v) = ((1-d) + d·D_t)·1[v=src] + d·Σ_{u→v} r_t(u)/deg(u)
+
+    the same recurrence algorithms.personalized_pagerank runs.  Float
+    literals via repr so both engines parse the identical double."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"""verts AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS id FROM customer
+      UNION ALL SELECT n_nationkey + {_N} FROM nation
+      UNION ALL SELECT r_regionkey + {_R} FROM region
+      UNION ALL SELECT o_orderkey + {_O} FROM orders
+      UNION ALL SELECT p_partkey + {_P} FROM part
+      UNION ALL SELECT s_suppkey + {_S} FROM supplier)""",
+        _STAR_EDGES_SQL,
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges "
+        "GROUP BY src)",
+        f"""r0 AS MATERIALIZED (
+      SELECT id, CASE WHEN id = {source} THEN 1.0::DOUBLE
+                      ELSE 0.0::DOUBLE END AS rank FROM verts)""",
+    ]
+    for t in range(iters):
+        parts.append(f"""dang{t} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0) AS dm FROM r{t} r
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))""")
+        parts.append(f"""r{t + 1} AS MATERIALIZED (
+      SELECT v.id,
+             CASE WHEN v.id = {source}
+                  THEN {one_minus_d} + {d} * (SELECT dm FROM dang{t})
+                  ELSE 0.0 END
+             + {d} * coalesce(m.s, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / deg.d) AS s
+        FROM edges e
+        JOIN r{t} r ON r.id = e.src
+        JOIN deg ON deg.src = e.src
+        WHERE r.rank <> 0
+        GROUP BY e.dst) m ON m.id = v.id)""")
+    # 6dp: masses are ≤1 over ~1e4 vertices and 6 supersteps compound
+    # ~1e-13 cross-engine sum noise — a 1e-6 grid keeps ~1e7 margin
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+
+
+@query("g19_personalized_pagerank", oracle=_ppr_oracle(source=42 + _C))
+def g19_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from customer 42 (damping 0.85, 6
+    supersteps): the 'related entities' ranking — an α-restarting
+    random surfer whose teleport (and dangling mass) return to the
+    source.  Hash-checked against the 6-step unrolled CTE oracle (g06
+    emit-the-iteration pattern); mass-conservation invariant
+    (sum(rank)=1) pytest-checked on closed-form graphs."""
+    from ..graph.algorithms import personalized_pagerank
+    g = star_schema_graph(spark, sf_dir)
+    pr = personalized_pagerank(g, [42 + _C], max_iter=6)
+    return pr.select("id", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def _walks_oracle(steps: int = 4, seed: str = "w") -> str:
+    """Unrolled deterministic walks: per step one argmin-by-md5 join —
+    both engines hash the identical 'seed:walk:step:candidate' string,
+    so each picks the same neighbor.  Walkers die at sinks (inner
+    join), exactly like the Spark loop."""
+    parts = [
+        _STAR_EDGES_SQL,
+        f"""w0 AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS walk_id, c_custkey + {_C} AS cur
+      FROM customer WHERE c_custkey % 100 = 0)""",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+      SELECT f.walk_id, e.dst, row_number() OVER (
+        PARTITION BY f.walk_id
+        ORDER BY md5('{seed}:' || CAST(f.walk_id AS VARCHAR)
+                     || ':{t}:' || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+      FROM w{t - 1} f JOIN edges e ON e.src = f.cur)""")
+        parts.append(f"w{t} AS MATERIALIZED "
+                     f"(SELECT walk_id, dst AS cur FROM c{t} WHERE rn = 1)")
+    selects = ["SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0"]
+    selects += [f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+                for t in range(1, steps + 1)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("g20_random_walks", oracle=_walks_oracle(steps=4))
+def g20_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic random walks (node2vec/DeepWalk sampling):
+    one 4-step walker per every-100th customer; the next hop is
+    argmin_{neighbor} md5(seed:walk:step:neighbor) — a pure hash
+    function both engines compute identically, making the 'random'
+    walk exactly reproducible and SQL-oracle-able.  Output is the full
+    trace (walk_id, step, vertex)."""
+    from ..graph.algorithms import seeded_random_walks
+    from ..sources import load_table
+    g = star_schema_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    ids = [r[0] + _C for r in
+           cust.filter(F.col("c_custkey") % 100 == 0)
+               .select("c_custkey").collect()]
+    return seeded_random_walks(g, ids, steps=4, seed="w")

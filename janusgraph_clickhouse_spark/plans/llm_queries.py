@@ -786,3 +786,232 @@ def l23_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(total > 0,
                        F.lit(1.0) - distinct.cast("double") / total)
                 .otherwise(0.0), 6).alias("repetition_ratio"))
+
+
+@query(
+    "l24_sequence_packing",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    c AS MATERIALIZED (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - tok AS start
+      FROM t)
+    SELECT CAST(floor(start / 2048) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def l24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → fixed 2048-token training chunks in
+    a deterministic md5-shuffled order; a doc joins the chunk where its
+    first token falls.  The Spark side is a DISTRIBUTED prefix sum
+    (md5-byte shards cumsum locally + a broadcast 256-row offset
+    table); the oracle is the same running sum as ONE window — the
+    hash-match proves the two-level decomposition exact."""
+    from ..llm.split import pack_sequences
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "text", budget=2048)
+    return (packed.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("total_tokens")))
+
+
+@query(
+    "l25_tfidf_topk",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfq AS MATERIALIZED (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    scored AS MATERIALIZED (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((SELECT n FROM n) / dfq.df), 6) AS tfidf
+      FROM tf JOIN dfq ON dfq.token = tf.token)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def l25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf — the keyword /
+    topic-signature pass of a corpus-analysis pipeline.  Two hash
+    aggregates + a broadcast scalar N + one per-doc window over the
+    ROUNDED score (token tiebreak → total order, cross-engine stable
+    cut)."""
+    from ..llm.text import tfidf_topk
+    docs = load_table(spark, sf_dir, "documents")
+    return (tfidf_topk(docs, "doc_id", "text", k=3)
+            .withColumnRenamed("id", "doc_id"))
+
+
+@query(
+    "l26_bigram_lm_score",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    big AS MATERIALIZED (
+      SELECT a.doc_id, a.word AS w1, b.word AS w2
+      FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS cnt2 FROM big GROUP BY 1, 2),
+    c1 AS MATERIALIZED (
+      SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+    sc AS MATERIALIZED (
+      SELECT big.doc_id, -ln(c2.cnt2::DOUBLE / c1.cnt1) AS nll
+      FROM big
+      JOIN c2 ON c2.w1 = big.w1 AND c2.w2 = big.w2
+      JOIN c1 ON c1.w1 = big.w1)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def l26_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring: every document's average
+    negative log probability under the corpus's own bigram MLE — the
+    cheap perplexity-style quality filter (high nll = unusual word
+    sequences).  Train + score in one plan: two token-keyed hash
+    aggregates and two equi-joins, zero UDFs; bigram derivation is
+    scan-side transform/element_at (the oracle re-derives it with a
+    positional self-join)."""
+    from ..llm.text import bigram_lm_score
+    docs = load_table(spark, sf_dir, "documents")
+    return (bigram_lm_score(docs, "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _l27_oracle(threshold: float = 0.35, n_planes: int = 8,
+                n_tables: int = 4, seed: int = 42, rounds: int = 12) -> str:
+    """l17's blocked-pair derivation (same plane literals) followed by
+    `rounds` unrolled min-label-propagation steps — the l18 cluster
+    oracle over embedding pairs instead of shingle pairs."""
+    bcols = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        bcols.append(f"{_bucket_sql('v', planes)} AS b{t}")
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"b AS MATERIALIZED (SELECT vec_id, v, {', '.join(bcols)} FROM e)",
+        f"""pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, c.vec_id AS ib
+      FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({cond})
+      WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {threshold})""",
+        """ed AS MATERIALIZED (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION ALL SELECT ib, ia FROM pairs)""",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp "
+        "FROM ed)",
+    ]
+    for t in range(rounds):
+        parts.append(f"""lab{t + 1} AS MATERIALIZED (
+      SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+      FROM lab{t} l
+      LEFT JOIN ed ON ed.dst = l.id
+      LEFT JOIN lab{t} n ON n.id = ed.src
+      GROUP BY l.id, l.comp)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT comp AS cluster_id, count(*) AS n_members,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+    FROM lab{rounds} GROUP BY comp""")
+
+
+@query("l27_semantic_dedup_clusters", oracle=_l27_oracle())
+def l27_semantic_dedup_clusters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-dup pairs (l17's
+    computed-LSH blocking) → connected components → one row per
+    duplicate cluster with the canonical survivor (min id) and the
+    droppable member list.  Same pairs→clusters machinery as l18, over
+    cosine pairs instead of shingle Jaccard — the two compose because
+    clustering is pair-source-agnostic (dedup.pairs_to_clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.lsh_blocked_near_dup_pairs(emb, "vec_id", "embedding",
+                                         threshold=0.35)
+    return D.pairs_to_clusters(pairs, "id_a", "id_b")
+
+
+@query(
+    "l28_user_event_sequences",
+    oracle="""
+    WITH n AS MATERIALIZED (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    c AS MATERIALIZED (
+      SELECT user_id, event_type, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    s AS MATERIALIZED (
+      SELECT user_id, string_agg(event_type, ' ' ORDER BY rn) AS seq
+      FROM c WHERE rn <= 50 GROUP BY user_id)
+    SELECT n.user_id, n.n_events, s.seq FROM n JOIN s ON s.user_id = n.user_id
+    """,
+)
+def l28_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence corpus construction: each user's event types
+    concatenated in (ts, event_id) order, capped at the first 50 (the
+    context-window analog) — the pass that turns an event log into
+    training sequences.  One shuffle on user_id: sort_array over
+    collected (ts, event_id, type) structs gives the deterministic
+    order; slice() bounds row width so a power user can't skew a task.
+    Timestamps are µs-aligned in the fixture so Spark-µs and DuckDB-ns
+    ordering agree (verified sub_us == 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.slice(F.sort_array(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))),
+                    1, 50).alias("first50")))
+    return agg.select(
+        "user_id", "n_events",
+        F.array_join(F.transform("first50", lambda s: s["event_type"]),
+                     " ").alias("seq"))
+
+
+@query(
+    "l29_length_band_filter",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(len(string_split(text, ' ')), 0.25) AS lo,
+             quantile_cont(len(string_split(text, ' ')), 0.75) AS hi
+      FROM documents)
+    SELECT lang, count(*) AS n_kept,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_len
+    FROM documents, q
+    WHERE len(string_split(text, ' ')) BETWEEN q.lo AND q.hi
+    GROUP BY lang
+    """,
+)
+def l29_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-relative quality gate: keep documents inside the
+    corpus's own [p25, p75] token-length band, report survivors per
+    language.  The exact interpolated percentiles fold in as a
+    broadcast 1-row cross join (scalar 'subquery' without leaving the
+    plan); the filter itself is scan-side.  At 100 TB swap the exact
+    percentile for approx_percentile(..., accuracy) — same plan shape,
+    one pass instead of sort-based exact."""
+    from ..llm.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("tok", token_count("text"))
+    q = toks.agg(
+        F.expr("percentile(tok, 0.25)").alias("lo"),
+        F.expr("percentile(tok, 0.75)").alias("hi"))
+    return (toks.crossJoin(F.broadcast(q))
+            .filter((F.col("tok") >= F.col("lo"))
+                    & (F.col("tok") <= F.col("hi")))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.avg("tok"), 6).alias("avg_len")))

@@ -65,21 +65,24 @@ DRIVER_PRIORITY: list[str] = [
     # rule 2: implementation changed in round 3
     "g03_supplier_triangles", "g04_connected_components", "g06_pagerank",
     "l04_simhash_pairs", "s05_asof_join",
-    # rule 3: newly oracled this round / r1-red fixes kept one more round
+    # rule 3: newly oracled this round
     "l11_ann_lsh_topk", "l12_ivf_ann_topk",
-    "q20_group_collect", "q21_array_functions", "g08_path_query",
-    # rule 4: new queries registered in round 3
+    # rule 4: new queries registered in round 3 (never driver-checked —
+    # strictly higher value than re-confirming r2 greens, so the r1-red
+    # fixes q20/q21/g08 and three l-sentinels, all green in r2, rotate
+    # to the tail and return next round under rule 1)
     "g14_repeat_until", "l17_lsh_blocked_near_dup",
     "g15_kcore", "g16_label_propagation", "g17_link_prediction",
     "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
     "g18_hits", "l21_decontaminate",
     "l22_domain_mixture", "l23_repetition_stats",
-    # rule 5: family sentinels (r2-green spot checks)
-    "q01_slice_point",
-    "g01_out_degree",
-    "l01_exact_dedup", "l03_minhash_lsh_pairs",
-    "l16_pipeline_composed",
-    "s01_tumbling_window", "s03_session_window",
+    "g19_personalized_pagerank", "g20_random_walks",
+    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
+    "q36_cube_grouping", "l27_semantic_dedup_clusters",
+    "l28_user_event_sequences", "l29_length_band_filter",
+    # rule 5: family sentinel (r2-green spot check; q/g/l already have
+    # ≥10 in-window rows each via rules 1-4)
+    "s01_tumbling_window",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

@@ -929,3 +929,34 @@ def q35_range_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.select("o_orderkey", "o_totalprice")
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .offset(10).limit(15))
+
+
+@query(
+    "q36_cube_grouping",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name, o_orderpriority) AS INT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY CUBE (n_name, o_orderpriority)
+    """,
+)
+def q36_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, order-priority) with the GROUPING bitmask —
+    all four grouping sets in one pass (partial aggregation expands the
+    grouping-set id before the shuffle, so it stays a single hash
+    aggregate, not four scans).  The gid column disambiguates aggregate
+    NULLs from (hypothetical) data NULLs — the full grouping-sets
+    surface on top of q26's ROLLUP."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(c, c.c_custkey == o.o_custkey)
+            .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+            .cube("n_name", "o_orderpriority")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))

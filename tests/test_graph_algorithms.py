@@ -371,3 +371,55 @@ def test_hits_star_graph(spark):
         assert abs(out[leaf][1]) < 1e-9
     assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        personalized_pagerank)
+    # two disconnected paths: 1->2->3 and 10->11; source 1 — all mass
+    # stays in 1's component, sum(rank) == 1
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = {r.id: r.rank
+            for r in personalized_pagerank(g, [1], max_iter=10).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert rows[10] == 0.0 and rows[11] == 0.0
+    # restart bias: the source outranks its descendants' tail
+    assert rows[1] > rows[3]
+
+
+def test_personalized_pagerank_two_sources(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        personalized_pagerank)
+    # symmetric pair of sources on a symmetric graph → symmetric ranks
+    g = graph_from_edge_list(spark, [(1, 2), (3, 2)])
+    rows = {r.id: r.rank
+            for r in personalized_pagerank(g, [1, 3], max_iter=8).collect()}
+    assert abs(rows[1] - rows[3]) < 1e-12
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_seeded_random_walks_valid_and_deterministic(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        seeded_random_walks)
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    g = graph_from_edge_list(spark, edges)
+    t1 = sorted((r.walk_id, r.step, r.vertex)
+                for r in seeded_random_walks(g, [1], steps=3).collect())
+    t2 = sorted((r.walk_id, r.step, r.vertex)
+                for r in seeded_random_walks(g, [1], steps=3).collect())
+    assert t1 == t2  # bit-identical re-run
+    assert t1[0] == (1, 0, 1)
+    # every consecutive (step t -> t+1) hop is a real directed edge
+    bystep = {s: v for (_, s, v) in t1}
+    eset = set(edges)
+    for s in range(len(bystep) - 1):
+        assert (bystep[s], bystep[s + 1]) in eset
+
+
+def test_seeded_random_walks_sink_terminates(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        seeded_random_walks)
+    g = graph_from_edge_list(spark, [(1, 2)])
+    rows = sorted((r.step, r.vertex)
+                  for r in seeded_random_walks(g, [1], steps=5).collect())
+    assert rows == [(0, 1), (1, 2)]  # dies at sink vertex 2

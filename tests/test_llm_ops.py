@@ -308,3 +308,51 @@ def test_domain_sample_nested_and_deterministic(spark):
         docs.repartition(7), "doc_id", "lang", {"en": 0.75},
         default_rate=0.2).collect()}
     assert again == hi
+
+
+def test_pack_sequences_partitions_corpus(spark):
+    from janusgraph_clickhouse_spark.llm.split import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(200)],
+        "doc_id long, text string")
+    packed = pack_sequences(docs, "doc_id", "text", budget=100).collect()
+    assert len(packed) == 200  # every doc assigned exactly once
+    total = sum(r.tok for r in packed)
+    # seq ids form a contiguous 0..ceil(total/budget)-1 range
+    seqs = {r.seq_id for r in packed}
+    assert seqs == set(range((total - 1) // 100 + 1))
+    # per-sequence token start offsets respect the budget boundary:
+    # every chunk's docs start inside [seq*budget, (seq+1)*budget)
+    per_seq = {}
+    for r in packed:
+        per_seq.setdefault(r.seq_id, 0)
+        per_seq[r.seq_id] += r.tok
+    # all but the last chunk must have been filled past its boundary
+    # start (docs whose start fell in the window) — weak but
+    # order-independent invariant: cumulative conservation
+    assert sum(per_seq.values()) == total
+
+
+def test_bigram_lm_score_closed_form(spark):
+    from janusgraph_clickhouse_spark.llm.text import bigram_lm_score
+    import math
+    # corpus: "a b", "a b", "a c" → c(a,b)=2, c(a,c)=1, c(a·)=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    rows = {r.id: (r.n_bigrams, r.nll)
+            for r in bigram_lm_score(docs, "doc_id", "text").collect()}
+    assert rows[1] == (1, round(-math.log(2 / 3), 6))
+    assert rows[3] == (1, round(-math.log(1 / 3), 6))
+
+
+def test_tfidf_topk_prefers_rare_terms(spark):
+    from janusgraph_clickhouse_spark.llm.text import tfidf_topk
+    # 'common' appears in every doc (idf=0); 'rare1' only in doc 1
+    docs = spark.createDataFrame(
+        [(1, "common rare1 rare1"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string")
+    top = tfidf_topk(docs, "doc_id", "text", k=1).collect()
+    d1 = [r for r in top if r.id == 1][0]
+    assert d1.token == "rare1"
+    for r in top:
+        assert r.token != "common"
