@@ -368,8 +368,15 @@ def pairs_to_clusters(pairs: DataFrame, a_col: str = "doc_a",
     O(diameter) supersteps, keyed shuffles only."""
     from ..graph.algorithms import connected_components
     from ..graph.model import PropertyGraph
-    edges = (pairs.select(F.col(a_col).alias("src"),
+    # Truncate the pair-derivation lineage ONCE: the CC loop's edge cache,
+    # the vertex set, and pregel's initial state checkpoint each otherwise
+    # re-execute the full upstream pipeline (a MinHash pass costs more
+    # than the entire component propagation on the tiny pair graph —
+    # measured 11.9s → 4.7s for l18 at sf0.1)
+    pairs = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
+             .localCheckpoint(eager=True))
+    edges = (pairs
              .withColumn("label", F.lit("dup"))
              .withColumn("weight", F.lit(1.0)))
     verts = (edges.select(F.col("src").alias("id"))

@@ -74,19 +74,20 @@ def pack_sequences(df: DataFrame, key_col: str, text_col: str,
     Returns (doc_id, tok, seq_id).
 
     The global running sum is a DISTRIBUTED prefix sum, not a
-    single-partition window: the md5 key's first byte is the shard
-    (its own sort prefix, so shard order == key order), each shard
-    computes a local cumsum in parallel, and the 256-row shard-total
-    table — cumsum'd and broadcast — supplies each shard's global
-    offset.  At 100 TB this is one shuffle wide + one broadcast,
-    versus the naive `Window.orderBy(key)` which funnels the corpus
-    through ONE task."""
+    single-partition window: the md5 key's first two bytes are the
+    shard (a sort prefix, so shard order == key order), each of the
+    65,536 shards computes a local cumsum in parallel (hashed onto
+    however many tasks the session runs — ~1.5 GB/shard even at
+    100 TB), and the 65,536-row shard-total table — cumsum'd and
+    broadcast — supplies each shard's global offset.  One wide shuffle
+    + one broadcast, versus the naive `Window.orderBy(key)` which
+    funnels the corpus through ONE task."""
     from pyspark.sql import Window
 
     from .text import token_count
 
     key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    shard = F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
     base = df.select(F.col(key_col).alias("doc_id"), key.alias("k"),
                      shard.alias("shard"),
                      token_count(text_col).cast("long").alias("tok"))

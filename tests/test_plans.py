@@ -140,3 +140,26 @@ def test_clustered_restriction_matches_derivation(spark, sf_smoke):
         cv = sorted(r.id for r in clustered.vertices.collect())
         dv = sorted(r.id for r in derived.vertices.collect())
         assert cv == dv, f"vertex mismatch for {labels}"
+
+
+def test_sequence_packing_has_no_global_single_partition_window(
+        spark, sf_smoke):
+    """l24's running sum must be the two-level distributed prefix sum:
+    the per-document window partitions by shard (hash exchange), never
+    `Window.orderBy` over the whole corpus (which plans a SinglePartition
+    exchange carrying every row through one task).  The only
+    SinglePartition stage allowed is the 65,536-row shard-offset table."""
+    from janusgraph_clickhouse_spark.llm.split import pack_sequences
+    from janusgraph_clickhouse_spark.sources import load_table
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(pack_sequences(docs, "doc_id", "text", budget=2048))
+    segs = plan.split("Window ")
+    for seg in segs[1:]:
+        # each Window operator's partition spec: the doc-level cumsum
+        # must be keyed (partitionBy shard); an unkeyed spec means the
+        # corpus funnels through one task
+        head = seg[:200]
+        if "local_cum" in head:
+            assert "shard" in head, head
+    # the corpus-side exchange feeding the doc window is hash, not single
+    assert "Exchange hashpartitioning(shard" in plan, plan[:2000]
