@@ -362,10 +362,14 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
         if n_next == n_alive:
             break
         n_alive = n_next
-    edges.unpersist()
     # converged: every survivor's degree over the survivor set is ≥ k,
-    # so re-filtering deg gives (id, degree-inside-core) consistently
-    return deg.filter(F.col("core_degree") >= k)
+    # so re-filtering deg gives (id, degree-inside-core) consistently.
+    # Materialize BEFORE unpersist — the caller executes the returned
+    # plan later, and deg's lineage reads the cached edges; unpersisting
+    # first would re-derive the whole upstream graph at that point
+    out = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
@@ -409,7 +413,8 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
     return state
 
 
-def adamic_adar(graph: PropertyGraph, top: int = 100) -> DataFrame:
+def adamic_adar(graph: PropertyGraph, top: int = 100,
+                dense_max_nodes: int = 8192) -> DataFrame:
     """Link prediction over the undirected graph: for every NON-adjacent
     vertex pair (u, v) with ≥1 common neighbor, the common-neighbor count
     and the Adamic-Adar score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)); top-`top`
@@ -424,8 +429,22 @@ def adamic_adar(graph: PropertyGraph, top: int = 100) -> DataFrame:
 
     Score ordering uses the ROUNDED score with the (u, v) tiebreaker so
     cross-engine float-sum noise can't reorder the cut (the l05/l06
-    discipline)."""
+    discipline).
+
+    DENSE specialization (the g03 bit-matrix pattern): when the id space
+    is bounded (max id < `dense_max_nodes`, ids in [0, n)), the wedge
+    join is replaced by one adjacency-bitmatrix reduce + a BLAS
+    triple-product S = (A·diag(1/ln deg))·Aᵀ — on a near-complete
+    1500-vertex graph the join path materializes Σ deg² ≈ 3.4e9 wedge
+    rows (measured 72 s at sf0.1) while the dense path is one shuffle of
+    the distinct edges plus a ~3e9-FLOP local matmul (~2 s).  Scores are
+    identical under the 6dp rounding (float64 both ways); beyond the cap
+    the exact join path runs unchanged."""
     sym = graph.undirected_edges()
+    n_nodes = sym.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0]
+    n_nodes = int(n_nodes or 0) + 1
+    if n_nodes <= dense_max_nodes:
+        return _adamic_adar_dense(sym, n_nodes, top)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -446,6 +465,84 @@ def adamic_adar(graph: PropertyGraph, top: int = 100) -> DataFrame:
     return (scores.join(existing, ["u", "v"], "left_anti")
             .orderBy(F.col("adamic_adar").desc(), "u", "v")
             .limit(top))
+
+
+def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int) -> DataFrame:
+    """Bounded-id-space Adamic-Adar: distinct edges → per-partition packed
+    adjacency bitmatrix → in-Spark OR-reduce to ONE n²-bit matrix (the
+    co_occurrence_triangles discipline — the driver receives exactly one
+    blob, n²/8 bytes ≈ 8 MB at the 8192-node cap) → local float64
+    matmuls for common-neighbor counts and Σ 1/ln(deg) weights →
+    top-`top` by (rounded score desc, u, v).  Exact same semantics and
+    rounding as the join path."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sym.sparkSession
+    n_bytes = (n_nodes + 7) // 8
+    e = (sym.select("src", "dst").distinct()
+         .select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b")).distinct())
+
+    def partial_adj(batches):
+        A = np.zeros((n_nodes, n_bytes), dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            a = pdf["a"].to_numpy(dtype=np.int64)
+            b = pdf["b"].to_numpy(dtype=np.int64)
+            if len(a):
+                # symmetric set-bit: A[a,b] and A[b,a]
+                np.bitwise_or.at(A, (a, b // 8),
+                                 (1 << (b % 8)).astype(np.uint8))
+                np.bitwise_or.at(A, (b, a // 8),
+                                 (1 << (a % 8)).astype(np.uint8))
+                touched = True
+        if touched:
+            yield pd.DataFrame({"adj": [A.tobytes()]})
+        else:
+            yield pd.DataFrame({"adj": pd.array([], dtype=object)})
+
+    def or_reduce(batches):
+        acc = np.zeros(n_nodes * n_bytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for blob in pdf["adj"]:
+                acc |= np.frombuffer(blob, dtype=np.uint8)
+                touched = True
+        if touched:
+            yield pd.DataFrame({"adj": [acc.tobytes()]})
+        else:
+            yield pd.DataFrame({"adj": pd.array([], dtype=object)})
+
+    matrix_bytes = n_nodes * n_bytes
+    k = max(1, min(32, (1 << 30) // max(1, matrix_bytes)))
+    reduced = (e.coalesce(k).mapInPandas(partial_adj, schema="adj binary")
+               .repartition(1)
+               .mapInPandas(or_reduce, schema="adj binary").collect())
+    A = np.zeros((n_nodes, n_bytes), dtype=np.uint8)
+    for row in reduced:
+        A |= np.frombuffer(row.adj, dtype=np.uint8).reshape(n_nodes, n_bytes)
+    bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_nodes]
+    np.fill_diagonal(bits, 0)
+    adj = bits.astype(bool)
+    Af = bits.astype(np.float64)
+    deg = Af.sum(axis=1)
+    # a common neighbor has deg ≥ 2 by construction, so masking deg < 2
+    # to weight 0 changes nothing (and avoids 1/ln(1))
+    with np.errstate(divide="ignore"):
+        wgt = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
+    S = (Af * wgt) @ Af.T          # S[u,v] = Σ_{w∈N(u)∩N(v)} 1/ln deg(w)
+    C = Af @ Af.T                  # exact common-neighbor counts (< 2^53)
+    iu, iv = np.triu_indices(n_nodes, 1)
+    keep = (~adj[iu, iv]) & (C[iu, iv] > 0.5)
+    u, v = iu[keep], iv[keep]
+    score = np.round(S[iu, iv][keep], 6)
+    cnt = C[iu, iv][keep].astype(np.int64)
+    order = np.lexsort((v, u, -score))[:top]
+    rows = [(int(u[i]), int(v[i]), int(cnt[i]), float(score[i]))
+            for i in order]
+    return spark.createDataFrame(
+        rows, "u long, v long, common_neighbors long, adamic_adar double")
 
 
 def triangle_count(graph: PropertyGraph) -> int:
@@ -639,7 +736,10 @@ def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
     per = (tri.select(F.col("a").alias("id"))
            .unionAll(tri.select(F.col("b").alias("id")))
            .unionAll(tri.select(F.col("c").alias("id")))
-           .groupBy("id").agg(F.count(F.lit(1)).alias("triangles")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+           # materialize while e is cached: the caller executes later,
+           # after unpersist, and would re-derive e THREE times (e1/e2/e3)
+           .localCheckpoint(eager=True))
     e.unpersist()
     return per
 

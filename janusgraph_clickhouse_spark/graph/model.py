@@ -226,14 +226,33 @@ def props_map(*cols: str):
 
 
 def interaction_graph(spark: SparkSession, sf_dir: str,
-                      window: str = "10 minutes") -> PropertyGraph:
+                      window: str = "10 minutes",
+                      clustered: bool | None = None) -> PropertyGraph:
     """Temporal interaction graph sessionized from the events stream
     (FIXTURES.md: `interacted` user→user edges): users co-occurring in
     the same tumbling activity window are linked.
 
-    Derivation is one distinct + one self-join on the window key — the
-    join fans out only within a window, so skew is bounded by per-window
-    activity, not corpus size."""
+    `clustered` (default on; env SPARK_GRAFT_CLUSTERED=0 disables): serve
+    from the persisted derived graph (persistence.ensure_interaction_graph
+    — the events distinct + window self-join runs ONCE per (sf_dir,
+    window), then every consumer — k-core, LPA, link prediction, degree —
+    starts from the narrow clustered edge list instead of re-deriving
+    from the event log per query; at 100 TB the derivation is a full
+    fact-table pass, the clustered read is not)."""
+    if clustered is None:
+        import os as _os
+        clustered = _os.environ.get("SPARK_GRAFT_CLUSTERED", "1") == "1"
+    if clustered:
+        from .persistence import clustered_interaction_graph
+        return clustered_interaction_graph(spark, sf_dir, window)
+    return derive_interaction_graph(spark, sf_dir, window)
+
+
+def derive_interaction_graph(spark: SparkSession, sf_dir: str,
+                             window: str = "10 minutes") -> PropertyGraph:
+    """The in-plan derivation: one distinct + one self-join on the window
+    key — the join fans out only within a window, so skew is bounded by
+    per-window activity, not corpus size."""
     ev = load_table(spark, sf_dir, "events")
     b = (ev.select("user_id", F.window("ts", window).alias("w"))
          .select("user_id", F.col("w.start").alias("w"))

@@ -223,3 +223,66 @@ def clustered_star_graph(spark: SparkSession, sf_dir: str,
     verts = verts.filter(F.col("label").isin(sorted(vlabels)))
     return PropertyGraph(verts.select("id", "label", "name"),
                          edges.select("src", "dst", "label", "weight"))
+
+
+# -- clustered interaction graph (events-derived; build once per window) ----
+
+def _events_fingerprint(sf_dir: str) -> str:
+    p = os.path.join(sf_dir, "events.parquet")
+    paths = [p]
+    if os.path.isdir(p):
+        paths = sorted(
+            os.path.join(p, f) for f in os.listdir(p)
+            if not f.startswith("_") and not f.startswith("."))
+    parts = []
+    for f in paths:
+        try:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{f}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def interaction_graph_path(sf_dir: str, window: str,
+                           base_dir: str | None = None) -> str:
+    root = base_dir or os.path.join(tempfile.gettempdir(), "jcs_graph_cache")
+    key = hashlib.md5(
+        f"ig:{os.path.abspath(sf_dir)}:w{window}:v{LAYOUT_VERSION}"
+        f":{_events_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(root, key)
+
+
+def ensure_interaction_graph(spark: SparkSession, sf_dir: str,
+                             window: str = "10 minutes",
+                             base_dir: str | None = None,
+                             num_files: int = 8) -> str:
+    """Materialize the events-derived interaction graph ONCE per
+    (sf_dir, window): the distinct + window self-join is a full pass over
+    the event log, which k-core / LPA / link-prediction / degree queries
+    would otherwise each repeat.  Persisted as (src, dst)-sorted clustered
+    parquet (row-group pruning on src), same build discipline as the
+    star-schema cache: content fingerprint key, pid-suffixed temp dir,
+    atomic rename."""
+    path = interaction_graph_path(sf_dir, window, base_dir)
+    marker = os.path.join(path, "_BUILT")
+    if os.path.exists(marker):
+        return path
+    from .model import derive_interaction_graph
+    g = derive_interaction_graph(spark, sf_dir, window)
+    tmp = f"{path}.tmp{os.getpid()}"
+    save_graph(g, tmp, num_files=num_files)
+    open(os.path.join(tmp, "_BUILT"), "w").close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return path
+
+
+def clustered_interaction_graph(spark: SparkSession, sf_dir: str,
+                                window: str = "10 minutes",
+                                base_dir: str | None = None) -> PropertyGraph:
+    path = ensure_interaction_graph(spark, sf_dir, window, base_dir)
+    return load_graph(spark, path)

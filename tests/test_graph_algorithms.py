@@ -423,3 +423,27 @@ def test_seeded_random_walks_sink_terminates(spark):
     rows = sorted((r.step, r.vertex)
                   for r in seeded_random_walks(g, [1], steps=5).collect())
     assert rows == [(0, 1), (1, 2)]  # dies at sink vertex 2
+
+
+def test_clustered_interaction_matches_derivation(spark, sf_smoke):
+    from janusgraph_clickhouse_spark.graph.model import (
+        derive_interaction_graph, interaction_graph)
+    g_c = interaction_graph(spark, sf_smoke, "10 minutes", clustered=True)
+    g_d = derive_interaction_graph(spark, sf_smoke, "10 minutes")
+    assert (sorted((r.src, r.dst) for r in g_c.edges.collect())
+            == sorted((r.src, r.dst) for r in g_d.edges.collect()))
+    assert (sorted(r.id for r in g_c.vertices.collect())
+            == sorted(r.id for r in g_d.vertices.collect()))
+
+
+def test_adamic_adar_dense_matches_join_path(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    # irregular graph: hub 0, chain, a square — enough non-adjacent pairs
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (4, 5),
+             (5, 6), (6, 7), (7, 4), (3, 5)]
+    g = graph_from_edge_list(spark, edges)
+    dense = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+             for r in adamic_adar(g, top=50).collect()]
+    join = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g, top=50, dense_max_nodes=0).collect()]
+    assert dense == join and len(dense) > 0
