@@ -58,8 +58,9 @@ def test_driver_window_rotation_policy():
     for fam in ("q", "g", "l", "s"):
         assert len({n for n in window if n.startswith(fam)}) >= 2, \
             f"family {fam} has <2 sentinels in the driver window"
-    prev = os.path.join(os.path.dirname(__file__), "..",
-                        "CORRECTNESS_r02.json")
+    import glob
+    root = os.path.join(os.path.dirname(__file__), "..")
+    prev = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))[-1]
     with open(prev) as f:
         prev_rows = json.load(f)
     stale = [n for n in names[50:]
