@@ -55,6 +55,12 @@ HEADLINE = [
     "l18_dedup_clusters",       # pairs → CC → canonical survivors
     "l20_vocab_topk",           # corpus token frequency
     "l21_decontaminate",        # benchmark n-gram containment
+    "g17_link_prediction",      # dense bit-matrix Adamic-Adar
+    "g19_personalized_pagerank",  # source-restricted teleport (Pregel)
+    "g20_random_walks",         # seeded deterministic walks
+    "l24_sequence_packing",     # distributed prefix-sum packing
+    "l26_bigram_lm_score",      # corpus-LM quality scoring
+    "s07_interval_join",        # stream-shaped interval self-join
 ]
 
 
