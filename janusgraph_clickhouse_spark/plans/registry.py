@@ -47,41 +47,39 @@ def query(name: str, oracle: str | None = None):
 # coverage (tests/test_oracle_parity.py sweeps ALL queries) and returns
 # to the window next round under rule 1.
 #
-# Round-3 window: the 21 relational queries stale since r1 (rule 1);
-# g03/g04/g06/l04/s05 changed this round (rule 2); l11/l12 newly oracled
-# (rule 3); q20/q21/g08 r1-red fixes kept one more round; sentinels +
-# this round's new queries fill to 50.  A typo here would silently drop
+# Round-4 window: the 42 tail queries whose newest driver row is r2
+# (rule 1 — the entire r3 tail; r3's window went 50/50 green so its
+# members rotate out); g03/g17/g20/l04 change this round (rule 2:
+# degree-orientation, hub salting + dense-memory fix, in-plan walk
+# sources, sub_bands default); sentinels from r3 greens fill to 50.
+# New queries registered this round MUST displace sentinels into this
+# window (a new query in the tail has no prior driver row and trips
+# test_driver_window_rotation_policy).  A typo here would silently drop
 # a query from the window — get_queries() asserts every name resolves.
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: relational tail stale since round 1
-    "q02_slice_multikey", "q04_multi_range_scan", "q05_unordered_scan_topk",
-    "q07_group_count", "q09_semi_join", "q10_anti_join",
-    "q11_shipping_priority", "q12_region_revenue", "q14_union_dedup",
-    "q15_per_group_topk", "q16_distinct_pairs", "q22_left_outer_distribution",
-    "q23_having", "q24_correlated_min", "q25_count_distinct",
-    "q27_set_operations", "q28_sql_surface", "q31_statistics",
-    "q32_cross_nation_volume", "q33_large_order_customers",
-    "q34_window_analytics",
-    # rule 2: implementation changed in round 3
-    "g03_supplier_triangles", "g04_connected_components", "g06_pagerank",
-    "l04_simhash_pairs", "s05_asof_join",
-    # rule 3: newly oracled this round
-    "l11_ann_lsh_topk", "l12_ivf_ann_topk",
-    # rule 4: new queries registered in round 3 (never driver-checked —
-    # strictly higher value than re-confirming r2 greens, so the r1-red
-    # fixes q20/q21/g08 and three l-sentinels, all green in r2, rotate
-    # to the tail and return next round under rule 1)
-    "g14_repeat_until", "l17_lsh_blocked_near_dup",
-    "g15_kcore", "g16_label_propagation", "g17_link_prediction",
-    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
-    "g18_hits", "l21_decontaminate",
-    "l22_domain_mixture", "l23_repetition_stats",
-    "g19_personalized_pagerank", "g20_random_walks",
-    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
-    "q36_cube_grouping", "l27_semantic_dedup_clusters",
-    "l28_user_event_sequences", "l29_length_band_filter",
-    # rule 5: family sentinel (r2-green spot check; q/g/l already have
-    # ≥10 in-window rows each via rules 1-4)
+    # rule 1: the 42 queries whose newest driver row is round 2
+    "q01_slice_point", "q03_key_range_scan", "q06_agg_pricing_summary",
+    "q08_customer_top_parts", "q13_predicate_library",
+    "q17_scalar_functions", "q18_json_extract", "q19_mutate_upsert",
+    "q20_group_collect", "q21_array_functions", "q26_rollup",
+    "q29_pivot", "q30_percentiles", "q35_range_step",
+    "g01_out_degree", "g02_two_hop_parts", "g05_bfs_distances",
+    "g07_traversal_semi_anti", "g08_path_query", "g09_in_traversal",
+    "g10_weighted_sssp", "g11_interaction_degree", "g12_motif_count",
+    "g13_topo_levels",
+    "l01_exact_dedup", "l02_jaccard_pairs", "l03_minhash_lsh_pairs",
+    "l05_cosine_topk", "l06_cosine_near_dup", "l07_text_stats",
+    "l08_language_id", "l09_fingerprint", "l10_multimodal_meta",
+    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
+    "l16_pipeline_composed",
+    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
+    "s06_time_rollup", "s07_interval_join",
+    # rule 2: implementation changes this round
+    "g03_supplier_triangles", "g17_link_prediction", "g20_random_walks",
+    "l04_simhash_pairs",
+    # rule 5: family sentinels from round-3 greens (displaced by any
+    # new rule-4 registrations as the round progresses)
+    "q02_slice_multikey", "g06_pagerank", "l17_lsh_blocked_near_dup",
     "s01_tumbling_window",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
