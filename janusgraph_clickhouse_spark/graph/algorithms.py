@@ -414,47 +414,78 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
 
 
 def adamic_adar(graph: PropertyGraph, top: int = 100,
-                dense_max_nodes: int = 8192) -> DataFrame:
+                dense_max_nodes: int = 8192,
+                hub_degree_threshold: int = 5000,
+                hub_salt: int = 32) -> DataFrame:
     """Link prediction over the undirected graph: for every NON-adjacent
     vertex pair (u, v) with ≥1 common neighbor, the common-neighbor count
     and the Adamic-Adar score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)); top-`top`
     pairs by (rounded score desc, u, v).
 
     One self-join on the middle vertex (the two-hop expansion), one
-    degree broadcast, one hash aggregate, one anti-join against existing
+    degree join, one hash aggregate, one anti-join against existing
     edges, TakeOrderedAndProject for the cut.  The two-hop fanout is
-    Σ_w deg(w)² — hub-dominated; at corpus scale cap or salt hub
-    vertices (deg(w) ≥ 2 always holds for a common neighbor, so the
-    1/ln(deg) term is finite by construction).
+    Σ_w deg(w)² — hub-dominated; on power-law graphs the handful of hub
+    keys serialize the wedge shuffle, so wedge centers with
+    deg(w) ≥ `hub_degree_threshold` are SALTED `hub_salt` ways: the
+    (u,w) leg gets salt = hash(u) mod s, the (w,v) leg is replicated
+    across all s salts, and the join key becomes (w, salt).  Row output
+    is identical (every (u,w,v) wedge still meets exactly once — u's
+    salt picks one of v's s replicas); the Σ deg(w_hub)² rows just land
+    in s× more tasks instead of one straggler.  Extra cost is the
+    replication, Σ_hub deg(w)·s rows — linear, not quadratic.
+    (deg(w) ≥ 2 always holds for a common neighbor, so the 1/ln(deg)
+    term is finite by construction.)
 
     Score ordering uses the ROUNDED score with the (u, v) tiebreaker so
     cross-engine float-sum noise can't reorder the cut (the l05/l06
     discipline).
 
     DENSE specialization (the g03 bit-matrix pattern): when the id space
-    is bounded (max id < `dense_max_nodes`, ids in [0, n)), the wedge
-    join is replaced by one adjacency-bitmatrix reduce + a BLAS
-    triple-product S = (A·diag(1/ln deg))·Aᵀ — on a near-complete
-    1500-vertex graph the join path materializes Σ deg² ≈ 3.4e9 wedge
-    rows (measured 72 s at sf0.1) while the dense path is one shuffle of
-    the distinct edges plus a ~3e9-FLOP local matmul (~2 s).  Scores are
-    identical under the 6dp rounding (float64 both ways); beyond the cap
-    the exact join path runs unchanged."""
+    is bounded (ids in [0, dense_max_nodes) — NEGATIVE ids fall through
+    to the join path; numpy fancy indexing would silently wrap them),
+    the wedge join is replaced by one adjacency-bitmatrix reduce + a
+    block-tiled BLAS triple-product S = (A·diag(1/ln deg))·Aᵀ — on a
+    near-complete 1500-vertex graph the join path materializes
+    Σ deg² ≈ 3.4e9 wedge rows (measured 72 s at sf0.1) while the dense
+    path is one shuffle of the distinct edges plus a ~3e9-FLOP local
+    matmul (~2 s).  Scores are identical under the 6dp rounding (float64
+    both ways); beyond the cap the salted join path runs unchanged."""
     sym = graph.undirected_edges()
-    n_nodes = sym.agg(F.greatest(F.max("src"), F.max("dst"))).first()[0]
-    n_nodes = int(n_nodes or 0) + 1
-    if n_nodes <= dense_max_nodes:
+    bounds = sym.agg(F.least(F.min("src"), F.min("dst")).alias("lo"),
+                     F.greatest(F.max("src"), F.max("dst")).alias("hi")
+                     ).first()
+    n_nodes = int(bounds["hi"] if bounds["hi"] is not None else 0) + 1
+    min_id = int(bounds["lo"] if bounds["lo"] is not None else 0)
+    if 0 <= min_id and n_nodes <= dense_max_nodes:
         return _adamic_adar_dense(sym, n_nodes, top)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
         F.count(F.lit(1)).alias("d"))
-    hop = (edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-           .join(edges.select(F.col("src").alias("w"),
-                              F.col("dst").alias("v")), "w")
+    # hub salting: the hub set is tiny by definition (deg ≥ threshold ⇒
+    # ≤ 2m/threshold hubs) — broadcast it to tag both legs scan-side
+    hubs = F.broadcast(deg.filter(F.col("d") >= hub_degree_threshold)
+                       .select("w", F.lit(True).alias("_hub")))
+    left = (edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+            .join(hubs, "w", "left")
+            .withColumn("_salt", F.when(
+                F.col("_hub"),
+                F.pmod(F.xxhash64("u"), F.lit(hub_salt)).cast("int"))
+                .otherwise(F.lit(0)))
+            .drop("_hub"))
+    right = (edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+             .join(hubs, "w", "left")
+             .withColumn("_salt", F.explode(F.when(
+                 F.col("_hub"),
+                 F.sequence(F.lit(0), F.lit(hub_salt - 1)))
+                 .otherwise(F.array(F.lit(0)))))
+             .drop("_hub"))
+    hop = (left.join(right, ["w", "_salt"])
            .filter(F.col("u") < F.col("v")))
     # deg is |V|-sized — NOT broadcast (AQE may still choose to); the
-    # two-hop join above already hashed on w, so this join co-partitions
+    # wedge join above already hashed on (w, salt), so this re-shuffles
+    # only the surviving u<v half
     scores = (hop.join(deg, "w")
               .groupBy("u", "v")
               .agg(F.count(F.lit(1)).alias("common_neighbors"),
@@ -467,14 +498,24 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
             .limit(top))
 
 
-def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int) -> DataFrame:
+def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
+                       block: int = 1024) -> DataFrame:
     """Bounded-id-space Adamic-Adar: distinct edges → per-partition packed
     adjacency bitmatrix → in-Spark OR-reduce to ONE n²-bit matrix (the
     co_occurrence_triangles discipline — the driver receives exactly one
-    blob, n²/8 bytes ≈ 8 MB at the 8192-node cap) → local float64
+    n²/8-byte blob, ≈ 8 MB at the 8192-node cap) → BLOCK-TILED float64
     matmuls for common-neighbor counts and Σ 1/ln(deg) weights →
     top-`top` by (rounded score desc, u, v).  Exact same semantics and
-    rounding as the join path."""
+    rounding as the join path.
+
+    Driver memory, honestly: the unpacked 0/1 matrix is n² uint8 bytes
+    (67 MB at n=8192) and each matmul tile is block×n float64 — three
+    tiles live (Bu, Bu·w, Bv) plus two block² products, ≈ 220 MB peak at
+    the cap with block=1024.  The tiling exists because the untiled form
+    (S, C, Af each full n² float64) peaked at ~1.6 GB at n=8192 — 200×
+    the old docstring's claim; candidates are pruned to `top` per tile
+    pair under the final (rounded score desc, u, v) order, so the merge
+    holds ≤ top·(n/block)²/2 rows."""
     import numpy as np
     import pandas as pd
 
@@ -523,21 +564,47 @@ def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int) -> DataFrame:
     for row in reduced:
         A |= np.frombuffer(row.adj, dtype=np.uint8).reshape(n_nodes, n_bytes)
     bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_nodes]
+    del A
     np.fill_diagonal(bits, 0)
-    adj = bits.astype(bool)
-    Af = bits.astype(np.float64)
-    deg = Af.sum(axis=1)
+    deg = bits.sum(axis=1, dtype=np.int64).astype(np.float64)
     # a common neighbor has deg ≥ 2 by construction, so masking deg < 2
     # to weight 0 changes nothing (and avoids 1/ln(1))
     with np.errstate(divide="ignore"):
         wgt = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
-    S = (Af * wgt) @ Af.T          # S[u,v] = Σ_{w∈N(u)∩N(v)} 1/ln deg(w)
-    C = Af @ Af.T                  # exact common-neighbor counts (< 2^53)
-    iu, iv = np.triu_indices(n_nodes, 1)
-    keep = (~adj[iu, iv]) & (C[iu, iv] > 0.5)
-    u, v = iu[keep], iv[keep]
-    score = np.round(S[iu, iv][keep], 6)
-    cnt = C[iu, iv][keep].astype(np.int64)
+    cand_u, cand_v, cand_c, cand_s = [], [], [], []
+    for u0 in range(0, n_nodes, block):
+        u1 = min(u0 + block, n_nodes)
+        Bu = bits[u0:u1].astype(np.float64)
+        BuW = Bu * wgt
+        for v0 in range(u0, n_nodes, block):
+            v1 = min(v0 + block, n_nodes)
+            Bv = bits[v0:v1].astype(np.float64)
+            # full inner product over all n middle vertices — identical
+            # math to the untiled matmul, tiled only over output rows
+            S = BuW @ Bv.T     # S[u,v] = Σ_{w∈N(u)∩N(v)} 1/ln deg(w)
+            C = Bu @ Bv.T      # exact common-neighbor counts (< 2^53)
+            uu, vv = np.nonzero((bits[u0:u1, v0:v1] == 0) & (C > 0.5))
+            gu, gv = uu + u0, vv + v0
+            keep = gu < gv
+            if not keep.any():
+                continue
+            gu, gv = gu[keep], gv[keep]
+            score = np.round(S[uu, vv][keep], 6)
+            cnt = C[uu, vv][keep].astype(np.int64)
+            # per-tile prune under the FINAL order — the global top can't
+            # contain a row outside its own tile's top
+            order = np.lexsort((gv, gu, -score))[:top]
+            cand_u.append(gu[order])
+            cand_v.append(gv[order])
+            cand_c.append(cnt[order])
+            cand_s.append(score[order])
+    if not cand_u:
+        return spark.createDataFrame(
+            [], "u long, v long, common_neighbors long, adamic_adar double")
+    u = np.concatenate(cand_u)
+    v = np.concatenate(cand_v)
+    cnt = np.concatenate(cand_c)
+    score = np.concatenate(cand_s)
     order = np.lexsort((v, u, -score))[:top]
     rows = [(int(u[i]), int(v[i]), int(cnt[i]), float(score[i]))
             for i in order]
@@ -546,23 +613,65 @@ def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int) -> DataFrame:
 
 
 def triangle_count(graph: PropertyGraph) -> int:
-    """Global triangle count on the canonical undirected edge set.
+    """Global triangle count via DEGREE-ORDERED orientation.
 
-    Classic two-join enumeration on (src<dst) edges: wedges a<b<c with
-    (a,b),(b,c) closed by (a,c).  Each edge participates once per triangle
-    orientation, so the count needs no /3 correction.  At scale, AQE's
-    skew-join splitting handles high-degree wedge centers; degree-ordered
-    orientation (order by (degree, id)) is the upgrade path for power-law
-    graphs."""
-    e = graph.undirected_edges().select("src", "dst").cache()
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"])
-    n = tri.count()
-    e.unpersist()
+    Each undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one; wedges are enumerated only from each vertex's
+    out-neighborhood and closed by the oriented (b, c) edge.  Every
+    triangle {x,y,z} with rank(x)<rank(y)<rank(z) is counted exactly once
+    as the wedge x→y, x→z closed by y→z — no /3 correction.
+
+    Why this orientation: wedge rows = Σ_a outdeg(a)·(outdeg(a)-1)/2 and
+    the oriented out-degree is O(√m) for EVERY vertex (a vertex can only
+    point at neighbors of ≥ its own degree), so total wedge rows are
+    O(m^1.5) regardless of skew — on a star graph the naive enumeration
+    materializes Θ(n²) wedges through the hub while this form emits zero
+    (every leaf has out-degree 1).  This is the standard power-law
+    defense; AQE skew-join splitting remains a second line, not the
+    plan."""
+    oriented = _degree_oriented_edges(graph).cache()
+    wedges = _oriented_wedges(oriented)
+    # the closing edge b—c has rank(b) < rank(c), so it is stored
+    # oriented exactly as (b, c): a plain equi-join, no OR-of-directions
+    closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    n = wedges.join(closer, ["b", "c"]).count()
+    oriented.unpersist()
     return n
+
+
+def _degree_oriented_edges(graph: PropertyGraph) -> DataFrame:
+    """Each canonical undirected edge oriented low→high by (degree, id)
+    rank: (a, b, db) with rank(a) < rank(b), db = deg(b).  The oriented
+    out-degree is O(√m) for every vertex — the skew bound triangle
+    counting builds on."""
+    e = graph.undirected_edges().select("src", "dst")
+    both = e.unionAll(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    ed = (e.join(deg.select(F.col("id").alias("src"),
+                            F.col("d").alias("ds")), "src")
+          .join(deg.select(F.col("id").alias("dst"),
+                           F.col("d").alias("dd")), "dst"))
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    return ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("dd")).otherwise(F.col("ds")).alias("db"),
+    )
+
+
+def _oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """Wedges (a; b, c) with rank(b) < rank(c) from the oriented edge
+    set — Σ_a C(outdeg(a), 2) rows total, O(m^1.5) regardless of hub
+    skew (vs Σ_w C(deg(w), 2) for the naive center-join)."""
+    o1 = oriented.select("a", "b", "db")
+    o2 = oriented.select(F.col("a").alias("a"), F.col("b").alias("c"),
+                         F.col("db").alias("dc"))
+    rank_lt = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    return o1.join(o2, "a").filter(rank_lt)
 
 
 def triangle_count_dense(edges: DataFrame, n_nodes: int) -> DataFrame:
@@ -862,7 +971,8 @@ def personalized_pagerank(graph: PropertyGraph, source_ids: list[int],
     return out.select("id", "rank")
 
 
-def seeded_random_walks(graph: PropertyGraph, source_ids: list[int],
+def seeded_random_walks(graph: PropertyGraph,
+                        source_ids: "list[int] | DataFrame",
                         steps: int, seed: str = "w") -> DataFrame:
     """Deterministic seeded random walks (the node2vec/DeepWalk sampling
     primitive): one walker per source; at step t the walker at u moves to
@@ -877,7 +987,13 @@ def seeded_random_walks(graph: PropertyGraph, source_ids: list[int],
 
     Scale shape: each step is one equi-join frontier × edges on src plus
     a per-walk top-1 window — frontier rows = #walks, never the edge
-    set; localCheckpoint per step keeps lineage flat."""
+    set; localCheckpoint per step keeps lineage flat.
+
+    `source_ids` may be a single-column DataFrame of vertex ids — the
+    walk sources then stay IN-PLAN (a semi-join against the vertex set;
+    no `.collect()` on the driver), which is the form any corpus-scale
+    caller must use: a literal id list grows with the corpus and turns
+    the driver into the bottleneck."""
     from pyspark.sql import Window
 
     spark = graph.edges.sparkSession
@@ -886,8 +1002,14 @@ def seeded_random_walks(graph: PropertyGraph, source_ids: list[int],
         edges = edges.repartition(spark.sparkContext.defaultParallelism,
                                   "src")
     edges = edges.cache()
-    cur = (graph.vertices.filter(F.col("id").isin(source_ids))
-           .select(F.col("id").alias("walk_id"), F.col("id").alias("cur")))
+    if isinstance(source_ids, DataFrame):
+        srcs = source_ids.select(
+            F.col(source_ids.columns[0]).alias("id"))
+        sources = graph.vertices.join(srcs, "id", "semi")
+    else:
+        sources = graph.vertices.filter(F.col("id").isin(source_ids))
+    cur = sources.select(F.col("id").alias("walk_id"),
+                         F.col("id").alias("cur"))
     trace = cur.select("walk_id", F.lit(0).alias("step"),
                        F.col("cur").alias("vertex"))
     for t in range(1, steps + 1):

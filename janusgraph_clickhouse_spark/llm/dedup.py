@@ -239,7 +239,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 8,
-                  sub_bands: int | None = None) -> DataFrame:
+                  sub_bands: "int | None | str" = "auto",
+                  auto_row_threshold: int = 256) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — COMPLETE
     (no missed pairs) by construction.
 
@@ -265,9 +266,23 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     but each key is (m-h)·(64/m) bits wide (e.g. h=8, m=10 → 45 keys of
     ~12.8 bits ≈ 7k buckets vs 256).  Rows per doc grow C(m, m-h)-fold;
     pick m so C(m, m-h) stays small (m = h+2 → C(h+2, 2)).
-    """
+
+    DEFAULT ``sub_bands="auto"``: combination blocking (m = max_hamming+2)
+    whenever the corpus exceeds `auto_row_threshold` rows, else the
+    pigeonhole split.  The threshold is the pigeonhole key-space size —
+    7-8-bit bands have ≤256 distinct values, so past ~256 rows every
+    bucket is multi-doc by pigeonhole and the candidate join starts its
+    quadratic slide; below it the 45× key fan-out costs more than it
+    saves.  The decision needs a count, so the signature DF is
+    checkpointed first — one materialization either way, and the
+    pair-set is identical for both blockings (pytest-pinned)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    sh = simhash(df, id_col, text_col)
+    if sub_bands == "auto":
+        sh = sh.localCheckpoint(eager=True)
+        sub_bands = (max_hamming + 2
+                     if sh.count() > auto_row_threshold else None)
     n_bands = (sub_bands if sub_bands is not None else max_hamming + 1)
     if n_bands <= max_hamming:
         raise ValueError(
@@ -281,7 +296,6 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         return (F.shiftrightunsigned("simhash", starts[b])
                 .bitwiseAND(F.lit(mask)))
 
-    sh = simhash(df, id_col, text_col)
     if sub_bands is None:
         keys = [_band(b) for b in range(n_bands)]
     else:

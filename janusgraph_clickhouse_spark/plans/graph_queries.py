@@ -710,7 +710,9 @@ def g20_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
     g = star_schema_graph(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
-    ids = [r[0] + _C for r in
-           cust.filter(F.col("c_custkey") % 100 == 0)
-               .select("c_custkey").collect()]
-    return seeded_random_walks(g, ids, steps=4, seed="w")
+    # sources stay in-plan (scan-side modulo predicate + semi-join) — the
+    # old `.collect()` here was the only driver-side id list in a
+    # registered query's build path and grows linearly with the corpus
+    srcs = (cust.filter(F.col("c_custkey") % 100 == 0)
+            .select((F.col("c_custkey") + _C).alias("id")))
+    return seeded_random_walks(g, srcs, steps=4, seed="w")

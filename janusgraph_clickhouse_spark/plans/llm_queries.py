@@ -111,14 +111,18 @@ def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 8), banded pigeonhole-complete
-    blocking; the only pandas-UDF stage in the dedup family.
+    """SimHash-64 near-dup pairs (Hamming ≤ 8); the only pandas-UDF stage
+    in the dedup family.  Blocking is the `auto` default — the corpus
+    exceeds the 256-row pigeonhole key-space at every SF, so this runs
+    Manku combination blocking (C(10,2)=45 ~12.8-bit keys), the form
+    that survives corpus scale.
 
     Hash-checked: the signature is md5-derived (not engine-specific), so
     DuckDB re-derives the identical per-word big-endian-uint64 bit votes
-    relationally and compares all pairs exactly — valid because the
-    max_hamming+1 banding guarantees NO thresholded pair is missed (a
-    probabilistic blocking could not be oracled this way)."""
+    relationally and compares all pairs exactly — valid because BOTH
+    blockings are complete for Hamming ≤ max_hamming, so NO thresholded
+    pair is missed (a probabilistic blocking could not be oracled this
+    way); the pair-set equality of the two blockings is pytest-pinned."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 

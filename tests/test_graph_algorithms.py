@@ -447,3 +447,95 @@ def test_adamic_adar_dense_matches_join_path(spark):
     join = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
             for r in adamic_adar(g, top=50, dense_max_nodes=0).collect()]
     assert dense == join and len(dense) > 0
+
+
+def test_triangle_orientation_bounds_wedges_on_power_law(spark):
+    """Degree-ordered orientation must keep wedge rows O(m^1.5) on a
+    hub-dominated graph: a 200-leaf star plus a leaf ring.  The naive
+    center-join materializes C(200,2)=19900 wedges through the hub; the
+    oriented form emits none there (every leaf out-degree ≤ 3)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _degree_oriented_edges, _oriented_wedges)
+    n = 200
+    edges = [(0, i) for i in range(1, n + 1)]
+    edges += [(i, i + 1) for i in range(1, n)] + [(n, 1)]
+    g = graph_from_edge_list(spark, edges)
+    # each ring edge closes a triangle through the hub; the ring itself
+    # (length 200 > 3) adds none
+    assert triangle_count(g) == n
+    oriented = _degree_oriented_edges(g)
+    wedge_rows = _oriented_wedges(oriented).count()
+    m = len(edges)
+    naive_wedges = sum(d * (d - 1) // 2
+                       for d in [n] + [3] * n)  # hub degree n, leaves 3
+    assert wedge_rows <= 2 * int(m ** 1.5)
+    assert wedge_rows * 10 < naive_wedges  # hub wedges actually gone
+    # orientation out-degree bound: no vertex fans out more than O(√m)
+    max_out = (oriented.groupBy("a").count()
+               .agg(F.max("count")).first()[0])
+    assert max_out <= int(2 * m ** 0.5) + 1
+
+
+def test_adamic_adar_hub_salting_matches_unsalted(spark):
+    """Salting hub wedge centers must not change a single output row —
+    same pairs, counts and scores as the unsalted join path."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    edges = [(0, i) for i in range(1, 41)]           # hub 0, deg 40
+    edges += [(i, i + 1) for i in range(1, 40, 3)]   # sparse cross edges
+    g = graph_from_edge_list(spark, edges)
+    salted = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+              for r in adamic_adar(g, top=1000, dense_max_nodes=0,
+                                   hub_degree_threshold=10,
+                                   hub_salt=4).collect()]
+    plain = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+             for r in adamic_adar(g, top=1000, dense_max_nodes=0,
+                                  hub_degree_threshold=10 ** 9).collect()]
+    assert salted == plain and len(salted) > 0
+
+
+def test_adamic_adar_negative_ids_use_join_path(spark):
+    """Negative vertex ids must fall through to the join path — numpy
+    fancy indexing in the dense path would silently WRAP them into
+    wrong adjacency rows."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    g = graph_from_edge_list(spark, [(-1, 2), (2, 3), (-1, 3), (3, 4)])
+    rows = {(r.u, r.v): (r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g, top=10).collect()}
+    # N(3) = {-1, 2, 4}: pairs (-1,4) and (2,4) share only w=3, deg 3
+    score = round(1 / math.log(3), 6)
+    assert rows == {(-1, 4): (1, score), (2, 4): (1, score)}
+
+
+def test_adamic_adar_dense_tiling_matches_untiled(spark):
+    """The block-tiled dense matmul must be exact for any tile size —
+    including tiles that straddle the candidate pairs."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _adamic_adar_dense, adamic_adar)
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (4, 5),
+             (5, 6), (6, 7), (7, 4), (3, 5)]
+    g = graph_from_edge_list(spark, edges)
+    sym = g.undirected_edges()
+    expect = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+              for r in adamic_adar(g, top=50, dense_max_nodes=0).collect()]
+    for block in (3, 8, 1024):
+        got = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+               for r in _adamic_adar_dense(sym, 8, top=50,
+                                           block=block).collect()]
+        assert got == expect, f"block={block}"
+
+
+def test_seeded_random_walks_dataframe_sources(spark):
+    """A sources DataFrame (the in-plan, no-collect form) must walk
+    exactly like the literal id list."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        seeded_random_walks)
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 5)]
+    g = graph_from_edge_list(spark, edges)
+    by_list = sorted((r.walk_id, r.step, r.vertex)
+                     for r in seeded_random_walks(g, [1, 2],
+                                                  steps=3).collect())
+    src_df = spark.createDataFrame([(1,), (2,)], "id long")
+    by_df = sorted((r.walk_id, r.step, r.vertex)
+                   for r in seeded_random_walks(g, src_df,
+                                                steps=3).collect())
+    assert by_df == by_list and len(by_df) > 0

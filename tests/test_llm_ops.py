@@ -45,17 +45,29 @@ def test_simhash_finds_planted_dups(spark, sf_oracle):
 
 def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
     """Combination blocking (sub_bands=m, C(m, m-h) concatenated keys)
-    must return EXACTLY the same pair set as the default pigeonhole
-    banding — both are complete for Hamming ≤ h, and the exact Hamming
-    rerank removes any extra bucket collisions."""
+    must return EXACTLY the same pair set as the pigeonhole banding —
+    both are complete for Hamming ≤ h, and the exact Hamming rerank
+    removes any extra bucket collisions.  The `auto` default must pick
+    combination blocking here (500 docs > the 256-row threshold) and its
+    plan must show the xxhash64 combination keys."""
     docs = _docs(spark, sf_oracle)
-    base = {(r.doc_a, r.doc_b, r.hamming)
-            for r in D.simhash_pairs(docs, "doc_id", "text", 8).collect()}
+    pigeon = {(r.doc_a, r.doc_b, r.hamming)
+              for r in D.simhash_pairs(docs, "doc_id", "text", 8,
+                                       sub_bands=None).collect()}
     multi = {(r.doc_a, r.doc_b, r.hamming)
              for r in D.simhash_pairs(docs, "doc_id", "text", 8,
                                       sub_bands=10).collect()}
-    assert multi == base
-    assert len(base) > 0
+    auto_df = D.simhash_pairs(docs, "doc_id", "text", 8)
+    auto = {(r.doc_a, r.doc_b, r.hamming) for r in auto_df.collect()}
+    assert multi == pigeon
+    assert auto == pigeon
+    assert len(pigeon) > 0
+    plan = auto_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan, "auto default did not flip to sub_bands"
+    tiny = D.simhash_pairs(docs.limit(10), "doc_id", "text", 8)
+    tiny_plan = tiny._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in tiny_plan, \
+        "tiny corpus should keep the pigeonhole split"
 
 
 def test_lsh_blocked_near_dup_subset_of_exact(spark, sf_oracle):
