@@ -610,10 +610,20 @@ def _l18_oracle(threshold: float = 0.4, rounds: int = 12) -> str:
       LEFT JOIN ed ON ed.dst = l.id
       LEFT JOIN lab{t} n ON n.id = ed.src
       GROUP BY l.id, l.comp)""")
+    # convergence tripwire: Spark runs pointer-jumping CC to convergence
+    # while this oracle unrolls a fixed recurrence — if the pair-graph
+    # diameter ever exceeds `rounds`, ERROR loudly instead of silently
+    # hash-mismatching (the l18 precedent)
+    parts.append(f"""conv AS MATERIALIZED (
+      SELECT count(*) AS changed FROM lab{rounds} l
+      JOIN lab{rounds - 1} p ON p.id = l.id AND p.comp <> l.comp)""")
     return ("WITH " + ",\n".join(parts) + f"""
     SELECT comp AS cluster_id, count(*) AS n_members,
            string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-    FROM lab{rounds} GROUP BY comp""")
+    FROM lab{rounds} GROUP BY comp
+    HAVING (SELECT CASE WHEN changed = 0 THEN true
+                        ELSE error('cluster oracle: not converged in """
+            + f"""{rounds} rounds — raise rounds') END FROM conv)""")
 
 
 @query("l18_dedup_clusters", oracle=_l18_oracle())
@@ -815,9 +825,9 @@ def l24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: documents → fixed 2048-token training chunks in
     a deterministic md5-shuffled order; a doc joins the chunk where its
     first token falls.  The Spark side is a DISTRIBUTED prefix sum
-    (md5-byte shards cumsum locally + a broadcast 256-row offset
-    table); the oracle is the same running sum as ONE window — the
-    hash-match proves the two-level decomposition exact."""
+    (md5 4-hex-char shards cumsum locally + a broadcast 65,536-row
+    offset table — ~1 MB); the oracle is the same running sum as ONE
+    window — the hash-match proves the two-level decomposition exact."""
     from ..llm.split import pack_sequences
     docs = load_table(spark, sf_dir, "documents")
     packed = pack_sequences(docs, "doc_id", "text", budget=2048)
@@ -928,10 +938,20 @@ def _l27_oracle(threshold: float = 0.35, n_planes: int = 8,
       LEFT JOIN ed ON ed.dst = l.id
       LEFT JOIN lab{t} n ON n.id = ed.src
       GROUP BY l.id, l.comp)""")
+    # convergence tripwire: Spark runs pointer-jumping CC to convergence
+    # while this oracle unrolls a fixed recurrence — if the pair-graph
+    # diameter ever exceeds `rounds`, ERROR loudly instead of silently
+    # hash-mismatching (the l18 precedent)
+    parts.append(f"""conv AS MATERIALIZED (
+      SELECT count(*) AS changed FROM lab{rounds} l
+      JOIN lab{rounds - 1} p ON p.id = l.id AND p.comp <> l.comp)""")
     return ("WITH " + ",\n".join(parts) + f"""
     SELECT comp AS cluster_id, count(*) AS n_members,
            string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-    FROM lab{rounds} GROUP BY comp""")
+    FROM lab{rounds} GROUP BY comp
+    HAVING (SELECT CASE WHEN changed = 0 THEN true
+                        ELSE error('cluster oracle: not converged in """
+            + f"""{rounds} rounds — raise rounds') END FROM conv)""")
 
 
 @query("l27_semantic_dedup_clusters", oracle=_l27_oracle())

@@ -110,47 +110,58 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 
 
-_TS_UNIT_CACHE: dict[tuple[str, int], str] = {}
+_TS_UNIT_CACHE: dict[tuple, str] = {}
+
+
+def _probe_ts_unit(f: str) -> str:
+    """One file's footer → events.ts unit ('ns', 'us', …)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f)
+    arrow = pf.schema_arrow
+    idx = arrow.get_field_index("ts")
+    if pf.schema.column(idx).physical_type == "INT96":
+        # Spark's own legacy timestamp encoding (its default WRITE
+        # type) — reads natively as TimestampType; arrow mislabels
+        # it timestamp[ns]
+        return "us"
+    t = arrow.field("ts").type
+    if pa.types.is_integer(t):
+        # raw INT64 without a timestamp logical type: the legacy
+        # (round 1-2) fixture convention — epoch nanos
+        return "ns"
+    return getattr(t, "unit", "us")
 
 
 def events_ts_unit(path: str) -> str:
     """Parquet footer probe: the time unit of events.ts ('ns', 'us', …).
 
     The driver's fixture generator has flipped between TIMESTAMP(NANOS)
-    and TIMESTAMP(MICROS) across rounds; reading the footer (a driver-side
-    millisecond op, cached per (path, mtime)) keeps the loader correct for
-    both instead of baking in either assumption."""
+    and TIMESTAMP(MICROS) across rounds; reading the footers (a
+    driver-side millisecond op, cached per part-file (path, mtime) set)
+    keeps the loader correct for both instead of baking in either
+    assumption.  EVERY part file is probed and the units must agree — a
+    regenerated subset or mixed-unit directory fails loudly here rather
+    than as silent 1000×-off timelines; the cache key folds all part
+    mtimes, so an in-place regen of any part re-probes."""
     import glob
 
-    f = path
+    files = [path]
     if os.path.isdir(path):
-        inside = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not inside:
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
             return "us"
-        f = inside[0]
     try:
-        key = (f, os.stat(f).st_mtime_ns)
+        key = tuple((f, os.stat(f).st_mtime_ns) for f in files)
     except OSError:
         return "us"
     if key not in _TS_UNIT_CACHE:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        pf = pq.ParquetFile(f)
-        arrow = pf.schema_arrow
-        idx = arrow.get_field_index("ts")
-        if pf.schema.column(idx).physical_type == "INT96":
-            # Spark's own legacy timestamp encoding (its default WRITE
-            # type) — reads natively as TimestampType; arrow mislabels
-            # it timestamp[ns]
-            _TS_UNIT_CACHE[key] = "us"
-        else:
-            t = arrow.field("ts").type
-            if pa.types.is_integer(t):
-                # raw INT64 without a timestamp logical type: the legacy
-                # (round 1-2) fixture convention — epoch nanos
-                _TS_UNIT_CACHE[key] = "ns"
-            else:
-                _TS_UNIT_CACHE[key] = getattr(t, "unit", "us")
+        units = {f: _probe_ts_unit(f) for f in files}
+        if len(set(units.values())) > 1:
+            raise ValueError(
+                f"mixed events.ts units across part files of {path}: "
+                f"{units}")
+        _TS_UNIT_CACHE[key] = next(iter(units.values()))
     return _TS_UNIT_CACHE[key]
 
 
