@@ -1,3 +1,3 @@
-from . import dedup, similarity, text, multimodal
+from . import dedup, incremental, similarity, text, multimodal
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "incremental", "similarity", "text", "multimodal"]

@@ -1039,3 +1039,52 @@ def l29_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.round(F.avg("tok"), 6).alias("avg_len")))
+
+
+@query(
+    "l30_incremental_dedup",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh
+                        GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT nw.doc_id AS doc_id, old.doc_id AS dup_of, count(*) AS m
+      FROM sh nw JOIN sh old
+        ON nw.s = old.s AND nw.doc_id % 10 = 0 AND old.doc_id % 10 <> 0
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.dup_of,
+           round(m::DOUBLE / (sa.n + sb.n - m), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_id
+    JOIN sz sb ON sb.doc_id = i.dup_of
+    WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.4
+    """,
+)
+def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every-10th document plays the NEW batch,
+    the rest the already-indexed corpus; the batch is fingerprinted
+    (MinHash bands + hashed shingles) and joined against the corpus's
+    fingerprint index — per-batch work is O(batch), the corpus
+    contributes only equi-join lookups, and NOTHING is compared within
+    the batch or within the corpus (llm/incremental.py; the streaming
+    absorb form is pytest-exercised with a live index directory).
+
+    Hash-checked: the oracle recomputes the exact cross-side 3-gram
+    Jaccard — valid because the 16×3 LSH banding has recall 1 on the
+    fixture's planted dups (the l03 discipline)."""
+    from ..llm import incremental as I
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = I.fingerprint_tables(old, "doc_id", "text")
+    return I.incremental_dedup_pairs(new, "doc_id", "text", idx,
+                                     threshold=0.4)

@@ -77,10 +77,12 @@ DRIVER_PRIORITY: list[str] = [
     # rule 2: implementation changes this round
     "g03_supplier_triangles", "g17_link_prediction", "g20_random_walks",
     "l04_simhash_pairs",
+    # rule 4: new queries registered this round
+    "l30_incremental_dedup",
     # rule 5: family sentinels from round-3 greens (displaced by any
-    # new rule-4 registrations as the round progresses)
+    # new rule-4 registrations as the round progresses; the s family
+    # keeps 5 rule-1 members, so s01 rotated out first)
     "q02_slice_multikey", "g06_pagerank", "l17_lsh_blocked_near_dup",
-    "s01_tumbling_window",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
