@@ -78,11 +78,12 @@ DRIVER_PRIORITY: list[str] = [
     "g03_supplier_triangles", "g17_link_prediction", "g20_random_walks",
     "l04_simhash_pairs",
     # rule 4: new queries registered this round
-    "l30_incremental_dedup",
+    "l30_incremental_dedup", "q37_geo_within",
     # rule 5: family sentinels from round-3 greens (displaced by any
     # new rule-4 registrations as the round progresses; the s family
-    # keeps 5 rule-1 members, so s01 rotated out first)
-    "q02_slice_multikey", "g06_pagerank", "l17_lsh_blocked_near_dup",
+    # keeps 5 rule-1 members and q keeps 14, so s01/q02 rotated out
+    # first)
+    "g06_pagerank", "l17_lsh_blocked_near_dup",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

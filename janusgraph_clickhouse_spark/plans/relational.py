@@ -960,3 +960,57 @@ def q36_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.grouping_id().cast("int").alias("gid"),
                  F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query(
+    "q37_geo_within",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_nationkey,
+             -90.0 + ((c_custkey * 7919) % 18000) / 100.0 AS lat,
+             -180.0 + ((c_custkey * 104729) % 36000) / 100.0 AS lon
+      FROM customer),
+    d AS (
+      SELECT c_nationkey,
+             round(2 * 6371.0 * asin(sqrt(
+               power(sin((radians(25.0) - radians(lat)) / 2), 2)
+               + cos(radians(lat)) * cos(radians(25.0))
+                 * power(sin((radians(45.0) - radians(lon)) / 2), 2))),
+               6) AS dist
+      FROM pts
+      WHERE lat >= -60.0 AND lat <= 75.0 AND lon >= -120.0 AND lon <= 120.0)
+    SELECT c_nationkey AS nationkey, count(*) AS n_within,
+           round(avg(dist), 4) AS avg_dist_km
+    FROM d WHERE dist <= 6000.0
+    GROUP BY 1
+    """,
+)
+def q37_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo predicate surface (JanusGraph Geoshape / Gremlin geoWithin —
+    the reference system indexes Geoshape properties, SURVEY §1.2):
+    customers at deterministic key-derived coordinates, filtered by a
+    bounding BOX (scan-side range conjunctions — pushes down) and a
+    great-circle CIRCLE (haversine ≤ 6000 km of (25°, 45°)), counted
+    per nation.
+
+    The circle compares the 6dp-ROUNDED distance (l06 discipline) so
+    cross-engine trig ulp noise can't flip membership; coordinates are
+    integer-modulus-derived so both engines synthesize identical
+    doubles.  Zero UDFs — the whole predicate stack is codegen trig."""
+    from ..functions.predicates import P
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_nationkey",
+        (F.lit(-90.0) + ((F.col("c_custkey") * 7919) % 18000) / 100.0)
+        .alias("lat"),
+        (F.lit(-180.0) + ((F.col("c_custkey") * 104729) % 36000) / 100.0)
+        .alias("lon"))
+    boxed = pts.filter(P.geo_within_box("lat", "lon",
+                                        -60.0, 75.0, -120.0, 120.0))
+    d = boxed.select("c_nationkey",
+                     P.geo_distance_km("lat", "lon", 25.0, 45.0)
+                     .alias("dist"))
+    return (d.filter(F.col("dist") <= 6000.0)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_within"),
+                 F.round(F.avg("dist"), 4).alias("avg_dist_km")))

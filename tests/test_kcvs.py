@@ -205,3 +205,45 @@ def test_aggregate_neighbors_helper(spark):
     out = {r.dst: r.s for r in aggregate_neighbors(
         state, edges, "val", F.sum("val").alias("s")).collect()}
     assert out == {3: 30.0, 2: 10.0}
+
+
+def test_geo_predicates_closed_form(spark):
+    """Geo surface (Geoshape analog): haversine distance against known
+    city pairs, box containment/intersection truth tables."""
+    # (lat, lon): Paris, London, and a point on the equator/meridian
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, 51.5074, -0.1278), (3, 0.0, 0.0)],
+        "id long, lat double, lon double")
+    # Paris-London great-circle distance ≈ 343.6 km
+    d = {r.id: r.d for r in df.select(
+        "id", P.geo_distance_km("lat", "lon", 51.5074, -0.1278)
+        .alias("d")).collect()}
+    assert abs(d[2]) < 1e-9                       # self-distance
+    assert 340 < d[1] < 348
+    # circle: 400 km around London catches Paris, not the origin
+    got = {r.id for r in df.filter(P.geo_within_circle(
+        "lat", "lon", 51.5074, -0.1278, 400.0)).collect()}
+    assert got == {1, 2}
+    # box around western Europe
+    got = {r.id for r in df.filter(P.geo_within_box(
+        "lat", "lon", 45.0, 55.0, -5.0, 10.0)).collect()}
+    assert got == {1, 2}
+    # box-box intersect / disjoint (per-row boxes vs a literal box)
+    boxes = spark.createDataFrame(
+        [(1, 0.0, 10.0, 0.0, 10.0),      # overlaps query box
+         (2, 20.0, 30.0, 0.0, 10.0),     # disjoint in lat
+         (3, 5.0, 6.0, 9.0, 20.0)],      # touches corner region
+        "id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double")
+    hit = {r.id for r in boxes.filter(P.geo_intersect_box(
+        "lat_min", "lat_max", "lon_min", "lon_max",
+        4.0, 9.0, 8.0, 15.0)).collect()}
+    assert hit == {1, 3}
+    miss = {r.id for r in boxes.filter(P.geo_disjoint_box(
+        "lat_min", "lat_max", "lon_min", "lon_max",
+        4.0, 9.0, 8.0, 15.0)).collect()}
+    assert miss == {2}
+    # dispatch form
+    assert df.filter(apply_predicate(
+        "geoWithinCircle", "lat", "lon", 51.5074, -0.1278, 400.0)
+    ).count() == 2
