@@ -61,6 +61,9 @@ HEADLINE = [
     "l24_sequence_packing",     # distributed prefix-sum packing
     "l26_bigram_lm_score",      # corpus-LM quality scoring
     "s07_interval_join",        # stream-shaped interval self-join
+    # round-4 additions
+    "l30_incremental_dedup",    # batch-vs-index fingerprint dedup
+    "q37_geo_within",           # geo predicate stack (haversine + box)
 ]
 
 
