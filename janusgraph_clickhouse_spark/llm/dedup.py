@@ -85,14 +85,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                   threshold: float = 0.4,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  allow_quadratic: bool = False) -> DataFrame:
     """All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ threshold.
 
     With `candidates` (doc_a, doc_b) supplied, computes Jaccard only for
     those pairs (the LSH rerank path).  Threshold compares the exact
     integer ratio — bit-identical across engines.
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
-    """
+
+    Without candidates this is the FULL-CORPUS QUADRATIC baseline —
+    the one shape in the dedup family that cannot run at 100× — so it
+    refuses unless `allow_quadratic=True` makes the choice explicit.
+    The scale path is minhash_dedup_pairs (same output, LSH-bounded
+    candidate generation)."""
+    if candidates is None and not allow_quadratic:
+        raise ValueError(
+            "full-corpus exact Jaccard is quadratic in corpus size; "
+            "pass candidates=... (the LSH rerank path, see "
+            "minhash_dedup_pairs) or opt in with allow_quadratic=True "
+            "for a bounded baseline/rerank run")
     sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:

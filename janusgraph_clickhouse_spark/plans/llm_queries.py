@@ -71,7 +71,8 @@ def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the
     quadratic baseline the LSH path reranks against."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4,
+                           allow_quadratic=True)
 
 
 @query("l03_minhash_lsh_pairs", oracle=_JACCARD_ORACLE)

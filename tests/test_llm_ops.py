@@ -25,7 +25,8 @@ def test_minhash_lsh_matches_exact(spark, sf_oracle):
     construction of the rerank; recall ≈1 for 0.8+ planted dups)."""
     docs = _docs(spark, sf_oracle)
     exact = {(r.doc_a, r.doc_b)
-             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.4).collect()}
+             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.4,
+                             allow_quadratic=True).collect()}
     lsh = {(r.doc_a, r.doc_b)
            for r in D.minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.4).collect()}
     assert lsh <= exact                     # rerank ⇒ no false positives
@@ -36,7 +37,8 @@ def test_minhash_lsh_matches_exact(spark, sf_oracle):
 def test_simhash_finds_planted_dups(spark, sf_oracle):
     docs = _docs(spark, sf_oracle)
     exact = {(r.doc_a, r.doc_b)
-             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()}
+             for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.8,
+                             allow_quadratic=True).collect()}
     sim = {(r.doc_a, r.doc_b)
            for r in D.simhash_pairs(docs, "doc_id", "text", 8).collect()}
     # simhash(hamming≤8) should recover most 0.8+ jaccard dups
