@@ -64,6 +64,8 @@ HEADLINE = [
     # round-4 additions
     "l30_incremental_dedup",    # batch-vs-index fingerprint dedup
     "q37_geo_within",           # geo predicate stack (haversine + box)
+    "g21_harmonic_centrality",  # source-labeled multi-source BFS
+    "l31_boilerplate_score",    # corpus-df template detection
 ]
 
 

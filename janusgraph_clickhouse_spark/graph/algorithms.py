@@ -1030,3 +1030,55 @@ def seeded_random_walks(graph: PropertyGraph,
             F.col("cur").alias("vertex")))
     edges.unpersist()
     return trace
+
+
+def harmonic_centrality(graph: PropertyGraph,
+                        sources: "list[int] | DataFrame",
+                        max_hops: int = 3,
+                        directed: bool = True) -> DataFrame:
+    """Bounded-horizon harmonic centrality per seed vertex:
+
+        C_H(s) = Σ_{v ≠ s, d(s,v) ≤ max_hops} 1 / d(s,v)
+
+    via SOURCE-LABELED multi-source BFS — the frontier carries
+    (source, vertex) pairs, so ONE iteration per hop serves every seed
+    simultaneously (k seeds never means k BFS runs).  The bounded
+    horizon is the standard scale trade for centrality on large graphs:
+    exact all-pairs distances are Θ(n·m), a fixed horizon keeps each
+    hop one equi-join whose row count is Σ_s |ball(s, h)|.
+
+    `sources` may be a single-column DataFrame (in-plan, no driver
+    collect — the g20 discipline).  Returns (id, harmonic) with the
+    score rounded to 6dp (sum order is engine-dependent; the rounding
+    grid absorbs ulp noise, the l05/l06 discipline)."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.unionAll(edges.select(F.col("dst").alias("src"),
+                                            F.col("src").alias("dst")))
+    edges = edges.cache()
+    if isinstance(sources, DataFrame):
+        srcs = sources.select(F.col(sources.columns[0]).alias("id"))
+        seed = graph.vertices.join(srcs, "id", "semi")
+    else:
+        seed = graph.vertices.filter(F.col("id").isin(list(sources)))
+    visited = seed.select(F.col("id").alias("source"),
+                          F.col("id").alias("vid"),
+                          F.lit(0).alias("distance"))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(edges, frontier.vid == edges.src)
+               .select("source", F.col("dst").alias("vid"))
+               .distinct()
+               .join(visited, ["source", "vid"], "left_anti")
+               .withColumn("distance", F.lit(hop))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = (visited.unionAll(nxt).localCheckpoint(eager=True))
+        frontier = nxt
+    edges.unpersist()
+    return (visited.filter(F.col("distance") > 0)
+            .groupBy(F.col("source").alias("id"))
+            .agg(F.round(F.sum(F.lit(1.0) / F.col("distance")), 6)
+                 .alias("harmonic")))

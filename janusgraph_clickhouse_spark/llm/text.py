@@ -190,3 +190,31 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("id", "token", "tfidf"))
+
+
+def boilerplate_score(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, common_df: int = 5) -> DataFrame:
+    """(id, n_shingles, common_frac): the fraction of a document's word
+    n-gram shingles that are corpus-COMMON (document frequency ≥
+    `common_df`) — the boilerplate/template detector of a training-data
+    quality stack (navigation chrome, license blocks, and mirrored
+    templates score high; original prose scores low).
+
+    Scale shape: one shingle pass (hashed to 8-byte keys — counts are
+    hash-invariant, so a SQL oracle can re-derive them from the raw
+    strings), one document-frequency aggregate, one join back keyed on
+    the same shingle hash, one per-doc aggregate.  Linear in corpus
+    tokens, zero UDFs, no pair enumeration — boilerplate detection
+    WITHOUT the quadratic containment join."""
+    from .dedup import shingle_sets
+    sh = shingle_sets(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (sh.join(dfreq, "shingle")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("df") >= common_df, 1)
+                       .otherwise(0)).alias("n_common"))
+            .select("id", "n_shingles",
+                    F.round(F.col("n_common").cast("double")
+                            / F.col("n_shingles"), 6)
+                    .alias("common_frac")))

@@ -716,3 +716,56 @@ def g20_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (cust.filter(F.col("c_custkey") % 100 == 0)
             .select((F.col("c_custkey") + _C).alias("id")))
     return seeded_random_walks(g, srcs, steps=4, seed="w")
+
+
+@query(
+    "g21_harmonic_centrality",
+    oracle=f"""
+    WITH seeds AS MATERIALIZED (
+      SELECT c_custkey AS ck, c_custkey + {_C} AS source
+      FROM customer WHERE c_custkey % 200 = 0),
+    o1 AS MATERIALIZED (
+      SELECT s.source, o_orderkey FROM seeds s
+      JOIN orders ON o_custkey = s.ck),
+    n1 AS MATERIALIZED (
+      SELECT s.source, c_nationkey FROM seeds s
+      JOIN customer ON c_custkey = s.ck),
+    p2 AS MATERIALIZED (
+      SELECT DISTINCT o1.source, l_partkey FROM o1
+      JOIN lineitem ON l_orderkey = o1.o_orderkey),
+    r2 AS MATERIALIZED (
+      SELECT n1.source, n_regionkey FROM n1
+      JOIN nation ON n_nationkey = n1.c_nationkey),
+    sp AS MATERIALIZED (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    s3 AS MATERIALIZED (
+      SELECT DISTINCT p2.source, sp.l_suppkey FROM p2
+      JOIN sp ON sp.l_partkey = p2.l_partkey),
+    dists AS (
+      SELECT source, 1.0 AS invd FROM o1
+      UNION ALL SELECT source, 1.0 FROM n1
+      UNION ALL SELECT source, 0.5 FROM p2
+      UNION ALL SELECT source, 0.5 FROM r2
+      UNION ALL SELECT source, 1.0 / 3 FROM s3)
+    SELECT source AS id, round(sum(invd), 6) AS harmonic
+    FROM dists GROUP BY 1
+    """,
+)
+def g21_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon (3-hop) harmonic centrality for every-200th
+    customer over the directed star graph — C_H(s) = Σ 1/d(s,v), the
+    'how connected is this entity' score, computed by ONE source-labeled
+    multi-source BFS (k seeds ≠ k BFS runs; the frontier carries
+    (source, vertex) pairs).  Seeds stay in-plan (modulo predicate +
+    semi-join, the g20 discipline).
+
+    Oracle: the layered star schema makes each hop's reach closed-form —
+    orders/nation at d=1, parts/region at d=2, suppliers at d=3 — so the
+    iterative BFS is checked against per-seed relational set algebra."""
+    from ..graph.algorithms import harmonic_centrality
+    from ..sources import load_table
+    g = star_schema_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = (cust.filter(F.col("c_custkey") % 200 == 0)
+             .select((F.col("c_custkey") + _C).alias("id")))
+    return harmonic_centrality(g, seeds, max_hops=3, directed=True)

@@ -1089,3 +1089,39 @@ def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = I.fingerprint_tables(old, "doc_id", "text")
     return I.incremental_dedup_pairs(new, "doc_id", "text", idx,
                                      threshold=0.4)
+
+
+@query(
+    "l31_boilerplate_score",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    dfreq AS MATERIALIZED (
+      SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id, count(*) AS n_shingles,
+           round(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS common_frac
+    FROM sh JOIN dfreq ON dfreq.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def l31_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection WITHOUT pair enumeration: the
+    fraction of each document's word-3-gram shingles whose corpus
+    document frequency is ≥ 5 (navigation chrome, license blocks and
+    mirrored templates score high).  One shingle pass + one df
+    aggregate + one join back — linear in corpus tokens, zero UDFs.
+    The Spark side shuffles 8-byte hashed shingles; the oracle
+    re-derives the identical counts from the raw strings (counts are
+    hash-invariant, the l02/l03 discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.boilerplate_score(docs, "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id")

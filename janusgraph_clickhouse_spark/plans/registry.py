@@ -77,13 +77,11 @@ DRIVER_PRIORITY: list[str] = [
     # rule 2: implementation changes this round
     "g03_supplier_triangles", "g17_link_prediction", "g20_random_walks",
     "l04_simhash_pairs",
-    # rule 4: new queries registered this round
+    # rule 4: new queries registered this round (all four displaced the
+    # rule-5 sentinels s01/q02/g06/l17 — every family keeps ≥2 in-window
+    # members via rules 1-2, so the sentinels were the right casualties)
     "l30_incremental_dedup", "q37_geo_within",
-    # rule 5: family sentinels from round-3 greens (displaced by any
-    # new rule-4 registrations as the round progresses; the s family
-    # keeps 5 rule-1 members and q keeps 14, so s01/q02 rotated out
-    # first)
-    "g06_pagerank", "l17_lsh_blocked_near_dup",
+    "g21_harmonic_centrality", "l31_boilerplate_score",
 ]
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

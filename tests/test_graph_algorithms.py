@@ -539,3 +539,21 @@ def test_seeded_random_walks_dataframe_sources(spark):
                    for r in seeded_random_walks(g, src_df,
                                                 steps=3).collect())
     assert by_df == by_list and len(by_df) > 0
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        harmonic_centrality)
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r.id: r.harmonic for r in harmonic_centrality(
+        g, [1], max_hops=3, directed=True).collect()}
+    assert got == {1: round(1 + 0.5 + 1 / 3, 6)}
+    # undirected from the middle; horizon clips nothing at hops=2
+    got = {r.id: r.harmonic for r in harmonic_centrality(
+        g, [2], max_hops=2, directed=False).collect()}
+    assert got == {2: round(1 + 1 + 0.5, 6)}
+    # bounded horizon actually clips: hops=1 sees only direct neighbors
+    df_seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r.id: r.harmonic for r in harmonic_centrality(
+        g, df_seeds, max_hops=1, directed=True).collect()}
+    assert got == {1: 1.0, 2: 1.0}

@@ -370,3 +370,24 @@ def test_tfidf_topk_prefers_rare_terms(spark):
     assert d1.token == "rare1"
     for r in top:
         assert r.token != "common"
+
+
+def test_boilerplate_score_closed_form(spark):
+    """Five docs sharing one template shingle run + one original doc:
+    template shingles hit df>=5, original shingles stay rare."""
+    template = "terms of service apply here"        # 3 shingles, df=5
+    rows = [(i, f"{template} unique{i} text{i} body{i}")
+            for i in range(5)]
+    rows.append((9, "completely original prose with no template at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_shingles, r.common_frac) for r in
+           X.boilerplate_score(df, "doc_id", "text", n=3,
+                               common_df=5).collect()}
+    # each template doc: 5 template tokens + 3 unique = 8 tokens → 6
+    # 3-gram shingles; the 3 fully-inside-template ones are common
+    for i in range(5):
+        n, frac = got[i]
+        assert n == 6
+        assert frac == 0.5
+    n, frac = got[9]
+    assert frac == 0.0 and n == 6
