@@ -18,7 +18,7 @@ All three are APPEND-ONLY: absorbing a batch appends the novel docs'
 rows; existing part files are never rewritten (pytest-pinned by file
 listing + mtime).  At corpus scale the buckets and shingles tables
 should be written bucketed by their join key ((band, bucket) and
-shingle respectively — `sources.layout.write_bucketed`) so the
+shingle respectively — `sources.layout.write_clustered_table`) so the
 per-batch candidate join shuffles ONLY the batch side; the plain
 parquet form here still only ever shuffles O(batch + matching buckets)
 rows because the index side is filtered by the equi-join key, not
