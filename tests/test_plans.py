@@ -163,3 +163,60 @@ def test_sequence_packing_has_no_global_single_partition_window(
             assert "shard" in head, head
     # the corpus-side exchange feeding the doc window is hash, not single
     assert "Exchange hashpartitioning(shard" in plan, plan[:2000]
+
+
+def test_adamic_adar_join_path_salts_hub_keys(spark):
+    """When a wedge center crosses the hub threshold, the join key must
+    become (w, _salt) with the probe side exploded across salts — the
+    skew defense has to be IN the plan, not a docstring."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    from janusgraph_clickhouse_spark.graph.model import graph_from_edge_list
+    g = graph_from_edge_list(
+        spark, [(0, i) for i in range(1, 30)] + [(1, 2), (3, 4)])
+    df = adamic_adar(g, top=10, dense_max_nodes=0,
+                     hub_degree_threshold=5, hub_salt=4)
+    plan = _optimized(df)
+    assert "_salt" in plan
+    assert "explode" in plan.lower()
+
+
+def test_triangle_count_plan_has_no_cartesian(spark, sf_smoke):
+    """Degree-oriented triangles stay equi-join-only (the closing edge
+    join must not degrade to a cartesian/broadcast-nested-loop)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _degree_oriented_edges, _oriented_wedges)
+    from janusgraph_clickhouse_spark.graph.model import graph_from_edge_list
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    oriented = _degree_oriented_edges(g)
+    from pyspark.sql import functions as F
+    closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = _oriented_wedges(oriented).join(closer, ["b", "c"])
+    plan = _plan(tri)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_scans_index_not_resignatures(spark, tmp_path):
+    """The per-batch plan must touch the index through scans + equi-joins
+    only: no pandas/python eval stage and no signature aggregate may run
+    over the index side (only the batch's shingle explode aggregates)."""
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.llm import incremental as I
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a b c") for i in range(20)],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    I.bootstrap_index(corpus, "doc_id", "text", path)
+    new = spark.createDataFrame([(100, "w1 x1 y1 z1 a b c")],
+                                "doc_id long, text string")
+    df = I.incremental_dedup_pairs(new, "doc_id", "text",
+                                   I.read_index(spark, path))
+    plan = _plan(df)
+    # three index tables come in as plain parquet scans
+    assert plan.count("FileScan parquet") >= 3
+    assert "CartesianProduct" not in plan
+    # signature min-aggregates (h0..h47) exist ONLY for the batch side —
+    # re-signaturing the index would show a second 48-wide min block
+    # (≥96 partial_min prints); one block prints ~50
+    assert plan.count("partial_min") < 96
