@@ -1082,3 +1082,78 @@ def harmonic_centrality(graph: PropertyGraph,
             .groupBy(F.col("source").alias("id"))
             .agg(F.round(F.sum(F.lit(1.0) / F.col("distance")), 6)
                  .alias("harmonic")))
+
+
+def biased_random_walks(graph: PropertyGraph,
+                        sources: "list[int] | DataFrame",
+                        steps: int, p: float = 1.0, q: float = 1.0,
+                        seed: str = "n2v") -> DataFrame:
+    """node2vec SECOND-ORDER biased walks, deterministic analog of the
+    (p, q) sampler: at step t a walker with previous vertex `prev`
+    sitting at `cur` weights each candidate v ∈ N_out(cur)
+
+        w(v) = 1/p  if v = prev            (return)
+               1    if edge prev→v exists  (triangle / BFS-ish move)
+               1/q  otherwise              (outward / DFS-ish move)
+
+    and picks by the Efraimidis–Spirakis exponential race: the winner is
+    argmin_v  -ln(u_v) / w(v)  with u_v = md5(seed:walk:t:v) mapped to
+    (0, 1] — a weighted random choice that is a PURE HASH FUNCTION of
+    (walk, step, candidate), so re-runs and engines agree exactly (the
+    seeded_random_walks discipline; p=q=1 degenerates to a uniform pick,
+    though via the race rather than the raw-md5 argmin).
+
+    Scale shape: per step, one frontier × edges equi-join for
+    candidates, one LEFT join against edges on (prev, v) to classify
+    the triangle case, one per-walk top-1 window — frontier rows =
+    #walks.  Returns (walk_id, step, vertex); step 0 = source."""
+    from pyspark.sql import Window
+
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst")
+    if not _edges_aligned(graph):
+        edges = edges.repartition(spark.sparkContext.defaultParallelism,
+                                  "src")
+    edges = edges.cache()
+    if isinstance(sources, DataFrame):
+        srcs = sources.select(F.col(sources.columns[0]).alias("id"))
+        seed_df = graph.vertices.join(srcs, "id", "semi")
+    else:
+        seed_df = graph.vertices.filter(F.col("id").isin(list(sources)))
+    cur = seed_df.select(F.col("id").alias("walk_id"),
+                         F.lit(None).cast("long").alias("prev"),
+                         F.col("id").alias("cur"))
+    trace = cur.select("walk_id", F.lit(0).alias("step"),
+                       F.col("cur").alias("vertex"))
+    nbr = edges.select(F.col("src").alias("prev"),
+                       F.col("dst").alias("cand"),
+                       F.lit(True).alias("_tri"))
+    for t in range(1, steps + 1):
+        cand = (cur.join(edges, cur.cur == edges.src)
+                .select("walk_id", "prev", "cur",
+                        F.col("dst").alias("cand")))
+        cand = cand.join(nbr, ["prev", "cand"], "left")
+        w = (F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+             .when(F.col("_tri"), F.lit(1.0))
+             .otherwise(F.lit(1.0 / q)))
+        # u ∈ (0, 1]: 32 md5 hex chars → take 8 → uniform 32-bit, +1
+        # over 2^32 keeps ln finite; identical arithmetic in SQL:
+        # (conv(hex,16,10)+1)/2^32
+        u = ((F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(seed), F.col("walk_id").cast("string"),
+                F.lit(str(t)), F.col("cand").cast("string"))), 1, 8),
+                16, 10).cast("double") + 1.0) / F.lit(4294967296.0))
+        key = -F.log(u) / w
+        win = Window.partitionBy("walk_id").orderBy(
+            F.col("race_key"), "cand")
+        cur = (cand.withColumn("race_key", F.round(key, 12))
+               .withColumn("rn", F.row_number().over(win))
+               .filter(F.col("rn") == 1)
+               .select("walk_id", F.col("cur").alias("prev"),
+                       F.col("cand").alias("cur"))
+               .localCheckpoint(eager=True))
+        trace = trace.unionAll(cur.select(
+            "walk_id", F.lit(t).alias("step"),
+            F.col("cur").alias("vertex")))
+    edges.unpersist()
+    return trace

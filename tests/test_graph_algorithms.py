@@ -557,3 +557,56 @@ def test_harmonic_centrality_path_graph(spark):
     got = {r.id: r.harmonic for r in harmonic_centrality(
         g, df_seeds, max_hops=1, directed=True).collect()}
     assert got == {1: 1.0, 2: 1.0}
+
+
+def test_biased_walks_return_parameter_forces_oscillation(spark):
+    """p → 0 makes the return weight 1/p dominate the race: after the
+    first hop the walker must bounce source↔first-hop forever."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        biased_random_walks)
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    g = graph_from_edge_list(spark, edges)
+    tr = {r.step: r.vertex for r in biased_random_walks(
+        g, [1], steps=5, p=1e-9, q=1.0).collect()}
+    assert tr[0] == 1
+    first = tr[1]
+    for t in range(2, 6):
+        assert tr[t] == (1 if t % 2 == 0 else first)
+
+
+def test_biased_walks_q_steers_outward_moves(spark):
+    """Vertex 4 is reachable ONLY via an outward (non-return,
+    non-triangle) move from the 1-2-3 triangle: q=1e9 must never visit
+    it, q=1e-9 must reach it immediately."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        biased_random_walks)
+    tri = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    spikes = [(2, 4), (3, 4)]
+    g = graph_from_edge_list(spark, tri + spikes)
+    avoid = [r.vertex for r in biased_random_walks(
+        g, [1], steps=6, p=1.0, q=1e9).collect()]
+    assert 4 not in avoid and len(avoid) == 7
+    seek = {r.step: r.vertex for r in biased_random_walks(
+        g, [1], steps=2, p=1.0, q=1e-9).collect()}
+    # step 1 is a uniform race (no prev); step 2 must take the outward
+    # spike to 4 from either 2 or 3
+    assert seek[2] == 4
+
+
+def test_biased_walks_deterministic_and_edge_valid(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        biased_random_walks)
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 1), (3, 4)]
+    g = graph_from_edge_list(spark, edges)
+    a = sorted((r.walk_id, r.step, r.vertex)
+               for r in biased_random_walks(g, [1, 2], steps=4,
+                                            p=2.0, q=0.5).collect())
+    b = sorted((r.walk_id, r.step, r.vertex)
+               for r in biased_random_walks(g, [1, 2], steps=4,
+                                            p=2.0, q=0.5).collect())
+    assert a == b and len(a) == 10
+    eset = set(edges)
+    for wid in (1, 2):
+        path = [v for (w, t, v) in a if w == wid]
+        for x, y in zip(path, path[1:]):
+            assert (x, y) in eset
