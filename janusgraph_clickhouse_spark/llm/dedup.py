@@ -471,3 +471,66 @@ def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("train_id", "bench_id", "n_shared",
                     F.round(F.col("n_shared") / F.col("bn"), 6)
                     .alias("containment")))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.8,
+                      candidates: DataFrame | None = None,
+                      bottom_k: int = 8) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: (doc_a, doc_b, containment) where
+    containment = |Sh(a) ∩ Sh(b)| / min(|Sh(a)|, |Sh(b)|) ≥ threshold —
+    the quote/subset detector Jaccard misses (a short doc fully quoted
+    inside a long one has tiny Jaccard but containment ≈ 1, so
+    Jaccard-tuned MinHash banding is the WRONG blocker here: its hit
+    rate collapses exactly on the extreme-length-ratio pairs this
+    operator exists for).
+
+    Default blocker: each doc's BOTTOM-K smallest shingle hashes probe
+    the full corpus shingle index — if doc a is truly contained in doc
+    b, every one of a's shingles (its bottom-k included) appears in b,
+    so the pair is a candidate with probability 1; partial containment
+    ≥ t hits with P ≥ 1-(1-t)^k (k=8, t=0.8 → ~1-2.6e-6).  Cost shape:
+    the probe side is k·|docs| 8-byte keys against the shingle inverted
+    index (the l21 decontaminate join), never all-pairs; hot shingles
+    fan out by their document frequency — drop stop-shingles above a df
+    cap upstream if the corpus needs it.  The rerank computes EXACT
+    containment for candidates only."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+    else:
+        from pyspark.sql import Window
+        w = Window.partitionBy("id").orderBy("shingle")
+        probe = (sh.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= bottom_k)
+                 .select(F.col("id").alias("ia"), "shingle"))
+        cand = (probe.join(sh.select(F.col("id").alias("ib"), "shingle"),
+                           "shingle")
+                .filter(F.col("ia") != F.col("ib"))
+                .select(F.least("ia", "ib").alias("doc_a"),
+                        F.greatest("ia", "ib").alias("doc_b"))
+                .distinct())
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    cand_docs = (cand.select(F.col("doc_a").alias("id"))
+                 .unionAll(cand.select(F.col("doc_b").alias("id")))
+                 .distinct())
+    sh = sh.join(cand_docs, "id", "left_semi")
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("m"))
+             .join(cand.select("doc_a", "doc_b").distinct(),
+                   ["doc_a", "doc_b"], "left_semi"))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("doc_a"),
+                              F.col("sz").alias("sz_a")), "doc_a")
+           .join(sizes.select(F.col("id").alias("doc_b"),
+                              F.col("sz").alias("sz_b")), "doc_b")
+           .withColumn("containment_raw",
+                       F.col("m").cast("double")
+                       / F.least("sz_a", "sz_b"))
+           .filter(F.col("containment_raw") >= threshold))
+    return out.select("doc_a", "doc_b",
+                      F.round("containment_raw", 6).alias("containment"))

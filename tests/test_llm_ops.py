@@ -391,3 +391,23 @@ def test_boilerplate_score_closed_form(spark):
         assert frac == 0.5
     n, frac = got[9]
     assert frac == 0.0 and n == 6
+
+
+def test_containment_detects_planted_quote(spark):
+    """A short doc quoted verbatim inside a long doc: Jaccard is tiny
+    (shingle sets differ wildly in size) but containment = 1.0."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = ("intro words here " + quote + " "
+                + " ".join(f"t{i}" for i in range(40)))
+    rows = [(1, quote), (2, long_doc),
+            (3, " ".join(f"z{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in D.containment_pairs(df, "doc_id", "text",
+                                        threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}
+    # the same pair fails a 0.8 JACCARD gate — asymmetry is the point
+    jac = {(r.doc_a, r.doc_b)
+           for r in D.jaccard_pairs(df, "doc_id", "text", 3, 0.8,
+                                    allow_quadratic=True).collect()}
+    assert (1, 2) not in jac
