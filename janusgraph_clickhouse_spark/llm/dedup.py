@@ -153,10 +153,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = 16,
-                   rows_per_band: int = 3) -> DataFrame:
+                   rows_per_band: int = 3,
+                   max_bucket_rows: int | None = None) -> DataFrame:
     """Banding: docs sharing any band bucket become candidate pairs.
     Explode to (band, bucket_hash, id), self-join per bucket — the join key
-    is (band, bucket), so identical buckets co-locate in one shuffle."""
+    is (band, bucket), so identical buckets co-locate in one shuffle.
+
+    `max_bucket_rows`: opt-in hot-bucket cap for heavy-duplication
+    corpora.  A bucket with B members emits B² candidate rows — at 100 TB
+    a boilerplate text repeated 10⁵ times turns one bucket into 10¹⁰
+    pairs and that single key serializes the shuffle.  With the cap set,
+    buckets larger than the cap are DROPPED from candidate generation
+    (an explicit recall trade: members of an over-full bucket are
+    near-certain duplicates of each other, and the intended pipeline
+    collapses EXACT duplicates first — exact_dedup — so legitimate
+    over-full buckets shouldn't exist).  None (default) keeps the
+    complete behavior for oracle parity."""
     buckets = signatures.select(
         "id",
         F.posexplode(F.array(*[
@@ -165,6 +177,12 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16,
                 for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("band", "bucket"))
+    if max_bucket_rows is not None:
+        sizes = (buckets.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .filter(F.col("_n") <= max_bucket_rows)
+                 .select("band", "bucket"))
+        buckets = buckets.join(sizes, ["band", "bucket"], "left_semi")
     x = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
     y = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
     return (x.join(y, ["band", "bucket"])

@@ -411,3 +411,21 @@ def test_containment_detects_planted_quote(spark):
            for r in D.jaccard_pairs(df, "doc_id", "text", 3, 0.8,
                                     allow_quadratic=True).collect()}
     assert (1, 2) not in jac
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """With the cap set, an over-full bucket (mass-duplicated text)
+    stops generating pairs while normal buckets still do; default
+    behavior stays complete."""
+    rows = [(i, "dup dup dup dup dup text body here") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(df, "doc_id", "text")
+    full = {(r.doc_a, r.doc_b) for r in D.lsh_candidates(sig).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in D.lsh_candidates(
+        sig, max_bucket_rows=10).collect()}
+    assert (100, 101) in full and (100, 101) in capped
+    assert (0, 1) in full
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert capped < full
