@@ -218,3 +218,34 @@ def boilerplate_score(df: DataFrame, id_col: str, text_col: str,
                     F.round(F.col("n_common").cast("double")
                             / F.col("n_shingles"), 6)
                     .alias("common_frac")))
+
+
+# dialect-conservative patterns (no lookaround, no \b-dialect surprises)
+# so the same regex means the same thing in Java (Spark) and RE2-style
+# engines — the subset both worlds agree on
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str,
+              patterns: "dict[str, str] | None" = None,
+              token: str = "[REDACTED]") -> DataFrame:
+    """Training-data redaction pass: replace every PII pattern match in
+    `text_col` with `token` and append one `pii_<kind>` count column per
+    pattern (the audit trail a removal pipeline needs).  Pure
+    regexp_replace / regexp_count column expressions — codegen, zero
+    UDFs, scan-side at 100 TB.  Patterns are applied in dict order on
+    the progressively scrubbed text, so counts are per-ORIGINAL kind
+    (a URL containing an email scrubs as whichever pattern ran
+    first)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    cur = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(f"pii_{kind}",
+                             F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn(text_col, cur)

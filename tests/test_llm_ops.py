@@ -429,3 +429,22 @@ def test_lsh_hot_bucket_cap(spark):
     assert (0, 1) in full
     assert not any(a < 100 and b < 100 for a, b in capped)
     assert capped < full
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "contact me at jane.doe@example.com or on +1 (555) 123-4567"),
+        (2, "see https://example.com/path?q=1 and http://other.org now"),
+        (3, "nothing sensitive in this one at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           X.scrub_pii(df, "text").collect()}
+    assert "@" not in got[1].text and "555" not in got[1].text
+    assert got[1].pii_email == 1 and got[1].pii_phone == 1
+    assert got[2].pii_url == 2
+    assert "example.com" not in got[2].text
+    assert got[3].text == rows[2][1]
+    assert (got[3].pii_email, got[3].pii_url, got[3].pii_phone) == (0, 0, 0)
+    # redaction token present where matches were removed
+    assert got[1].text.count("[REDACTED]") == 2
