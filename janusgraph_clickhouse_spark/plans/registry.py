@@ -83,6 +83,16 @@ DRIVER_PRIORITY: list[str] = [
     "l30_incremental_dedup", "q37_geo_within",
     "g21_harmonic_centrality", "l31_boilerplate_score",
 ]
+# ROUND-5 ROTATION, pre-derived (the rotation test goes red the moment
+# the driver drops CORRECTNESS_r04.json — rebuild DRIVER_PRIORITY then):
+# rule 1 = the 46 tail names below (every query whose newest driver row
+# is r3); rule 2/4 slots = anything changed in r5 + the three operators
+# queued for registration (biased_random_walks, containment_pairs,
+# scrub_pii); fill any rest with r4-green sentinels (≥2 per family).
+#   q02 q04 q05 q07 q09 q10 q11 q12 q14 q15 q16 q22 q23 q24 q25 q27
+#   q28 q31 q32 q33 q34 q36, g04 g06 g14 g15 g16 g18 g19, l11 l12 l17
+#   l18 l19 l20 l21 l22 l23 l24 l25 l26 l27 l28 l29, s01 s05
+# (46 names; 50 − 46 = 4 slots before anything must displace rule-1.)
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
