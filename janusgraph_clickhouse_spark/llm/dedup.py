@@ -494,7 +494,8 @@ def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.8,
                       candidates: DataFrame | None = None,
-                      bottom_k: int = 8) -> DataFrame:
+                      bottom_k: int = 8,
+                      max_shingle_df: int | None = None) -> DataFrame:
     """ASYMMETRIC near-dup pairs: (doc_a, doc_b, containment) where
     containment = |Sh(a) ∩ Sh(b)| / min(|Sh(a)|, |Sh(b)|) ≥ threshold —
     the quote/subset detector Jaccard misses (a short doc fully quoted
@@ -510,19 +511,38 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     ≥ t hits with P ≥ 1-(1-t)^k (k=8, t=0.8 → ~1-2.6e-6).  Cost shape:
     the probe side is k·|docs| 8-byte keys against the shingle inverted
     index (the l21 decontaminate join), never all-pairs; hot shingles
-    fan out by their document frequency — drop stop-shingles above a df
-    cap upstream if the corpus needs it.  The rerank computes EXACT
-    containment for candidates only."""
+    fan out by their document frequency.
+
+    `max_shingle_df` bounds that fan-out: shingles whose document
+    frequency exceeds the cap (corpus stop-shingles — "the quick
+    brown") are dropped from BOTH blocker sides before the bottom-k
+    window and the probe join, so no probe row can ever emit more than
+    `max_shingle_df` candidates.  Recall argument: shingle hashes are
+    uniform, so a doc's bottom-k over the df-filtered set is a uniform
+    sample of its COLD shingles; a pair with containment ≥ t over cold
+    shingles still hits with P ≥ 1-(1-t)^k, and truly-contained pairs
+    (every shingle shared, cold ones included) keep recall 1.  Only a
+    doc consisting almost entirely of stop-shingles can lose candidates
+    — exactly the boilerplate a dedup pipeline drops anyway.  The
+    rerank computes EXACT containment (all shingles, uncapped) for
+    candidates only, so the cap never biases emitted scores."""
     sh = shingle_sets(df, id_col, text_col, n)
     if candidates is not None:
         cand = candidates.select("doc_a", "doc_b")
     else:
         from pyspark.sql import Window
+        sh_blk = sh
+        if max_shingle_df is not None:
+            dfreq = (sh.groupBy("shingle")
+                     .agg(F.count(F.lit(1)).alias("_df")))
+            sh_blk = (sh.join(dfreq.filter(F.col("_df") <= max_shingle_df)
+                              .select("shingle"), "shingle", "left_semi"))
         w = Window.partitionBy("id").orderBy("shingle")
-        probe = (sh.withColumn("_rn", F.row_number().over(w))
+        probe = (sh_blk.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= bottom_k)
                  .select(F.col("id").alias("ia"), "shingle"))
-        cand = (probe.join(sh.select(F.col("id").alias("ib"), "shingle"),
+        cand = (probe.join(sh_blk.select(F.col("id").alias("ib"),
+                                         "shingle"),
                            "shingle")
                 .filter(F.col("ia") != F.col("ib"))
                 .select(F.least("ia", "ib").alias("doc_a"),

@@ -237,15 +237,21 @@ def scrub_pii(df: DataFrame, text_col: str,
     `text_col` with `token` and append one `pii_<kind>` count column per
     pattern (the audit trail a removal pipeline needs).  Pure
     regexp_replace / regexp_count column expressions — codegen, zero
-    UDFs, scan-side at 100 TB.  Patterns are applied in dict order on
-    the progressively scrubbed text, so counts are per-ORIGINAL kind
-    (a URL containing an email scrubs as whichever pattern ran
-    first)."""
+    UDFs, scan-side at 100 TB.
+
+    Every `pii_<kind>` count is computed against the ORIGINAL text —
+    never the progressively scrubbed intermediate — so a pattern whose
+    match region overlaps an earlier kind's still audits true original
+    occurrences (an email inside a URL counts as BOTH pii_email and
+    pii_url).  Replacements chain in dict order; the scrubbed text
+    therefore reflects first-pattern-wins on overlapping regions while
+    the counts stay order-independent."""
     pats = patterns if patterns is not None else PII_PATTERNS
     out = df
-    cur = F.col(text_col)
+    orig = F.col(text_col)
+    cur = orig
     for kind, pat in pats.items():
         out = out.withColumn(f"pii_{kind}",
-                             F.regexp_count(cur, F.lit(pat)))
+                             F.regexp_count(orig, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, token)
     return out.withColumn(text_col, cur)

@@ -769,3 +769,66 @@ def g21_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (cust.filter(F.col("c_custkey") % 200 == 0)
              .select((F.col("c_custkey") + _C).alias("id")))
     return harmonic_centrality(g, seeds, max_hops=3, directed=True)
+
+
+def _biased_walks_oracle(steps: int = 3, p: float = 4.0, q: float = 0.25,
+                         seed: str = "n2v") -> str:
+    """Unrolled node2vec (p, q) walks: per step, every out-neighbor of
+    the walker runs the Efraimidis–Spirakis race -ln(u)/w where u is a
+    pure md5 hash of (seed, walk, step, candidate) — so both engines
+    derive the IDENTICAL uniform, weight it by the identical
+    return/triangle/outward class, and crown the identical winner.
+    Weight literals go through repr() so both parsers see the same
+    double; the race key is rounded to 1e-12 with the candidate id as
+    tiebreaker on BOTH sides, so a sub-grid libm ulp difference in ln()
+    cannot flip the argmin.  Walkers die at sinks (inner join), exactly
+    like the Spark loop."""
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    parts = [
+        _STAR_EDGES_SQL,
+        f"""w0 AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS walk_id, CAST(NULL AS BIGINT) AS prev,
+             c_custkey + {_C} AS cur
+      FROM customer WHERE c_custkey % 100 = 0)""",
+    ]
+    for t in range(1, steps + 1):
+        u = (f"((('0x' || substr(md5('{seed}:' "
+             f"|| CAST(f.walk_id AS VARCHAR) || ':{t}:' "
+             f"|| CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT + 1.0) "
+             f"/ 4294967296.0)")
+        w = (f"CASE WHEN e.dst = f.prev THEN {rp} "
+             f"WHEN tri.src IS NOT NULL THEN 1.0 ELSE {rq} END")
+        parts.append(f"""c{t} AS MATERIALIZED (
+      SELECT f.walk_id, f.cur, e.dst AS cand, row_number() OVER (
+        PARTITION BY f.walk_id
+        ORDER BY round(-ln({u}) / ({w}), 12), e.dst) AS rn
+      FROM w{t - 1} f
+      JOIN edges e ON e.src = f.cur
+      LEFT JOIN (SELECT DISTINCT src, dst FROM edges) tri
+        ON tri.src = f.prev AND tri.dst = e.dst)""")
+        parts.append(f"w{t} AS MATERIALIZED (SELECT walk_id, "
+                     f"cur AS prev, cand AS cur FROM c{t} WHERE rn = 1)")
+    selects = ["SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0"]
+    selects += [f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+                for t in range(1, steps + 1)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("g22_biased_walks", oracle=_biased_walks_oracle())
+def g22_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (p=4, q=0.25 — the DFS-ish
+    outward-exploring regime) from every-100th customer, 3 steps: each
+    hop weights return / triangle / outward candidates 1/p / 1 / 1/q
+    and picks by a deterministic Efraimidis–Spirakis race over hash
+    uniforms, so the 'random' walk is exactly reproducible and
+    SQL-oracle-able (the g20 discipline, now with WEIGHTED choice).
+    Per step: one frontier×edges equi-join, one LEFT edge join for the
+    triangle class, one per-walk top-1 window — frontier rows = #walks;
+    trace output (walk_id, step, vertex)."""
+    from ..graph.algorithms import biased_random_walks
+    g = star_schema_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    srcs = (cust.filter(F.col("c_custkey") % 100 == 0)
+            .select((F.col("c_custkey") + _C).alias("id")))
+    return biased_random_walks(g, srcs, steps=3, p=4.0, q=0.25,
+                               seed="n2v")

@@ -68,11 +68,23 @@ _JACCARD_ORACLE = """
 
 @query("l02_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.4) — the
-    quadratic baseline the LSH path reranks against."""
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.4) via the
+    CANDIDATES-FIRST rerank path: LSH banding proposes pairs, then
+    `jaccard_pairs(candidates=...)` computes exact Jaccard for those
+    pairs only (the shingle self-join is semi-joined down to candidate
+    docs BEFORE it runs).  The full-corpus quadratic form survives only
+    as an `allow_quadratic=True` pytest baseline — as of round 5 no
+    registered query's plan is quadratic in corpus size.
+
+    The exact-Jaccard oracle still holds: at the fixture's planted
+    similarities (j ≳ 0.7) the 16×3 band S-curve passes every
+    thresholded pair (P(miss) < 1e-8), and LSH == exact is
+    independently pytest-pinned (test_llm_ops)."""
     docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "doc_id", "text", n=3)
+    cand = D.lsh_candidates(sig)
     return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4,
-                           allow_quadratic=True)
+                           candidates=cand)
 
 
 @query("l03_minhash_lsh_pairs", oracle=_JACCARD_ORACLE)
@@ -1125,3 +1137,124 @@ def l31_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = X.boilerplate_score(docs, "doc_id", "text")
     return out.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "l32_containment_pairs",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh
+                        GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(m::DOUBLE / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE m::DOUBLE / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def l32_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment = |∩| / min(|A|, |B|) ≥
+    0.8 — the quote/subset detector Jaccard-tuned banding misses (a
+    short doc fully quoted in a long one has tiny Jaccard but
+    containment ≈ 1).  Blocker: each doc's bottom-8 shingle hashes
+    probe the corpus shingle inverted index, df-capped at 100 so no
+    stop-shingle can fan the probe join out past the cap; exact
+    containment is reranked over ALL shingles for candidates only.
+
+    Hash-checked against the exact all-pairs containment SQL — valid
+    because a truly/near-contained pair shares the probing doc's
+    bottom-k shingles with P ≥ 1-(1-0.8)^8 ≈ 1-2.6e-6 (recall exactly 1
+    for full containment), so on the fixture the blocked output equals
+    the exact answer; blocked == exact is also pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3,
+                               threshold=0.8, bottom_k=8,
+                               max_shingle_df=100)
+
+
+# In-plan PII augmentation for l33: the documents fixture is synthetic
+# word salad with ZERO real PII, so the registered scrub would be a
+# no-op.  Both engines append the same deterministic contact strings
+# (pure functions of doc_id) so redaction + audit counts actually
+# exercise — the multimodal-fixture discipline, but SQL-derivable.
+_PII_AUG_SQL = """
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR)
+                   || '?ref=mail'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (415) 555-'
+                   || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+    FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+@query(
+    "l33_pii_scrub",
+    oracle=f"""
+    WITH aug AS MATERIALIZED ({_PII_AUG_SQL})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '[REDACTED]', 'g'),
+               '{_PII_URL}', '[REDACTED]', 'g'),
+               '{_PII_PHONE}', '[REDACTED]', 'g') AS text,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS pii_email,
+           len(regexp_extract_all(text, '{_PII_URL}')) AS pii_url,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS pii_phone
+    FROM aug
+    """,
+)
+def l33_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII redaction + audit: every email/url/phone match
+    replaced with [REDACTED]; per-kind counts audit the ORIGINAL text
+    (order-independent — an email inside a URL counts as both).  Pure
+    regexp_replace/regexp_count codegen, zero UDFs, scan-side at 100 TB.
+
+    Hash-checked against DuckDB's RE2 engine — valid because the
+    patterns are dialect-conservative (no lookaround, no \\b, no
+    backreferences: the subset where Java's leftmost-first greedy
+    matching and RE2 agree).  The fixture carries no PII, so both sides
+    append identical deterministic contact strings in-plan first."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0,
+                   F.concat(F.lit(" see https://example.org/d/"),
+                            did.cast("string"),
+                            F.lit("?ref=mail"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" call +1 (415) 555-"),
+                            F.lpad(did.cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"))
+    return X.scrub_pii(aug, "text")

@@ -47,52 +47,54 @@ def query(name: str, oracle: str | None = None):
 # coverage (tests/test_oracle_parity.py sweeps ALL queries) and returns
 # to the window next round under rule 1.
 #
-# Round-4 window: the 42 tail queries whose newest driver row is r2
-# (rule 1 — the entire r3 tail; r3's window went 50/50 green so its
-# members rotate out); g03/g17/g20/l04 change this round (rule 2:
-# degree-orientation, hub salting + dense-memory fix, in-plan walk
-# sources, sub_bands default); sentinels from r3 greens fill to 50.
-# New queries registered this round MUST displace sentinels into this
-# window (a new query in the tail has no prior driver row and trips
-# test_driver_window_rotation_policy).  A typo here would silently drop
-# a query from the window — get_queries() asserts every name resolves.
+# Round-5 window: the 46 tail queries whose newest driver row is r3
+# (rule 1 — the entire r4 tail; r4's window went 50/50 green so its
+# members rotate out); l02 changed this round (rule 2: re-registered as
+# the candidates-first rerank form — its plan, not just its oracle,
+# is new); g22/l32/l33 are new registrations (rule 4) and MUST be
+# in-window (a new query in the tail has no prior driver row and trips
+# test_driver_window_rotation_policy).  46 + 1 + 3 = 50 exactly — no
+# rule-5 sentinel slots this round.  g21's r5 change is perf-only
+# (same output, local parity covers it), so it sits in the tail with
+# its r4 green row.  A typo here would silently drop a query from the
+# window — get_queries() asserts every name resolves.
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 42 queries whose newest driver row is round 2
-    "q01_slice_point", "q03_key_range_scan", "q06_agg_pricing_summary",
-    "q08_customer_top_parts", "q13_predicate_library",
-    "q17_scalar_functions", "q18_json_extract", "q19_mutate_upsert",
-    "q20_group_collect", "q21_array_functions", "q26_rollup",
-    "q29_pivot", "q30_percentiles", "q35_range_step",
-    "g01_out_degree", "g02_two_hop_parts", "g05_bfs_distances",
-    "g07_traversal_semi_anti", "g08_path_query", "g09_in_traversal",
-    "g10_weighted_sssp", "g11_interaction_degree", "g12_motif_count",
-    "g13_topo_levels",
-    "l01_exact_dedup", "l02_jaccard_pairs", "l03_minhash_lsh_pairs",
-    "l05_cosine_topk", "l06_cosine_near_dup", "l07_text_stats",
-    "l08_language_id", "l09_fingerprint", "l10_multimodal_meta",
-    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
-    "l16_pipeline_composed",
-    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
-    "s06_time_rollup", "s07_interval_join",
-    # rule 2: implementation changes this round
-    "g03_supplier_triangles", "g17_link_prediction", "g20_random_walks",
-    "l04_simhash_pairs",
-    # rule 4: new queries registered this round (all four displaced the
-    # rule-5 sentinels s01/q02/g06/l17 — every family keeps ≥2 in-window
-    # members via rules 1-2, so the sentinels were the right casualties)
-    "l30_incremental_dedup", "q37_geo_within",
-    "g21_harmonic_centrality", "l31_boilerplate_score",
+    # rule 1: the 46 queries whose newest driver row is round 3
+    "q02_slice_multikey", "q04_multi_range_scan",
+    "q05_unordered_scan_topk", "q07_group_count", "q09_semi_join",
+    "q10_anti_join", "q11_shipping_priority", "q12_region_revenue",
+    "q14_union_dedup", "q15_per_group_topk", "q16_distinct_pairs",
+    "q22_left_outer_distribution", "q23_having", "q24_correlated_min",
+    "q25_count_distinct", "q27_set_operations", "q28_sql_surface",
+    "q31_statistics", "q32_cross_nation_volume",
+    "q33_large_order_customers", "q34_window_analytics",
+    "q36_cube_grouping",
+    "g04_connected_components", "g06_pagerank", "g14_repeat_until",
+    "g15_kcore", "g16_label_propagation", "g18_hits",
+    "g19_personalized_pagerank",
+    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup",
+    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
+    "l21_decontaminate", "l22_domain_mixture", "l23_repetition_stats",
+    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
+    "l27_semantic_dedup_clusters", "l28_user_event_sequences",
+    "l29_length_band_filter",
+    "s01_tumbling_window", "s05_asof_join",
+    # rule 2: implementation changed this round
+    "l02_jaccard_pairs",
+    # rule 4: new registrations this round
+    "g22_biased_walks", "l32_containment_pairs", "l33_pii_scrub",
 ]
-# ROUND-5 ROTATION, pre-derived (the rotation test goes red the moment
-# the driver drops CORRECTNESS_r04.json — rebuild DRIVER_PRIORITY then):
-# rule 1 = the 46 tail names below (every query whose newest driver row
-# is r3); rule 2/4 slots = anything changed in r5 + the three operators
-# queued for registration (biased_random_walks, containment_pairs,
-# scrub_pii); fill any rest with r4-green sentinels (≥2 per family).
-#   q02 q04 q05 q07 q09 q10 q11 q12 q14 q15 q16 q22 q23 q24 q25 q27
-#   q28 q31 q32 q33 q34 q36, g04 g06 g14 g15 g16 g18 g19, l11 l12 l17
-#   l18 l19 l20 l21 l22 l23 l24 l25 l26 l27 l28 l29, s01 s05
-# (46 names; 50 − 46 = 4 slots before anything must displace rule-1.)
+# ROUND-6 ROTATION, pre-derived: rule 1 = the 49 tail names (every
+# query whose newest driver row is r4 once CORRECTNESS_r05 lands):
+#   q01 q03 q06 q08 q13 q17 q18 q19 q20 q21 q26 q29 q30 q35 q37,
+#   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
+#   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
+#   s02 s03 s04 s06 s07
+# (49 names; 1 slot left for an r6 change/new registration — if r6
+# registers ≥2 new queries they must displace rule-1 names, which the
+# rotation test tolerates only if the displaced names keep local
+# parity; prefer registering ≤1 new query per round from here on, or
+# widen nothing and let the displaced name trip the test as designed.)
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

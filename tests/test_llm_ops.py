@@ -448,3 +448,40 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (got[3].pii_email, got[3].pii_url, got[3].pii_phone) == (0, 0, 0)
     # redaction token present where matches were removed
     assert got[1].text.count("[REDACTED]") == 2
+
+
+def test_scrub_pii_counts_on_original_text(spark):
+    """Counts audit the ORIGINAL text: an email inside a URL counts as
+    both pii_email and pii_url even though the email replacement runs
+    first and consumes part of the URL's match region."""
+    df = spark.createDataFrame(
+        [(1, "go to https://x.com/jane@b.com for details")],
+        "doc_id long, text string")
+    r = X.scrub_pii(df, "text").collect()[0]
+    assert r.pii_email == 1 and r.pii_url == 1 and r.pii_phone == 0
+    assert "jane@b.com" not in r.text and "https://" not in r.text
+
+
+def test_containment_max_shingle_df_caps_hot_shingle(spark):
+    """A stop-shingle shared by every doc must not drive the probe
+    fan-out: with the cap, output is unchanged on a corpus where one
+    shingle has df = n_docs (the blocker drops it; the truly-contained
+    pair is still found through its cold shingles, and the rerank's
+    exact score is computed over ALL shingles, hot one included)."""
+    hot = "the quick brown"
+    quote = " ".join(f"q{i}" for i in range(12))
+    rows = [(1, hot + " " + quote),
+            (2, hot + " intro " + quote + " "
+             + " ".join(f"t{i}" for i in range(40)))]
+    rows += [(10 + i, hot + " " + " ".join(f"u{i}_{j}" for j in range(20)))
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b): r.containment
+                for r in D.containment_pairs(
+                    df, "doc_id", "text", threshold=0.8).collect()}
+    capped = {(r.doc_a, r.doc_b): r.containment
+              for r in D.containment_pairs(
+                  df, "doc_id", "text", threshold=0.8,
+                  max_shingle_df=5).collect()}
+    assert (1, 2) in capped
+    assert capped == uncapped
