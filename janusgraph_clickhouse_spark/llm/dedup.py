@@ -145,6 +145,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     xxhash64(i, shingle).  One explode + ONE groupBy with H min-aggregates
     (a single shuffle; signature width is a constant column count)."""
     sh = shingle_sets(df, id_col, text_col, n)
+    return signatures_from_shingles(sh, num_hashes)
+
+
+def signatures_from_shingles(sh: DataFrame,
+                             num_hashes: int = 48) -> DataFrame:
+    """Signatures from an existing (id, shingle-hash) set — lets a caller
+    that already materialized the shingle pass (llm.incremental) derive
+    signatures WITHOUT re-scanning the corpus.  Values are identical to
+    minhash_signatures (same per-shingle hash family, same min-agg)."""
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*aggs)

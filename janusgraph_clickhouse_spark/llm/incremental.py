@@ -16,13 +16,30 @@ Index layout — three parquet tables under one root directory:
 
 All three are APPEND-ONLY: absorbing a batch appends the novel docs'
 rows; existing part files are never rewritten (pytest-pinned by file
-listing + mtime).  At corpus scale the buckets and shingles tables
-should be written bucketed by their join key ((band, bucket) and
-shingle respectively — `sources.layout.write_clustered_table`) so the
-per-batch candidate join shuffles ONLY the batch side; the plain
-parquet form here still only ever shuffles O(batch + matching buckets)
-rows because the index side is filtered by the equi-join key, not
-re-signatured.
+listing + mtime).  `compact_index` is the offline maintenance pass that
+rewrites the accumulated per-batch part files clustered by each table's
+join key (and `compact_index_catalog` writes catalog-bucketed tables so
+the per-batch candidate join shuffles ONLY the batch side — the
+MergeTree ``ORDER BY (k,c)`` analog, graph/persistence.py discipline).
+
+CRASH RECOVERY / AT-LEAST-ONCE STORY (the contract the streaming absorb
+relies on):
+
+- absorb_batch treats a doc as NOVEL only if it has no dup verdict AND
+  no row in the `sizes` table, and `sizes` is written LAST of the three
+  appends.  A whole-batch replay (foreachBatch is at-least-once) finds
+  every previously absorbed doc in `sizes` and appends NOTHING.
+- A crash BETWEEN the appends leaves torn docs — bucket/shingle rows
+  without a sizes row.  Torn docs are invisible to verdicts (the sizes
+  join is inner) and are healed on replay: still novel per the sizes
+  probe, their full fingerprint is re-appended, and the duplicate
+  bucket/shingle rows the tear left behind are neutralized at READ time
+  — incremental_dedup_pairs dedups the index side AFTER restricting it
+  to candidate docs, so the distinct costs O(candidates), not O(index).
+- Verdict emission is idempotent per batch: the streaming absorb writes
+  verdicts to a `batch_id=<n>` partition directory with overwrite
+  semantics and records a `_absorbed/batch_<n>` marker AFTER the index
+  append; a replay of a fully-absorbed batch is skipped outright.
 
 Why exact rerank against index shingles rather than signature-estimated
 Jaccard: the verdicts stay exactly reproducible (and DuckDB-oracle-able
@@ -40,20 +57,35 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import lsh_candidates, minhash_signatures, shingle_sets
+from .dedup import shingle_sets, signatures_from_shingles
 
+# append/read order is load-bearing: `sizes` is the novelty sentinel and
+# must be the LAST table absorb appends (see crash-recovery story above)
 INDEX_TABLES = ("buckets", "shingles", "sizes")
+
+# each table's equi-join key in incremental_dedup_pairs — what
+# compaction clusters by
+INDEX_KEYS = {"buckets": ["band", "bucket"],
+              "shingles": ["shingle"],
+              "sizes": ["id"]}
 
 
 def fingerprint_tables(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 48,
-                       bands: int = 16) -> dict[str, DataFrame]:
+                       bands: int = 16,
+                       materialize: bool = False) -> dict[str, DataFrame]:
     """One corpus (or batch) → its three fingerprint tables.
 
-    One shingle pass feeds both the signature groupBy and the shingle
-    table; sizes is one more aggregate on the same pass."""
+    One shingle pass feeds the signature min-agg, the shingle table AND
+    the sizes aggregate.  `materialize=True` eagerly localCheckpoints
+    that pass first, so a caller who then WRITES all three tables scans
+    the source documents exactly once (absorb_batch) instead of once
+    per table write — the batch is fingerprinted once."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = shingle_sets(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    sig = signatures_from_shingles(sh, num_hashes)
     buckets = sig.select(
         "id",
         F.posexplode(F.array(*[
@@ -62,7 +94,6 @@ def fingerprint_tables(df: DataFrame, id_col: str, text_col: str,
                 for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("band", "bucket"))
-    sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return {"buckets": buckets, "shingles": sh, "sizes": sizes}
 
@@ -80,19 +111,31 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     index side contributes equi-join lookups (band, bucket) and the
     candidate docs' shingle rows — never a corpus re-signature.  Within
     the batch itself nothing is compared (old side only; batch-internal
-    dups are the caller's composition with minhash_dedup_pairs)."""
+    dups are the caller's composition with minhash_dedup_pairs).
+
+    Robust to a torn/replayed index: self-pairs (a replayed doc meeting
+    its own absorbed fingerprint) are filtered, and the index side is
+    deduplicated AFTER the candidate restriction — duplicated index
+    rows (a crash between appends, see module docstring) cannot inflate
+    the intersection count or double-emit verdicts, and the distincts
+    cost O(candidate docs), not O(index)."""
     fp = fingerprint_tables(new_df, id_col, text_col, n, num_hashes, bands)
     cand = (fp["buckets"].select(F.col("id").alias("doc_id"),
                                  "band", "bucket")
             .join(index["buckets"].select(F.col("id").alias("dup_of"),
                                           "band", "bucket"),
                   ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("dup_of"))
             .select("doc_id", "dup_of").distinct())
+    cand_old = cand.select(F.col("dup_of").alias("id")).distinct()
     old_sh = (index["shingles"]
-              .join(cand.select(F.col("dup_of").alias("id")).distinct(),
-                    "id", "left_semi")
-              .select(F.col("id").alias("dup_of"),
-                      F.col("shingle")))
+              .join(cand_old, "id", "left_semi")
+              .select(F.col("id").alias("dup_of"), F.col("shingle"))
+              .distinct())
+    old_sz = (index["sizes"]
+              .join(cand_old, "id", "left_semi")
+              .select(F.col("id").alias("dup_of"), F.col("sz"))
+              .distinct())
     inter = (fp["shingles"].select(F.col("id").alias("doc_id"), "shingle")
              .join(old_sh, "shingle")
              .join(cand, ["doc_id", "dup_of"], "left_semi")
@@ -101,8 +144,8 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     jac = (inter
            .join(fp["sizes"].select(F.col("id").alias("doc_id"),
                                     F.col("sz").alias("sz_a")), "doc_id")
-           .join(index["sizes"].select(F.col("id").alias("dup_of"),
-                                       F.col("sz").alias("sz_b")), "dup_of")
+           .join(old_sz.select("dup_of", F.col("sz").alias("sz_b")),
+                 "dup_of")
            .withColumn("jaccard_raw",
                        F.col("m").cast("double")
                        / (F.col("sz_a") + F.col("sz_b") - F.col("m")))
@@ -120,7 +163,10 @@ def write_index(tables: dict[str, DataFrame], path: str,
                 mode: str = "append") -> None:
     """Append fingerprint rows (bootstrap with mode='overwrite').  Append
     mode only ever ADDS part files — the absorb path never rewrites
-    existing index data."""
+    existing index data.  Writes in INDEX_TABLES order: `sizes` last,
+    because it is the novelty sentinel absorb_batch probes (a crash
+    before the sizes append leaves docs torn-but-invisible, healed on
+    replay — module docstring)."""
     for t in INDEX_TABLES:
         tables[t].write.mode(mode).parquet(os.path.join(path, t))
 
@@ -129,26 +175,39 @@ def bootstrap_index(df: DataFrame, id_col: str, text_col: str, path: str,
                     n: int = 3, num_hashes: int = 48,
                     bands: int = 16) -> None:
     write_index(fingerprint_tables(df, id_col, text_col, n, num_hashes,
-                                   bands), path, mode="overwrite")
+                                   bands, materialize=True),
+                path, mode="overwrite")
 
 
 def absorb_batch(new_df: DataFrame, id_col: str, text_col: str,
                  index_path: str, threshold: float = 0.4, n: int = 3,
                  num_hashes: int = 48, bands: int = 16) -> DataFrame:
     """One ingest step: dedup `new_df` against the persisted index, then
-    append the NOVEL docs' fingerprints (docs with no dup verdict) so
-    later batches dedup against them too.  Returns the verdicts
-    (doc_id, dup_of, jaccard), materialized BEFORE the index append so
-    the lazy plan can never observe its own writes."""
+    append the NOVEL docs' fingerprints (docs with no dup verdict AND
+    not already absorbed) so later batches dedup against them too.
+    Returns the verdicts (doc_id, dup_of, jaccard), materialized BEFORE
+    the index append so the lazy plan can never observe its own writes.
+
+    Idempotent at batch granularity: a doc already present in the index
+    (`sizes` probe — one row per doc, the cheapest id set) is never
+    re-appended, so an at-least-once replay of an absorbed batch
+    appends nothing; the novel set is checkpointed so the three table
+    writes fingerprint the batch exactly once."""
     spark = new_df.sparkSession
     index = read_index(spark, index_path)
     verdicts = incremental_dedup_pairs(
         new_df, id_col, text_col, index, threshold, n, num_hashes,
         bands).localCheckpoint(eager=True)
     dup_ids = verdicts.select(F.col("doc_id").alias(id_col)).distinct()
-    novel = new_df.join(dup_ids, id_col, "left_anti")
+    known_ids = index["sizes"].select(F.col("id").alias(id_col)).distinct()
+    novel = (new_df.join(dup_ids, id_col, "left_anti")
+             .join(known_ids, id_col, "left_anti")
+             .localCheckpoint(eager=True))
+    if novel.isEmpty():
+        return verdicts
     write_index(fingerprint_tables(novel, id_col, text_col, n, num_hashes,
-                                   bands), index_path, mode="append")
+                                   bands, materialize=True),
+                index_path, mode="append")
     return verdicts
 
 
@@ -161,12 +220,96 @@ def incremental_dedup_stream(stream_df: DataFrame, id_col: str,
     """Streaming ingest: per micro-batch, dedup against the index, emit
     dup verdicts to `verdicts_path`, absorb novel docs into the index.
     foreachBatch because the batch must both read AND append the index —
-    the per-micro-batch work is O(batch) by the absorb_batch shape."""
+    the per-micro-batch work is O(batch) by the absorb_batch shape.
+
+    Effectively-once under foreachBatch's at-least-once contract:
+    verdicts land in a per-batch `batch_id=<n>` partition directory with
+    overwrite semantics (a replayed batch overwrites its own partition,
+    never duplicates it), and a `_absorbed/batch_<n>` marker — written
+    only after BOTH the verdict write and the index append succeeded —
+    short-circuits fully-processed replays.  A crash anywhere before
+    the marker replays the batch; every step is individually idempotent
+    (overwrite partition / sizes-probed append), so the replay
+    converges to the same index and verdict state."""
+    marker_dir = os.path.join(index_path, "_absorbed")
+
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
         verdicts = absorb_batch(batch_df, id_col, text_col, index_path,
                                 threshold, n, num_hashes, bands)
-        (verdicts.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(verdicts_path))
+        (verdicts.write.mode("overwrite")
+         .parquet(os.path.join(verdicts_path, f"batch_id={batch_id}")))
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     return (stream_df.writeStream.foreachBatch(_step)
             .option("checkpointLocation", checkpoint_dir))
+
+
+def compact_index(spark: SparkSession, path: str,
+                  num_files: int = 8) -> None:
+    """Offline index maintenance: rewrite each table's accumulated
+    per-batch part files as `num_files` files clustered + sorted by the
+    table's equi-join key, dropping the duplicate rows a torn append
+    may have left.  Verdict-equivalent by construction (the index is
+    semantically a row set; clustering changes layout only) — the
+    equivalence is pytest-pinned.
+
+    Not concurrency-safe with a live absorb (the swap is
+    rewrite-then-rename): run it as the ingest pipeline's scheduled
+    maintenance window, the same operational slot as the reference's
+    OPTIMIZE TABLE.  For the always-on form use compact_index_catalog,
+    whose bucketed output absorb can adopt without a swap."""
+    import shutil
+
+    for t in INDEX_TABLES:
+        keys = INDEX_KEYS[t]
+        src = os.path.join(path, t)
+        tmp = os.path.join(path, f"_{t}.compacting")
+        (spark.read.parquet(src).distinct()
+         .repartition(num_files, *[F.col(k) for k in keys])
+         .sortWithinPartitions(*keys)
+         .write.mode("overwrite").parquet(tmp))
+        old = os.path.join(path, f"_{t}.old")
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+
+
+def compact_index_catalog(spark: SparkSession, path: str,
+                          prefix: str = "jcs_fp_index",
+                          num_buckets: int = 16) -> dict[str, DataFrame]:
+    """Compact the parquet index into catalog-BUCKETED tables (one per
+    fingerprint table, bucketed+sorted by its join key — the
+    write_clustered_table layout, graph/persistence.py discipline) and
+    return handles usable as the `index` argument of
+    incremental_dedup_pairs.  With the session's shuffle width equal to
+    `num_buckets`, the per-batch candidate join then shuffles ONLY the
+    batch side: the bucketed index scan already satisfies the join's
+    hash-partitioning requirement, so the 100 TB-side Exchange
+    disappears from the plan (pytest-pinned)."""
+    import shutil
+
+    out: dict[str, DataFrame] = {}
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for t in INDEX_TABLES:
+        keys = INDEX_KEYS[t]
+        name = f"{prefix}_{t}"
+        # a prior session's table may have died with the catalog but
+        # left its warehouse directory — saveAsTable then refuses with
+        # LOCATION_ALREADY_EXISTS; drop both halves first
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(wh.removeprefix("file:"), name)
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc)
+        (spark.read.parquet(os.path.join(path, t)).distinct()
+         .repartition(num_buckets, *[F.col(k) for k in keys])
+         .write.mode("overwrite")
+         .bucketBy(num_buckets, keys[0], *keys[1:])
+         .sortBy(*keys)
+         .saveAsTable(name))
+        out[t] = spark.table(name)
+    return out

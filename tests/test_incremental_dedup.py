@@ -111,3 +111,149 @@ def test_incremental_stream_matches_sequential_absorb(spark, tmp_path):
     ids = {r.id for r in
            I.read_index(spark, path)["sizes"].select("id").collect()}
     assert ids == {1, 2, 12}
+
+
+def test_absorb_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-absorbing an already-absorbed
+    batch must append NOTHING (the sizes probe sees every doc) and must
+    not emit self-pair verdicts for the batch's own absorbed docs."""
+    path = str(tmp_path / "fpindex")
+    I.bootstrap_index(_df(spark, A_DOCS), "doc_id", "text", path)
+    v1 = {(r.doc_id, r.dup_of, r.jaccard) for r in I.absorb_batch(
+        _df(spark, B_DOCS), "doc_id", "text", path).collect()}
+    after_first = _index_files(path)
+    v2 = {(r.doc_id, r.dup_of, r.jaccard) for r in I.absorb_batch(
+        _df(spark, B_DOCS), "doc_id", "text", path).collect()}
+    assert v1 == v2 == {(11, 1, 1.0)}
+    assert _index_files(path) == after_first  # byte-identical index
+
+
+def test_torn_append_heals_on_replay(spark, tmp_path):
+    """Crash between the three table appends: bucket/shingle rows exist
+    without a sizes row.  The torn doc must stay invisible to verdicts,
+    be re-absorbed as novel on replay, and the duplicate rows the tear
+    left must not inflate any Jaccard above its true value."""
+    path = str(tmp_path / "fpindex")
+    I.bootstrap_index(_df(spark, A_DOCS), "doc_id", "text", path)
+    batch = _df(spark, [(12, "m n o p mm nn oo pp")])
+    fp = I.fingerprint_tables(batch, "doc_id", "text", materialize=True)
+    # simulate the tear: buckets + shingles land, sizes never does
+    for t in ("buckets", "shingles"):
+        fp[t].write.mode("append").parquet(os.path.join(path, t))
+    # torn doc invisible: a dup of 12 gets NO verdict yet
+    probe = _df(spark, [(21, "m n o p mm nn oo pp")])
+    idx = I.read_index(spark, path)
+    assert I.incremental_dedup_pairs(
+        probe, "doc_id", "text", idx).count() == 0
+    # replay absorbs 12 fully (novel per the sizes probe)
+    assert I.absorb_batch(batch, "doc_id", "text", path).count() == 0
+    dup_sh = (I.read_index(spark, path)["shingles"]
+              .filter(F.col("id") == 12))
+    assert dup_sh.count() > dup_sh.distinct().count()  # tear left dups
+    # duplicated index rows must not inflate jaccard past 1.0
+    got = {(r.doc_id, r.dup_of, r.jaccard) for r in I.absorb_batch(
+        probe, "doc_id", "text", path).collect()}
+    assert got == {(21, 12, 1.0)}
+
+
+def test_stream_replay_skipped_by_markers(spark, tmp_path):
+    """A fresh checkpoint replays every file; the _absorbed markers must
+    short-circuit the replay — verdicts and index stay byte-stable."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, B_DOCS).coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    _df(spark, C_DOCS).coalesce(1).write.parquet(str(src / "b1"))
+    path = str(tmp_path / "fpindex")
+    I.bootstrap_index(_df(spark, A_DOCS), "doc_id", "text", path)
+    verdicts_path = str(tmp_path / "verdicts")
+
+    def _run(ck):
+        q = (I.incremental_dedup_stream(
+                stream := spark.readStream
+                .schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1).parquet(str(src / "*")),
+                "doc_id", "text", path, verdicts_path,
+                checkpoint_dir=str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _run("ck1")
+    idx_after = _index_files(path)
+    rows = {(r.doc_id, r.dup_of) for r in
+            spark.read.parquet(verdicts_path).collect()}
+    assert rows == {(11, 1), (21, 12)}
+    _run("ck2")  # fresh checkpoint = full replay, markers must skip it
+    assert _index_files(path) == idx_after
+    assert {(r.doc_id, r.dup_of) for r in
+            spark.read.parquet(verdicts_path).collect()} == rows
+
+
+def test_compact_index_equivalent_fewer_files(spark, tmp_path):
+    """Compaction rewrites the accumulated per-batch part files clustered
+    by join key: identical verdicts, strictly fewer files, duplicate
+    rows from torn appends dropped."""
+    path = str(tmp_path / "fpindex")
+    I.bootstrap_index(_df(spark, A_DOCS), "doc_id", "text", path)
+    for i, txt in enumerate(["m n o p mm nn oo pp",
+                             "aa bb cc dd ee ff gg hh",
+                             "k1 k2 k3 k4 k5 k6 k7 k8"]):
+        I.absorb_batch(_df(spark, [(100 + i, txt)]), "doc_id", "text",
+                       path)
+    probe = _df(spark, [(200, "aa bb cc dd ee ff gg hh"),
+                        (201, "a b c d e f g h")])
+    before = {(r.doc_id, r.dup_of, r.jaccard)
+              for r in I.incremental_dedup_pairs(
+                  probe, "doc_id", "text",
+                  I.read_index(spark, path)).collect()}
+    n_before = len(_index_files(path))
+    I.compact_index(spark, path, num_files=1)
+    after = {(r.doc_id, r.dup_of, r.jaccard)
+             for r in I.incremental_dedup_pairs(
+                 probe, "doc_id", "text",
+                 I.read_index(spark, path)).collect()}
+    assert after == before == {(200, 101, 1.0), (201, 1, 1.0)}
+    assert len(_index_files(path)) < n_before
+    # absorb still works against the compacted layout
+    assert {(r.doc_id, r.dup_of) for r in I.absorb_batch(
+        probe, "doc_id", "text", path).collect()} \
+        == {(200, 101), (201, 1)}
+
+
+def test_compact_index_catalog_bucketed_join_plan(spark, tmp_path):
+    """The catalog-bucketed compaction must yield a candidate join whose
+    INDEX side is the bucketed scan with no Exchange above it (the
+    zero-shuffle-on-the-corpus-side plan absorb wants at 100 TB)."""
+    path = str(tmp_path / "fpindex")
+    I.bootstrap_index(_df(spark, A_DOCS + [(3, "p q r s t u v w")]),
+                      "doc_id", "text", path)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx = I.compact_index_catalog(spark, path, num_buckets=8)
+        batch = _df(spark, [(11, "a b c d e f g h")])
+        fp = I.fingerprint_tables(batch, "doc_id", "text")
+        join = (fp["buckets"].select(F.col("id").alias("doc_id"),
+                                     "band", "bucket")
+                .join(idx["buckets"].select(F.col("id").alias("dup_of"),
+                                            "band", "bucket"),
+                      ["band", "bucket"]))
+        plan = join._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "Bucketed: true" in plan, plan
+        # the index branch — bucketed scan up to the join — has NO
+        # Exchange: only the batch side reshuffles
+        idx_branch = plan.split("jcs_fp_index_buckets")[-1] \
+                         .split("SortMergeJoin")[0]
+        assert "Exchange" not in idx_branch, plan
+        # verdicts still correct through the bucketed handles
+        got = {(r.doc_id, r.dup_of, r.jaccard)
+               for r in I.incremental_dedup_pairs(
+                   batch, "doc_id", "text", idx).collect()}
+        assert got == {(11, 1, 1.0)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
