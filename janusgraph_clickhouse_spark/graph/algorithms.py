@@ -1075,7 +1075,13 @@ def harmonic_centrality(graph: PropertyGraph,
                .localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
-        visited = (visited.unionAll(nxt).localCheckpoint(eager=True))
+        # only the FRONTIER is materialized per hop; `visited` stays a
+        # lazy union of already-checkpointed frontiers (depth ≤ max_hops)
+        # — re-materializing the whole visited set every hop writes
+        # Σ_h |ball(s, h)| rows again per hop for no lineage benefit
+        # (r5 profiling: the variants differ <0.3 s at sf0.1; this one
+        # is strictly less work and less memory churn)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     edges.unpersist()
     return (visited.filter(F.col("distance") > 0)

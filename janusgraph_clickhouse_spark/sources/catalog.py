@@ -110,7 +110,14 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
 
 
-_TS_UNIT_CACHE: dict[tuple, str] = {}
+# one entry per probed path — replacing the entry when the freshness key
+# changes evicts the stale one, so the cache is bounded by #distinct
+# event directories, not #(path, mtime-set) generations
+_TS_UNIT_CACHE: dict[str, tuple[tuple, str]] = {}
+
+# part files stat+footer-probed from EACH end of the sorted listing; a
+# directory with ≤2× this many parts is probed exhaustively
+_TS_PROBE_SAMPLE = 8
 
 
 def _probe_ts_unit(f: str) -> str:
@@ -137,32 +144,49 @@ def events_ts_unit(path: str) -> str:
     """Parquet footer probe: the time unit of events.ts ('ns', 'us', …).
 
     The driver's fixture generator has flipped between TIMESTAMP(NANOS)
-    and TIMESTAMP(MICROS) across rounds; reading the footers (a
-    driver-side millisecond op, cached per part-file (path, mtime) set)
-    keeps the loader correct for both instead of baking in either
-    assumption.  EVERY part file is probed and the units must agree — a
-    regenerated subset or mixed-unit directory fails loudly here rather
-    than as silent 1000×-off timelines; the cache key folds all part
-    mtimes, so an in-place regen of any part re-probes."""
+    and TIMESTAMP(MICROS) across rounds; reading footers (a driver-side
+    millisecond op) keeps the loader correct for both instead of baking
+    in either assumption.  Driver cost is BOUNDED at corpus scale: a
+    directory with many parts is probed via a sample — the first and
+    last _TS_PROBE_SAMPLE of the sorted listing (small directories
+    exhaustively) — and the sampled units must agree, failing loudly on
+    a mixed directory rather than as silent 1000×-off timelines.  (A
+    regen rewrites the whole directory with one writer, so any sample
+    shares its unit; a pathological half-regen that preserves names,
+    counts AND both listing ends would evade the sample — the full
+    probe is one `_probe_ts_unit` loop away if that ever matters.)
+    The freshness key folds the directory mtime, the part count and
+    the sampled parts' mtimes; the cache holds ONE entry per path, so
+    stale generations are evicted, not accumulated."""
     import glob
 
     files = [path]
+    dir_mtime = 0
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not files:
             return "us"
+        try:
+            dir_mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            return "us"
+    sample = files
+    if len(files) > 2 * _TS_PROBE_SAMPLE:
+        sample = files[:_TS_PROBE_SAMPLE] + files[-_TS_PROBE_SAMPLE:]
     try:
-        key = tuple((f, os.stat(f).st_mtime_ns) for f in files)
+        key = (dir_mtime, len(files),
+               tuple((f, os.stat(f).st_mtime_ns) for f in sample))
     except OSError:
         return "us"
-    if key not in _TS_UNIT_CACHE:
-        units = {f: _probe_ts_unit(f) for f in files}
+    hit = _TS_UNIT_CACHE.get(path)
+    if hit is None or hit[0] != key:
+        units = {f: _probe_ts_unit(f) for f in sample}
         if len(set(units.values())) > 1:
             raise ValueError(
                 f"mixed events.ts units across part files of {path}: "
                 f"{units}")
-        _TS_UNIT_CACHE[key] = next(iter(units.values()))
-    return _TS_UNIT_CACHE[key]
+        _TS_UNIT_CACHE[path] = (key, next(iter(units.values())))
+    return _TS_UNIT_CACHE[path][1]
 
 
 def events_schema(unit: str) -> T.StructType:

@@ -153,9 +153,95 @@ def test_multimodal_features_deterministic(spark, sf_smoke):
 
 
 def test_multimodal_decode_is_stubbed():
+    """Codec formats (here: PNG magic) stay stubbed — only uncompressed
+    formats decode natively."""
     import pytest
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 64)
+
+
+def _ppm_bytes(w, h):
+    """P6 with a deterministic gradient; includes a header comment."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 7) % 256, (y * 11) % 256, (x + y) % 256])
+    return b"P6\n# test fixture\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _bmp_bytes(w, h):
+    """24-bit BI_RGB bottom-up BMP of the same gradient."""
+    import struct
+    row_pad = (w * 3 + 3) // 4 * 4
+    px = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        row = bytearray()
+        for x in range(w):
+            row += bytes([(x + y) % 256, (y * 11) % 256, (x * 7) % 256])
+        row += b"\0" * (row_pad - len(row))  # pad to 4 bytes
+        px += row
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0) + bytes(px))
+
+
+def _wav_bytes(n, rate=8000, channels=1):
+    """PCM-16 mono WAV: a deterministic sawtooth."""
+    import struct
+    samples = b"".join(struct.pack("<h", ((i * 37) % 2048) - 1024)
+                       for i in range(n * channels))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+
+
+def test_decode_image_real_formats():
+    """PPM P6 and 24-bit BMP of the SAME gradient must decode to the
+    identical RGB array — byte-exact, no codec library involved."""
+    import numpy as np
+    a = M.decode_image(_ppm_bytes(13, 7))   # odd width exercises padding
+    b = M.decode_image(_bmp_bytes(13, 7))
+    assert a.shape == b.shape == (7, 13, 3)
+    assert np.array_equal(a, b)
+    assert tuple(a[2, 3]) == ((3 * 7) % 256, (2 * 11) % 256, (3 + 2) % 256)
+
+
+def test_decode_image_stats_end_to_end(spark):
+    """The decode stage runs for real through mapInPandas: mixed batch of
+    PPM, BMP, and a codec-format blob — decodable rows carry true dims
+    and pixel means, the JPEG row comes back ok=false, job survives."""
+    import numpy as np
+    rows = [(1, bytearray(_ppm_bytes(8, 4)), "image/x-ppm"),
+            (2, bytearray(_bmp_bytes(5, 5)), "image/bmp"),
+            (3, bytearray(b"\xff\xd8\xff\xe0" + b"\0" * 32), "image/jpeg")]
+    media = spark.createDataFrame(
+        [(i, bytes(b), m, len(b)) for i, b, m in rows],
+        "media_id long, blob binary, mime string, n_bytes long")
+    got = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    assert got[1].ok and (got[1].width, got[1].height) == (8, 4)
+    assert got[2].ok and (got[2].width, got[2].height) == (5, 5)
+    exp = float(np.asarray(M.decode_image(_ppm_bytes(8, 4))).mean())
+    assert abs(got[1].pixel_mean - exp) < 1e-6
+    assert not got[3].ok and got[3].width is None
+
+
+def test_decode_audio_stats_end_to_end(spark):
+    import numpy as np
+    wav = _wav_bytes(400)
+    media = spark.createDataFrame(
+        [(1, wav, "audio/wav", len(wav)),
+         (2, b"OggS" + b"\0" * 16, "audio/ogg", 20)],
+        "media_id long, blob binary, mime string, n_bytes long")
+    got = {r.media_id: r for r in M.decode_audio_stats(media).collect()}
+    assert got[1].ok and got[1].n_samples == 400
+    assert got[1].sample_rate == 8000 and got[1].channels == 1
+    samples, _ = M.decode_audio(wav)
+    exp = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+    assert abs(got[1].rms - exp) < 1e-6
+    assert not got[2].ok
 
 
 def test_frame_sample_shape(spark, sf_smoke):

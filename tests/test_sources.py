@@ -208,3 +208,46 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     # the filtered set (Spark pushes the WHERE into the JDBC query)
     half = read_jdbc(spark, url, "people", **props).filter("id < 50")
     assert half.count() == 50
+
+
+def test_events_ts_unit_bounded_probe_and_eviction(tmp_path, monkeypatch):
+    """Driver cost stays bounded on many-part directories (sampled
+    probe), regens are detected, and the cache keeps ONE entry per path
+    (stale generations evicted, not accumulated)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from janusgraph_clickhouse_spark.sources import catalog as C
+
+    us = 1704067200_000_000
+    base = {"event_id": [1], "user_id": [2], "event_type": ["click"],
+            "value": [1.0], "props": ["{}"]}
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+
+    def write_all(unit):
+        for i in range(40):
+            if unit == "us":
+                ts = pa.array([us + i], pa.timestamp("us"))
+            else:
+                ts = pa.array([(us + i) * 1000], pa.int64())
+            pq.write_table(pa.table({**base, "ts": ts}),
+                           str(d / f"part-{i:05d}.parquet"))
+
+    write_all("us")
+    calls = []
+    real = C._probe_ts_unit
+    monkeypatch.setattr(C, "_probe_ts_unit",
+                        lambda f: (calls.append(f), real(f))[1])
+    assert C.events_ts_unit(str(d)) == "us"
+    assert len(calls) == 2 * C._TS_PROBE_SAMPLE  # sampled, not all 40
+    calls.clear()
+    assert C.events_ts_unit(str(d)) == "us"
+    assert calls == []                           # cached: zero re-probes
+    # in-place regen with a different unit: mtimes change -> re-probe,
+    # new unit returned, and still exactly one cache entry for the path
+    import time
+    time.sleep(0.02)
+    write_all("ns")
+    assert C.events_ts_unit(str(d)) == "ns"
+    assert len([k for k in C._TS_UNIT_CACHE if k == str(d)]) == 1
