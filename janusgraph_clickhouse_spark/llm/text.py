@@ -200,12 +200,20 @@ def boilerplate_score(df: DataFrame, id_col: str, text_col: str,
     quality stack (navigation chrome, license blocks, and mirrored
     templates score high; original prose scores low).
 
-    Scale shape: one shingle pass (hashed to 8-byte keys — counts are
-    hash-invariant, so a SQL oracle can re-derive them from the raw
-    strings), one document-frequency aggregate, one join back keyed on
-    the same shingle hash, one per-doc aggregate.  Linear in corpus
-    tokens, zero UDFs, no pair enumeration — boilerplate detection
-    WITHOUT the quadratic containment join."""
+    Scale shape: shingles hashed to 8-byte keys (counts are
+    hash-invariant, so a SQL oracle re-derives them from raw strings),
+    one document-frequency aggregate, one join back keyed on the same
+    shingle hash, one per-doc aggregate.  Linear in corpus tokens, zero
+    UDFs, no pair enumeration — boilerplate detection WITHOUT the
+    quadratic containment join.  The physical plan scans the corpus
+    TWICE (the df-aggregate branch and the join branch don't unify into
+    a ReusedExchange) — deliberate: the one-scan alternative, a count
+    window partitioned by shingle, buffers each shingle's rows in one
+    partition and dies on exactly the hot template shingles this
+    operator exists to find; two cheap columnar scans + a skew-safe
+    aggregate is the 100 TB-correct trade (checkpoint the shingle pass
+    instead if scans dominate — it's the same table l30's index
+    persists)."""
     from .dedup import shingle_sets
     sh = shingle_sets(df, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -69,6 +69,39 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
 
 
+def encode_kafka_events(events: DataFrame,
+                        topic: str = "events.txlog",
+                        n_partitions: int = 4) -> DataFrame:
+    """Producer-side wire encoding — the exact inverse of
+    parse_kafka_events: typed event rows → the kafka source's fixed
+    schema (key/value BINARY, topic, partition, offset, timestamp).
+    value = one JSON event per record with `ts` as epoch NANOS (a
+    change log preserves writer precision); key = the event_id bytes
+    (per-key ordering on the broker); partition = hash of the key.
+
+    What it's for: producing to a real broker in a full deployment, and
+    — in this broker-less sandbox — materializing the txlog as FILES so
+    the entire consume path (wire rows → parse → ordered idempotent
+    apply) runs end-to-end over the identical bytes a broker would
+    deliver (tests/test_streaming.py txlog replay).  parse(encode(x))
+    round-trips every column µs-exactly: µs → ns → `div 1000` → µs."""
+    from pyspark.sql import Window
+
+    part = F.pmod(F.hash("event_id"), F.lit(n_partitions)).cast("int")
+    payload = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.col("props"),
+        (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("ts"))
+    return events.select(
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(payload), "utf-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        F.row_number().over(Window.partitionBy(part).orderBy("event_id"))
+        .cast("long").alias("offset"),
+        F.col("ts").alias("timestamp"))
+
+
 def events_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                         topic: str = "events.txlog",
                         starting_offsets: str = "earliest") -> DataFrame:
@@ -147,7 +180,8 @@ def stateful_dedup(events: DataFrame, keys: list[str],
 
 def foreach_batch_upsert(stream: DataFrame, target_path: str,
                          key_cols: list[str],
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         order_col: str | None = None):
     """The mutate/mutateMany analog (SURVEY §2.1 #3/#4): per micro-batch,
     delete target rows matching the batch's keys, then append the batch —
     deletions strictly before additions, exactly the reference's contract
@@ -159,10 +193,25 @@ def foreach_batch_upsert(stream: DataFrame, target_path: str,
     writer.  At real scale back the target with a transactional table
     format or partition-overwrite discipline; the operator shape
     (anti-join ∪ additions inside foreachBatch) is identical.
+
+    At-least-once transport (Kafka redelivery) can duplicate a key
+    WITHIN one micro-batch; a keyed table must still end with one row
+    per key, so each batch is deduplicated on `key_cols` first —
+    last-wins by `order_col` (e.g. the kafka offset) when given,
+    arbitrary-among-identical otherwise.  Cross-batch duplicates were
+    always absorbed by the delete-before-insert merge itself.
     """
     spark = stream.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            from pyspark.sql import Window
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc())
+            batch_df = (batch_df.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            batch_df = batch_df.dropDuplicates(key_cols)
         try:
             current = spark.read.parquet(target_path)
             exists = True
