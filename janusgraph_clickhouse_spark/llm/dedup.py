@@ -581,3 +581,80 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
            .filter(F.col("containment_raw") >= threshold))
     return out.select("doc_a", "doc_b",
                       F.round("containment_raw", 6).alias("containment"))
+
+
+# -- exact shared substrings (Lee et al. 2022 exact-substring dedup) --------
+
+def shared_spans(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 8, min_tokens: int = 16,
+                 max_window_df: int | None = None) -> DataFrame:
+    """MAXIMAL exact shared token spans across document pairs — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), re-expressed
+    relationally instead of via their suffix array: a suffix array is a
+    sequential in-memory structure; positioned k-gram window hashes +
+    one equi-join + a per-diagonal islands merge compute the same
+    maximal-span answer with nothing but keyed shuffles.
+
+    Returns (doc_a, doc_b, start_a, start_b, n_tokens): every maximal
+    run of ≥ `min_tokens` consecutive tokens appearing verbatim in both
+    documents (0-based token offsets, doc_a < doc_b; a pair repeating a
+    passage at several offsets yields one row per alignment).
+
+    How: each doc emits (pos, xxhash64(tokens[pos:pos+k])) for every
+    position; matches join on the hash; a shared span of length L ≥ k
+    is exactly a run of L-k+1 consecutive matches on one DIAGONAL
+    (pos_a - pos_b constant), so grouping matches by (pair, diagonal)
+    and merging consecutive pos_a runs (the islands trick: pos_a minus
+    its rank is constant within a run) yields maximal spans directly.
+
+    Scale shape: the window-hash join is the l21 decontaminate join —
+    8-byte keys, fan-out only on genuinely shared windows, never
+    all-pairs; the islands window partitions by (pair, diagonal), so
+    its partition size is one alignment's match count, bounded by the
+    longest shared span.  Corpus-hot k-grams (licence boilerplate) fan
+    the join out by their df; `max_window_df` drops windows above the
+    cap on BOTH sides first — inside a long shared span that only
+    splits or shortens the reported islands (each fragment still
+    reports if ≥ min_tokens), it cannot create false spans, so the cap
+    trades span completeness for bounded fan-out, explicitly.
+
+    k < min_tokens is required (a span shorter than one window can't be
+    seen); k trades join selectivity (higher k = rarer windows) against
+    the shortest detectable span."""
+    if k > min_tokens:
+        raise ValueError(f"k={k} must be <= min_tokens={min_tokens}")
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(n >= k, F.transform(
+                idx, lambda i: F.xxhash64(F.array_join(
+                    F.slice(toks, i, k), " "))))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"))
+    if max_window_df is not None:
+        hot = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_window_df).select("h"))
+        wins = wins.join(hot, "h", "left_anti")
+    a = wins.select(F.col("id").alias("doc_a"),
+                    F.col("pos").alias("pos_a"), "h")
+    b = wins.select(F.col("id").alias("doc_b"),
+                    F.col("pos").alias("pos_b"), "h")
+    m = (a.join(b, "h")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .withColumn("d", F.col("pos_a") - F.col("pos_b")))
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    spans = (m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+             .groupBy("doc_a", "doc_b", "d", "grp")
+             .agg(F.min("pos_a").alias("start_a"),
+                  (F.max("pos_a") - F.min("pos_a") + k)
+                  .alias("n_tokens"))
+             .filter(F.col("n_tokens") >= min_tokens))
+    return spans.select("doc_a", "doc_b", "start_a",
+                        (F.col("start_a") - F.col("d")).alias("start_b"),
+                        "n_tokens")

@@ -95,6 +95,9 @@ DRIVER_PRIORITY: list[str] = [
 # rotation test tolerates only if the displaced names keep local
 # parity; prefer registering ≤1 new query per round from here on, or
 # widen nothing and let the displaced name trip the test as designed.)
+# QUEUED for the r6 slot: llm.dedup.shared_spans (exact-substring
+# spans, Lee et al. 2022 shape; pytest-green r5) — oracle sketch: SQL
+# positioned k-gram strings → diagonal islands via pos − row_number().
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

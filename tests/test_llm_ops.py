@@ -571,3 +571,66 @@ def test_containment_max_shingle_df_caps_hot_shingle(spark):
                   max_shingle_df=5).collect()}
     assert (1, 2) in capped
     assert capped == uncapped
+
+
+def test_shared_spans_planted_passage(spark):
+    """A 30-token passage pasted into two docs at different offsets must
+    come back as ONE maximal span with exact offsets and length."""
+    passage = " ".join(f"p{i}" for i in range(30))
+    d1 = " ".join(f"a{i}" for i in range(7)) + " " + passage + " " \
+        + " ".join(f"b{i}" for i in range(5))
+    d2 = " ".join(f"c{i}" for i in range(12)) + " " + passage
+    rows = [(1, d1), (2, d2),
+            (3, " ".join(f"z{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.n_tokens)
+           for r in D.shared_spans(df, "doc_id", "text",
+                                   k=8, min_tokens=16).collect()]
+    assert got == [(1, 2, 7, 12, 30)]
+
+
+def test_shared_spans_below_min_ignored(spark):
+    """A shared run shorter than min_tokens (but >= k) must not emit."""
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 < 16
+    rows = [(1, shared + " " + " ".join(f"x{i}" for i in range(20))),
+            (2, shared + " " + " ".join(f"y{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.shared_spans(df, "doc_id", "text",
+                          k=8, min_tokens=16).count() == 0
+
+
+def test_shared_spans_multiple_alignments(spark):
+    """A passage repeated TWICE in one doc aligns to the other doc's
+    single copy at two diagonals: two span rows, one per alignment."""
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler = " ".join(f"f{i}" for i in range(10))
+    rows = [(1, passage + " " + filler + " " + passage),
+            (2, passage)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.start_a, r.start_b, r.n_tokens)
+                 for r in D.shared_spans(df, "doc_id", "text",
+                                         k=8, min_tokens=16).collect())
+    assert got == [(0, 0, 20), (30, 0, 20)]
+
+
+def test_shared_spans_hot_window_cap(spark):
+    """max_window_df drops corpus-hot k-grams from both join sides: the
+    boilerplate block every doc shares stops fanning out the join, while
+    a genuinely-shared rare passage still reports exactly."""
+    boiler = " ".join(f"lic{i}" for i in range(20))
+    passage = " ".join(f"p{i}" for i in range(20))
+    rows = [(1, boiler + " " + passage),
+            (2, boiler + " " + " ".join(f"q{i}" for i in range(6))
+             + " " + passage)]
+    rows += [(10 + i, boiler + " " + " ".join(f"u{i}_{j}"
+                                              for j in range(10)))
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.n_tokens)
+              for r in D.shared_spans(df, "doc_id", "text", k=8,
+                                      min_tokens=16,
+                                      max_window_df=5).collect()}
+    # the rare passage (df=2 windows) survives at its exact offsets;
+    # every boilerplate-only pair is gone
+    assert (1, 2, 20, 26, 20) in capped
+    assert all(a in (1, 2) and b in (1, 2) for a, b, *_ in capped)
