@@ -70,6 +70,10 @@ HEADLINE = [
     "g22_biased_walks",         # node2vec (p,q) deterministic race
     "l32_containment_pairs",    # bottom-k sketch + exact containment
     "l33_pii_scrub",            # regex redaction + audit counts
+    # late-round-5 additions
+    "g23_scc",                  # FW-BW coloring SCC (iterative)
+    "g24_local_clustering",     # per-vertex triangles (dense bitset)
+    "l34_bloom_decontaminate",  # broadcast-Bloom prefilter + confirm
 ]
 
 

@@ -500,6 +500,98 @@ def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("containment")))
 
 
+def bloom_membership_udf(keys: DataFrame, key_col: str,
+                         m_bits: int = 1 << 17, k: int = 4):
+    """Build an m-bit Bloom filter over `keys[key_col]` (64-bit hashes)
+    and return a vectorized membership predicate (a pandas UDF over a
+    broadcast numpy bitset) — true for every inserted key, true with
+    probability ε ≈ (1−e^(−k·n/m))^k for anything else.
+
+    Positions via Kirsch–Mitzenmacher: pos_i = (h_lo + i·h_hi) mod m,
+    identical arithmetic JVM-side (build: bitwiseAND / shiftrightunsigned
+    / pmod, bit_or aggregate over 64-bit words) and numpy-side (probe),
+    so build and probe can live on different engines.  The driver
+    collects ≤ m/64 longs — exactly the broadcast payload, never the
+    key set."""
+    import numpy as np
+
+    spark = keys.sparkSession
+    h_lo = F.col(key_col).bitwiseAND(F.lit(4294967295))
+    h_hi = F.shiftrightunsigned(key_col, 32)
+    pos_cols = [F.pmod(h_lo + F.lit(i) * h_hi, F.lit(m_bits))
+                for i in range(k)]
+    words = (keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+             .selectExpr("pos div 64 AS w",
+                         "shiftleft(1L, cast(pos % 64 AS int)) AS mask")
+             .groupBy("w").agg(F.expr("bit_or(mask)").alias("bits")))
+    arr = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in words.collect():          # ≤ m/64 rows: the filter itself
+        arr[int(r["w"])] = r["bits"]
+    bc = spark.sparkContext.broadcast(arr)
+    mb, kk = m_bits, k
+
+    @pandas_udf("boolean")
+    def _maybe_contains(h_ser: pd.Series) -> pd.Series:
+        import numpy as _np
+        h = h_ser.to_numpy(dtype=_np.int64)
+        a = bc.value
+        lo = h & 0xFFFFFFFF                    # = Spark bitwiseAND
+        hi = (h >> 32) & 0xFFFFFFFF            # = shiftrightunsigned
+        ok = _np.ones(len(h), dtype=bool)
+        for i in range(kk):
+            pos = (lo + i * hi) % mb
+            ok &= ((a[pos >> 6] >> (pos & 63)) & 1) == 1
+        return pd.Series(ok)
+
+    return _maybe_contains
+
+
+def bloom_decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
+                              bench_filter: Column, n: int = 5,
+                              m_bits: int = 1 << 17,
+                              k: int = 4) -> DataFrame:
+    """`decontaminate_pairs` with a Bloom prefilter on the train side —
+    IDENTICAL output (the filter only admits false positives, and every
+    survivor is exact-confirmed by the same shingle equi-join), but the
+    shuffle that feeds the join moves ~ε·|train shingles| rows instead
+    of all of them.
+
+    Why this exists: the plain equi-join already broadcasts nothing —
+    BOTH shingle sets shuffle on the hash.  At 100 TB the train side is
+    the corpus (~10¹² shingles) while the benchmark is fixed (~10⁷);
+    an m-bit Bloom filter over the benchmark shingles is m/8 bytes
+    (16 KiB at the default, 32 MiB for a 10⁷-gram benchmark at 10
+    bits/key) — broadcast once, tested SCAN-SIDE before any exchange,
+    so the corpus-sized shuffle shrinks by 1/ε (ε ≈ (1−e^(−kn/m))^k).
+
+    Mechanics: k positions per 64-bit shingle hash via
+    Kirsch–Mitzenmacher (pos_i = (h_lo + i·h_hi) mod m); the build is
+    JVM-side (bit_or aggregate over 64-bit words, ≤ m/64 rows collected
+    — bounded by the filter size, which is the broadcast anyway); the
+    membership probe is one Arrow-batched pandas UDF over a broadcast
+    numpy bitset (a bitset lookup cannot be a join without re-paying
+    the shuffle it exists to avoid, and the numpy form is vectorized
+    per batch, never per-row Python)."""
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    bench_ids = df.filter(bench_filter).select(F.col(id_col).alias("id"))
+    bench_sh = (sh.join(bench_ids, "id", "left_semi")
+                .localCheckpoint(eager=True))
+    train_sh = sh.join(bench_ids, "id", "left_anti")
+    maybe = bloom_membership_udf(bench_sh, "shingle", m_bits, k)
+    surv = train_sh.filter(maybe(F.col("shingle")))
+    bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
+    shared = (surv.select(F.col("id").alias("train_id"), "shingle")
+              .join(bench_sh.select(F.col("id").alias("bench_id"),
+                                    "shingle"), "shingle")
+              .groupBy("train_id", "bench_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
+                        "bench_id")
+            .select("train_id", "bench_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("bn"), 6)
+                    .alias("containment")))
+
+
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.8,
                       candidates: DataFrame | None = None,

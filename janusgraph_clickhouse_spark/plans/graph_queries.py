@@ -832,3 +832,104 @@ def g22_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("c_custkey") + _C).alias("id")))
     return biased_random_walks(g, srcs, steps=3, p=4.0, q=0.25,
                                seed="n2v")
+
+
+@query(
+    "g23_scc",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+    mx AS (SELECT max(user_id) AS m FROM ev),
+    seq AS (
+      SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS nxt
+      FROM ev),
+    e AS (SELECT DISTINCT user_id AS u, nxt AS v FROM seq, mx
+          WHERE nxt IS NOT NULL AND nxt <> user_id
+            AND ((user_id * 5) // (m + 1) = (nxt * 5) // (m + 1)
+                 OR user_id < nxt)),
+    nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+    reach AS (
+      WITH RECURSIVE r(s, d) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.s, e.v FROM r JOIN e ON e.u = r.d)
+      SELECT * FROM r),
+    mutual AS (
+      SELECT a.s AS v, a.d AS w
+      FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s)
+    SELECT n.id, greatest(n.id, coalesce(max(m2.w), n.id)) AS component
+    FROM nodes n LEFT JOIN mutual m2 ON m2.v = n.id GROUP BY n.id
+    """,
+)
+def g23_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (FW-BW coloring) on the user
+    referral digraph sessionized from the event stream: every 7th event,
+    consecutive actors within an event_type are linked u→v, and an edge
+    survives only within the same user-id quintile band or pointing
+    forward (u < v) — cycles live inside bands, cross-band flow is a
+    DAG, so the SCC structure is mid-size band components plus
+    singletons at EVERY scale factor and the FW-BW phase count stays a
+    small constant.  The oracle recomputes mutual reachability from
+    first principles (recursive-CTE transitive closure — viable at
+    oracle scale, never the engine plan); component id = max member id
+    on both sides."""
+    from pyspark.sql.window import Window
+    from ..graph.algorithms import strongly_connected_components
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0)
+    mx = ev.agg(F.max("user_id").alias("m"))
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = ev.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    band_eq = (F.expr("(user_id * 5) div (m + 1)")
+               == F.expr("(nxt * 5) div (m + 1)"))
+    e = (seq.filter(F.col("nxt").isNotNull()
+                    & (F.col("nxt") != F.col("user_id")))
+         .crossJoin(F.broadcast(mx))
+         .filter(band_eq | (F.col("user_id") < F.col("nxt")))
+         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+         .distinct())
+    return strongly_connected_components(e)
+
+
+@query(
+    "g24_local_clustering",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id,
+                      time_bucket(INTERVAL '10 minutes', ts) AS w
+               FROM events),
+    e AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+          FROM b a JOIN b c ON a.w = c.w AND a.user_id < c.user_id),
+    deg AS (SELECT id, count(*) AS degree FROM (
+              SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+            GROUP BY id),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pertri AS (SELECT id, count(*) AS t FROM (
+                 SELECT a AS id FROM tri
+                 UNION ALL SELECT b2 FROM tri
+                 UNION ALL SELECT c FROM tri)
+               GROUP BY id)
+    SELECT d.id, d.degree,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(p.t, 0)
+                           / (d.degree * (d.degree - 1.0)), 6)
+           END AS lcc
+    FROM deg d LEFT JOIN pertri p ON p.id = d.id
+    """,
+)
+def g24_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the 10-minute
+    co-activity graph (g11's substrate): lcc = 2·tri(v)/(deg(v)·(deg−1)).
+    Triangles via the degree-ordered orientation (every wedge out of an
+    O(√m) oriented neighborhood, closed by one (b,c) equi-join — the g03
+    skew bound), keeping all three corners so each triangle credits each
+    endpoint; the oracle re-counts canonically (u<v three-way join).
+    Rounded to 6 decimals on both sides."""
+    from ..graph.algorithms import local_clustering
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    return local_clustering(g)

@@ -1258,3 +1258,48 @@ def l33_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ).otherwise(F.lit("")),
         ).alias("text"))
     return X.scrub_pii(aug, "text")
+
+
+@query(
+    "l34_bloom_decontaminate",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word
+             || ' ' || e.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+      JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+    bsh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    tsh AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    bsz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS bn FROM bsh GROUP BY doc_id),
+    pairs AS MATERIALIZED (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             count(*) AS n_shared
+      FROM tsh t JOIN bsh b ON t.s = b.s
+      GROUP BY 1, 2)
+    SELECT train_id, bench_id, n_shared,
+           round(n_shared::DOUBLE / bn, 6) AS containment
+    FROM pairs JOIN bsz ON bsz.doc_id = bench_id
+    """,
+)
+def l34_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l21's decontamination answer through the Bloom-prefilter path:
+    the benchmark shingle set becomes a broadcast m-bit Bloom bitset
+    (built JVM-side with a bit_or aggregate), the corpus side is tested
+    SCAN-SIDE by an Arrow-batched numpy probe before any exchange, and
+    only survivors (ε ≈ 0.5% at the defaults) enter the exact-confirm
+    equi-join — so the corpus-sized shuffle shrinks ~200×.  The oracle
+    is l21's exact SQL unchanged: Bloom admits only false positives and
+    the confirm join removes them, so the output is provably identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.bloom_decontaminate_pairs(docs, "doc_id", "text",
+                                       F.col("doc_id") % 7 == 0, n=5)

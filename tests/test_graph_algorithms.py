@@ -610,3 +610,69 @@ def test_biased_walks_deterministic_and_edge_valid(spark):
         path = [v for (w, t, v) in a if w == wid]
         for x, y in zip(path, path[1:]):
             assert (x, y) in eset
+
+
+# -- strongly connected components ------------------------------------------
+
+def _scc_of(spark, edge_list):
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        strongly_connected_components)
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    return {r.id: r.component
+            for r in strongly_connected_components(e).collect()}
+
+
+def test_scc_two_cycles_bridged(spark):
+    # cycle {1,2,3} → bridge → cycle {10,11}; bridge is one-way, so the
+    # cycles are distinct SCCs; component = max member id
+    scc = _scc_of(spark, [(1, 2), (2, 3), (3, 1), (3, 10),
+                          (10, 11), (11, 10)])
+    assert scc == {1: 3, 2: 3, 3: 3, 10: 11, 11: 11}
+
+
+def test_scc_dag_is_all_singletons(spark):
+    # pure DAG (including a decreasing chain, which needs an extra
+    # peeling phase): every vertex is its own SCC
+    scc = _scc_of(spark, [(5, 4), (4, 3), (3, 2), (1, 2), (2, 6)])
+    assert scc == {i: i for i in (1, 2, 3, 4, 5, 6)}
+
+
+def test_scc_mutual_vs_oneway_reach(spark):
+    # 1⇄2 mutual; 2→3→4 one-way; 4⇄5 mutual: reachability alone would
+    # merge everything — SCC must not
+    scc = _scc_of(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)])
+    assert scc == {1: 2, 2: 2, 3: 3, 4: 5, 5: 5}
+
+
+def test_scc_figure_eight_single_component(spark):
+    # two cycles sharing vertex 3 form ONE SCC
+    scc = _scc_of(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)])
+    assert scc == {i: 5 for i in (1, 2, 3, 4, 5)}
+
+
+# -- local clustering coefficient -------------------------------------------
+
+def test_local_clustering_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3,
+    # lcc(4)=0 (degree 1)
+    from janusgraph_clickhouse_spark.graph.algorithms import local_clustering
+    g = graph_from_edge_list(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    rows = {r.id: (r.degree, r.lcc) for r in local_clustering(g).collect()}
+    assert rows == {1: (2, 1.0), 2: (2, 1.0),
+                    3: (3, round(1 / 3, 6)), 4: (1, 0.0)}
+
+
+def test_local_clustering_dense_matches_wedge_path(spark):
+    # same structure at small ids (dense bitset route) and shifted past
+    # DENSE_LCC_MAX_NODES (oriented-wedge route) must agree exactly
+    from janusgraph_clickhouse_spark.graph import algorithms as A
+    base = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (2, 5)]
+    off = A.DENSE_LCC_MAX_NODES + 7
+    g_small = graph_from_edge_list(spark, base)
+    g_big = graph_from_edge_list(spark, [(a + off, b + off)
+                                         for a, b in base])
+    small = {r.id: (r.degree, r.lcc)
+             for r in A.local_clustering(g_small).collect()}
+    big = {r.id - off: (r.degree, r.lcc)
+           for r in A.local_clustering(g_big).collect()}
+    assert small == big

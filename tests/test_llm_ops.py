@@ -634,3 +634,56 @@ def test_shared_spans_hot_window_cap(spark):
     # every boilerplate-only pair is gone
     assert (1, 2, 20, 26, 20) in capped
     assert all(a in (1, 2) and b in (1, 2) for a, b, *_ in capped)
+
+
+# -- Bloom-prefiltered decontamination --------------------------------------
+
+def test_bloom_decontaminate_matches_exact(spark, sf_smoke):
+    """Bloom admits only false positives and the confirm join removes
+    them — the output must equal the plain equi-join path exactly."""
+    docs = _docs(spark, sf_smoke)
+    flt = F.col("doc_id") % 7 == 0
+    exact = sorted(tuple(r) for r in D.decontaminate_pairs(
+        docs, "doc_id", "text", flt, n=5).collect())
+    bloom = sorted(tuple(r) for r in D.bloom_decontaminate_pairs(
+        docs, "doc_id", "text", flt, n=5).collect())
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_decontaminate_tiny_filter_still_exact(spark):
+    """A deliberately saturated filter (m=256 bits) lets nearly every
+    shingle through — the answer must STILL be exact, only slower."""
+    bench = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, bench),
+        (3, "prefix words then " + bench + " trailing tail here"),
+        (5, "totally different content with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.bloom_decontaminate_pairs(docs, "doc_id", "text",
+                                      F.col("doc_id") % 7 == 0,
+                                      n=5, m_bits=256, k=2).collect()
+    assert [(r.train_id, r.bench_id, r.n_shared, r.containment)
+            for r in out] == [(3, 0, 1, 1.0)]
+
+
+def test_bloom_prefilter_selectivity_and_recall(spark, sf_smoke):
+    """The prefilter itself: passes EVERY truly shared shingle (no false
+    negatives, ever) and rejects the overwhelming majority of the rest
+    at the default sizing (ε ≈ 0.5% expected; assert < 5%)."""
+    docs = _docs(spark, sf_smoke)
+    flt = F.col("doc_id") % 7 == 0
+    sh = D.shingle_sets(docs, "doc_id", "text", n=5)
+    bench_ids = docs.filter(flt).select(F.col("doc_id").alias("id"))
+    train_sh = (sh.join(bench_ids, "id", "left_anti")
+                .localCheckpoint(eager=True))
+    bench_sh = sh.join(bench_ids, "id", "left_semi")
+    maybe = D.bloom_membership_udf(bench_sh, "shingle")
+    surv = train_sh.filter(maybe(F.col("shingle"))).localCheckpoint(True)
+    truly = train_sh.join(bench_sh.select("shingle").distinct(), "shingle",
+                          "left_semi")
+    # recall 1: every shared (id, shingle) row survives the prefilter
+    assert truly.join(surv, ["id", "shingle"], "left_anti").count() == 0
+    n_train, n_surv, n_true = (train_sh.count(), surv.count(),
+                               truly.count())
+    assert n_true <= n_surv < n_true + 0.05 * n_train
