@@ -74,6 +74,7 @@ HEADLINE = [
     "g23_scc",                  # FW-BW coloring SCC (iterative)
     "g24_local_clustering",     # per-vertex triangles (dense bitset)
     "l34_bloom_decontaminate",  # broadcast-Bloom prefilter + confirm
+    "l35_sq8_topk",             # int8-quantized scan + exact rerank
 ]
 
 

@@ -9,6 +9,8 @@ per-bucket join stays bounded.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -190,3 +192,91 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str,
     cands = df.filter(cand_filter)
     return brute_force_topk(cands, id_col, vec_col, query_vec, k,
                             exclude_id=exclude_id)
+
+
+# -- int8 scalar quantization ------------------------------------------------
+
+def sq8_params(df: DataFrame, vec_col: str) -> tuple[list, list]:
+    """Per-dimension (mn, scale) for 8-bit scalar quantization, from one
+    posexplode + (dim)-group aggregate: scale_i = (mx_i − mn_i)/255, or
+    1.0 for constant dimensions (which then quantize to 0).  The collect
+    is 2·dim doubles — the codebook itself, never the data.  min/max are
+    exact (no summation), so both engines derive bit-identical params."""
+    stats = (df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                       .alias("i", "v"))
+             .groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .orderBy("i").collect())
+    mn = [r["mn"] for r in stats]
+    s = [((r["mx"] - r["mn"]) / 255.0) if r["mx"] > r["mn"] else 1.0
+         for r in stats]
+    return mn, s
+
+
+def sq8_quantize_expr(vec_col: str | Column, mn: list, s: list) -> Column:
+    """ARRAY<BIGINT> of clamp(floor((x_i − mn_i)/s_i + 0.5), 0, 255) —
+    pure zip_with/transform codegen, one scan-side pass.  floor(x+0.5)
+    (not round()) so Spark, DuckDB, and driver-side Python agree on
+    every tie without half-even vs half-up ambiguity."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cd = c.cast("array<double>")
+    mn_a = F.array(*[F.lit(float(x)) for x in mn])
+    s_a = F.array(*[F.lit(float(x)) for x in s])
+    centered = F.zip_with(cd, mn_a, lambda x, m: x - m)
+    return F.zip_with(centered, s_a, lambda x, sc: F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(255).cast("long"),
+                F.floor(x / sc + F.lit(0.5)))))
+
+
+def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
+             k: int = 10, shortlist: int = 50) -> DataFrame:
+    """Top-k by exact cosine, shortlisted by ASYMMETRIC int8 scoring
+    (ADC): (id, qcos, cosine).
+
+    The corpus is read only as int8 codes (4× less scan than float32,
+    32× less than float64); the query stays full-precision.  Per-row
+    approximate cosine is reconstructed FROM THE CODES with per-dim
+    constants — dot̂ = A + Σ (s_i·q_i)·c_i and ‖x̂‖² = B + Σ (2·mn_i·s_i)·c_i
+    + Σ s_i²·c_i² (A = Σ mn_i·q_i, B = Σ mn_i² folded driver-side into
+    plan literals) — so the scan never touches the original vectors and
+    every expression stays in whole-stage codegen.  Ranking uses the
+    ROUNDED approximate cosine with the id tiebreaker (the repo-wide
+    top-k discipline: cross-engine summation-order noise lives below
+    round-6).  Only the `shortlist` best rows are re-scored in full
+    precision; recall beyond the shortlist is the declared
+    approximation, exactly as IVF declares n_probe."""
+    mn, s = sq8_params(df, vec_col)
+    qrow = (df.filter(F.col(id_col) == query_id)
+            .select(F.col(vec_col).cast("array<double>")).first())
+    qv = list(qrow[0])
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    a_const = sum(m * x for m, x in zip(mn, qv))
+    b_const = sum(m * m for m in mn)
+    w = [si * xi for si, xi in zip(s, qv)]
+    u = [2.0 * mi * si for mi, si in zip(mn, s)]
+    v2 = [si * si for si in s]
+    w_a = F.array(*[F.lit(float(x)) for x in w])
+    u_a = F.array(*[F.lit(float(x)) for x in u])
+    v_a = F.array(*[F.lit(float(x)) for x in v2])
+    codes = sq8_quantize_expr(vec_col, mn, s)
+
+    def _dotsum(arr, weights):
+        return F.aggregate(F.zip_with(arr, weights, lambda c, wt: c * wt),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dot_hat = F.lit(float(a_const)) + _dotsum(codes, w_a)
+    norm2_hat = (F.lit(float(b_const)) + _dotsum(codes, u_a)
+                 + F.aggregate(F.zip_with(codes, v_a,
+                                          lambda c, vt: c * c * vt),
+                               F.lit(0.0), lambda acc, x: acc + x))
+    qcos = F.round(dot_hat / (F.sqrt(norm2_hat) * F.lit(float(qnorm))), 6)
+    scored = (df.filter(F.col(id_col) != query_id)
+              .select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"),
+                      qcos.alias("qcos")))
+    short = scored.orderBy(F.col("qcos").desc(), "id").limit(shortlist)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (short.select("id", "qcos",
+                         F.round(cosine_expr("cv", qlit), 6)
+                         .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "id").limit(k))

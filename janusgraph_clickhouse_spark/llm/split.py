@@ -106,3 +106,36 @@ def pack_sequences(df: DataFrame, key_col: str, text_col: str,
                         F.col("off") + F.col("local_cum") - F.col("tok"))
             .withColumn("seq_id", F.floor(F.col("start") / budget))
             .select("doc_id", "tok", "seq_id"))
+
+
+def domain_cap(df: DataFrame, key_col: str, domain_col: str,
+               cap: int, salt: str = "cap",
+               salt_buckets: int = 64) -> DataFrame:
+    """Keep at most `cap` rows per domain, chosen deterministically by
+    md5 order of the key (a seedable shuffle, not arrival order) — the
+    standard web-corpus curation guard against one domain dominating
+    the mixture.  Adds `rk` (1-based rank within the domain's kept set).
+
+    Skew-safe EXACT top-cap in two windows: rows first compete inside
+    (domain, md5-salt-bucket) partitions — each keeps its own best
+    `cap`, bounding any single partition's sort at corpus scale even
+    for a domain holding half the corpus — then the ≤ cap·salt_buckets
+    survivors per domain compete once more for the true top-cap.  The
+    union of per-bucket top-cap provably contains the global top-cap
+    (anything it drops is beaten by cap rows in its own bucket), so the
+    two-phase result is identical to one giant window, which is exactly
+    how the DuckDB oracle states it."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    sb = hash_bucket(key_col, salt_buckets, salt="capsalt")
+    w1 = (Window.partitionBy(F.col(domain_col), sb)
+          .orderBy(key, F.col(key_col)))
+    survivors = (df.withColumn("_k", key)
+                 .withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= cap))
+    w2 = Window.partitionBy(domain_col).orderBy("_k", key_col)
+    return (survivors
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= cap)
+            .drop("_k", "_r1"))

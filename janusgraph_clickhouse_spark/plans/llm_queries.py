@@ -1303,3 +1303,86 @@ def l34_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.bloom_decontaminate_pairs(docs, "doc_id", "text",
                                        F.col("doc_id") % 7 == 0, n=5)
+
+
+@query(
+    "l35_sq8_topk",
+    oracle="""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT i, min(v) AS mn, max(v) AS mx FROM vecs GROUP BY i),
+    p AS (
+      SELECT i, mn, mx,
+             CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS s
+      FROM dims),
+    codes AS MATERIALIZED (
+      SELECT v.vec_id, v.i, p.mn, p.s,
+             CASE WHEN p.mx > p.mn
+                  THEN least(greatest(floor((v.v - p.mn) / p.s + 0.5),
+                                      0), 255)
+                  ELSE 0 END AS c
+      FROM vecs v JOIN p USING (i)),
+    qfull AS (SELECT i, v AS q FROM vecs WHERE vec_id = 0),
+    qn AS (SELECT sqrt(sum(q * q)) AS qnorm FROM qfull),
+    scored AS (
+      SELECT c.vec_id AS id,
+             round(sum((c.mn + c.s * c.c) * qf.q)
+                   / (sqrt(sum((c.mn + c.s * c.c) * (c.mn + c.s * c.c)))
+                      * min(qn.qnorm)), 6) AS qcos
+      FROM codes c JOIN qfull qf USING (i), qn
+      WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+    short AS (SELECT * FROM scored ORDER BY qcos DESC, id LIMIT 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0)
+    SELECT s.id, s.qcos,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        qv.qv), 6) AS cosine
+    FROM short s
+    JOIN embeddings e ON e.vec_id = s.id, qv
+    ORDER BY cosine DESC, id LIMIT 10
+    """,
+)
+def l35_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over an int8 scalar-quantized corpus with
+    ASYMMETRIC (ADC) scoring: per-dim min/max codebook (one exact
+    aggregate, 2·dim doubles), corpus scanned only as int8 codes (4×
+    less I/O than float32), approximate cosine reconstructed from the
+    codes entirely in whole-stage codegen, top-shortlist by (rounded
+    approx cosine, id), exact-cosine rerank for the reported top-k.
+    The oracle unrolls the identical pipeline relationally; both sides
+    round the selection score to 6 decimals, which absorbs cross-engine
+    summation-order noise — the repo's top-k ordering discipline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, "vec_id", "embedding", query_id=0,
+                      k=10, shortlist=50)
+
+
+@query(
+    "l36_domain_cap",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def l36_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (≤10 per source, chosen by md5 order of
+    doc_id — a seed-stable shuffle): the web-corpus curation guard
+    against one domain dominating the training mixture.  The engine
+    runs the skew-safe two-window form (per-(domain, salt-bucket)
+    top-cap first, so no single partition ever sorts a whole mega
+    domain); the oracle states the equivalent one-window definition —
+    the two are provably identical, which the hash check enforces."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..llm.split import domain_cap
+    return (domain_cap(docs, "doc_id", "source", cap=10)
+            .select("doc_id", "source", "rk"))

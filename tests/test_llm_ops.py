@@ -687,3 +687,77 @@ def test_bloom_prefilter_selectivity_and_recall(spark, sf_smoke):
     n_train, n_surv, n_true = (train_sh.count(), surv.count(),
                                truly.count())
     assert n_true <= n_surv < n_true + 0.05 * n_train
+
+
+# -- int8 scalar quantization -----------------------------------------------
+
+def test_sq8_full_shortlist_equals_brute_force(spark, sf_smoke):
+    """With shortlist >= corpus the rerank sees everything, so sq8_topk
+    must reproduce brute_force_topk exactly (same rounding, same
+    ordering discipline) — pins that quantization only affects WHICH
+    rows reach the rerank, never the reported scores."""
+    emb = _emb(spark, sf_smoke)
+    n = emb.count()
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+              .first()[0])
+    brute = [(r.id, r.cosine) for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()]
+    sq = [(r.id, r.cosine) for r in S.sq8_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10,
+        shortlist=n).collect()]
+    assert sq == brute
+
+
+def test_sq8_quantize_bounds_and_constant_dim(spark):
+    """Quantized codes stay in [0, 255]; a constant dimension (mx == mn)
+    quantizes to 0 instead of dividing by zero."""
+    rows = [(i, [float(i), 5.0, -3.0 + 2.0 * i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mn, s = S.sq8_params(df, "embedding")
+    assert mn[1] == 5.0 and s[1] == 1.0
+    q = df.select(S.sq8_quantize_expr("embedding", mn, s).alias("q"))
+    for r in q.collect():
+        assert all(0 <= x <= 255 for x in r.q)
+        assert r.q[1] == 0
+
+
+def test_sq8_shortlist_recall_on_fixture(spark, sf_smoke):
+    """At the registered sizing (shortlist 50) the true top-10 should
+    survive quantization on the fixture embeddings — the declared
+    approximation holds where it is deployed."""
+    emb = _emb(spark, sf_smoke)
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+              .first()[0])
+    brute = {r.id for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()}
+    sq = {r.id for r in S.sq8_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10,
+        shortlist=50).collect()}
+    assert len(brute & sq) >= 9
+
+
+# -- per-domain cap ---------------------------------------------------------
+
+def test_domain_cap_exact_and_deterministic(spark, sf_smoke):
+    """Cap respected per domain; result equals the single-window
+    definition; invariant under repartitioning (pure key function)."""
+    from pyspark.sql import Window
+    from janusgraph_clickhouse_spark.llm.split import domain_cap
+    docs = _docs(spark, sf_smoke)
+    capped = domain_cap(docs, "doc_id", "source", cap=10)
+    per = {r.source: r.n for r in capped.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(n <= 10 for n in per.values())
+    key = F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    one = (docs.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 10))
+    got = sorted((r.doc_id, r.source, r.rk)
+                 for r in capped.select("doc_id", "source", "rk").collect())
+    want = sorted((r.doc_id, r.source, r.rk)
+                  for r in one.select("doc_id", "source", "rk").collect())
+    assert got == want
+    re_got = sorted((r.doc_id, r.source, r.rk) for r in domain_cap(
+        docs.repartition(13), "doc_id", "source", cap=10)
+        .select("doc_id", "source", "rk").collect())
+    assert re_got == want
