@@ -88,7 +88,14 @@ def _calibrate(spark) -> dict[str, float]:
                core, no JVM, no allocation; scales with CPU contention.
     spark_sec: sum over range(200M) — a fixed all-core JVM job with no
                I/O and one tiny result; scales with JVM/executor-thread
-               contention."""
+               contention.
+    io_sec:    full single-thread pyarrow read of one fixed parquet
+               column (lineitem.l_extendedprice at the bench SF) —
+               rules storage/page-cache contention in or out, the
+               component the two CPU probes can't see.  A run where all
+               three probes are quiet but queries are uniformly slow is
+               host-level pressure (hypervisor steal, memory bandwidth)
+               — compare totals only against runs, not across them."""
     t0 = time.perf_counter()
     x = 0x9E3779B97F4A7C15
     for _ in range(5_000_000):
@@ -99,7 +106,17 @@ def _calibrate(spark) -> dict[str, float]:
     t0 = time.perf_counter()
     spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
     jvm = time.perf_counter() - t0
-    return {"spin_sec": round(spin, 3), "spark_sec": round(jvm, 3)}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.perf_counter()
+    try:
+        import pyarrow.parquet as pq
+        pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_extendedprice"], use_threads=False)
+        io = time.perf_counter() - t0
+    except Exception:
+        io = -1.0
+    return {"spin_sec": round(spin, 3), "spark_sec": round(jvm, 3),
+            "io_sec": round(io, 3)}
 
 
 def main() -> None:

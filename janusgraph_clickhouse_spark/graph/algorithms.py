@@ -1227,30 +1227,44 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                                 F.col("color"),
                                 F.coalesce(F.col("c_in"), F.col("color"))
                             ).alias("c1"),
-                            F.col("color").alias("c_old")))
+                            (F.col("c_in") > F.col("color"))
+                            .cast("long").alias("chg"))
+                    .localCheckpoint(eager=False))
+            # ONE job per iteration: this agg materializes the lazy
+            # checkpoint AND is the convergence probe.  chg counts only
+            # edge-step improvements — sound, because at the edge-step
+            # fixpoint color is already the true max-reaching id and
+            # the jump below is provably a no-op.
+            changed = half.agg(F.sum("chg")).first()[0] or 0
             # pointer jumping (the connected_components path-halving
             # trick, sound here too: color(color(v)) reaches color(v)
-            # reaches v) — O(log diameter) rounds instead of O(diameter)
+            # reaches v) — O(log diameter) rounds instead of
+            # O(diameter).  Applied LAZILY over the checkpointed half,
+            # so it is computed once inside the NEXT iteration's job
+            # instead of forcing (and double-running) its own.
             look = half.select(F.col("id").alias("c1"),
                                F.col("c1").alias("c_jump"))
             jumped = F.greatest(F.col("c1"),
                                 F.coalesce(F.col("c_jump"), F.col("c1")))
-            new = (half.join(look, "c1", "left")
-                   .select("id", jumped.alias("color"),
-                           (jumped > F.col("c_old"))
-                           .cast("long").alias("chg"))
-                   .localCheckpoint(eager=False))
-            changed = new.agg(F.sum("chg")).first()[0] or 0
-            colors = new.select("id", "color")
+            colors = (half.join(look, "c1", "left")
+                      .select("id", jumped.alias("color")))
             if changed == 0:
                 break
         # (2) backward containment BFS from all roots, same-color only.
         # At least one root always exists (the max remaining id is
         # reached by nothing higher), so every phase makes progress.
-        member = (colors.filter(F.col("id") == F.col("color"))
-                  .localCheckpoint(eager=True))
-        frontier = member
+        colors = colors.localCheckpoint(eager=True)
+        roots = (colors.filter(F.col("id") == F.col("color"))
+                 .localCheckpoint(eager=True))
+        # membership accumulates as a union of per-hop CHECKPOINTED
+        # frontiers — the anti-join below re-reads those cheaply, no
+        # per-hop re-checkpoint of the whole member set
+        parts = [roots]
+        frontier = roots
         while True:
+            member = parts[0]
+            for p in parts[1:]:
+                member = member.unionAll(p)
             nxt = (e_cur.join(frontier.select(F.col("id").alias("dst"),
                                               "color"), "dst")
                    .select(F.col("src").alias("id"), "color")
@@ -1262,8 +1276,11 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                    .localCheckpoint(eager=False))
             if nxt.limit(1).count() == 0:
                 break
-            member = member.unionAll(nxt).localCheckpoint(eager=True)
+            parts.append(nxt)
             frontier = nxt
+        member = parts[0]
+        for p in parts[1:]:
+            member = member.unionAll(p)
         done.append(member.withColumnRenamed("color", "component"))
         # (3) peel: drop members from the vertex set and both edge sides
         remaining = (remaining.join(member.select("id"), "id", "left_anti")

@@ -233,13 +233,17 @@ def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
     """Top-k by exact cosine, shortlisted by ASYMMETRIC int8 scoring
     (ADC): (id, qcos, cosine).
 
-    The corpus is read only as int8 codes (4× less scan than float32,
-    32× less than float64); the query stays full-precision.  Per-row
-    approximate cosine is reconstructed FROM THE CODES with per-dim
-    constants — dot̂ = A + Σ (s_i·q_i)·c_i and ‖x̂‖² = B + Σ (2·mn_i·s_i)·c_i
-    + Σ s_i²·c_i² (A = Σ mn_i·q_i, B = Σ mn_i² folded driver-side into
-    plan literals) — so the scan never touches the original vectors and
-    every expression stays in whole-stage codegen.  Ranking uses the
+    The corpus is scored only THROUGH its int8 codes; the query stays
+    full-precision.  Per-row approximate cosine is reconstructed FROM
+    THE CODES with per-dim constants — dot̂ = A + Σ (s_i·q_i)·c_i and
+    ‖x̂‖² = B + Σ (2·mn_i·s_i)·c_i + Σ s_i²·c_i² (A = Σ mn_i·q_i,
+    B = Σ mn_i² folded driver-side into plan literals) — and every
+    expression stays in whole-stage codegen.  Here the codes are
+    derived in-plan from the vector column (correctness surface +
+    CPU-side benefit); the 4×-less-I/O deployment persists
+    `sq8_quantize_expr` output (+ the 2·dim codebook) as a column and
+    starts this same plan from the codes, reading full vectors only
+    for the `shortlist` rerank rows.  Ranking uses the
     ROUNDED approximate cosine with the id tiebreaker (the repo-wide
     top-k discipline: cross-engine summation-order noise lives below
     round-6).  Only the `shortlist` best rows are re-scored in full

@@ -1349,10 +1349,12 @@ def l34_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l35_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search over an int8 scalar-quantized corpus with
     ASYMMETRIC (ADC) scoring: per-dim min/max codebook (one exact
-    aggregate, 2·dim doubles), corpus scanned only as int8 codes (4×
-    less I/O than float32), approximate cosine reconstructed from the
-    codes entirely in whole-stage codegen, top-shortlist by (rounded
-    approx cosine, id), exact-cosine rerank for the reported top-k.
+    aggregate, 2·dim doubles), approximate cosine reconstructed from
+    the int8 codes entirely in whole-stage codegen, top-shortlist by
+    (rounded approx cosine, id), exact-cosine rerank for the reported
+    top-k.  Codes are derived in-plan here; persisting them as a
+    column (the production layout) turns the same plan into a 4×
+    smaller scan — see sq8_topk's docstring.
     The oracle unrolls the identical pipeline relationally; both sides
     round the selection score to 6 decimals, which absorbs cross-engine
     summation-order noise — the repo's top-k ordering discipline."""

@@ -220,3 +220,65 @@ def test_incremental_dedup_scans_index_not_resignatures(spark, tmp_path):
     # re-signaturing the index would show a second 48-wide min block
     # (≥96 partial_min prints); one block prints ~50
     assert plan.count("partial_min") < 96
+
+
+def test_bloom_prefilter_runs_before_confirm_join(spark, sf_smoke):
+    """l34's scale claim is structural: the Arrow-batched Bloom probe
+    (an *EvalPython/ArrowEval* node) must sit UNDER the shingle confirm
+    join — the corpus side is filtered before the exchange, not after."""
+    from janusgraph_clickhouse_spark.plans.llm_queries import (
+        l34_bloom_decontaminate)
+    plan = _plan(l34_bloom_decontaminate(spark, sf_smoke))
+    assert "EvalPython" in plan or "ArrowEval" in plan, plan[:2000]
+    # the probe node appears below (= later in the indented tree than)
+    # the last SortMergeJoin/ShuffledHashJoin on `shingle`
+    probe_at = max(plan.find("EvalPython"), plan.find("ArrowEval"))
+    join_markers = [plan.find(m) for m in
+                    ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+                    if plan.find(m) != -1]
+    assert join_markers and probe_at > min(join_markers)
+
+
+def test_sq8_shortlist_is_takeordered_single_scan(spark, sf_smoke):
+    """l35: the quantized scoring pass must compile to ONE corpus scan
+    feeding a TakeOrderedAndProject (the shortlist), never a join or a
+    global sort before the rerank."""
+    from janusgraph_clickhouse_spark.plans.llm_queries import l35_sq8_topk
+    plan = _plan(l35_sq8_topk(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # corpus scan + rerank reread
+
+
+def test_domain_cap_is_two_bounded_windows(spark, sf_smoke):
+    """l36: the skew-safe form must show BOTH window passes — the
+    per-(domain, salt-bucket) partial top-cap and the final per-domain
+    window — so no single partition ever sorts a whole domain."""
+    from janusgraph_clickhouse_spark.plans.llm_queries import l36_domain_cap
+    plan = _plan(l36_domain_cap(spark, sf_smoke))
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+
+
+def test_local_clustering_routes_dense_to_bitset(spark, monkeypatch):
+    """g24's routing: a small-id-space graph must take the bitset path,
+    a large-id-space graph the oriented-wedge join path.  (The per-op
+    checkpoints hide the internals from the final plan string, so the
+    route is spied at the helper boundary.)"""
+    from janusgraph_clickhouse_spark.graph import algorithms as A
+    from janusgraph_clickhouse_spark.graph.model import graph_from_edge_list
+    calls = []
+    orig_dense = A._triangles_per_vertex_dense
+    orig_oriented = A._degree_oriented_edges
+    monkeypatch.setattr(
+        A, "_triangles_per_vertex_dense",
+        lambda sym, n: (calls.append("dense"), orig_dense(sym, n))[1])
+    monkeypatch.setattr(
+        A, "_degree_oriented_edges",
+        lambda g: (calls.append("wedge"), orig_oriented(g))[1])
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    A.local_clustering(graph_from_edge_list(spark, base))
+    assert calls == ["dense"]
+    off = A.DENSE_LCC_MAX_NODES + 5
+    A.local_clustering(graph_from_edge_list(
+        spark, [(a + off, b + off) for a, b in base]))
+    assert calls == ["dense", "wedge"]
