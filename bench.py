@@ -75,6 +75,7 @@ HEADLINE = [
     "g24_local_clustering",     # per-vertex triangles (dense bitset)
     "l34_bloom_decontaminate",  # broadcast-Bloom prefilter + confirm
     "l35_sq8_topk",             # int8-quantized scan + exact rerank
+    "g25_ktruss",               # bounded-iteration truss peeling
 ]
 
 

@@ -1419,3 +1419,48 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
                     .otherwise(F.round(2.0 * F.col("triangles")
                                        / (d * (d - 1.0)), 6))
                     .alias("lcc")))
+
+
+def k_truss(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
+    """Bounded-iteration k-truss peeling; returns (src, dst, support) —
+    the canonical edges surviving `iters` rounds of "drop every edge in
+    fewer than k−2 triangles", with support recomputed on the surviving
+    set.  A FIXED iteration count keeps the recurrence SQL-oracle-able
+    by unrolling (the g06 fixed-superstep discipline); run with `iters`
+    ≥ the peel depth you need, or iterate to fixpoint externally.
+
+    Each round is one triangle enumeration over the current edge set
+    (id-ordered three-way self-join — swap in the degree orientation of
+    `triangle_count` for skewed graphs), one per-edge credit aggregate
+    (each triangle credits its three edges), one semi-join filter —
+    all keyed shuffles, checkpointed per round so lineage stays flat.
+    Truss is the standard cohesion upgrade over k-core: it requires
+    ties to share triangles, not merely neighbors."""
+    e = (edges.select(F.least("src", "dst").alias("u"),
+                      F.greatest("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+
+    def support(cur: DataFrame) -> DataFrame:
+        e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        credit = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                  .unionAll(tri.select(F.col("b").alias("u"),
+                                       F.col("c").alias("v")))
+                  .unionAll(tri.select(F.col("a").alias("u"),
+                                       F.col("c").alias("v"))))
+        return credit.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("support"))
+
+    for _ in range(iters):
+        sup = support(e)
+        e = (e.join(sup, ["u", "v"], "inner")
+             .filter(F.col("support") >= k - 2)
+             .select("u", "v")
+             .localCheckpoint(eager=True))
+    final = (e.join(support(e), ["u", "v"], "left")
+             .select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                     F.coalesce("support", F.lit(0)).alias("support")))
+    return final

@@ -933,3 +933,74 @@ def g24_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.model import interaction_graph
     g = interaction_graph(spark, sf_dir, "10 minutes")
     return local_clustering(g)
+
+
+@query(
+    "g25_ktruss",
+    oracle="""
+    WITH ev AS MATERIALIZED (SELECT * FROM events WHERE event_id % 7 = 0),
+    seq AS MATERIALIZED (
+      SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS nxt
+      FROM ev),
+    e0 AS MATERIALIZED (SELECT DISTINCT least(user_id, nxt) AS u,
+                           greatest(user_id, nxt) AS v
+           FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+    tri0 AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e0 e1
+             JOIN e0 e2 ON e2.u = e1.v
+             JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+    sup0 AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+               SELECT a AS u, b AS v FROM tri0
+               UNION ALL SELECT b, c FROM tri0
+               UNION ALL SELECT a, c FROM tri0) GROUP BY u, v),
+    e1_ AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN sup0 s USING (u, v)
+            WHERE s.c >= 2),
+    tri1 AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e1_ e1
+             JOIN e1_ e2 ON e2.u = e1.v
+             JOIN e1_ e3 ON e3.u = e1.u AND e3.v = e2.v),
+    sup1 AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+               SELECT a AS u, b AS v FROM tri1
+               UNION ALL SELECT b, c FROM tri1
+               UNION ALL SELECT a, c FROM tri1) GROUP BY u, v),
+    e2_ AS MATERIALIZED (SELECT e.u, e.v FROM e1_ e JOIN sup1 s USING (u, v)
+            WHERE s.c >= 2),
+    tri2 AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e2_ e1
+             JOIN e2_ e2 ON e2.u = e1.v
+             JOIN e2_ e3 ON e3.u = e1.u AND e3.v = e2.v),
+    sup2 AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+               SELECT a AS u, b AS v FROM tri2
+               UNION ALL SELECT b, c FROM tri2
+               UNION ALL SELECT a, c FROM tri2) GROUP BY u, v),
+    e3_ AS MATERIALIZED (SELECT e.u, e.v FROM e2_ e JOIN sup2 s USING (u, v)
+            WHERE s.c >= 2),
+    tri3 AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e3_ e1
+             JOIN e3_ e2 ON e2.u = e1.v
+             JOIN e3_ e3 ON e3.u = e1.u AND e3.v = e2.v),
+    sup3 AS MATERIALIZED (SELECT u, v, count(*) AS c FROM (
+               SELECT a AS u, b AS v FROM tri3
+               UNION ALL SELECT b, c FROM tri3
+               UNION ALL SELECT a, c FROM tri3) GROUP BY u, v)
+    SELECT e.u AS src, e.v AS dst, coalesce(s.c, 0) AS support
+    FROM e3_ e LEFT JOIN sup3 s USING (u, v)
+    """,
+)
+def g25_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the user referral graph (every-7th event, consecutive
+    actors per event_type, undirected): three bounded peeling rounds of
+    "drop edges in < 2 triangles", then the surviving edges with their
+    final support — the cohesion upgrade over k-core (g15) that demands
+    shared triangles, not just shared neighbors.  Fixed iteration count
+    = SQL-oracle-able by unrolling (three peels fully written out, the
+    g06 discipline); at sf0.01 the peels genuinely bite (1324 → 856 →
+    697 → 614 edges)."""
+    from pyspark.sql.window import Window
+    from ..graph.algorithms import k_truss
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0)
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = ev.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    e = (seq.filter(F.col("nxt").isNotNull()
+                    & (F.col("nxt") != F.col("user_id")))
+         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst")))
+    return k_truss(e, k=4, iters=3)

@@ -100,7 +100,7 @@ DRIVER_PRIORITY: list[str] = [
 REGISTERED_ROUND: dict[str, int] = {
     "g22_biased_walks": 5, "l32_containment_pairs": 5, "l33_pii_scrub": 5,
     "g23_scc": 5, "g24_local_clustering": 5, "l34_bloom_decontaminate": 5,
-    "l35_sq8_topk": 5, "l36_domain_cap": 5,
+    "l35_sq8_topk": 5, "l36_domain_cap": 5, "g25_ktruss": 5,
 }
 
 # ROUND-6 ROTATION, pre-derived: stalest-first.  Candidates whose
@@ -110,9 +110,9 @@ REGISTERED_ROUND: dict[str, int] = {
 #   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
 #   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
 #   s02 s03 s04 s06 s07
-# plus the 5 mid-r5 registrations g23 g24 l34 l35 l36 (virtual r4
-# row) = 54 candidates for 50 slots: put the 5 new ones in (first real
-# driver row) and let 4 of the 49 spill to the r7 window — with N=104
+# plus the 6 mid-r5 registrations g23 g24 g25 l34 l35 l36 (virtual
+# r4 row) = 55 candidates for 50 slots: put the 6 new ones in (first
+# real driver row) and let 5 of the 49 spill to the r7 window — at N=105
 # the amended bound allows staleness 2, so the spilled names stay
 # green as long as r7 windows them first.  QUEUED for r6 registration:
 # llm.dedup.shared_spans (exact-substring spans, Lee et al. 2022

@@ -676,3 +676,42 @@ def test_local_clustering_dense_matches_wedge_path(spark):
     big = {r.id - off: (r.degree, r.lcc)
            for r in A.local_clustering(g_big).collect()}
     assert small == big
+
+
+# -- k-truss ----------------------------------------------------------------
+
+def test_ktruss_clique_survives_bridge_dies(spark):
+    """K4 {1,2,3,4} has every edge in 2 triangles (4-truss); a pendant
+    triangle {4,5,6} has support-1 edges and a bridge 6-7 has none —
+    only the K4 survives k=4, every surviving edge at support 2."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (4, 6), (5, 6), (6, 7)]
+    e = spark.createDataFrame(k4 + extra, "src long, dst long")
+    out = {(r.src, r.dst): r.support for r in k_truss(e, k=4).collect()}
+    assert out == {(a, b): 2 for a, b in k4}
+
+
+def test_ktruss_k3_keeps_all_triangle_edges(spark):
+    """k=3 (support >= 1) keeps exactly the edges in >= 1 triangle."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    out = {(r.src, r.dst) for r in k_truss(e, k=3).collect()}
+    assert out == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_ktruss_cascading_peel_needs_iterations(spark):
+    """A triangle chain where removing the weakest edge strips the next:
+    iters=1 is not enough, iters=3 converges — pins that the bounded
+    iteration count is real peeling, not a single pass."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
+    # two triangles sharing edge (2,3): (1,2,3) and (2,3,4); edge (2,3)
+    # has support 2, all others 1.  k=4 kills the outer edges first,
+    # then (2,3) loses its triangles and dies in the NEXT round.
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long")
+    one = k_truss(e, k=4, iters=1).collect()
+    assert {(r.src, r.dst) for r in one} == {(2, 3)}
+    done = k_truss(e, k=4, iters=3).collect()
+    assert done == []
