@@ -1215,6 +1215,7 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
         # (1) color(v) = max id reaching v, incl. itself: messages flow
         # src→dst, so the join is keyed on src and aggregated on dst
         colors = remaining.select("id", F.col("id").alias("color"))
+        converged = False
         for _ in range(max_iter):
             msgs = (e_cur.join(colors.select(F.col("id").alias("src"),
                                              F.col("color").alias("c_src")),
@@ -1249,22 +1250,28 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
             colors = (half.join(look, "c1", "left")
                       .select("id", jumped.alias("color")))
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # extraction from a non-fixpoint coloring returns WRONG
+            # components, not merely fewer — refuse loudly
+            raise RuntimeError(
+                f"SCC color propagation did not converge within "
+                f"max_iter={max_iter} rounds; raise max_iter (pointer "
+                f"jumping makes convergence O(log diameter))")
         # (2) backward containment BFS from all roots, same-color only.
         # At least one root always exists (the max remaining id is
         # reached by nothing higher), so every phase makes progress.
         colors = colors.localCheckpoint(eager=True)
         roots = (colors.filter(F.col("id") == F.col("color"))
                  .localCheckpoint(eager=True))
-        # membership accumulates as a union of per-hop CHECKPOINTED
-        # frontiers — the anti-join below re-reads those cheaply, no
-        # per-hop re-checkpoint of the whole member set
-        parts = [roots]
+        # membership accumulates as a RUNNING lazy union of per-hop
+        # CHECKPOINTED frontiers — the anti-join re-reads those cheaply
+        # (no per-hop re-checkpoint of the whole member set, and O(1)
+        # plan growth per hop instead of rebuilding an h-way union)
+        member = roots
         frontier = roots
-        while True:
-            member = parts[0]
-            for p in parts[1:]:
-                member = member.unionAll(p)
+        for _hop in range(max_iter):
             nxt = (e_cur.join(frontier.select(F.col("id").alias("dst"),
                                               "color"), "dst")
                    .select(F.col("src").alias("id"), "color")
@@ -1276,11 +1283,13 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                    .localCheckpoint(eager=False))
             if nxt.limit(1).count() == 0:
                 break
-            parts.append(nxt)
+            member = member.unionAll(nxt)
             frontier = nxt
-        member = parts[0]
-        for p in parts[1:]:
-            member = member.unionAll(p)
+        else:
+            raise RuntimeError(
+                f"SCC containment BFS still expanding after "
+                f"max_iter={max_iter} hops (an SCC cycle longer than "
+                f"max_iter); raise max_iter")
         done.append(member.withColumnRenamed("color", "component"))
         # (3) peel: drop members from the vertex set and both edge sides
         remaining = (remaining.join(member.select("id"), "id", "left_anti")
@@ -1292,6 +1301,15 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                  .join(member.select(F.col("id").alias("dst")),
                        "dst", "left_anti")
                  .localCheckpoint(eager=True))
+    else:
+        # the for-else fires only when max_phases peels did NOT empty
+        # the graph: returning the partial result would silently DROP
+        # every unextracted vertex — refuse loudly instead (a
+        # decreasing-id singleton chain needs one phase per link; raise
+        # max_phases for such shapes)
+        raise RuntimeError(
+            f"SCC peeling left vertices unextracted after "
+            f"max_phases={max_phases} phases; raise max_phases")
     e_all.unpersist()
     out = done[0]
     for d in done[1:]:
@@ -1456,8 +1474,12 @@ def k_truss(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
 
     for _ in range(iters):
         sup = support(e)
-        e = (e.join(sup, ["u", "v"], "inner")
-             .filter(F.col("support") >= k - 2)
+        # LEFT join + coalesce(0): triangle-free edges have no support
+        # row but still satisfy the threshold when k <= 2 — an inner
+        # join would silently drop them before the filter could keep
+        # them
+        e = (e.join(sup, ["u", "v"], "left")
+             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
              .select("u", "v")
              .localCheckpoint(eager=True))
     final = (e.join(support(e), ["u", "v"], "left")

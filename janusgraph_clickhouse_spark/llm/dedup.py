@@ -469,6 +469,26 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 # -- benchmark decontamination ---------------------------------------------
 
+def _containment_report(train_sh: DataFrame,
+                        bench_sh: DataFrame) -> DataFrame:
+    """Shared confirm/containment tail of the decontamination family:
+    exact shingle equi-join + per-pair counts + containment vs the
+    BENCHMARK side's shingle count.  One definition, two callers
+    (plain and Bloom-prefiltered) — l34's "provably identical output"
+    claim rests on this literally being the same plan tail."""
+    bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
+    shared = (train_sh.select(F.col("id").alias("train_id"), "shingle")
+              .join(bench_sh.select(F.col("id").alias("bench_id"),
+                                    "shingle"), "shingle")
+              .groupBy("train_id", "bench_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
+                        "bench_id")
+            .select("train_id", "bench_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("bn"), 6)
+                    .alias("containment")))
+
+
 def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
                         bench_filter: Column, n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag every (train doc, benchmark doc)
@@ -487,17 +507,7 @@ def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
     bench_ids = df.filter(bench_filter).select(F.col(id_col).alias("id"))
     bench_sh = sh.join(bench_ids, "id", "left_semi")
     train_sh = sh.join(bench_ids, "id", "left_anti")
-    bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
-    shared = (train_sh.select(F.col("id").alias("train_id"), "shingle")
-              .join(bench_sh.select(F.col("id").alias("bench_id"),
-                                    "shingle"), "shingle")
-              .groupBy("train_id", "bench_id")
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
-                        "bench_id")
-            .select("train_id", "bench_id", "n_shared",
-                    F.round(F.col("n_shared") / F.col("bn"), 6)
-                    .alias("containment")))
+    return _containment_report(train_sh, bench_sh)
 
 
 def bloom_membership_udf(keys: DataFrame, key_col: str,
@@ -512,9 +522,12 @@ def bloom_membership_udf(keys: DataFrame, key_col: str,
     / pmod, bit_or aggregate over 64-bit words) and numpy-side (probe),
     so build and probe can live on different engines.  The driver
     collects ≤ m/64 longs — exactly the broadcast payload, never the
-    key set."""
+    key set.  `m_bits` is rounded UP to a multiple of 64 (the bitset
+    word width): positions range over all of m, and a ragged final
+    word would index past the array on both build and probe."""
     import numpy as np
 
+    m_bits = (m_bits + 63) // 64 * 64
     spark = keys.sparkSession
     h_lo = F.col(key_col).bitwiseAND(F.lit(4294967295))
     h_hi = F.shiftrightunsigned(key_col, 32)
@@ -579,17 +592,7 @@ def bloom_decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
     train_sh = sh.join(bench_ids, "id", "left_anti")
     maybe = bloom_membership_udf(bench_sh, "shingle", m_bits, k)
     surv = train_sh.filter(maybe(F.col("shingle")))
-    bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
-    shared = (surv.select(F.col("id").alias("train_id"), "shingle")
-              .join(bench_sh.select(F.col("id").alias("bench_id"),
-                                    "shingle"), "shingle")
-              .groupBy("train_id", "bench_id")
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
-                        "bench_id")
-            .select("train_id", "bench_id", "n_shared",
-                    F.round(F.col("n_shared") / F.col("bn"), 6)
-                    .alias("containment")))
+    return _containment_report(surv, bench_sh)
 
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -715,3 +715,12 @@ def test_ktruss_cascading_peel_needs_iterations(spark):
     assert {(r.src, r.dst) for r in one} == {(2, 3)}
     done = k_truss(e, k=4, iters=3).collect()
     assert done == []
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    """k<=2 demands support >= 0: every edge (even triangle-free ones)
+    survives — pins the LEFT-join form of the support filter."""
+    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
+    e = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    out = {(r.src, r.dst): r.support for r in k_truss(e, k=2).collect()}
+    assert out == {(1, 2): 0, (3, 4): 0}
