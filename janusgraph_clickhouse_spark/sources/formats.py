@@ -38,6 +38,22 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC read (built into Spark, columnar + predicate pushdown like
+    parquet — the other common lake format).  Schema optional: ORC
+    files self-describe, so unlike CSV/JSON no inference pass is
+    needed; pass one to pin types across heterogeneous file sets."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int = 8, lower_bound=None,

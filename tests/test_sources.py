@@ -37,6 +37,27 @@ def test_json_roundtrip(spark, sf_smoke, tmp_path):
         sorted(map(tuple, src.collect()))
 
 
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    """ORC round-trip (self-describing schema — read back both with and
+    without the explicit schema pin) plus predicate pushdown at the
+    scan, the property that makes it a first-class lake format here."""
+    from janusgraph_clickhouse_spark.sources.formats import (read_orc,
+                                                             write_orc)
+    src = load_table(spark, sf_smoke, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
+    pinned = read_orc(spark, path, src.schema)
+    filtered = pinned.filter(pinned.o_orderkey == 7)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in \
+        plan.split("PushedFilters")[1][:200]
+    assert filtered.count() == src.filter(src.o_orderkey == 7).count()
+
+
 # -- model-based mutate check ----------------------------------------------
 
 KV = st.tuples(st.integers(0, 5), st.integers(0, 3))
