@@ -76,6 +76,7 @@ HEADLINE = [
     "l34_bloom_decontaminate",  # broadcast-Bloom prefilter + confirm
     "l35_sq8_topk",             # int8-quantized scan + exact rerank
     "g25_ktruss",               # bounded-iteration truss peeling
+    "l37_shared_spans",         # exact-substring span dedup (islands)
 ]
 
 

@@ -1388,3 +1388,47 @@ def l36_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.split import domain_cap
     return (domain_cap(docs, "doc_id", "source", cap=10)
             .select("doc_id", "source", "rk"))
+
+
+@query(
+    "l37_shared_spans",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    wins AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos,
+             string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s,
+             count(*) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+      FROM words),
+    valid AS MATERIALIZED (SELECT doc_id, pos, s FROM wins WHERE cnt = 8),
+    m AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS d
+      FROM valid a JOIN valid b ON a.s = b.s AND a.doc_id < b.doc_id),
+    grp AS (SELECT *, pos_a - row_number() OVER (
+              PARTITION BY doc_a, doc_b, d ORDER BY pos_a) AS g FROM m)
+    SELECT doc_a, doc_b, min(pos_a) AS start_a,
+           min(pos_a) - d AS start_b,
+           max(pos_a) - min(pos_a) + 8 AS n_tokens
+    FROM grp GROUP BY doc_a, doc_b, d, g
+    HAVING max(pos_a) - min(pos_a) + 8 >= 16
+    """,
+)
+def l37_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring shared spans (Lee et al. 2022 dedup, arXiv:
+    2107.06499) without the suffix array: positioned 8-gram window
+    hashes, one equi-join, per-(pair, diagonal) islands merge — every
+    maximal run of ≥16 tokens appearing verbatim in two documents, with
+    both 0-based offsets.  The engine joins on xxhash64 of the window;
+    the oracle joins on the window STRING itself (DuckDB lacks
+    xxhash64) — identical output up to 64-bit hash collisions, the same
+    trade every hashed-shingle oracle in this file makes implicitly.
+    Oracle windows come from a framed string_agg, not an 8-way
+    self-join, and every CTE is MATERIALIZED (the g25 lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shared_spans(docs, "doc_id", "text", k=8, min_tokens=16)

@@ -101,6 +101,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "g22_biased_walks": 5, "l32_containment_pairs": 5, "l33_pii_scrub": 5,
     "g23_scc": 5, "g24_local_clustering": 5, "l34_bloom_decontaminate": 5,
     "l35_sq8_topk": 5, "l36_domain_cap": 5, "g25_ktruss": 5,
+    "l37_shared_spans": 5,
 }
 
 # ROUND-6 ROTATION, pre-derived: stalest-first.  Candidates whose
@@ -110,15 +111,13 @@ REGISTERED_ROUND: dict[str, int] = {
 #   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
 #   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
 #   s02 s03 s04 s06 s07
-# plus the 6 mid-r5 registrations g23 g24 g25 l34 l35 l36 (virtual
-# r4 row) = 55 candidates for 50 slots: put the 6 new ones in (first
-# real driver row) and let 5 of the 49 spill to the r7 window — at N=105
-# the amended bound allows staleness 2, so the spilled names stay
-# green as long as r7 windows them first.  QUEUED for r6 registration:
-# llm.dedup.shared_spans (exact-substring spans, Lee et al. 2022
-# shape; pytest-green r5) — oracle sketch: SQL positioned k-gram
-# strings → diagonal islands via pos − row_number(); register it with
-# REGISTERED_ROUND 6 and window it by r7.
+# plus the 7 mid-r5 registrations g23 g24 g25 l34 l35 l36 l37
+# (virtual r4 row) = 56 candidates for 50 slots: put the 7 new ones in
+# (first real driver row) and let 6 of the 49 spill to the r7 window —
+# at N=106 the amended bound allows staleness 2, so the spilled names
+# stay green as long as r7 windows them first.  (shared_spans, queued
+# for r6 in earlier comments, was registered late-r5 as l37 with the
+# framed-string_agg islands oracle — nothing remains pytest-only.)
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
