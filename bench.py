@@ -77,6 +77,9 @@ HEADLINE = [
     "l35_sq8_topk",             # int8-quantized scan + exact rerank
     "g25_ktruss",               # bounded-iteration truss peeling
     "l37_shared_spans",         # exact-substring span dedup (islands)
+    "l38_cdc_chunk_dedup",      # content-defined chunking + chunk dedup
+    "l40_pq_topk",              # PQ-ADC ANN (codebook train + rerank)
+    "s08_trending_topk",        # sliding-window rank (WindowGroupLimit)
 ]
 
 

@@ -753,3 +753,85 @@ def shared_spans(df: DataFrame, id_col: str, text_col: str,
     return spans.select("doc_a", "doc_b", "start_a",
                         (F.col("start_a") - F.col("d")).alias("start_b"),
                         "n_tokens")
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               w: int = 4, modulus: int = 16) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family, on tokens):
+    cut a document after token p whenever a rolling fingerprint of the
+    `w`-token window ending at p hits 0 mod `modulus`.  Boundaries
+    depend only on LOCAL content, so two documents sharing a long
+    passage produce byte-identical chunks for it regardless of where
+    the passage sits in either document — which is what makes
+    chunk-level dedup work where fixed-size chunking misses every
+    unaligned copy.  Expected chunk length ≈ `modulus` tokens.
+
+    Returns (id, chunk_idx, start, n_tokens, chunk_key): 0-based token
+    offsets and md5 of the chunk's token string.  Group by chunk_key
+    downstream for chunk-level dedup / delta storage.
+
+    Engine-portable fingerprint: md5 of the window string (the l04 /
+    g20 discipline — never an engine-private hash in a DECISION), so a
+    DuckDB oracle reproduces the exact cut set.  The last token is
+    never a cut (a zero-length tail chunk can't exist); documents
+    shorter than w+1 tokens are one chunk.
+
+    Scale shape: chunking is pure per-row codegen (higher-order
+    functions over the token array — zero UDFs, ZERO shuffles); the
+    dedup aggregate downstream shuffles 16-byte md5 keys only.  At
+    100 TB this is a scan-shaped pass, embarrassingly parallel."""
+    if w < 1:
+        raise ValueError(f"w={w} must be >= 1")
+    if modulus < 2:
+        raise ValueError(f"modulus={modulus} must be >= 2")
+
+    def md5int(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    # staged projections so the token array and the cut array are each
+    # evaluated ONCE per row: CollapseProject declines to inline a
+    # non-cheap alias referenced multiple times downstream — without
+    # this the md5 boundary filter gets duplicated into every struct
+    # field of the chunk transform (~6x the per-row hashing)
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.split(F.col(text_col), " ").alias("_t"))
+    toks, n = F.col("_t"), F.size(F.col("_t"))
+    staged = staged.select("id", "_t", F.when(n - 1 >= w, F.filter(
+        F.sequence(F.lit(w), n - 1),
+        lambda p: md5int(F.array_join(
+            F.slice(toks, p - (w - 1), w), " ")) % modulus == 0
+    )).otherwise(F.array().cast("array<int>")).alias("_c"))
+    cuts = F.col("_c")
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(n))
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.size(cuts)),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.element_at(starts, i + 1).alias("start"),
+            (F.element_at(ends, i + 1)
+             - F.element_at(starts, i + 1)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice(
+                toks, F.element_at(starts, i + 1) + 1,
+                F.element_at(ends, i + 1) - F.element_at(starts, i + 1)
+            ), " ")).alias("chunk_key")))
+    return (staged.select("id", F.explode(chunk).alias("c"))
+            .select("id", "c.*")
+            .filter(F.col("n_tokens") > 0))
+
+
+def cdc_dedup_report(df: DataFrame, id_col: str, text_col: str,
+                     w: int = 4, modulus: int = 16,
+                     min_docs: int = 2) -> DataFrame:
+    """Chunk-level dedup report over `cdc_chunks`: every chunk whose
+    verbatim text appears in >= `min_docs` distinct documents, with its
+    occurrence count, token length, and smallest holding doc id.  The
+    storage-dedup view of the corpus: `n_occ - 1` copies of each listed
+    chunk are redundant bytes."""
+    ch = cdc_chunks(df, id_col, text_col, w=w, modulus=modulus)
+    return (ch.groupBy("chunk_key")
+            .agg(F.countDistinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"),
+                 F.min("n_tokens").alias("n_tokens"),
+                 F.min("id").alias("min_doc"))
+            .filter(F.col("n_docs") >= min_docs))

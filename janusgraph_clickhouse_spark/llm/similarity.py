@@ -284,3 +284,160 @@ def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
                          F.round(cosine_expr("cv", qlit), 6)
                          .alias("cosine"))
             .orderBy(F.col("cosine").desc(), "id").limit(k))
+
+
+# -- product quantization -----------------------------------------------------
+
+def _pq_subvec(vec_col: str | Column, sub: int, d_sub: int) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.slice(c.cast("array<double>"), sub * d_sub + 1, d_sub)
+
+
+def _pq_r6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — the l35 tie-unambiguous rounding: floor
+    is floor on Spark, DuckDB AND Python, unlike round()'s half-up vs
+    half-even split.  Used for every DECISION value (centroids,
+    argmin distances), where a tie flip would change assignments
+    discretely."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _pq_nearest_expr(subvec: Column, cents: list[list[float]]) -> Column:
+    """argmin cell over one subspace's centroids: squared L2 rounded via
+    floor(d2*1e9 + 0.5)/1e9 with the cell index as tiebreaker (the
+    repo's cross-engine argmin discipline — distances at a rounded tie
+    resolve identically everywhere)."""
+    scored = []
+    for i, cv in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        raw = F.aggregate(
+            F.zip_with(subvec, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        d2 = F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*scored))["i"]
+
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
+             ks: int = 8, n_iters: int = 2) -> list[list[list[float]]]:
+    """Product-quantization codebook (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    `m` contiguous subspaces and k-means each subspace independently
+    (`ks` cells, `n_iters` Lloyd steps).  Returns centroids[sub][cell]
+    (m·ks·d_sub doubles — the codebook, never the data).
+
+    Determinism across engines (the l12/l35 oracle discipline, made
+    structural): seeds are the first `ks` ids' subvectors; every Lloyd
+    average is rounded via floor(x·1e6+0.5)/1e6 before the next
+    assignment; every assignment ranks by (floor(d²·1e9+0.5)/1e9,
+    cell).  Ulp noise from
+    distributed summation order lives strictly below both roundings,
+    so a SQL re-derivation lands on the identical codebook.
+
+    Scale shape: ALL m subspaces train in the same jobs — per Lloyd
+    step one scan + one (m·ks·d_sub)-cell aggregate; the only collects
+    are the codebook itself."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    seed_ids = [r[0] for r in (df.select(F.col(id_col).alias("id"))
+                               .orderBy("id").limit(ks).collect())]
+    seed_rows = (df.filter(F.col(id_col).isin(seed_ids))
+                 .orderBy(id_col)
+                 .select(F.col(vec_col).cast("array<double>"))
+                 .collect())
+    cents = [[[_pq_r6(float(x)) for x in r[0][s * d_sub:(s + 1) * d_sub]]
+              for r in seed_rows] for s in range(m)]
+
+    for _ in range(n_iters):
+        parts = []
+        for s in range(m):
+            sv = _pq_subvec(vec_col, s, d_sub)
+            parts.append(F.struct(
+                F.lit(s).alias("sub"),
+                _pq_nearest_expr(sv, cents[s]).alias("cell"),
+                sv.alias("sv")))
+        assigned = (df.select(F.explode(F.array(*parts)).alias("a"))
+                    .select("a.sub", "a.cell",
+                            F.posexplode("a.sv").alias("pos", "x")))
+        rows = (assigned.groupBy("sub", "cell", "pos")
+                .agg(F.avg("x").alias("mu")).collect())
+        new = [[list(c) for c in cs] for cs in cents]  # empty cells keep
+        got: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            got.setdefault((r.sub, r.cell), [0.0] * d_sub)[r.pos] = \
+                _pq_r6(float(r.mu))
+        for (s, c), vecs in got.items():
+            new[s][c] = vecs
+        cents = new
+    return cents
+
+
+def pq_codes_expr(vec_col: str | Column,
+                  cents: list[list[list[float]]]) -> Column:
+    """ARRAY<INT> of per-subspace nearest-cell codes — pure codegen; at
+    m=4, ks<=256 this is the 4-byte-per-vector representation that makes
+    a 100 TB embedding corpus scannable in ~m bytes/row."""
+    d_sub = len(cents[0][0])
+    return F.array(*[
+        _pq_nearest_expr(_pq_subvec(vec_col, s, d_sub), cents[s])
+        for s in range(len(cents))])
+
+
+def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
+            k: int = 10, shortlist: int = 50, m: int = 4, ks: int = 8,
+            n_iters: int = 2,
+            cents: list[list[list[float]]] | None = None) -> DataFrame:
+    """Top-k by exact cosine, shortlisted by PQ asymmetric-distance
+    (ADC) scoring: the corpus is scored only through its m-byte codes —
+    approximate dot = Σ_sub lut[sub][code] where lut[sub][cell] =
+    <query_sub, centroid>, and the reconstructed norm comes from the
+    per-cell centroid norms — then the `shortlist` best rows rerank in
+    full precision.  Returns (id, qcos, cosine), the l35 surface.
+
+    At scale the codes (+ the m·ks·d_sub-double codebook) persist as a
+    column: the ANN scan reads m bytes a row instead of 4·dim, and the
+    two in-plan lookups below start from that column unchanged.
+    Ranking uses rounded scores with id tiebreakers throughout (the
+    repo-wide top-k discipline)."""
+    if cents is None:
+        cents = pq_train(df, id_col, vec_col, m=m, ks=ks, n_iters=n_iters)
+    d_sub = len(cents[0][0])
+    qrow = (df.filter(F.col(id_col) == query_id)
+            .select(F.col(vec_col).cast("array<double>")).first())
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+
+    # per-(sub, cell) lookup tables, folded into plan literals
+    lut_dot = [[sum(q * c for q, c in
+                    zip(qv[s * d_sub:(s + 1) * d_sub], cents[s][cell]))
+                for cell in range(len(cents[s]))] for s in range(len(cents))]
+    lut_n2 = [[sum(c * c for c in cents[s][cell])
+               for cell in range(len(cents[s]))] for s in range(len(cents))]
+
+    codes = pq_codes_expr(vec_col, cents)
+    dot_hat = sum(
+        (F.element_at(F.array(*[F.lit(float(x)) for x in lut_dot[s]]),
+                      F.element_at(codes, s + 1) + 1)
+         for s in range(len(cents))), F.lit(0.0))
+    n2_hat = sum(
+        (F.element_at(F.array(*[F.lit(float(x)) for x in lut_n2[s]]),
+                      F.element_at(codes, s + 1) + 1)
+         for s in range(len(cents))), F.lit(0.0))
+    qcos = F.round(dot_hat / (F.sqrt(n2_hat) * F.lit(float(qnorm))), 6)
+
+    scored = (df.filter(F.col(id_col) != query_id)
+              .select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"),
+                      qcos.alias("qcos")))
+    short = scored.orderBy(F.col("qcos").desc(), "id").limit(shortlist)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (short.select("id", "qcos",
+                         F.round(cosine_expr("cv", qlit), 6)
+                         .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "id").limit(k))

@@ -263,3 +263,71 @@ def scrub_pii(df: DataFrame, text_col: str,
                              F.regexp_count(orig, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, token)
     return out.withColumn(text_col, cur)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) — the standard web-corpus repetition/
+    garbage filter applied before LLM pretraining:
+
+      1. word count in [min_words, max_words];
+      2. mean word length in [min_mean_len, max_mean_len];
+      3. symbol-to-word ratio ('#' or '...') <= max_symbol_ratio;
+      4. fraction of lines starting with a bullet <= max_bullet_ratio;
+      5. fraction of lines ending in an ellipsis <= max_ellipsis_ratio;
+      6. fraction of words containing an alphabetic char >= min_alpha_ratio;
+      7. at least min_stop_hits distinct required stop words present.
+
+    Returns per-doc metrics (ratios rounded to 6 — the cross-engine
+    float discipline; `passes` is evaluated on the ROUNDED values so an
+    oracle re-deriving it can never flip on a ulp) plus the `passes`
+    verdict.  Pure column expressions over the token and line arrays —
+    zero UDFs, zero shuffles: a scan-shaped filter at 100 TB."""
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    r6 = lambda c: F.round(c, 6)
+
+    mean_len = r6(F.aggregate(t, F.lit(0),
+                              lambda acc, w: acc + F.length(w)) / n)
+    symbol_ratio = r6((F.regexp_count(text, F.lit("#"))
+                       + F.regexp_count(text, F.lit(r"\.\.\."))) / n)
+    bullet_ratio = r6(F.size(F.filter(
+        lines, lambda l: l.rlike(r"^[ \t]*[-*]"))) / n_lines)
+    ellipsis_ratio = r6(F.size(F.filter(
+        lines, lambda l: l.rlike(r"\.\.\.$"))) / n_lines)
+    alpha_ratio = r6(F.size(F.filter(
+        t, lambda w: w.rlike("[A-Za-z]"))) / n)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(sw, lambda s: F.array_contains(t, s)))
+
+    out = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"))
+    return out.withColumn("passes", (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)))

@@ -1432,3 +1432,204 @@ def l37_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, and every CTE is MATERIALIZED (the g25 lesson)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.shared_spans(docs, "doc_id", "text", k=8, min_tokens=16)
+
+
+@query(
+    "l38_cdc_chunk_dedup",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    cuts AS MATERIALIZED (
+      SELECT t.doc_id, r.p AS p
+      FROM toks t, LATERAL unnest(range(4, t.n)) AS r(p)
+      WHERE ('0x' || substr(md5(array_to_string(w[p-3:p], ' ')), 1, 15))
+              ::BIGINT % 16 = 0),
+    bounds AS MATERIALIZED (
+      SELECT t.doc_id, t.n, t.w,
+             coalesce(list_sort(list(c.p) FILTER (c.p IS NOT NULL)), [])
+               AS cs
+      FROM toks t LEFT JOIN cuts c USING (doc_id)
+      GROUP BY t.doc_id, t.n, t.w),
+    chunks AS MATERIALIZED (
+      SELECT doc_id,
+             list_append(cs, n)[i.i + 1]
+               - list_prepend(0, cs)[i.i + 1] AS n_tokens,
+             md5(array_to_string(
+               w[list_prepend(0, cs)[i.i + 1] + 1
+                 : list_append(cs, n)[i.i + 1]], ' ')) AS chunk_key
+      FROM bounds, LATERAL unnest(range(0, len(cs) + 1)) AS i(i))
+    SELECT chunk_key, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(n_tokens) AS n_tokens, min(doc_id) AS min_doc
+    FROM chunks WHERE n_tokens > 0
+    GROUP BY chunk_key HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def l38_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-family, token-level) + chunk
+    dedup: cut after any token whose trailing 4-gram's md5 hits
+    0 mod 16 (expected chunk ~16 tokens), then report every chunk text
+    held verbatim by >= 2 documents.  Content-defined cuts make shared
+    passages chunk identically at ANY offset — the property fixed-size
+    chunking lacks.  Chunking itself is pure per-row codegen (zero
+    shuffles); the report shuffles 16-byte chunk keys once.  The
+    boundary decision uses md5 (the engine-portable-hash-in-a-DECISION
+    discipline of g20/l04), so the oracle reproduces the exact cut set;
+    every per-doc CTE is MATERIALIZED (the g25 lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cdc_dedup_report(docs, "doc_id", "text", w=4, modulus=16)
+
+
+@query(
+    "l39_gopher_rules",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n,
+             string_split(text, chr(10)) AS ls,
+             len(string_split(text, chr(10))) AS nl
+      FROM documents),
+    m AS MATERIALIZED (
+      SELECT doc_id, n AS n_words,
+        round(list_sum(list_transform(w, x -> len(x)))
+              / CAST(n AS DOUBLE), 6) AS mean_word_len,
+        round((len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))
+              / CAST(n AS DOUBLE), 6) AS symbol_ratio,
+        round(len(list_filter(ls, l -> regexp_matches(l, '^[ \t]*[-*]')))
+              / CAST(nl AS DOUBLE), 6) AS bullet_ratio,
+        round(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$')))
+              / CAST(nl AS DOUBLE), 6) AS ellipsis_ratio,
+        round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              / CAST(n AS DOUBLE), 6) AS alpha_ratio,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(w, s))) AS stop_hits
+      FROM t)
+    SELECT *,
+      (n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+       AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+       AND stop_hits >= 2) AS passes
+    FROM m
+    """,
+)
+def l39_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446): the
+    standard pre-training document filter — word-count band, mean word
+    length band, symbol/bullet/ellipsis ratios, alphabetic-word
+    fraction, required stop words — as pure column expressions over the
+    token and line arrays.  Ratios are rounded to 6 and `passes` is
+    derived from the ROUNDED values on both engines, so the verdict
+    can't flip on a ulp.  Scan-shaped at 100 TB: zero UDFs, zero
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_rules(docs, "doc_id", "text")
+
+
+@query(
+    "l40_pq_topk",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    subs AS MATERIALIZED (
+      SELECT vec_id, s.s AS sub, e[s.s * 16 + 1 : (s.s + 1) * 16] AS sv
+      FROM v, LATERAL unnest(range(0, 4)) AS s(s)),
+    c0 AS MATERIALIZED (
+      SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+               AS cell,
+             list_transform(sv, x -> floor(x * 1000000 + 0.5) / 1000000)
+               AS cv
+      FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY floor(list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+                   * 1000000000 + 0.5) / 1000000000, c.cell) AS rn
+        FROM subs s JOIN c0 c USING (sub))
+      WHERE rn = 1),
+    m1 AS MATERIALIZED (
+      SELECT sub, cell, pos,
+             floor(avg(x) * 1000000 + 0.5) / 1000000 AS mu
+      FROM (SELECT sub, cell, generate_subscripts(sv, 1) AS pos,
+                   unnest(sv) AS x FROM a1)
+      GROUP BY sub, cell, pos),
+    c1 AS MATERIALIZED (
+      SELECT c0.sub, c0.cell, coalesce(u.cv2, c0.cv) AS cv
+      FROM c0 LEFT JOIN (
+        SELECT sub, cell, list(mu ORDER BY pos) AS cv2
+        FROM m1 GROUP BY sub, cell) u USING (sub, cell)),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY floor(list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+                   * 1000000000 + 0.5) / 1000000000, c.cell) AS rn
+        FROM subs s JOIN c1 c USING (sub))
+      WHERE rn = 1),
+    m2 AS MATERIALIZED (
+      SELECT sub, cell, pos,
+             floor(avg(x) * 1000000 + 0.5) / 1000000 AS mu
+      FROM (SELECT sub, cell, generate_subscripts(sv, 1) AS pos,
+                   unnest(sv) AS x FROM a2)
+      GROUP BY sub, cell, pos),
+    c2 AS MATERIALIZED (
+      SELECT c1.sub, c1.cell, coalesce(u.cv2, c1.cv) AS cv
+      FROM c1 LEFT JOIN (
+        SELECT sub, cell, list(mu ORDER BY pos) AS cv2
+        FROM m2 GROUP BY sub, cell) u USING (sub, cell)),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, cell FROM (
+        SELECT s.vec_id, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY floor(list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+                   * 1000000000 + 0.5) / 1000000000, c.cell) AS rn
+        FROM subs s JOIN c2 c USING (sub))
+      WHERE rn = 1),
+    q AS MATERIALIZED (SELECT e FROM v WHERE vec_id = 1),
+    qn AS MATERIALIZED (
+      SELECT sqrt(list_sum(list_transform(e, x -> x * x))) AS qnorm
+      FROM q),
+    lut AS MATERIALIZED (
+      SELECT c.sub, c.cell,
+             list_sum(list_transform(range(1, 17),
+               i -> q.e[c.sub * 16 + i] * c.cv[i])) AS dotv,
+             list_sum(list_transform(c.cv, x -> x * x)) AS n2
+      FROM c2 c, q),
+    approx AS MATERIALIZED (
+      SELECT cd.vec_id AS id,
+             round(sum(l.dotv)
+                   / (sqrt(sum(l.n2)) * min(qn.qnorm)), 6) AS qcos
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.cell = l.cell, qn
+      WHERE cd.vec_id <> 1
+      GROUP BY cd.vec_id),
+    short AS MATERIALIZED (
+      SELECT id, qcos FROM approx ORDER BY qcos DESC, id LIMIT 50)
+    SELECT s.id, s.qcos,
+           round(list_cosine_similarity(v.e, q.e), 6) AS cosine
+    FROM short s JOIN v ON v.vec_id = s.id, q
+    ORDER BY cosine DESC, id LIMIT 10
+    """,
+)
+def l40_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    (ADC) scoring: 4 subspaces × 8 centroids × 16 dims trained by two
+    Lloyd steps (all subspaces in the SAME jobs — one scan + one
+    codebook-sized aggregate per step), corpus scored only through its
+    4-byte codes via per-(sub, cell) dot/norm lookup tables folded into
+    plan literals, shortlist by (rounded approx cosine, id), exact
+    rerank for the reported top-k — the l35 surface, at m bytes/vector
+    instead of dim bytes.  Every DECISION value (centroid components,
+    argmin distances) is rounded via the tie-unambiguous
+    floor(x·10^p + 0.5)/10^p on BOTH engines, so the oracle's unrolled
+    Lloyd iterations (chained MATERIALIZED CTEs, the l12/g06 pattern)
+    land on the identical codebook, codes, and shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, "vec_id", "embedding", query_id=1,
+                     k=10, shortlist=50, m=4, ks=8, n_iters=2)

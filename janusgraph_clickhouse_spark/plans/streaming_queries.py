@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ..streaming.ops import session_stats, sliding_counts, tumbling_counts
+from ..streaming.ops import (session_stats, sliding_counts,
+                             trending_topk, tumbling_counts)
 from .registry import query
 
 
@@ -217,3 +218,66 @@ def s07_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("user_id"),
         F.unix_timestamp("ts_a").alias("ts_a_sec"),
         F.unix_timestamp("ts_b").alias("ts_b_sec"))
+
+
+@query(
+    "s08_trending_topk",
+    oracle="""
+    WITH counts AS MATERIALIZED (
+      SELECT window_start, event_type, count(*) AS cnt FROM (
+        SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+                 AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts,
+                                      INTERVAL '5 minutes')) AS BIGINT),
+               event_type
+        FROM events
+      ) GROUP BY window_start, event_type)
+    SELECT window_start, event_type, cnt,
+           row_number() OVER (PARTITION BY window_start
+                              ORDER BY cnt DESC, event_type) AS rk
+    FROM counts
+    QUALIFY rk <= 3
+    """,
+)
+def s08_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 10-minute sliding window (5-minute
+    slide): the stream-safe watermarked count stage plus a per-window
+    rank (total order: cnt desc, event_type asc).  In true streaming
+    the rank runs in foreachBatch at the sink (append mode cannot rank
+    a running aggregate); tests/test_streaming.py pins stream==batch.
+    The oracle reproduces the slide as two offset tumbling bucketings
+    unioned (the s02 recipe) and ranks with QUALIFY."""
+    events = load_table(spark, sf_dir, "events")
+    return trending_topk(events, k=3)
+
+
+@query(
+    "s09_interval_left_join",
+    oracle="""
+    SELECT a.event_id AS id_a, a.user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS ts_a_sec,
+           b.event_id AS id_b,
+           CAST(floor(epoch(b.ts)) AS BIGINT) AS ts_b_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON b.user_id = a.user_id AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL '5 minutes'
+    """,
+)
+def s09_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with the unconverted side kept: every click LEFT
+    OUTER joined to same-user purchases in the following 5 minutes —
+    null purchase legs where none arrived.  The streaming form is the
+    watermark-evicted outer interval join (null rows emit when the
+    watermark passes click.ts + interval); batch runs the identical
+    plan.  Epoch seconds via unix_timestamp / floor(epoch()) — the
+    CLAUDE.md rounding trap."""
+    from ..streaming.ops import left_join_within
+    ev = load_table(spark, sf_dir, "events")
+    out = left_join_within(ev)
+    return out.select(
+        "id_a", F.col("k").alias("user_id"),
+        F.unix_timestamp("ts_a").alias("ts_a_sec"),
+        "id_b", F.unix_timestamp("ts_b").alias("ts_b_sec"))

@@ -308,3 +308,77 @@ def run_to_memory(stream: DataFrame, mode: str = "complete",
          .start())
     q.awaitTermination()
     return stream.sparkSession.table(qname)
+
+
+def trending_counts(events: DataFrame, width: str = "10 minutes",
+                    slide: str = "5 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Per-(sliding window, event_type) counts — the stream-safe stage
+    of trending-topic detection.  Works unchanged on a batch or a
+    streaming DataFrame (unified API)."""
+    e = events.withWatermark("ts", watermark)
+    return (e.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "cnt"))
+
+
+def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per window from `trending_counts` output (rank
+    by cnt desc, event_type asc — a total order, so the result is
+    deterministic).  Partition key = window_start: each window ranks
+    independently, so the sort never exceeds one window's type
+    cardinality regardless of corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def trending_topk(events: DataFrame, k: int = 3,
+                  width: str = "10 minutes", slide: str = "5 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Trending top-k: the k most frequent event types in every sliding
+    window.  Batch form = trending_counts |> rank_trending in one plan.
+
+    Streaming form (ranking over a running windowed aggregate is not
+    expressible mid-stream in append mode): run `trending_counts` as
+    the stateful watermarked stage, and apply `rank_trending` inside
+    foreachBatch at the sink — the standard at-sink top-k recipe;
+    `tests/test_streaming.py` pins stream==batch equivalence for it."""
+    return rank_trending(
+        trending_counts(events, width=width, slide=slide,
+                        watermark=watermark), k=k)
+
+
+def left_join_within(events: DataFrame, left_type: str = "click",
+                     right_type: str = "purchase", key: str = "user_id",
+                     interval: str = "5 minutes",
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    with the unconverted side kept: every `left_type` event paired with
+    each same-key `right_type` event in the following `interval`, and a
+    null right leg where none arrived.  Outer-ness is what makes this a
+    distinct capability from `self_join_within`: in streaming, the null
+    rows for an unmatched left event can only be emitted once the
+    watermark passes its join horizon (ts + interval) — Spark's state
+    store handles that eviction; both sides MUST carry watermarks and
+    the condition MUST bound event-time distance or the join is
+    rejected at analysis time.  Batch runs the identical plan and the
+    horizon is simply end-of-input."""
+    a = (events.filter(F.col("event_type") == left_type)
+         .withWatermark("ts", watermark)
+         .select(F.col(key).alias("k"), F.col("ts").alias("ts_a"),
+                 F.col("event_id").alias("id_a")))
+    b = (events.filter(F.col("event_type") == right_type)
+         .withWatermark("ts", watermark)
+         .select(F.col(key).alias("k2"), F.col("ts").alias("ts_b"),
+                 F.col("event_id").alias("id_b")))
+    return a.join(
+        b,
+        (a.k == b.k2)
+        & (b.ts_b >= a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")),
+        "left_outer").drop("k2")

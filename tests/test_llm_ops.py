@@ -3,6 +3,7 @@ fingerprints (SURVEY §5)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from janusgraph_clickhouse_spark.llm import dedup as D
@@ -761,3 +762,164 @@ def test_domain_cap_exact_and_deterministic(spark, sf_smoke):
         docs.repartition(13), "doc_id", "source", cap=10)
         .select("doc_id", "source", "rk").collect())
     assert re_got == want
+
+
+# -- content-defined chunking ----------------------------------------------
+
+
+def test_cdc_chunks_partition_each_doc(spark, sf_smoke):
+    """Chunks tile every document exactly: contiguous starts, token
+    counts summing to the doc's token count, chunk_idx dense from 0."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    ch = D.cdc_chunks(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.id, []).append(r)
+    n_by_doc = {r.doc_id: len(r.text.split(" "))
+                for r in docs.select("doc_id", "text").collect()}
+    assert set(by_doc) == set(n_by_doc)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        pos = 0
+        for r in rows:
+            assert r.start == pos
+            assert r.n_tokens > 0
+            pos += r.n_tokens
+        assert pos == n_by_doc[doc]
+
+
+def test_cdc_chunks_shared_passage_aligns(spark):
+    """The CDC property: a long passage shared at DIFFERENT offsets
+    produces identical interior chunk keys in both docs (fixed-size
+    chunking would miss every unaligned copy)."""
+    passage = " ".join(f"p{i}" for i in range(120))
+    rows = [(1, " ".join(f"a{i}" for i in range(7)) + " " + passage),
+            (2, " ".join(f"b{i}" for i in range(31)) + " " + passage)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = D.cdc_chunks(df, "doc_id", "text").collect()
+    keys = {1: {r.chunk_key for r in ch if r.id == 1},
+            2: {r.chunk_key for r in ch if r.id == 2}}
+    shared = keys[1] & keys[2]
+    # interior chunks of the 120-token passage must coincide (only the
+    # chunk straddling each doc's unique prefix may differ)
+    assert len(shared) >= 3
+
+
+def test_cdc_chunks_short_doc_single_chunk(spark):
+    """A doc shorter than w+1 tokens can have no cut: one chunk."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = D.cdc_chunks(df, "doc_id", "text", w=4).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 3 and rows[0].start == 0
+
+
+def test_cdc_chunks_param_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.cdc_chunks(df, "doc_id", "text", w=0)
+    with pytest.raises(ValueError):
+        D.cdc_chunks(df, "doc_id", "text", modulus=1)
+
+
+def test_cdc_dedup_report_counts(spark):
+    """Exact duplicate docs share every chunk; the report counts docs
+    and occurrences per chunk text."""
+    text = " ".join(f"t{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(f"u{i}" for i in range(60)))],
+        "doc_id long, text string")
+    rep = D.cdc_dedup_report(df, "doc_id", "text").collect()
+    assert rep, "duplicate docs must share chunks"
+    assert all(r.n_docs == 2 and r.n_occ == 2 and r.min_doc == 1
+               for r in rep)
+    n_chunks_1 = D.cdc_chunks(
+        df.filter("doc_id = 1"), "doc_id", "text").count()
+    assert len(rep) == n_chunks_1
+
+
+# -- Gopher quality rules ---------------------------------------------------
+
+
+def test_gopher_rules_verdicts(spark):
+    """Rule-by-rule verdicts on synthetic docs: a clean doc passes;
+    short / symbol-heavy / bullet-list / no-stopword docs each fail
+    their specific rule."""
+    clean = ("the quick brown fox jumps over " * 12
+             + "a lazy dog full of cheer and joy to be with")
+    short = "the cat sat on the mat with joy and to be"
+    symbols = " ".join("word#" for _ in range(60)) + " the of to and"
+    bullets = "\n".join("- item the of and to be point here now ok"
+                        for _ in range(10))
+    nostop = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols), (4, bullets), (5, nostop)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in X.gopher_rules(df, "doc_id", "text").collect()}
+    assert got[1].passes
+    assert not got[2].passes and got[2].n_words < 50
+    assert not got[3].passes and got[3].symbol_ratio > 0.1
+    assert not got[4].passes and got[4].bullet_ratio > 0.9
+    assert not got[5].passes and got[5].stop_hits < 2
+
+
+def test_gopher_rules_stop_hits_distinct(spark):
+    """stop_hits counts DISTINCT required stop words, not occurrences."""
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the of and that")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.stop_hits
+           for r in X.gopher_rules(df, "doc_id", "text").collect()}
+    assert got == {1: 1, 2: 4}
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_full_shortlist_equals_brute_force(spark, sf_smoke):
+    """shortlist >= corpus makes PQ's approximation vacuous: the exact
+    rerank sees every row, so the answer must equal brute force."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    want = [(r.id, r.cosine) for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=1).collect()]
+    got = [(r.id, r.cosine) for r in S.pq_topk(
+        emb, "vec_id", "embedding", query_id=1, k=10,
+        shortlist=n).collect()]
+    assert got == want
+
+
+def test_pq_recall_on_fixture(spark, sf_smoke):
+    """ADC shortlist=50 must recover most of the true top-10 (the PQ
+    recall contract; deterministic on the fixture)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    true_ids = {r.id for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", qv, k=10, exclude_id=1).collect()}
+    got_ids = {r.id for r in S.pq_topk(
+        emb, "vec_id", "embedding", query_id=1, k=10,
+        shortlist=50).collect()}
+    assert len(true_ids & got_ids) >= 6
+
+
+def test_pq_codes_shape_and_range(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings").limit(100)
+    cents = S.pq_train(emb, "vec_id", "embedding", m=4, ks=8)
+    assert len(cents) == 4
+    assert all(len(cs) == 8 for cs in cents)
+    assert all(len(cv) == 16 for cs in cents for cv in cs)
+    codes = emb.select(
+        S.pq_codes_expr("embedding", cents).alias("c")).collect()
+    for r in codes:
+        assert len(r.c) == 4
+        assert all(0 <= x < 8 for x in r.c)
+
+
+def test_pq_param_validation(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError):
+        S.pq_train(emb, "vec_id", "embedding", m=5)  # 64 % 5 != 0
+    with pytest.raises(ValueError):
+        S.pq_topk(emb, "vec_id", "embedding", query_id=-12345)

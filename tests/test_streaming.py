@@ -276,3 +276,70 @@ def test_txlog_replay_end_to_end(spark, sf_smoke, tmp_path):
     got = {tuple(r) for r in store.select(*cols).collect()}
     assert got == exp  # parse(encode(x)) == x, µs timestamps included
     events.unpersist()
+
+
+def test_streaming_trending_topk_equals_batch(spark, events_dir, sf_smoke):
+    """Trending top-k: the watermarked count stage runs as a true stream
+    (file source → availableNow → memory sink) and the per-window rank
+    is applied at the sink — the documented at-sink top-k recipe; the
+    result must equal the single-plan batch form."""
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        rank_trending, trending_counts, trending_topk)
+    stream = events_stream(spark, events_dir)
+    counts = run_to_memory(trending_counts(stream), mode="complete")
+    got = rank_trending(counts, k=3)
+    want = trending_topk(load_table(spark, sf_smoke, "events"), k=3)
+    assert _rows(got) == _rows(want)
+
+
+def _attr_events(spark, rows):
+    """(event_id, ts_offset_sec, user_id, event_type) → events-shaped DF."""
+    import datetime
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    data = [(eid, base + datetime.timedelta(seconds=off), uid, et, 1.0, "{}")
+            for eid, off, uid, et in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_left_join_within_batch_semantics(spark):
+    """Converted click pairs with its purchase; unconverted click keeps a
+    null right leg; a purchase BEFORE the click never matches."""
+    from janusgraph_clickhouse_spark.streaming.ops import left_join_within
+    ev = _attr_events(spark, [
+        (1, 0, 7, "click"), (2, 120, 7, "purchase"),      # converts
+        (3, 0, 8, "click"),                               # no purchase
+        (4, 0, 9, "purchase"), (5, 60, 9, "click"),       # wrong order
+        (6, 1000, 7, "purchase"),                         # outside window
+    ])
+    got = sorted((r.id_a, r.id_b)
+                 for r in left_join_within(ev).collect())
+    assert got == [(1, 2), (3, None), (5, None)]
+
+
+def test_streaming_outer_interval_join_emits_nulls(spark, tmp_path):
+    """True streaming outer join: null rows for unconverted clicks emit
+    once the watermark passes click.ts + interval.  Far-future dummy
+    events on BOTH legs push the watermark past every real click's
+    horizon; the trailing dummy click itself stays held back — exactly
+    the eviction semantics the operator documents."""
+    from janusgraph_clickhouse_spark.streaming.ops import left_join_within
+    real = [
+        (1, 0, 7, "click"), (2, 120, 7, "purchase"),
+        (3, 0, 8, "click"),                      # unconverted -> null row
+    ]
+    dummies = [(98, 86400, 998, "purchase"), (99, 86400, 999, "click")]
+    ev = _attr_events(spark, real + dummies)
+    d = str(tmp_path / "attr_events")
+    ev.write.parquet(d)
+
+    stream = events_stream(spark, d)
+    got = run_to_memory(left_join_within(stream), mode="append")
+    got_rows = sorted((r.id_a, r.id_b) for r in got.collect())
+    # batch answer minus the held-back trailing dummy click (id 99)
+    want = sorted((r.id_a, r.id_b)
+                  for r in left_join_within(ev).collect()
+                  if r.id_a != 99)
+    assert got_rows == want
+    assert (3, None) in got_rows
