@@ -1486,3 +1486,56 @@ def k_truss(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
              .select(F.col("u").alias("src"), F.col("v").alias("dst"),
                      F.coalesce("support", F.lit(0)).alias("support")))
     return final
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity of a (bipartite or directed) edge set: the
+    Pearson correlation, over EDGES, between the out-degree of the
+    source endpoint and the in-degree of the destination endpoint
+    (Newman 2002, "Assortative mixing in networks") — positive when
+    high-degree vertices attach to high-degree vertices.  The one-number
+    structural summary used to pick between hub-salting and plain
+    hash-join strategies elsewhere in this engine (a strongly
+    disassortative graph is exactly the hub-fanout shape g17's salted
+    path exists for).
+
+    Cross-engine float discipline, made structural: degrees and all five
+    moment sums are EXACT integers (BIGINT aggregates of BIGINT
+    products); the correlation is one double expression over those
+    integers, written with identical parenthesization in the SQL oracle,
+    rounded to 6.  Every int→double conversion is exact below 2^53, and
+    every float op is IEEE correctly-rounded on identical inputs —
+    bit-identical everywhere.
+
+    Scale shape: two hash aggregates for the degree maps, two equi-joins
+    back to the edge list (both degree sides are vertex-cardinality —
+    broadcastable long before the edge list is), one global aggregate.
+    No self-joins, nothing quadratic."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    dx = e.groupBy("u").agg(F.count(F.lit(1)).alias("dx"))
+    dy = e.groupBy("v").agg(F.count(F.lit(1)).alias("dy"))
+    j = e.join(dx, "u").join(dy, "v")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sy2"))
+    # the correlation expression runs in DOUBLE on both engines (the
+    # variance PRODUCT under the sqrt overflows int64 — ~1e24 on the
+    # sf0.01 fixture); each moment is < 2^53 so the double conversions
+    # are exact, and identical correctly-rounded float ops on identical
+    # inputs give the identical result everywhere
+    n = F.col("n_edges").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    # try_divide: a zero-variance (regular) edge set has no defined
+    # correlation — NULL on both engines (DuckDB's double /0 is NULL;
+    # ANSI Spark would throw)
+    return agg.select(
+        "n_edges", "sx", "sy", "sxy", "sx2", "sy2",
+        F.round(F.try_divide(num, den), 6).alias("assortativity"))

@@ -1004,3 +1004,44 @@ def g25_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("nxt") != F.col("user_id")))
          .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst")))
     return k_truss(e, k=4, iters=3)
+
+
+@query(
+    "g26_assortativity",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey + {_P} AS u, l_suppkey + {_S} AS v
+      FROM lineitem),
+    dx AS MATERIALIZED (SELECT u, count(*) AS dx FROM e GROUP BY u),
+    dy AS MATERIALIZED (SELECT v, count(*) AS dy FROM e GROUP BY v),
+    m AS MATERIALIZED (
+      SELECT count(*) AS n_edges,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sx2,
+             CAST(sum(dy * dy) AS BIGINT) AS sy2
+      FROM e JOIN dx USING (u) JOIN dy USING (v))
+    SELECT n_edges, sx, sy, sxy, sx2, sy2,
+           round((n_edges::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n_edges::DOUBLE * sx2::DOUBLE
+                         - sx::DOUBLE * sx::DOUBLE)
+                        * (n_edges::DOUBLE * sy2::DOUBLE
+                           - sy::DOUBLE * sy::DOUBLE)), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def g26_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplied_by bipartite edge set
+    (part↔supplier via distinct lineitem pairs): Pearson correlation of
+    endpoint degrees over edges (Newman 2002) — the one-number summary
+    of whether hubs attach to hubs, i.e. whether this graph is the
+    hub-fanout shape g17's salted join exists for.  All moments are
+    exact BIGINT sums; the final correlation is one identically-
+    parenthesized double expression on both engines, rounded to 6
+    (graph.algorithms.degree_assortativity)."""
+    from ..graph.algorithms import degree_assortativity
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select((F.col("l_partkey") + _P).alias("src"),
+                  (F.col("l_suppkey") + _S).alias("dst"))
+    return degree_assortativity(e)

@@ -1633,3 +1633,87 @@ def l40_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_topk(emb, "vec_id", "embedding", query_id=1,
                      k=10, shortlist=50, m=4, ks=8, n_iters=2)
+
+
+@query(
+    "l41_dsir_weights",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, source, generate_subscripts(w, 1) AS i,
+             unnest(w) AS g
+      FROM toks),
+    grams AS MATERIALIZED (
+      SELECT doc_id, source, g FROM words
+      UNION ALL
+      SELECT a.doc_id, a.source, a.g || ' ' || b.g
+      FROM words a JOIN words b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    bk AS MATERIALIZED (
+      SELECT doc_id, source = 'src0' AS tgt,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS bucket
+      FROM grams),
+    per_doc AS MATERIALIZED (
+      SELECT doc_id, tgt, bucket, count(*) AS cnt
+      FROM bk GROUP BY 1, 2, 3),
+    marg AS MATERIALIZED (
+      SELECT bucket,
+             CAST(sum(cnt) FILTER (tgt) AS BIGINT) AS ct,
+             CAST(sum(cnt) FILTER (NOT tgt) AS BIGINT) AS cr
+      FROM per_doc GROUP BY bucket),
+    tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+                   CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM marg),
+    ratio AS MATERIALIZED (
+      SELECT bucket,
+             CAST(floor(ln(((coalesce(ct, 0) + 1) / (tt + 512.0))
+                           / ((coalesce(cr, 0) + 1) / (tr + 512.0)))
+                        * 1e6 + 0.5) AS BIGINT) AS r_micro
+      FROM marg CROSS JOIN tot)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(sum(cnt * r_micro) AS BIGINT) AS logw_micro
+    FROM per_doc JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def l41_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-doc log-likelihood ratio of its hashed unigram+bigram bag under
+    the target domain (source='src0') vs the rest of the corpus — the
+    standard "select raw data that looks like the target" scorer.  The
+    per-bucket log-ratio is rounded ONCE to integer micro-units and
+    each doc's weight is an exact BIGINT dot product (no float
+    summation anywhere — llm.split.dsir_weights); one (id, bucket)
+    shuffle + a broadcast 512-row ratio table."""
+    from ..llm.split import dsir_weights
+    docs = load_table(spark, sf_dir, "documents")
+    return (dsir_weights(docs, "doc_id", "text",
+                         is_target=F.col("source") == "src0",
+                         n_buckets=512)
+            .withColumnRenamed("id", "doc_id"))
+
+
+@query(
+    "l42_weighted_sample",
+    oracle="""
+    SELECT doc_id AS id, n_chars AS weight,
+           CAST(floor(
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT + 1) / 1152921504606846976.0)
+             / n_chars * 1e9 + 0.5) AS BIGINT) AS key_nano
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY key_nano DESC, id LIMIT 100
+    """,
+)
+def l42_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): keep the 100 docs with the largest md5-derived
+    u^(1/n_chars) — longer docs proportionally likelier, identical
+    selection on every run and engine since u comes from md5(doc_id),
+    not an RNG.  Ranks quantized ln(u)/w integers with id tiebreak
+    (llm.split.weighted_sample); the plan is scan-side codegen +
+    TakeOrderedAndProject, never a full sort."""
+    from ..llm.split import weighted_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)

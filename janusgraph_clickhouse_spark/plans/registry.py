@@ -104,6 +104,9 @@ REGISTERED_ROUND: dict[str, int] = {
     "l37_shared_spans": 5, "l38_cdc_chunk_dedup": 5,
     "l39_gopher_rules": 5, "s08_trending_topk": 5, "l40_pq_topk": 5,
     "s09_interval_left_join": 5,
+    "q38_argmax_latest": 5, "g26_assortativity": 5,
+    "l41_dsir_weights": 5, "l42_weighted_sample": 5,
+    "s10_scd2_versions": 5,
 }
 
 # ROUND-6 ROTATION, pre-derived: stalest-first.  Candidates whose
@@ -113,14 +116,15 @@ REGISTERED_ROUND: dict[str, int] = {
 #   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
 #   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
 #   s02 s03 s04 s06 s07
-# plus the 12 mid-r5 registrations g23 g24 g25 l34 l35 l36 l37 l38
-# l39 l40 s08 s09 (virtual r4 row) = 61 candidates for 50 slots: put
-# the 12 new ones in (first real driver row) and let 11 of the 49
-# spill to the r7 window — at N=111 the amended bound allows
-# staleness 2, so the spilled names stay green as long as r7 windows
-# them first.  (late-r5 registrations: shared_spans l37, CDC chunk
-# dedup l38, Gopher rules l39, PQ-ADC ANN l40, trending top-k s08,
-# outer interval join s09 — nothing remains pytest-only.)
+# plus the 17 mid-r5 registrations g23 g24 g25 g26 l34-l42 q38 s08
+# s09 s10 (virtual r4 row) = 66 candidates for 50 slots: put the 17
+# new ones in (first real driver row) and let 16 of the 49 spill to
+# the r7 window — at N=116 the amended bound allows staleness 2, so
+# the spilled names stay green as long as r7 windows them first.
+# (late-r5 registrations: shared_spans l37, CDC chunk dedup l38,
+# Gopher rules l39, PQ-ADC ANN l40, trending top-k s08, outer
+# interval join s09, argMax q38, assortativity g26, DSIR l41,
+# weighted sample l42, SCD2 s10 — nothing remains pytest-only.)
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

@@ -1014,3 +1014,44 @@ def q37_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_nationkey").alias("nationkey"))
             .agg(F.count(F.lit(1)).alias("n_within"),
                  F.round(F.avg("dist"), 4).alias("avg_dist_km")))
+
+
+@query(
+    "q38_argmax_latest",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, printf('%020d%012d', epoch_us(ts), event_id))
+             AS last_type,
+           arg_max(value, printf('%020d%012d', epoch_us(ts), event_id))
+             AS last_value,
+           arg_min(event_type, printf('%020d%012d', epoch_us(ts), event_id))
+             AS first_type,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q38_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse argMax/argMin aggregate surface (the signature
+    "value at the extremum of another column" aggregates of the
+    reference's backing store; SELECT argMax(v, ts) is the canonical
+    last-point-per-series ClickHouse query): per user, the event type
+    and value at the LATEST event and the type at the EARLIEST — one
+    partial+final aggregate pair, no window, no self-join: max_by
+    keeps one running extremum per group, so the shuffle carries one
+    row per (map partition, user), never the raw events (the window
+    formulation would shuffle and sort every event).  Plan-pinned in
+    tests/test_plans.py.
+
+    Determinism at ts ties: the ordering key is the zero-padded
+    (epoch_micros, event_id) string — a total order both engines
+    compare identically (Spark max_by on the same string = DuckDB
+    arg_max).  `value` passes through untouched (stored doubles are
+    compared exactly; no arithmetic, no rounding needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.format_string("%020d%012d", F.unix_micros("ts"),
+                           F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", okey).alias("last_type"),
+        F.max_by("value", okey).alias("last_value"),
+        F.min_by("event_type", okey).alias("first_type"),
+        F.count(F.lit(1)).alias("n_events"))

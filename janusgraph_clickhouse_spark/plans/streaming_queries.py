@@ -281,3 +281,48 @@ def s09_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", F.col("k").alias("user_id"),
         F.unix_timestamp("ts_a").alias("ts_a_sec"),
         "id_b", F.unix_timestamp("ts_b").alias("ts_b_sec"))
+
+
+@query(
+    "s10_scd2_versions",
+    oracle="""
+    WITH ordered AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versioned AS MATERIALIZED (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered),
+    runs AS MATERIALIZED (
+      SELECT user_id, version, min(event_type) AS state,
+             min(ts) AS vfrom, count(*) AS n_events
+      FROM versioned GROUP BY user_id, version)
+    SELECT user_id, version, state,
+           CAST(floor(epoch(vfrom)) AS BIGINT) AS valid_from_sec,
+           CAST(floor(epoch(lead(vfrom) OVER
+             (PARTITION BY user_id ORDER BY version))) AS BIGINT)
+             AS valid_to_sec,
+           n_events,
+           lead(vfrom) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM runs
+    """,
+)
+def s10_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change-log: per user,
+    one row per maximal run of identical event_type with
+    [valid_from, valid_to) effective bounds and is_current on the open
+    run — the CDC→warehouse shape the reference's txlog store feeds.
+    One key shuffle + windows + one aggregate (streaming.ops
+    .scd2_versions); epoch seconds via unix_timestamp / floor(epoch())
+    (the CLAUDE.md rounding trap).  Both sides aggregate the run state
+    with min(), equal to any-value because runs are constant-state by
+    construction."""
+    from ..streaming.ops import scd2_versions
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_versions(ev)

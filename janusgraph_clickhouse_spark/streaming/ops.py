@@ -382,3 +382,50 @@ def left_join_within(events: DataFrame, left_type: str = "click",
         & (b.ts_b >= a.ts_a)
         & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")),
         "left_outer").drop("k2")
+
+
+def scd2_versions(df: DataFrame, key: str = "user_id",
+                  state: str = "event_type", ts: str = "ts",
+                  tiebreak: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream: per
+    key, compress the event sequence into VERSION rows — one row per
+    maximal run of consecutive identical `state` values — each carrying
+    [valid_from, valid_to) effective-time bounds, the run's event count,
+    and an `is_current` flag on the open version.  The CDC→warehouse
+    materialization the reference's txlog change-log feeds
+    (QueryHelper.java:101-102): replaying the log through this op yields
+    the dimension table as of any watermark.
+
+    Total event order per key is (ts, tiebreak) — the repo's tie
+    discipline; run detection is lag(state) != state, version numbering
+    a running sum of change flags, and valid_to the NEXT version's
+    valid_from (the islands pattern, entirely window + one aggregate).
+
+    Scale shape: one shuffle on `key`, then per-key sorted windows and
+    one hash aggregate on (key, version) — no self-joins, no explode.
+    In production the stream form runs this per micro-batch in
+    foreachBatch merged MERGE-style against the dimension table (the
+    open version is the only row a later batch can close); batch form
+    below is the oracle-checked semantics over the full log."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = df.select(
+        key, state, ts, tiebreak,
+        F.when(F.lag(state).over(w).isNull()
+               | (F.lag(state).over(w) != F.col(state)), 1)
+        .otherwise(0).alias("_chg"))
+    versioned = marked.withColumn(
+        "version", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = (versioned.groupBy(key, "version")
+            .agg(F.min(state).alias("state"),
+                 F.min(ts).alias("_from"),
+                 F.count(F.lit(1)).alias("n_events")))
+    wv = Window.partitionBy(key).orderBy("version")
+    return (runs
+            .withColumn("valid_from_sec", F.unix_timestamp("_from"))
+            .withColumn("valid_to_sec",
+                        F.unix_timestamp(F.lead("_from").over(wv)))
+            .withColumn("is_current", F.col("valid_to_sec").isNull())
+            .drop("_from"))

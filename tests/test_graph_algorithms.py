@@ -724,3 +724,27 @@ def test_ktruss_k2_keeps_triangle_free_edges(spark):
     e = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
     out = {(r.src, r.dst): r.support for r in k_truss(e, k=2).collect()}
     assert out == {(1, 2): 0, (3, 4): 0}
+
+
+def test_degree_assortativity_closed_form(spark):
+    """Edges (1,a),(1,b),(2,a): endpoint-degree pairs over edges are
+    (2,2),(2,1),(1,2) → Pearson r = -0.5 exactly; duplicate edges
+    collapse first (distinct)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        degree_assortativity)
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 10)], ["src", "dst"])
+    row = degree_assortativity(e).collect()[0]
+    assert row.n_edges == 3
+    assert (row.sx, row.sy) == (5, 5)
+    assert row.assortativity == -0.5
+
+
+def test_degree_assortativity_degenerate_is_null(spark):
+    """A perfectly regular edge set has zero degree variance — the
+    correlation is undefined and must surface as NULL, not a crash."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        degree_assortativity)
+    e = spark.createDataFrame([(1, 10), (2, 11)], ["src", "dst"])
+    row = degree_assortativity(e).collect()[0]
+    assert row.assortativity is None

@@ -923,3 +923,89 @@ def test_pq_param_validation(spark, sf_smoke):
         S.pq_train(emb, "vec_id", "embedding", m=5)  # 64 % 5 != 0
     with pytest.raises(ValueError):
         S.pq_topk(emb, "vec_id", "embedding", query_id=-12345)
+
+
+# -- DSIR importance weights --------------------------------------------------
+
+def test_dsir_weights_sign_and_counts(spark):
+    """Docs made of the target's token get positive weight, raw-only
+    tokens negative; n_grams = unigrams + bigrams = 2n - 1."""
+    from janusgraph_clickhouse_spark.llm.split import dsir_weights
+    rows = [(1, "aa aa aa aa", True), (2, "aa aa aa aa", True),
+            (3, "bb bb bb bb", False), (4, "bb bb bb bb", False),
+            (5, "aa aa aa aa", False)]  # raw doc that LOOKS like target
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    out = {r.id: r for r in dsir_weights(
+        df, "id", "text", is_target=F.col("tgt"), n_buckets=64).collect()}
+    assert all(out[i].n_grams == 7 for i in out)
+    # the target-looking raw doc scores identically to the target docs
+    assert out[5].logw_micro == out[1].logw_micro
+    assert out[5].logw_micro > 0 > out[3].logw_micro
+
+
+def test_dsir_weights_match_python_model(spark):
+    """The micro-unit weights equal an independent Python reimplementation
+    of the smoothed hashed-bigram model (hash → counts → log ratio)."""
+    import hashlib
+    import math
+    from collections import Counter
+    from janusgraph_clickhouse_spark.llm.split import dsir_weights
+    rows = [(1, "x y z x", True), (2, "y z q", False),
+            (3, "x q q y", False), (4, "z z", True)]
+    B = 32
+
+    def buckets(text):
+        toks = text.split(" ")
+        grams = toks + [" ".join(toks[i:i + 2])
+                        for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+                for g in grams]
+
+    tgt, raw = Counter(), Counter()
+    for _id, text, is_t in rows:
+        (tgt if is_t else raw).update(buckets(text))
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    r_micro = {b: math.floor(math.log(
+        ((tgt.get(b, 0) + 1) / (tt + B)) / ((raw.get(b, 0) + 1) / (tr + B))
+    ) * 1e6 + 0.5) for b in set(tgt) | set(raw)}
+    want = {i: sum(r_micro[b] for b in buckets(t)) for i, t, _ in rows}
+
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    got = {r.id: r.logw_micro for r in dsir_weights(
+        df, "id", "text", is_target=F.col("tgt"), n_buckets=B).collect()}
+    assert got == want
+
+
+# -- deterministic weighted sampling ------------------------------------------
+
+def test_weighted_sample_deterministic_and_filters(spark):
+    """Same input → identical selection on every run; non-positive
+    weights are excluded; k >= n returns every eligible row."""
+    from janusgraph_clickhouse_spark.llm.split import weighted_sample
+    rows = [(i, (i * 37) % 11 + 1) for i in range(50)] + [(99, 0), (98, -3)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = [tuple(r) for r in weighted_sample(df, "id", "w", k=10).collect()]
+    b = [tuple(r) for r in weighted_sample(df, "id", "w", k=10).collect()]
+    assert a == b and len(a) == 10
+    full = weighted_sample(df, "id", "w", k=1000).collect()
+    assert len(full) == 50 and {r.id for r in full} == set(range(50))
+
+
+def test_weighted_sample_matches_python_keys(spark):
+    """key_nano equals the Python recomputation of
+    floor(ln((md5_60(id)+1)/2^60)/w * 1e9 + 0.5) and the kept set is
+    the top-k of that ranking."""
+    import hashlib
+    import math
+    from janusgraph_clickhouse_spark.llm.split import weighted_sample
+    rows = [(i, w) for i, w in [(1, 5), (2, 50), (3, 500), (4, 2), (5, 80)]]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    def key(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.floor(math.log((v + 1) / float(1 << 60)) / w * 1e9 + 0.5)
+
+    want = sorted(((key(i, w), i, w) for i, w in rows),
+                  key=lambda t: (-t[0], t[1]))[:3]
+    got = weighted_sample(df, "id", "w", k=3).collect()
+    assert [(r.key_nano, r.id, r.weight) for r in got] == want

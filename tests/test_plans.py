@@ -282,3 +282,32 @@ def test_local_clustering_routes_dense_to_bitset(spark, monkeypatch):
     A.local_clustering(graph_from_edge_list(
         spark, [(a + off, b + off) for a, b in base]))
     assert calls == ["dense", "wedge"]
+
+
+def test_argmax_is_single_hash_aggregate_and_tie_stable(spark, sf_smoke):
+    """q38: max_by compiles to ONE partial+final aggregate pair with
+    map-side combine (the Exchange carries one row per partition-group,
+    never the raw events; string-keyed max_by buffers aren't UnsafeRow-
+    mutable so the pair is SortAggregate, still partial/final) and NO
+    Window; ts ties resolve by event_id through the padded ordering
+    string."""
+    import datetime
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    import janusgraph_clickhouse_spark.plans.relational  # noqa: F401
+    plan = QUERIES["q38_argmax_latest"](
+        spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan and "Window" not in plan
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 7, "a", 1.0, "{}"), (2, base, 7, "b", 2.0, "{}"),
+         (3, base - datetime.timedelta(seconds=5), 7, "c", 3.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    okey = F.format_string("%020d%012d", F.unix_micros("ts"),
+                           F.col("event_id"))
+    row = ev.groupBy("user_id").agg(
+        F.max_by("event_type", okey).alias("last_type"),
+        F.min_by("event_type", okey).alias("first_type")).collect()[0]
+    assert (row.last_type, row.first_type) == ("b", "c")

@@ -343,3 +343,27 @@ def test_streaming_outer_interval_join_emits_nulls(spark, tmp_path):
                   if r.id_a != 99)
     assert got_rows == want
     assert (3, None) in got_rows
+
+
+def test_scd2_versions_runs_and_bounds(spark):
+    """A,A,B,A per one user → 3 versions with adjacent [from, to) bounds
+    and is_current only on the open run; ts ties break on event_id."""
+    from janusgraph_clickhouse_spark.streaming.ops import scd2_versions
+    ev = _attr_events(spark, [
+        (1, 0, 7, "A"), (2, 60, 7, "A"),       # run 1: A x2
+        (3, 120, 7, "B"),                      # run 2: B
+        (4, 180, 7, "A"),                      # run 3: A (reopens)
+        (5, 0, 8, "X"), (6, 0, 8, "Y"),        # same ts: event_id orders
+    ])
+    out = {(r.user_id, r.version): r for r in scd2_versions(ev).collect()}
+    assert len(out) == 5
+    r1, r2, r3 = out[(7, 1)], out[(7, 2)], out[(7, 3)]
+    assert (r1.state, r1.n_events, r1.is_current) == ("A", 2, False)
+    assert (r2.state, r2.n_events, r2.is_current) == ("B", 1, False)
+    assert (r3.state, r3.n_events, r3.is_current) == ("A", 1, True)
+    # adjacency: each version closes exactly where the next opens
+    assert r1.valid_to_sec == r2.valid_from_sec
+    assert r2.valid_to_sec == r3.valid_from_sec
+    assert r3.valid_to_sec is None
+    # same-ts tie: event_id 5 ("X") precedes 6 ("Y")
+    assert out[(8, 1)].state == "X" and out[(8, 2)].state == "Y"
