@@ -1055,3 +1055,111 @@ def q38_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("last_value"),
         F.min_by("event_type", okey).alias("first_type"),
         F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "q39_window_funnel",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+    s2 AS MATERIALIZED (
+      SELECT v.user_id, v.t1, min(c.ts) AS t2
+      FROM v JOIN events c
+        ON c.user_id = v.user_id AND c.event_type = 'click'
+       AND c.ts > v.t1 AND c.ts <= v.t1 + INTERVAL '1 hour'
+      GROUP BY v.user_id, v.t1),
+    s3 AS MATERIALIZED (
+      SELECT s2.user_id, s2.t1, min(p.ts) AS t3
+      FROM s2 JOIN events p
+        ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+       AND p.ts > s2.t2 AND p.ts <= s2.t1 + INTERVAL '1 hour'
+      GROUP BY s2.user_id, s2.t1),
+    lv AS MATERIALIZED (
+      SELECT v.user_id,
+             1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS lvl
+      FROM v
+      LEFT JOIN s2 ON s2.user_id = v.user_id AND s2.t1 = v.t1
+      LEFT JOIN s3 ON s3.user_id = v.user_id AND s3.t1 = v.t1)
+    SELECT u.user_id,
+           coalesce(max(lv.lvl), 0) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN lv ON lv.user_id = u.user_id
+    GROUP BY u.user_id
+    """,
+)
+def q39_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel analog: per user, the deepest prefix of
+    the view → click → purchase funnel completed inside a 1-hour window
+    anchored at the view (each later step strictly after the previous
+    one, all within anchor + window) — THE event-analytics function of
+    the reference's backing store.  Semantics: for every anchor view,
+    greedily take the EARLIEST qualifying click then the earliest
+    qualifying purchase after it (greedy-earliest is optimal for a
+    fixed anchor), and report the max level over anchors; users with
+    no view score 0.
+
+    Scale shape: two event-time-bounded interval joins (the s07 class —
+    per-anchor fan-out is bounded by events per user per hour, never
+    the corpus) + min/max aggregates.  All decisions are min/max over
+    exact timestamps — no floats, tie-free by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts")))
+    hour = F.expr("INTERVAL 1 HOUR")
+    s2 = (v.join(c, (F.col("cu") == F.col("user_id"))
+                 & (F.col("cts") > F.col("t1"))
+                 & (F.col("cts") <= F.col("t1") + hour))
+          .groupBy("user_id", "t1").agg(F.min("cts").alias("t2")))
+    s3 = (s2.join(p, (F.col("pu") == F.col("user_id"))
+                  & (F.col("pts") > F.col("t2"))
+                  & (F.col("pts") <= F.col("t1") + hour))
+          .groupBy("user_id", "t1").agg(F.min("pts").alias("t3")))
+    lv = (v.join(s2, ["user_id", "t1"], "left")
+          .join(s3, ["user_id", "t1"], "left")
+          .select("user_id",
+                  (F.lit(1)
+                   + F.when(F.col("t2").isNull(), 0).otherwise(1)
+                   + F.when(F.col("t3").isNull(), 0).otherwise(1))
+                  .alias("lvl")))
+    users = ev.select("user_id").distinct()
+    return (users.join(lv, "user_id", "left")
+            .groupBy("user_id")
+            .agg(F.coalesce(F.max("lvl"), F.lit(0))
+                 .cast("int").alias("funnel_level")))
+
+
+@query(
+    "q40_retention",
+    oracle="""
+    SELECT user_id,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS r_signup,
+           least(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+             AS r_view,
+           least(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))
+             AS r_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q40_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse retention() analog: per user, whether the base
+    condition fired (signup) and, for each follow-up condition (view,
+    purchase), whether BOTH the base and it fired — the cohort-
+    retention building block (the base flag ANDs into every later
+    column, exactly ClickHouse's semantics).  One hash aggregate of
+    0/1 flags over one scan; the conditions are scan-side predicates
+    Catalyst folds into the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(
+        F.when(F.col("event_type") == t, 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        flag("signup").alias("r_signup"),
+        F.least(flag("signup"), flag("view")).alias("r_view"),
+        F.least(flag("signup"), flag("purchase")).alias("r_purchase"))

@@ -311,3 +311,71 @@ def test_argmax_is_single_hash_aggregate_and_tie_stable(spark, sf_smoke):
         F.max_by("event_type", okey).alias("last_type"),
         F.min_by("event_type", okey).alias("first_type")).collect()[0]
     assert (row.last_type, row.first_type) == ("b", "c")
+
+
+def test_window_funnel_closed_form(spark):
+    """q39's funnel logic on a hand-built event log: full 3-step chain,
+    a chain broken by ordering (purchase before click), a chain broken
+    by the window, and a user with no anchor at all."""
+    import datetime
+    from janusgraph_clickhouse_spark.plans.relational import (
+        q39_window_funnel)
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, off, uid, et):
+        return (eid, base + datetime.timedelta(seconds=off), uid, et,
+                1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase inside the hour = level 3
+        ev(1, 0, 1, "view"), ev(2, 600, 1, "click"),
+        ev(3, 1200, 1, "purchase"),
+        # user 2: purchase BEFORE the click never counts = level 2
+        ev(4, 0, 2, "view"), ev(5, 300, 2, "purchase"),
+        ev(6, 600, 2, "click"),
+        # user 3: click lands outside the 1h window = level 1
+        ev(7, 0, 3, "view"), ev(8, 4000, 3, "click"),
+        # user 4: no view anchor = level 0
+        ev(9, 0, 4, "click"), ev(10, 60, 4, "purchase"),
+        # user 5: late view REANCHORS: second funnel completes = 3
+        ev(11, 0, 5, "view"), ev(12, 5000, 5, "view"),
+        ev(13, 5100, 5, "click"), ev(14, 5200, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import janusgraph_clickhouse_spark.plans.relational as rel
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, d, n: df
+        got = {r.user_id: r.funnel_level
+               for r in q39_window_funnel(spark, "unused").collect()}
+    finally:
+        rel.load_table = orig
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+def test_retention_base_gates_followups(spark):
+    """q40: follow-up flags are ANDed with the base — a user who viewed
+    but never signed up retains 0 everywhere."""
+    import datetime
+    from janusgraph_clickhouse_spark.plans.relational import q40_retention
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, base, 1, "signup", 1.0, "{}"),
+            (2, base, 1, "purchase", 1.0, "{}"),
+            (3, base, 2, "view", 1.0, "{}"),
+            (4, base, 2, "purchase", 1.0, "{}"),
+            (5, base, 3, "signup", 1.0, "{}"),
+            (6, base, 3, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import janusgraph_clickhouse_spark.plans.relational as rel
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, d, n: df
+        got = {r.user_id: (r.r_signup, r.r_view, r.r_purchase)
+               for r in q40_retention(spark, "unused").collect()}
+    finally:
+        rel.load_table = orig
+    assert got == {1: (1, 0, 1), 2: (0, 0, 0), 3: (1, 1, 0)}
