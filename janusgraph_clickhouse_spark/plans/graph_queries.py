@@ -536,11 +536,12 @@ def g17_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_oracle(iters: int = 8) -> str:
-    """Unrolled HITS: per iteration sum hubs into authorities, L1
-    normalize, sum authorities back into hubs, L1 normalize — the same
-    recurrence algorithms.hits runs, over the same star-schema edge set
-    as the pagerank oracle.  MATERIALIZED throughout (each step is
-    referenced by a scalar-subquery normalizer AND the next step)."""
+    """Unrolled HITS: per iteration sum hubs into authorities, then sum
+    authorities back into hubs — UNNORMALIZED, with one L1 normalization
+    at the end, the same deferred-normalization recurrence
+    algorithms.hits runs (per-step normalization is a pure scalar
+    rescale of a linear recurrence, so the final normalized vectors are
+    identical).  MATERIALIZED throughout (the g25 lesson)."""
     parts = [
         f"""verts AS MATERIALIZED (
       SELECT c_custkey + {_C} AS id FROM customer
@@ -564,35 +565,33 @@ def _hits_oracle(iters: int = 8) -> str:
         parts.append(f"""ar{t} AS MATERIALIZED (
       SELECT e.dst AS id, sum(s.hub) AS a_raw
       FROM edges e JOIN s{t} s ON s.id = e.src GROUP BY e.dst)""")
-        parts.append(f"""aa{t} AS MATERIALIZED (
-      SELECT s.id, s.hub, coalesce(ar.a_raw, 0.0) AS a_raw
-      FROM s{t} s LEFT JOIN ar{t} ar ON ar.id = s.id)""")
         parts.append(f"""an{t} AS MATERIALIZED (
-      SELECT id, hub, a_raw / (SELECT sum(a_raw) FROM aa{t}) AS authority
-      FROM aa{t})""")
+      SELECT s.id, s.hub, coalesce(ar.a_raw, 0.0) AS authority
+      FROM s{t} s LEFT JOIN ar{t} ar ON ar.id = s.id)""")
         parts.append(f"""hr{t} AS MATERIALIZED (
       SELECT e.src AS id, sum(an.authority) AS h_raw
       FROM edges e JOIN an{t} an ON an.id = e.dst GROUP BY e.src)""")
-        parts.append(f"""hh{t} AS MATERIALIZED (
-      SELECT an.id, coalesce(hr.h_raw, 0.0) AS h_raw, an.authority
-      FROM an{t} an LEFT JOIN hr{t} hr ON hr.id = an.id)""")
         parts.append(f"""s{t + 1} AS MATERIALIZED (
-      SELECT id, h_raw / (SELECT sum(h_raw) FROM hh{t}) AS hub, authority
-      FROM hh{t})""")
+      SELECT an.id, coalesce(hr.h_raw, 0.0) AS hub, an.authority
+      FROM an{t} an LEFT JOIN hr{t} hr ON hr.id = an.id)""")
     # 5dp: the pagerank-oracle lesson — cross-engine double-sum order
     # noise compounds per iteration; a 1e-5 grid stays ~1000× from
     # rounding boundaries
     return ("WITH " + ",\n".join(parts)
             + f"""
-    SELECT id, round(hub, 5) AS hub, round(authority, 5) AS authority
+    SELECT id,
+           round(hub / (SELECT sum(hub) FROM s{iters}), 5) AS hub,
+           round(authority / (SELECT sum(authority) FROM s{iters}), 5)
+             AS authority
     FROM s{iters}""")
 
 
 @query("g18_hits", oracle=_hits_oracle(iters=8))
 def g18_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities on the full star-schema graph, 8 synchronous
-    L1-normalized iterations — hash-checked against the 8-step unrolled
-    oracle (the g06 emit-the-iteration pattern)."""
+    iterations with deferred (final) L1 normalization — hash-checked
+    against the 8-step unrolled oracle (the g06 emit-the-iteration
+    pattern; per-step normalization cancels in the linear recurrence)."""
     from ..graph.algorithms import hits
     g = star_schema_graph(spark, sf_dir)
     out = hits(g, max_iter=8)
