@@ -1545,3 +1545,44 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     return agg.select(
         "n_edges", "sx", "sy", "sxy", "sx2", "sy2",
         F.round(F.try_divide(num, den), 6).alias("assortativity"))
+
+
+def diameter_estimate(graph: PropertyGraph, max_hops: int = 12) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    the standard cheap diameter estimator, exact on trees and typically
+    tight on real graphs): undirected BFS from a deterministic seed (the
+    minimum vertex id), hop to the farthest vertex found (max distance,
+    then min id — the repo's tie discipline), BFS again from there; the
+    second eccentricity is the estimate.  Returns one row
+    (source_id, sweep1_far, sweep1_ecc, sweep2_far, diameter_estimate).
+
+    Loud-failure discipline (the SCC lesson): if either sweep is still
+    discovering vertices at `max_hops` the eccentricity claim would be
+    silently wrong — raise instead.  Distances cover the seed's
+    connected component only (documented; the star-schema fixture is
+    one component).
+
+    Scale shape: two frontier-join BFS runs (bfs_distances — frontier
+    rows only, broadcast while small) + three single-row driver
+    collects.  Nothing quadratic; cost = 2·Σ frontier sizes."""
+    source = graph.vertices.agg(F.min("id")).collect()[0][0]
+    if source is None:
+        raise ValueError("empty vertex set")
+
+    def _sweep(src: int) -> tuple[int, int]:
+        d = bfs_distances(graph, [int(src)], max_hops=max_hops,
+                          directed=False)
+        far = (d.orderBy(F.col("distance").desc(), "id").first())
+        if far.distance >= max_hops:
+            raise ValueError(
+                f"BFS from {src} still expanding at max_hops={max_hops}; "
+                f"raise max_hops to make the eccentricity claim sound")
+        return int(far.id), int(far.distance)
+
+    u, ecc1 = _sweep(source)
+    far2, ecc2 = _sweep(u)
+    spark = graph.vertices.sparkSession
+    return spark.createDataFrame(
+        [(int(source), u, ecc1, far2, ecc2)],
+        "source_id long, sweep1_far long, sweep1_ecc int, "
+        "sweep2_far long, diameter_estimate int")

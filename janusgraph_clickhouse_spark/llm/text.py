@@ -331,3 +331,100 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
         & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
         & (F.col("alpha_ratio") >= min_alpha_ratio)
         & (F.col("stop_hits") >= min_stop_hits)))
+
+
+def _chars(word: Column) -> Column:
+    """Character array via explicit substring positions (mirrors the SQL
+    oracle's range+substr exactly; split-on-empty edge semantics differ
+    between engines)."""
+    return F.transform(F.sequence(F.lit(1), F.length(word)),
+                       lambda i: F.substring(word, i, 1))
+
+
+def _merge_pair_greedy(syms: Column, a: str, b: str) -> Column:
+    """Greedy LEFTMOST non-overlapping merge of adjacent pair (a, b) in
+    a symbol array — the BPE apply step ("a a a" under (a,a) becomes
+    ["aa","a"], never ["a","aa"]).  One F.aggregate pass per row: the
+    accumulator carries (emitted prefix, pending symbol); a pending `a`
+    followed by `b` emits the merged token and clears.  Pure codegen,
+    zero shuffles."""
+    merged_tok = F.lit(a + b)
+    init = F.struct(F.array().cast("array<string>").alias("out"),
+                    F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, x):
+        hit = acc["pend"].isNotNull() & (acc["pend"] == a) & (x == F.lit(b))
+        flushed = F.when(acc["pend"].isNotNull(),
+                         F.concat(acc["out"], F.array(acc["pend"]))
+                         ).otherwise(acc["out"])
+        return F.when(hit, F.struct(
+            F.concat(acc["out"], F.array(merged_tok)).alias("out"),
+            F.lit(None).cast("string").alias("pend"))
+        ).otherwise(F.struct(flushed.alias("out"), x.alias("pend")))
+
+    return F.aggregate(
+        syms, init, step,
+        lambda acc: F.when(acc["pend"].isNotNull(),
+                           F.concat(acc["out"], F.array(acc["pend"]))
+                           ).otherwise(acc["out"]))
+
+
+def bpe_merges(df: DataFrame, id_col: str, text_col: str,
+               n_merges: int = 4) -> "DataFrame":
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training pass of an LLM data
+    pipeline: aggregate the corpus to (word, freq), split words into
+    character symbols, then `n_merges` times (1) count adjacent symbol
+    pairs weighted by word frequency, (2) pick the most frequent pair
+    (count desc, then lexicographic — exact-integer decisions, tie-safe
+    cross-engine), (3) greedily merge its leftmost non-overlapping
+    occurrences in every word.  Returns the ordered merge table
+    (step, sym_a, sym_b, merged, pair_count).
+
+    Scale shape: the ONLY corpus-sized pass is the word-frequency
+    aggregate (one shuffle of word tokens); every BPE iteration runs on
+    the VOCABULARY table (distinct words — orders of magnitude smaller,
+    exactly how production BPE trainers work), localCheckpointed per
+    step.  The per-iteration driver collect is the single best-pair row
+    (the IVF-centroid discipline: O(n_merges) rows ever hit the
+    driver).  Raises if the vocabulary runs out of adjacent pairs
+    before n_merges (loud, per the SCC discipline).
+
+    The greedy leftmost merge is oracle-checked against an
+    islands-formulation SQL rederivation (merge positions = even
+    offsets inside runs of consecutive matching positions — equivalent
+    to greedy by a parity argument; only a=b pairs form runs >1)."""
+    words = (df.select(F.explode(F.split(F.col(text_col), " "))
+                       .alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    vocab = (words.select("word", "freq",
+                          _chars(F.col("word")).alias("syms"))
+             .localCheckpoint())
+    merges = []
+    for t in range(n_merges):
+        pairs = vocab.select(
+            "freq", F.explode(F.arrays_zip(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
+        best = (pairs.select(F.col("p")["0"].alias("sym_a"),
+                             F.col("p")["1"].alias("sym_b"), "freq")
+                .groupBy("sym_a", "sym_b")
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+                .first())
+        if best is None:
+            raise ValueError(
+                f"vocabulary exhausted adjacent pairs at merge {t} "
+                f"(requested n_merges={n_merges})")
+        merges.append((t, best.sym_a, best.sym_b,
+                       best.sym_a + best.sym_b, best.pair_count))
+        vocab = (vocab.select(
+            "word", "freq",
+            _merge_pair_greedy(F.col("syms"), best.sym_a, best.sym_b)
+            .alias("syms"))
+            .localCheckpoint())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, merged string, "
+                "pair_count bigint")

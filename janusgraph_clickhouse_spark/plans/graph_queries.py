@@ -1044,3 +1044,61 @@ def g26_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = li.select((F.col("l_partkey") + _P).alias("src"),
                   (F.col("l_suppkey") + _S).alias("dst"))
     return degree_assortativity(e)
+
+
+def _diameter_oracle(hops: int = 8) -> str:
+    """Unrolled double-sweep BFS: two chained level-by-level expansions
+    over the undirected star edge set (frontier = neighbors minus
+    visited, per level), each sweep's farthest vertex by (distance
+    desc, id asc).  8 levels covers the star schema's fixed depth
+    (measured eccentricity 6 / diameter 7 at every SF — schema-bound,
+    not size-bound); if a fixture ever exceeded it the frontier would
+    not drain and the hash check would mismatch loudly.  MATERIALIZED
+    throughout (the g25 lesson)."""
+    parts = [f"""verts AS MATERIALIZED (
+      SELECT c_custkey + {_C} AS id FROM customer
+      UNION ALL SELECT n_nationkey + {_N} FROM nation
+      UNION ALL SELECT r_regionkey + {_R} FROM region
+      UNION ALL SELECT o_orderkey + {_O} FROM orders
+      UNION ALL SELECT p_partkey + {_P} FROM part
+      UNION ALL SELECT s_suppkey + {_S} FROM supplier)""",
+             _STAR_EDGES_SQL,
+             """ue AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges)"""]
+
+    def sweep(p: str, seed_sql: str) -> None:
+        parts.append(f"""{p}v0 AS MATERIALIZED (
+      SELECT ({seed_sql}) AS id, 0 AS d)""")
+        parts.append(f"""{p}f0 AS MATERIALIZED (SELECT id FROM {p}v0)""")
+        for t in range(1, hops + 1):
+            parts.append(f"""{p}f{t} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS id
+      FROM ue e JOIN {p}f{t - 1} f ON e.src = f.id
+      WHERE e.dst NOT IN (SELECT id FROM {p}v{t - 1}))""")
+            parts.append(f"""{p}v{t} AS MATERIALIZED (
+      SELECT id, d FROM {p}v{t - 1}
+      UNION ALL SELECT id, {t} FROM {p}f{t})""")
+        parts.append(f"""{p}far AS MATERIALIZED (
+      SELECT id, d FROM {p}v{hops} ORDER BY d DESC, id LIMIT 1)""")
+
+    sweep("a", "SELECT min(id) FROM verts")
+    sweep("b", "SELECT id FROM afar")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT (SELECT min(id) FROM verts) AS source_id,
+           a.id AS sweep1_far, CAST(a.d AS INTEGER) AS sweep1_ecc,
+           b.id AS sweep2_far, CAST(b.d AS INTEGER) AS diameter_estimate
+    FROM afar a, bfar b""")
+
+
+@query("g27_diameter", oracle=_diameter_oracle(hops=8))
+def g27_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound of the undirected star-schema
+    graph (Magnien-Latapy-Habib): BFS from the min vertex id, re-BFS
+    from the farthest vertex found, report its eccentricity — exact on
+    trees, tight on the layered fixture.  Frontier-join BFS twice +
+    three single-row collects (graph.algorithms.diameter_estimate);
+    raises loudly if a sweep is still expanding at the hop bound."""
+    from ..graph.algorithms import diameter_estimate
+    g = star_schema_graph(spark, sf_dir)
+    return diameter_estimate(g, max_hops=12)

@@ -1717,3 +1717,75 @@ def l42_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.split import weighted_sample
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Unrolled BPE training: per merge step, count adjacent symbol
+    pairs over the vocab (weighted by word freq), pick (count desc,
+    pair asc), and rebuild every word's symbol list.  The greedy
+    leftmost non-overlapping merge is re-derived via the ISLANDS
+    formulation: a matching position merges iff its offset inside its
+    run of consecutive matching positions is even (equivalent to greedy
+    by parity; only a=b pairs form runs longer than 1).  MATERIALIZED
+    throughout (the g25 lesson)."""
+    parts = [
+        """words AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) > 0 GROUP BY word)""",
+        """v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(range(1, len(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM words)""",
+    ]
+    for t in range(n_merges):
+        parts.append(f"""p{t} AS MATERIALIZED (
+      SELECT v.word, v.freq, i.i AS i,
+             v.syms[i.i] AS sa, v.syms[i.i + 1] AS sb
+      FROM v{t} v, LATERAL unnest(range(1, len(v.syms))) AS i(i))""")
+        parts.append(f"""b{t} AS MATERIALIZED (
+      SELECT CAST({t} AS INTEGER) AS step, sa AS ba, sb AS bb,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{t} GROUP BY sa, sb ORDER BY cnt DESC, sa, sb LIMIT 1)""")
+        parts.append(f"""mk{t} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT g.word, g.i,
+               (g.i - min(g.i) OVER (PARTITION BY g.word, g.grp)) % 2
+                 AS off
+        FROM (
+          SELECT p.word, p.i,
+                 p.i - row_number() OVER (PARTITION BY p.word
+                                          ORDER BY p.i) AS grp
+          FROM p{t} p JOIN b{t} b ON b.ba = p.sa AND b.bb = p.sb) g)
+      WHERE off = 0)""")
+        parts.append(f"""v{t + 1} AS MATERIALIZED (
+      SELECT p.word, p.freq,
+             list(CASE WHEN m1.i IS NOT NULL
+                       THEN p.syms[p.j] || p.syms[p.j + 1]
+                       ELSE p.syms[p.j] END ORDER BY p.j) AS syms
+      FROM (SELECT v.word, v.freq, v.syms, j.j
+            FROM v{t} v,
+                 LATERAL unnest(range(1, len(v.syms) + 1)) AS j(j)) p
+      LEFT JOIN mk{t} m1 ON m1.word = p.word AND m1.i = p.j
+      LEFT JOIN mk{t} m0 ON m0.word = p.word AND m0.i = p.j - 1
+      WHERE m0.i IS NULL
+      GROUP BY p.word, p.freq)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT step, ba AS sym_a, bb AS sym_b, ba || bb AS merged, "
+        f"cnt AS pair_count FROM b{t}" for t in range(n_merges))
+    return "WITH " + ",\n".join(parts) + f"\n    {union}"
+
+
+@query("l43_bpe_merges", oracle=_bpe_oracle(n_merges=4))
+def l43_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the first 4 merge
+    rules learned from the corpus — adjacent-pair counts over the
+    word-frequency VOCAB (the only corpus-sized pass is the word-freq
+    aggregate; iterations run on the vocabulary, exactly like
+    production BPE trainers), greedy leftmost merge apply, exact-
+    integer (count desc, pair asc) decisions.  Oracle re-derives the
+    greedy merge via the islands parity formulation
+    (llm.text.bpe_merges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bpe_merges(docs, "doc_id", "text", n_merges=4)

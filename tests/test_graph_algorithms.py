@@ -748,3 +748,38 @@ def test_degree_assortativity_degenerate_is_null(spark):
     e = spark.createDataFrame([(1, 10), (2, 11)], ["src", "dst"])
     row = degree_assortativity(e).collect()[0]
     assert row.assortativity is None
+
+
+def test_diameter_estimate_exact_on_tree(spark):
+    """Double sweep is exact on trees: a path 1-2-3-4-5 with a branch
+    3-6 has diameter 4 (1..5); sweep 1 from min id reaches 5 at
+    distance 4, sweep 2 confirms."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        diameter_estimate)
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    g = PropertyGraph(vertices=v, edges=e.withColumn(
+        "label", e.src * 0 + 1).select(
+        "src", "dst", e.src.cast("string").alias("label")))
+    row = diameter_estimate(g, max_hops=8).collect()[0]
+    assert row.source_id == 1
+    assert row.diameter_estimate == 4
+    assert row.sweep1_ecc == 4
+
+
+def test_diameter_estimate_raises_at_hop_bound(spark):
+    """A sweep still expanding at max_hops must raise, not report a
+    truncated eccentricity."""
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        diameter_estimate)
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"])
+    v = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    g = PropertyGraph(vertices=v, edges=e.select(
+        "src", "dst", e.src.cast("string").alias("label")))
+    with pytest.raises(ValueError, match="max_hops"):
+        diameter_estimate(g, max_hops=3)

@@ -1009,3 +1009,41 @@ def test_weighted_sample_matches_python_keys(spark):
                   key=lambda t: (-t[0], t[1]))[:3]
     got = weighted_sample(df, "id", "w", k=3).collect()
     assert [(r.key_nano, r.id, r.weight) for r in got] == want
+
+
+# -- BPE merge training -------------------------------------------------------
+
+def test_bpe_merges_closed_form(spark):
+    """Sennrich's canonical toy corpus shape: (l,o) and (lo,w) dominate,
+    then the e/w merges cascade into 'new'."""
+    from janusgraph_clickhouse_spark.llm.text import bpe_merges
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "id long, text string")
+    got = [tuple(r) for r in bpe_merges(df, "id", "text", 4).collect()]
+    assert got == [(0, "l", "o", "lo", 6), (1, "lo", "w", "low", 6),
+                   (2, "e", "w", "ew", 3), (3, "n", "ew", "new", 3)]
+
+
+def test_bpe_greedy_leftmost_on_runs(spark):
+    """(a,a) over 'aaaa'/'aaa': greedy leftmost pairs up from the left —
+    'aaaa' gives 2 merged pairs, 'aaa' gives 1 + a loner — so the (a,a)
+    count is 5 (freq-weighted adjacent positions: 3+2) and the second
+    round counts ('aa','aa') once and ('aa','a') once."""
+    from janusgraph_clickhouse_spark.llm.text import bpe_merges
+    df = spark.createDataFrame([(1, "aaaa aaa")], "id long, text string")
+    got = [tuple(r) for r in bpe_merges(df, "id", "text", 2).collect()]
+    assert got[0] == (0, "a", "a", "aa", 5)
+    # after merging: aaaa -> [aa, aa], aaa -> [aa, a]
+    # pairs: (aa,aa)=1, (aa,a)=1 -> tie broken lexicographically: (aa,a)
+    assert got[1] == (1, "aa", "a", "aaa", 1)
+
+
+def test_bpe_raises_when_pairs_exhausted(spark):
+    """Single-char vocabulary has no adjacent pairs — must fail loudly,
+    not return a short table."""
+    import pytest
+    from janusgraph_clickhouse_spark.llm.text import bpe_merges
+    df = spark.createDataFrame([(1, "a b a")], "id long, text string")
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_merges(df, "id", "text", 1)
