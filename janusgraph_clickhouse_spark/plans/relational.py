@@ -1163,3 +1163,40 @@ def q40_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("signup").alias("r_signup"),
         F.least(flag("signup"), flag("view")).alias("r_view"),
         F.least(flag("signup"), flag("purchase")).alias("r_purchase"))
+
+
+@query(
+    "q41_hll_distinct",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT h % 256 AS bucket,
+             CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+                  ELSE 53 END AS rank
+      FROM (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM orders)),
+    reg AS MATERIALIZED (
+      SELECT bucket, max(rank) AS m FROM r GROUP BY bucket),
+    z AS (
+      SELECT CAST(sum(CAST(2.0 ** (53 - m) AS BIGINT)) AS BIGINT)
+             + (256 - count(*)) * 9007199254740992 AS z
+      FROM reg),
+    ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+    SELECT n_exact,
+           round(4.2399330249068963e+20 / z, 4) AS hll_estimate,
+           round((4.2399330249068963e+20 / z - n_exact) / n_exact, 6)
+             AS rel_error
+    FROM ex, z
+    """,
+)
+def q41_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse uniq/uniqHLL12 analog, rebuilt deterministic: an
+    m=256 HyperLogLog over the engine-portable md5 hash, with exact
+    leading-zero ranks (binary-string length, never float log2) and an
+    EXACT int64 register fold (2^(53-M) terms) so the estimate is
+    bit-identical on both engines — the property Spark's black-box
+    approx_count_distinct cannot give an oracle.  Reports the exact
+    count and realized relative error alongside
+    (functions.sketches.hll_distinct)."""
+    from ..functions.sketches import hll_distinct
+    return hll_distinct(load_table(spark, sf_dir, "orders"), "o_custkey")

@@ -379,3 +379,18 @@ def test_retention_base_gates_followups(spark):
     finally:
         rel.load_table = orig
     assert got == {1: (1, 0, 1), 2: (0, 0, 0), 3: (1, 1, 0)}
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    """m=256 HLL on 10k distinct keys lands within 4σ (~26%) of truth,
+    and two runs give the bit-identical estimate (md5, not RNG)."""
+    from janusgraph_clickhouse_spark.functions.sketches import hll_distinct
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = hll_distinct(df, "k").collect()[0]
+    b = hll_distinct(df, "k").collect()[0]
+    assert a == b
+    assert a.n_exact == 10_000
+    assert abs(a.rel_error) < 0.26
+    # duplicated input must not move the sketch (max is idempotent)
+    c = hll_distinct(df.unionAll(df), "k").collect()[0]
+    assert c.hll_estimate == a.hll_estimate
