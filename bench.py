@@ -80,6 +80,13 @@ HEADLINE = [
     "l38_cdc_chunk_dedup",      # content-defined chunking + chunk dedup
     "l40_pq_topk",              # PQ-ADC ANN (codebook train + rerank)
     "s08_trending_topk",        # sliding-window rank (WindowGroupLimit)
+    # third-block round-5 additions
+    "q39_window_funnel",        # ClickHouse windowFunnel (interval joins)
+    "q41_hll_distinct",         # deterministic HLL sketch
+    "l41_dsir_weights",         # DSIR hashed-ngram importance weights
+    "l43_bpe_merges",           # BPE tokenizer-merge training
+    "g27_diameter",             # double-sweep BFS diameter
+    "s10_scd2_versions",        # SCD2 islands build
 ]
 
 

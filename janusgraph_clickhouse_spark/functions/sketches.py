@@ -68,3 +68,58 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
                     F.round(est, 4).alias("hll_estimate"),
                     F.round((est - F.col("n_exact")) / F.col("n_exact"), 6)
                     .alias("rel_error")))
+
+
+# Count-Min dimensions: d salted hash rows × w counters.  Error bound:
+# overestimate ≤ N·e/w with probability 1 - e^-d (Cormode & Muthukrishnan
+# 2005); counters and estimates are exact integers, so parity is exact.
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_bucket(row: Column, key: Column) -> Column:
+    """Row-salted bucket: md5('cms<r>|<key>') mod w — engine-portable
+    like every hash DECISION in this repo."""
+    return _md5_long(F.concat(F.lit("cms"), row.cast("string"),
+                              F.lit("|"), key)) % CMS_W
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    2005 — ClickHouse's topK/approx frequency idiom): d=4 salted hash
+    rows × w=256 counters built in ONE aggregate pass; each candidate
+    key's estimate is the MIN of its d counters (never an
+    underestimate); returns the top-`k` keys by estimate (desc, key
+    asc) with the exact count and realized overcount beside it.
+
+    Every counter and estimate is an exact integer from md5-derived
+    buckets — bit-identical across engines (the q41 discipline; no
+    float appears anywhere).  On a real corpus the candidate set would
+    come from a sample or prior window rather than distinct(); here the
+    fixture's key cardinality makes distinct() the honest baseline and
+    the comparison column.
+
+    Scale shape: the sketch build shuffles (row, bucket) pairs — at
+    most d·w = 1024 groups regardless of corpus size, perfect map-side
+    combine; the probe joins the candidate keys against a BROADCAST
+    1024-row counter table."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r")
+    key = F.col(col).cast("string")
+    counters = (df.select(key.alias("k")).select("k", rows)
+                .select("r", _cms_bucket(F.col("r"), F.col("k"))
+                        .alias("bucket"))
+                .groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    exact = (df.groupBy(F.col(col).alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    probes = (exact.select("key", "exact_cnt", rows)
+              .select("key", "exact_cnt", "r",
+                      _cms_bucket(F.col("r"),
+                                  F.col("key").cast("string"))
+                      .alias("bucket")))
+    est = (probes.join(F.broadcast(counters), ["r", "bucket"])
+           .groupBy("key", "exact_cnt")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.select("key", "cms_estimate", "exact_cnt",
+                       (F.col("cms_estimate") - F.col("exact_cnt"))
+                       .alias("overcount"))
+            .orderBy(F.col("cms_estimate").desc(), "key").limit(k))

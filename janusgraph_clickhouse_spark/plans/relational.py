@@ -1200,3 +1200,45 @@ def q41_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.sketches.hll_distinct)."""
     from ..functions.sketches import hll_distinct
     return hll_distinct(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+@query(
+    "q42_cms_heavy_hitters",
+    oracle="""
+    WITH keys AS MATERIALIZED (
+      SELECT user_id AS key, count(*) AS exact_cnt
+      FROM events GROUP BY user_id),
+    inst AS MATERIALIZED (
+      SELECT r.r AS r,
+             ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 256 AS bucket
+      FROM events, LATERAL unnest([0, 1, 2, 3]) AS r(r)),
+    counters AS MATERIALIZED (
+      SELECT r, bucket, count(*) AS c FROM inst GROUP BY r, bucket),
+    probes AS MATERIALIZED (
+      SELECT k.key, k.exact_cnt, r.r AS r,
+             ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                 || CAST(k.key AS VARCHAR)), 1, 15))
+               ::BIGINT % 256 AS bucket
+      FROM keys k, LATERAL unnest([0, 1, 2, 3]) AS r(r)),
+    est AS MATERIALIZED (
+      SELECT p.key, p.exact_cnt, CAST(min(c.c) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY p.key, p.exact_cnt)
+    SELECT key, cms_estimate, exact_cnt,
+           cms_estimate - exact_cnt AS overcount
+    FROM est ORDER BY cms_estimate DESC, key LIMIT 20
+    """,
+)
+def q42_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse topK analog: top-20 users by Count-Min-sketch
+    frequency estimate (d=4 × w=256 md5-salted counters, min over
+    rows — never an underestimate), with exact count and realized
+    overcount beside it.  All integers, no floats — exact cross-engine
+    parity; the sketch build is one bounded-group aggregate and the
+    probe joins a broadcast 1024-row counter table
+    (functions.sketches.cms_heavy_hitters)."""
+    from ..functions.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(load_table(spark, sf_dir, "events"),
+                             "user_id", k=20)

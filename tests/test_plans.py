@@ -394,3 +394,22 @@ def test_hll_estimate_accuracy_and_determinism(spark):
     # duplicated input must not move the sketch (max is idempotent)
     c = hll_distinct(df.unionAll(df), "k").collect()[0]
     assert c.hll_estimate == a.hll_estimate
+
+
+def test_cms_never_underestimates_and_is_deterministic(spark):
+    """Count-Min property: estimate >= exact for EVERY key (min of
+    counters each of which includes the key's own count); determinism
+    across runs; skewed key surfaces first."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        cms_heavy_hitters)
+    from pyspark.sql import functions as F
+    df = (spark.range(3000)
+          .select((F.when(F.col("id") % 3 == 0, 7)
+                   .otherwise(F.col("id") % 100)).alias("uid")))
+    a = cms_heavy_hitters(df, "uid", k=10).collect()
+    b = cms_heavy_hitters(df, "uid", k=10).collect()
+    assert a == b
+    assert all(r.overcount >= 0 for r in a)
+    # 1000 ids with id%3==0 plus the 20 non-multiples-of-3 with
+    # id%100==7 land on key 7
+    assert a[0].key == 7 and a[0].exact_cnt == 1020
