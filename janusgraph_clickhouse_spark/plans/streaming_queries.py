@@ -326,3 +326,46 @@ def s10_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import scd2_versions
     ev = load_table(spark, sf_dir, "events")
     return scd2_versions(ev)
+
+
+@query(
+    "s11_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def s11_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful-operator surface (applyInPandasWithState),
+    driver-checked end to end: a REAL availableNow streaming query runs
+    inside this builder — file source over the events fixture, per-user
+    (n_events, sum_value) state updated per micro-batch, memory sink —
+    and the emitted final state must equal the batch GROUP BY the
+    oracle computes.  Update-mode emissions are monotone in n_events,
+    so the final state per user is the max-n_events row (one window);
+    with availableNow's single batch that dedupe is a no-op guard.
+
+    State is a fixed-width tuple per key — store size O(#users), the
+    shape windowed aggregates can't express (fraud counters, rate
+    limiters).  tune_session ships the package to Python workers (the
+    CLAUDE.md mapInPandas trap)."""
+    import os
+    import shutil
+    import tempfile
+    from pyspark.sql import Window
+    from ..session import tune_session
+    from ..streaming.ops import (events_stream, run_to_memory,
+                                 running_user_totals)
+    tune_session(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="s11_events_")
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(d, "events.parquet"))
+    else:
+        shutil.copy(src, d)
+    out = run_to_memory(running_user_totals(events_stream(spark, d)),
+                        mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
