@@ -369,3 +369,41 @@ def s11_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+@query(
+    "s12_incremental_rollup",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))
+                AS BIGINT) AS h,
+           event_type, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY h, event_type
+    """,
+)
+def s12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse materialized-view maintenance, driver-checked end to
+    end: the events log is split into 3 chunk files, streamed
+    availableNow with maxFilesPerTrigger=1 (3 real micro-batches), and
+    each foreachBatch MERGES its batch aggregate into the persisted
+    hourly rollup (read + union + re-aggregate + atomic swap —
+    streaming.ops.incremental_rollup).  The final rollup must equal the
+    oracle's one-shot GROUP BY: counts/sums are associative, so the
+    incremental path is exactly equivalent no matter how the log was
+    chunked.  Sums stay RAW in the table and round once at this read
+    edge (never round additive state)."""
+    import os
+    import shutil
+    import tempfile
+    from ..streaming.ops import incremental_rollup
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="s12_rollup_")
+    chunks = os.path.join(work, "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    rollup = os.path.join(work, "rollup")
+    incremental_rollup(spark, chunks, rollup,
+                       os.path.join(work, "ckpt"),
+                       max_files_per_trigger=1)
+    return (spark.read.parquet(rollup)
+            .select("h", "event_type", "cnt",
+                    F.round("sum_raw", 2).alias("sum_value")))

@@ -367,3 +367,33 @@ def test_scd2_versions_runs_and_bounds(spark):
     assert r3.valid_to_sec is None
     # same-ts tie: event_id 5 ("X") precedes 6 ("Y")
     assert out[(8, 1)].state == "X" and out[(8, 2)].state == "Y"
+
+
+def test_incremental_rollup_merges_across_real_batches(spark, tmp_path,
+                                                       sf_smoke):
+    """s12's core property: the rollup maintained across MULTIPLE real
+    micro-batches (maxFilesPerTrigger=1 over 3 chunk files — verified
+    via the checkpoint's offset log) equals the one-shot batch
+    aggregate."""
+    import os
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        incremental_rollup)
+    ev = load_table(spark, sf_smoke, "events")
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_rollup(spark, chunks, rollup, ckpt,
+                       max_files_per_trigger=1)
+    # three offsets committed = three real merge invocations
+    offsets = os.listdir(os.path.join(ckpt, "offsets"))
+    assert len([o for o in offsets if not o.startswith(".")]) == 3
+    got = _rows(spark.read.parquet(rollup)
+                .select("h", "event_type", "cnt",
+                        F.round("sum_raw", 2).alias("sum_value")))
+    want = _rows(ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+    assert got == want
