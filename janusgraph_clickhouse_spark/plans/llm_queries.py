@@ -1789,3 +1789,72 @@ def l43_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm.text.bpe_merges)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.bpe_merges(docs, "doc_id", "text", n_merges=4)
+
+
+@query(
+    "l44_curation_pipeline",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, text, n_chars, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n,
+             string_split(text, chr(10)) AS ls,
+             len(string_split(text, chr(10))) AS nl
+      FROM documents),
+    m AS MATERIALIZED (
+      SELECT doc_id, text, n_chars,
+        n AS n_words,
+        round(list_sum(list_transform(w, x -> len(x)))
+              / CAST(n AS DOUBLE), 6) AS mean_word_len,
+        round((len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))
+              / CAST(n AS DOUBLE), 6) AS symbol_ratio,
+        round(len(list_filter(ls, l -> regexp_matches(l, '^[ \t]*[-*]')))
+              / CAST(nl AS DOUBLE), 6) AS bullet_ratio,
+        round(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$')))
+              / CAST(nl AS DOUBLE), 6) AS ellipsis_ratio,
+        round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              / CAST(n AS DOUBLE), 6) AS alpha_ratio,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(w, s))) AS stop_hits
+      FROM t),
+    kept AS MATERIALIZED (
+      SELECT doc_id, text, n_chars FROM m
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND stop_hits >= 1),
+    deduped AS MATERIALIZED (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT doc_id AS id, n_chars AS weight,
+           CAST(floor(
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT + 1) / 1152921504606846976.0)
+             / n_chars * 1e9 + 0.5) AS BIGINT) AS key_nano
+    FROM deduped
+    WHERE n_chars > 0
+    ORDER BY key_nano DESC, id LIMIT 100
+    """,
+)
+def l44_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composing three of this round's
+    operators in the order a pre-training data build runs them:
+    Gopher quality gate (fixture-calibrated thresholds: >= 20 words,
+    >= 1 required stop word, the other Rae-et-al bands at defaults) →
+    exact dedup (min-id survivor per md5(text)) → deterministic
+    Efraimidis-Spirakis weighted sample of 100 docs by length.  Every
+    stage's decisions are the individually-oracled exact-integer /
+    rounded forms, so the composition stays hash-checkable; the plan
+    is scan-shaped filters + one 16-byte-key dedup shuffle + a
+    TakeOrderedAndProject."""
+    from ..llm.split import weighted_sample
+    docs = load_table(spark, sf_dir, "documents")
+    g = X.gopher_rules(docs, "doc_id", "text",
+                       min_words=20, min_stop_hits=1)
+    kept = docs.join(g.filter("passes").select("doc_id"), "doc_id",
+                     "left_semi")
+    deduped = D.exact_dedup(kept, "doc_id", "text")
+    return weighted_sample(deduped, "doc_id", "n_chars", k=100)

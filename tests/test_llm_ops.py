@@ -1047,3 +1047,22 @@ def test_bpe_raises_when_pairs_exhausted(spark):
     df = spark.createDataFrame([(1, "a b a")], "id long, text string")
     with pytest.raises(ValueError, match="exhausted"):
         bpe_merges(df, "id", "text", 1)
+
+
+def test_curation_pipeline_stages_compose(spark, sf_oracle):
+    """l44: every sampled doc passed the quality gate and survived
+    dedup; the sample is the deterministic top-100 and repeat runs
+    agree."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    import janusgraph_clickhouse_spark.plans.llm_queries  # noqa: F401
+    from janusgraph_clickhouse_spark.llm.text import gopher_rules
+    out = QUERIES["l44_curation_pipeline"](spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) == 100
+    docs = _docs(spark, sf_oracle)
+    passing = {r.doc_id for r in gopher_rules(
+        docs, "doc_id", "text", min_words=20, min_stop_hits=1)
+        .filter("passes").select("doc_id").collect()}
+    assert {r.id for r in rows} <= passing
+    again = QUERIES["l44_curation_pipeline"](spark, sf_oracle).collect()
+    assert rows == again
