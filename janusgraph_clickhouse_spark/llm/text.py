@@ -369,8 +369,8 @@ def _merge_pair_greedy(syms: Column, a: str, b: str) -> Column:
                            ).otherwise(acc["out"]))
 
 
-def bpe_merges(df: DataFrame, id_col: str, text_col: str,
-               n_merges: int = 4) -> "DataFrame":
+def _bpe_train(df: DataFrame, id_col: str, text_col: str,
+               n_merges: int = 4):
     """Byte-pair-encoding merge training (Sennrich et al. 2016,
     arXiv:1508.07909) — the tokenizer-training pass of an LLM data
     pipeline: aggregate the corpus to (word, freq), split words into
@@ -378,8 +378,9 @@ def bpe_merges(df: DataFrame, id_col: str, text_col: str,
     pairs weighted by word frequency, (2) pick the most frequent pair
     (count desc, then lexicographic — exact-integer decisions, tie-safe
     cross-engine), (3) greedily merge its leftmost non-overlapping
-    occurrences in every word.  Returns the ordered merge table
-    (step, sym_a, sym_b, merged, pair_count).
+    occurrences in every word.  Returns (merge table DataFrame —
+    (step, sym_a, sym_b, merged, pair_count) — , final vocab DataFrame
+    (word, freq, syms)).
 
     Scale shape: the ONLY corpus-sized pass is the word-frequency
     aggregate (one shuffle of word tokens); every BPE iteration runs on
@@ -425,6 +426,49 @@ def bpe_merges(df: DataFrame, id_col: str, text_col: str,
             .alias("syms"))
             .localCheckpoint())
     spark = df.sparkSession
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, merged string, "
                 "pair_count bigint")
+    return merges_df, vocab
+
+
+def bpe_merges(df: DataFrame, id_col: str, text_col: str,
+               n_merges: int = 4) -> DataFrame:
+    """The l43 surface: just the ordered merge table (see _bpe_train)."""
+    merges_df, _ = _bpe_train(df, id_col, text_col, n_merges=n_merges)
+    return merges_df
+
+
+def bpe_token_counts(df: DataFrame, id_col: str, text_col: str,
+                     n_merges: int = 4) -> DataFrame:
+    """Tokenizer APPLY: per-document token counts under the BPE
+    tokenizer just trained on the same corpus — the tokens-per-doc /
+    compression-ratio metric every pre-training data pipeline reports
+    (sequence budgeting, cost estimates).  Because tokenization is
+    word-local, applying the merges to a document is a JOIN against
+    the trained vocabulary's final symbol lists — the corpus is never
+    re-segmented per document:
+
+        n_bpe_tokens(doc) = Σ over word instances |syms(word)|
+
+    Returns (id, n_words, n_bpe_tokens, compression) with compression
+    = round(n_bpe_tokens / n_chars-of-words, 6) — BPE tokens per
+    character, the standard fertility-style ratio (exact-integer
+    inputs, one rounded division).
+
+    Scale shape: one explode of doc words + a broadcast-sized vocab
+    join (distinct words) + one per-doc aggregate."""
+    _, vocab = _bpe_train(df, id_col, text_col, n_merges=n_merges)
+    sizes = vocab.select("word", F.size("syms").alias("n_syms"),
+                         F.length("word").alias("w_chars"))
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("word"))
+             .filter(F.length("word") > 0))
+    return (words.join(F.broadcast(sizes), "word")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_syms").alias("n_bpe_tokens"),
+                 F.round(F.sum("n_syms")
+                         / F.sum("w_chars").cast("double"), 6)
+                 .alias("compression")))

@@ -1719,15 +1719,16 @@ def l42_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", k=100)
 
 
-def _bpe_oracle(n_merges: int = 4) -> str:
-    """Unrolled BPE training: per merge step, count adjacent symbol
-    pairs over the vocab (weighted by word freq), pick (count desc,
-    pair asc), and rebuild every word's symbol list.  The greedy
-    leftmost non-overlapping merge is re-derived via the ISLANDS
-    formulation: a matching position merges iff its offset inside its
-    run of consecutive matching positions is even (equivalent to greedy
-    by parity; only a=b pairs form runs longer than 1).  MATERIALIZED
-    throughout (the g25 lesson)."""
+def _bpe_cte_parts(n_merges: int = 4) -> list[str]:
+    """Shared unrolled-BPE-training CTE chain (l43 training table, l45
+    apply counts): per merge step, count adjacent symbol pairs over the
+    vocab (weighted by word freq), pick (count desc, pair asc), and
+    rebuild every word's symbol list.  The greedy leftmost
+    non-overlapping merge is re-derived via the ISLANDS formulation: a
+    matching position merges iff its offset inside its run of
+    consecutive matching positions is even (equivalent to greedy by
+    parity; only a=b pairs form runs longer than 1).  MATERIALIZED
+    throughout (the g25 lesson).  Final vocab CTE is v{n_merges}."""
     parts = [
         """words AS MATERIALIZED (
       SELECT word, count(*) AS freq FROM (
@@ -1771,6 +1772,12 @@ def _bpe_oracle(n_merges: int = 4) -> str:
       LEFT JOIN mk{t} m0 ON m0.word = p.word AND m0.i = p.j - 1
       WHERE m0.i IS NULL
       GROUP BY p.word, p.freq)""")
+    return parts
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """l43: the training CTE chain + the ordered merge-table union."""
+    parts = _bpe_cte_parts(n_merges)
     union = "\n      UNION ALL ".join(
         f"SELECT step, ba AS sym_a, bb AS sym_b, ba || bb AS merged, "
         f"cnt AS pair_count FROM b{t}" for t in range(n_merges))
@@ -1858,3 +1865,35 @@ def l44_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "left_semi")
     deduped = D.exact_dedup(kept, "doc_id", "text")
     return weighted_sample(deduped, "doc_id", "n_chars", k=100)
+
+
+def _bpe_apply_oracle(n_merges: int = 4) -> str:
+    """l45: the training CTE chain + tokenize-by-vocab-join apply —
+    per doc, tokens under the trained BPE = sum of |syms| over its
+    word instances (tokenization is word-local, so applying merges to
+    a document is a JOIN against the final vocab, never a re-segment
+    of the corpus)."""
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(f"""dw AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT dw.doc_id AS id, count(*) AS n_words,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(sum(len(v.syms))
+                 / CAST(sum(len(v.word)) AS DOUBLE), 6) AS compression
+    FROM dw JOIN v{n_merges} v ON v.word = dw.word
+    WHERE len(dw.word) > 0
+    GROUP BY dw.doc_id""")
+
+
+@query("l45_bpe_token_counts", oracle=_bpe_apply_oracle(n_merges=4))
+def l45_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: per-doc token counts and chars-per-token
+    compression under the 4-merge BPE trained on the same corpus — the
+    sequence-budgeting metric of a pre-training pipeline.  Tokenization
+    is word-local, so the apply is one explode + a broadcast vocab join
+    + one per-doc aggregate (llm.text.bpe_token_counts); the oracle
+    extends the l43 training CTEs with the same join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bpe_token_counts(docs, "doc_id", "text", n_merges=4)

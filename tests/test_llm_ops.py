@@ -1066,3 +1066,34 @@ def test_curation_pipeline_stages_compose(spark, sf_oracle):
     assert {r.id for r in rows} <= passing
     again = QUERIES["l44_curation_pipeline"](spark, sf_oracle).collect()
     assert rows == again
+
+
+def test_bpe_token_counts_match_manual_apply(spark):
+    """l45's vocab-join apply equals tokenizing each word by hand with
+    the learned merges."""
+    from janusgraph_clickhouse_spark.llm.text import (bpe_merges,
+                                                      bpe_token_counts)
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new low newest")],
+        "id long, text string")
+    merges = [(r.sym_a, r.sym_b, r.merged)
+              for r in bpe_merges(df, "id", "text", 3).collect()]
+
+    def tokenize(word):
+        syms = list(word)
+        for a, b, m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    got = {r.id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_token_counts(df, "id", "text", 3).collect()}
+    for _id, text in [(1, "low low lower"), (2, "new low newest")]:
+        words = text.split(" ")
+        want = (len(words), sum(len(tokenize(w)) for w in words))
+        assert got[_id] == want
