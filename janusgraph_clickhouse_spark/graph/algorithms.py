@@ -1586,3 +1586,71 @@ def diameter_estimate(graph: PropertyGraph, max_hops: int = 12) -> DataFrame:
         [(int(source), u, ecc1, far2, ecc2)],
         "source_id long, sweep1_far long, sweep1_ecc int, "
         "sweep2_far long, diameter_estimate int")
+
+
+def maximal_independent_set(edges: DataFrame, src: str = "src",
+                            dst: str = "dst",
+                            max_rounds: int = 12) -> DataFrame:
+    """Luby-style maximal independent set (Luby 1986), derandomized the
+    repo's way: vertex priorities are md5(id) instead of per-round coin
+    flips, so every round — and therefore the final MIS — is a pure
+    function of the graph (the lexicographically-first MIS under the
+    (md5, id) total order).  Per round, every ACTIVE vertex with no
+    active neighbor of smaller (priority, id) enters the set; it and
+    its neighbors deactivate.  Returns (id, priority, round_selected).
+
+    Classic distributed-graph primitive (scheduling, symmetry
+    breaking); with uniform priorities the expected round count is
+    O(log n).  Loud-failure discipline: raises if vertices remain
+    active after `max_rounds` — a silently partial MIS would violate
+    maximality.
+
+    Scale shape: per round one join of the shrinking active edge set
+    with the per-vertex min-neighbor aggregate, everything
+    localCheckpointed; work is Σ active-edge sizes, which falls
+    geometrically in expectation."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = (und.unionAll(und.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"))).distinct()
+           .localCheckpoint())
+    prio = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+                  16, 10).cast("long")
+    active = (und.select(F.col("u").alias("id")).distinct()
+              .select("id", prio.alias("p")).localCheckpoint())
+    chosen_parts = []
+    for r in range(1, max_rounds + 1):
+        if active.isEmpty():
+            break
+        e = (und.join(active.select(F.col("id").alias("u"),
+                                    F.col("p").alias("pu")), "u")
+             .join(active.select(F.col("id").alias("v"),
+                                 F.col("p").alias("pv")), "v"))
+        # min active-neighbor (p, id) per vertex; vertices with no
+        # active neighbor at all are trivially chosen
+        nbr_min = (e.groupBy("u")
+                   .agg(F.min(F.struct(F.col("pv"), F.col("v")))
+                        .alias("m")))
+        cand = (active.join(nbr_min,
+                            active.id == nbr_min.u, "left")
+                .filter(F.col("m").isNull()
+                        | (F.struct(F.col("p"), F.col("id"))
+                           < F.col("m")))
+                .select("id", "p").localCheckpoint())
+        chosen_parts.append(cand.select(
+            "id", F.col("p").alias("priority"),
+            F.lit(r).alias("round_selected")))
+        kill = (cand.select("id")
+                .unionAll(und.join(cand.select(F.col("id").alias("u")),
+                                   "u").select(F.col("v").alias("id")))
+                .distinct())
+        active = (active.join(kill, "id", "left_anti")
+                  .localCheckpoint())
+    if not active.isEmpty():
+        raise ValueError(
+            f"MIS not converged after {max_rounds} rounds; raise "
+            f"max_rounds (a partial result would not be maximal)")
+    out = chosen_parts[0]
+    for part in chosen_parts[1:]:
+        out = out.unionAll(part)
+    return out

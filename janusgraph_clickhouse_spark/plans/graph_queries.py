@@ -1102,3 +1102,65 @@ def g27_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.algorithms import diameter_estimate
     g = star_schema_graph(spark, sf_dir)
     return diameter_estimate(g, max_hops=12)
+
+
+def _mis_oracle(rounds: int = 10) -> str:
+    """Unrolled deterministic Luby MIS over the referral graph: per
+    round, an active vertex with no active neighbor of smaller
+    (md5-priority, id) is chosen; chosen vertices and their neighbors
+    deactivate.  Rounds past convergence are empty on both engines.
+    MATERIALIZED throughout (the g25 lesson)."""
+    parts = ["""ev AS MATERIALIZED (SELECT * FROM events WHERE event_id % 7 = 0)""",
+             """seq AS MATERIALIZED (
+      SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS nxt
+      FROM ev)""",
+             """ed AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u, nxt AS v FROM seq
+      WHERE nxt IS NOT NULL AND nxt <> user_id)""",
+             """ue AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed))""",
+             """a0 AS MATERIALIZED (
+      SELECT DISTINCT u AS id,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS p
+      FROM ue)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+      SELECT a.id, a.p FROM a{t - 1} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ue e JOIN a{t - 1} n ON n.id = e.v
+        WHERE e.u = a.id
+          AND (n.p < a.p OR (n.p = a.p AND n.id < a.id))))""")
+        parts.append(f"""a{t} AS MATERIALIZED (
+      SELECT a.id, a.p FROM a{t - 1} a
+      WHERE a.id NOT IN (SELECT id FROM c{t})
+        AND NOT EXISTS (
+          SELECT 1 FROM ue e JOIN c{t} c ON c.id = e.u
+          WHERE e.v = a.id))""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT id, p AS priority, {t} AS round_selected FROM c{t}"
+        for t in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + f"\n    {union}"
+
+
+@query("g28_mis", oracle=_mis_oracle(rounds=10))
+def g28_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the user referral graph — Luby's
+    symmetry-breaking primitive, derandomized with md5(id) priorities
+    so the result is the lexicographically-first MIS under the
+    (priority, id) order and thus SQL-oracle-able (10 unrolled rounds;
+    the fixture converges in 5).  Independence and maximality are
+    pytest-pinned; the Spark loop raises loudly if still active at the
+    bound (graph.algorithms.maximal_independent_set)."""
+    from pyspark.sql.window import Window
+    from ..graph.algorithms import maximal_independent_set
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0)
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = ev.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    e = (seq.filter(F.col("nxt").isNotNull()
+                    & (F.col("nxt") != F.col("user_id")))
+         .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst")))
+    return maximal_independent_set(e, max_rounds=10)

@@ -783,3 +783,44 @@ def test_diameter_estimate_raises_at_hop_bound(spark):
         "src", "dst", e.src.cast("string").alias("label")))
     with pytest.raises(ValueError, match="max_hops"):
         diameter_estimate(g, max_hops=3)
+
+
+def test_mis_independent_maximal_deterministic(spark):
+    """MIS invariants on a closed-form graph: no two chosen vertices
+    adjacent (independence), every unchosen vertex has a chosen
+    neighbor (maximality), two runs identical (md5 priorities, no
+    RNG)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        maximal_independent_set)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 6), (6, 7)],
+        ["src", "dst"])
+    a = sorted(tuple(r) for r in maximal_independent_set(e).collect())
+    b = sorted(tuple(r) for r in maximal_independent_set(e).collect())
+    assert a == b and len(a) >= 2
+    ids = {r[0] for r in a}
+    edges = [(u, v) for u, v in
+             [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 6), (6, 7)]]
+    und = edges + [(v, u) for u, v in edges]
+    assert not any(u in ids and v in ids for u, v in edges)
+    for v in {x for p in edges for x in p}:
+        assert v in ids or any(n in ids for u, n in und if u == v)
+
+
+def test_mis_raises_when_round_bound_too_small(spark):
+    """A path whose md5 priorities strictly INCREASE along it resolves
+    one vertex every two positions per round — constructed by sorting
+    ids by md5, so the first round picks only the head.  max_rounds=1
+    must raise, never return a partial (non-maximal) set."""
+    import hashlib
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        maximal_independent_set)
+    ids = sorted(range(1, 13),
+                 key=lambda i: int(hashlib.md5(str(i).encode())
+                                   .hexdigest()[:15], 16))
+    e = spark.createDataFrame(
+        [(ids[k], ids[k + 1]) for k in range(len(ids) - 1)],
+        ["src", "dst"])
+    with pytest.raises(ValueError, match="not converged"):
+        maximal_independent_set(e, max_rounds=1)
