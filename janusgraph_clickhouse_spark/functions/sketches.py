@@ -19,6 +19,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_long60
+
 # Flajolet et al. 2007 bias constant for m = 256 registers
 HLL_M = 256
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
@@ -26,10 +28,6 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 # by 2^53 so Z's sum is an EXACT int64 (every term 2^(53-M_j) is an
 # integer; 256 terms ≤ 2^61) — no float summation order anywhere.
 HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
-
-
-def _md5_long(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def hll_distinct(df: DataFrame, col: str) -> DataFrame:
@@ -50,7 +48,7 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     fold; the shuffle carries at most m register rows per partition
     (map-side partial max).  The exact count's count(DISTINCT) is the
     expensive half — the sketch side is free."""
-    h = _md5_long(F.col(col).cast("string"))
+    h = md5_long60(F.col(col).cast("string"))
     rest = F.shiftright(h, 8)
     rank = F.when(rest > 0,
                   F.lit(53) - F.length(F.bin(rest))).otherwise(F.lit(53))
@@ -80,7 +78,7 @@ CMS_W = 256
 def _cms_bucket(row: Column, key: Column) -> Column:
     """Row-salted bucket: md5('cms<r>|<key>') mod w — engine-portable
     like every hash DECISION in this repo."""
-    return _md5_long(F.concat(F.lit("cms"), row.cast("string"),
+    return md5_long60(F.concat(F.lit("cms"), row.cast("string"),
                               F.lit("|"), key)) % CMS_W
 
 

@@ -855,11 +855,12 @@ def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
 
 def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     """HITS hubs/authorities over the directed edges; returns
-    (id, hub, authority) after `max_iter` synchronous updates with L1
-    normalization each half-step:
+    (id, hub, authority) after `max_iter` synchronous UNNORMALIZED
+    updates and one final L1 normalization:
 
-        a_{t+1}(v) = Σ_{u→v} h_t(u)   then  a ← a / Σ a
-        h_{t+1}(v) = Σ_{v→u} a_{t+1}(u)  then  h ← h / Σ h
+        a_{t+1}(v) = Σ_{u→v} h_t(u)
+        h_{t+1}(v) = Σ_{v→u} a_{t+1}(u)
+        finally  a ← a / Σ a,  h ← h / Σ h
 
     Same substrate discipline as pagerank: edges cached pre-partitioned
     on the join key (or served by the bucketed layout when aligned),
@@ -1570,13 +1571,18 @@ def diameter_estimate(graph: PropertyGraph, max_hops: int = 12) -> DataFrame:
         raise ValueError("empty vertex set")
 
     def _sweep(src: int) -> tuple[int, int]:
-        d = bfs_distances(graph, [int(src)], max_hops=max_hops,
+        # probe one hop PAST the bound: a farthest distance of exactly
+        # max_hops is a converged answer (the frontier drained there),
+        # not a truncation — only a vertex BEYOND max_hops proves the
+        # sweep was cut short
+        d = bfs_distances(graph, [int(src)], max_hops=max_hops + 1,
                           directed=False)
         far = (d.orderBy(F.col("distance").desc(), "id").first())
-        if far.distance >= max_hops:
+        if far.distance > max_hops:
             raise ValueError(
-                f"BFS from {src} still expanding at max_hops={max_hops}; "
-                f"raise max_hops to make the eccentricity claim sound")
+                f"BFS from {src} still expanding past max_hops="
+                f"{max_hops}; raise max_hops to make the eccentricity "
+                f"claim sound")
         return int(far.id), int(far.distance)
 
     u, ecc1 = _sweep(source)
@@ -1650,6 +1656,11 @@ def maximal_independent_set(edges: DataFrame, src: str = "src",
         raise ValueError(
             f"MIS not converged after {max_rounds} rounds; raise "
             f"max_rounds (a partial result would not be maximal)")
+    if not chosen_parts:
+        # no edges (or only self-loops): the MIS of an empty graph is
+        # empty — return the empty result with the declared schema
+        return edges.sparkSession.createDataFrame(
+            [], "id long, priority long, round_selected int")
     out = chosen_parts[0]
     for part in chosen_parts[1:]:
         out = out.unionAll(part)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long60
+
 
 def hash_bucket(key_col: str | Column, n_buckets: int = 100,
                 salt: str = "") -> Column:
@@ -141,12 +143,6 @@ def domain_cap(df: DataFrame, key_col: str, domain_col: str,
             .drop("_k", "_r1"))
 
 
-def _md5_long(c: Column) -> Column:
-    """First 60 md5 bits as a non-negative BIGINT — the engine-portable
-    hash (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
 def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  is_target: Column, n_buckets: int = 512) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
@@ -176,13 +172,14 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     rows) broadcast-joins back.  Zero UDFs, nothing quadratic, and the
     expensive pass is shared between numerator and denominator
     statistics."""
+    from .dedup import word_shingles
     grams = F.concat(F.split(F.col(text_col), " "),
-                     _word_bigrams(text_col))
+                     word_shingles(text_col, 2))
     base = df.select(F.col(id_col).alias("id"),
                      is_target.alias("tgt"),
                      F.explode(grams).alias("g"))
     per_doc = (base.select("id", "tgt",
-                           (_md5_long(F.col("g")) % n_buckets)
+                           (md5_long60(F.col("g")) % n_buckets)
                            .alias("bucket"))
                .groupBy("id", "tgt", "bucket")
                .agg(F.count(F.lit(1)).alias("cnt")))
@@ -213,17 +210,6 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  .alias("logw_micro")))
 
 
-def _word_bigrams(text_col: str | Column) -> Column:
-    """Space-joined word-bigram array (empty below 2 tokens) — the
-    word_shingles(n=2) shape, local to avoid a circular import."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.split(c, " ")
-    cnt = F.size(t)
-    return F.when(cnt >= 2, F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i, 2), " "))
-    ).otherwise(F.array().cast("array<string>"))
-
 
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                     k: int = 100) -> DataFrame:
@@ -243,7 +229,7 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     Scale shape: pure scan-side codegen + TakeOrderedAndProject (per-
     partition top-k, then a k-row merge on the driver) — no full sort,
     no shuffle of the corpus."""
-    u = (_md5_long(F.col(id_col).cast("string")) + 1) \
+    u = (md5_long60(F.col(id_col).cast("string")) + 1) \
         / F.lit(float(1 << 60))
     key_nano = F.floor(
         F.log(u) / F.col(weight_col) * F.lit(1e9) + F.lit(0.5)

@@ -360,12 +360,18 @@ def s11_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="s11_events_")
-    if os.path.isdir(src):
-        shutil.copytree(src, os.path.join(d, "events.parquet"))
-    else:
-        shutil.copy(src, d)
-    out = run_to_memory(running_user_totals(events_stream(spark, d)),
-                        mode="update")
+    try:
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(d, "events.parquet"))
+        else:
+            shutil.copy(src, d)
+        # the stream terminates inside run_to_memory and the sink is
+        # in-memory, so the fixture copy can be deleted immediately —
+        # no per-invocation /tmp leak
+        out = run_to_memory(running_user_totals(events_stream(spark, d)),
+                            mode="update")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
@@ -395,15 +401,23 @@ def s12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    from ..streaming.ops import incremental_rollup
+    from ..streaming.ops import incremental_rollup, read_rollup
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="s12_rollup_")
-    chunks = os.path.join(work, "chunks")
-    ev.repartition(3).write.parquet(chunks)
-    rollup = os.path.join(work, "rollup")
-    incremental_rollup(spark, chunks, rollup,
-                       os.path.join(work, "ckpt"),
-                       max_files_per_trigger=1)
-    return (spark.read.parquet(rollup)
-            .select("h", "event_type", "cnt",
-                    F.round("sum_raw", 2).alias("sum_value")))
+    try:
+        chunks = os.path.join(work, "chunks")
+        ev.repartition(3).write.parquet(chunks)
+        rollup = os.path.join(work, "rollup")
+        incremental_rollup(spark, chunks, rollup,
+                           os.path.join(work, "ckpt"),
+                           max_files_per_trigger=1)
+        # localCheckpoint materializes the small rollup into executor
+        # storage so the fixture-sized work dir can be deleted now
+        # instead of leaking per invocation
+        out = (read_rollup(spark, rollup)
+               .select("h", "event_type", "cnt",
+                       F.round("sum_raw", 2).alias("sum_value"))
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -448,35 +448,76 @@ def incremental_rollup(spark: SparkSession, events_dir: str,
     the read edge).  Counts/sums are associative, so the final table is
     independent of how the log was chunked into batches.
 
-    The swap is write-new → remove-old → rename: foreachBatch runs
-    batches sequentially on the driver, so no concurrent reader exists
-    mid-swap in this single-pipeline shape; a multi-consumer deployment
-    would swap a metastore pointer or use an ACID table format
-    instead (documented, not faked)."""
-    import os
-    import shutil
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        agg = (batch_df.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-            .alias("h"), "event_type")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.sum("value").alias("sum_raw")))
-        if os.path.exists(rollup_dir):
-            current = spark.read.parquet(rollup_dir)
-            agg = (current.unionByName(agg)
-                   .groupBy("h", "event_type")
-                   .agg(F.sum("cnt").alias("cnt"),
-                        F.sum("sum_raw").alias("sum_raw")))
-        tmp = rollup_dir + ".tmp"
-        agg.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(rollup_dir):
-            shutil.rmtree(rollup_dir)
-        os.rename(tmp, rollup_dir)
-
+    Crash-safety + idempotency (foreachBatch is AT-LEAST-ONCE, so a
+    micro-batch can replay after any crash): versions are immutable
+    dirs `v<batch_id>` under `rollup_dir`, and a CURRENT pointer file
+    flips atomically (temp-write + os.replace).  A replayed batch whose
+    id ≤ CURRENT's is skipped — never double-counted; a crash after
+    writing `v<b>` but before the pointer flip leaves CURRENT on the
+    previous intact version, and the replay simply rewrites `v<b>` from
+    it.  Versions older than the previous one are garbage-collected
+    after each flip.  Read the table through `read_rollup` (resolves
+    CURRENT)."""
     stream = events_stream(spark, events_dir,
                            max_files_per_trigger=max_files_per_trigger)
-    q = (stream.writeStream.foreachBatch(merge_batch)
+    q = (stream.writeStream
+         .foreachBatch(lambda batch_df, batch_id:
+                       _merge_rollup_batch(spark, batch_df, batch_id,
+                                           rollup_dir))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def _rollup_current(rollup_dir: str) -> int | None:
+    """Batch id the CURRENT pointer names, or None before any commit."""
+    import os
+    ptr = os.path.join(rollup_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip()[1:])
+
+
+def _merge_rollup_batch(spark: SparkSession, batch_df: DataFrame,
+                        batch_id: int, rollup_dir: str) -> None:
+    """One idempotent merge step (see incremental_rollup)."""
+    import os
+    import shutil
+
+    os.makedirs(rollup_dir, exist_ok=True)
+    cur = _rollup_current(rollup_dir)
+    if cur is not None and batch_id <= cur:
+        return  # at-least-once replay of an already-committed batch
+    agg = (batch_df.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("value").alias("sum_raw")))
+    if cur is not None:
+        current = spark.read.parquet(os.path.join(rollup_dir, f"v{cur}"))
+        agg = (current.unionByName(agg)
+               .groupBy("h", "event_type")
+               .agg(F.sum("cnt").alias("cnt"),
+                    F.sum("sum_raw").alias("sum_raw")))
+    vdir = os.path.join(rollup_dir, f"v{batch_id}")
+    agg.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(rollup_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(rollup_dir, "CURRENT"))
+    # GC: keep the new and the previous version only
+    for name in os.listdir(rollup_dir):
+        if (name.startswith("v") and name[1:].isdigit()
+                and int(name[1:]) not in (batch_id, cur)):
+            shutil.rmtree(os.path.join(rollup_dir, name),
+                          ignore_errors=True)
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The rollup as of the last committed batch (CURRENT pointer)."""
+    import os
+    cur = _rollup_current(rollup_dir)
+    if cur is None:
+        raise ValueError(f"no committed rollup version in {rollup_dir}")
+    return spark.read.parquet(os.path.join(rollup_dir, f"v{cur}"))

@@ -377,7 +377,7 @@ def test_incremental_rollup_merges_across_real_batches(spark, tmp_path,
     aggregate."""
     import os
     from janusgraph_clickhouse_spark.streaming.ops import (
-        incremental_rollup)
+        incremental_rollup, read_rollup)
     ev = load_table(spark, sf_smoke, "events")
     chunks = str(tmp_path / "chunks")
     ev.repartition(3).write.parquet(chunks)
@@ -388,7 +388,7 @@ def test_incremental_rollup_merges_across_real_batches(spark, tmp_path,
     # three offsets committed = three real merge invocations
     offsets = os.listdir(os.path.join(ckpt, "offsets"))
     assert len([o for o in offsets if not o.startswith(".")]) == 3
-    got = _rows(spark.read.parquet(rollup)
+    got = _rows(read_rollup(spark, rollup)
                 .select("h", "event_type", "cnt",
                         F.round("sum_raw", 2).alias("sum_value")))
     want = _rows(ev.groupBy(
@@ -397,3 +397,35 @@ def test_incremental_rollup_merges_across_real_batches(spark, tmp_path,
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.round(F.sum("value"), 2).alias("sum_value")))
     assert got == want
+
+
+def test_rollup_merge_is_idempotent_and_crash_safe(spark, tmp_path,
+                                                   sf_smoke):
+    """foreachBatch is at-least-once: replaying an already-committed
+    batch id must be a no-op (no double counts), and a torn version dir
+    left by a crash BEFORE the pointer flip is repaired by the replay
+    without losing the committed history."""
+    import os
+    import shutil
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        _merge_rollup_batch, read_rollup)
+    ev = load_table(spark, sf_smoke, "events")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    d = str(tmp_path / "rollup")
+    _merge_rollup_batch(spark, half, 0, d)
+    _merge_rollup_batch(spark, rest, 1, d)
+    want = _rows(read_rollup(spark, d))
+    # replay both batches — committed ids are skipped
+    _merge_rollup_batch(spark, half, 0, d)
+    _merge_rollup_batch(spark, rest, 1, d)
+    assert _rows(read_rollup(spark, d)) == want
+    # simulate a crash between writing v2 and the pointer flip: a torn
+    # v2 exists, CURRENT still says v1 — the replay of batch 2 must
+    # rebuild v2 from v1 and commit
+    torn = os.path.join(d, "v2")
+    os.makedirs(torn, exist_ok=True)
+    extra = ev.limit(10)
+    _merge_rollup_batch(spark, extra, 2, d)
+    merged = read_rollup(spark, d)
+    assert merged.agg(F.sum("cnt")).collect()[0][0] == ev.count() + 10
