@@ -421,3 +421,31 @@ def s12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "s13_decayed_score",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS k
+      FROM events)
+    SELECT user_id, count(*) AS n_scored,
+           CAST(sum(cents * CAST(2.0 ** (30 - k) AS BIGINT)) AS BIGINT)
+             AS score_fixed
+    FROM r WHERE k <= 30 GROUP BY user_id
+    """,
+)
+def s13_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed engagement score (the ClickHouse
+    exponentialMovingAverage idiom, event-indexed): newest event at
+    full weight, each older event halved, hard 31-rank horizon.
+    Exact by design — cents quantization + power-of-two weights make
+    the score an integer Σ cents·2^(30-k): no float, no summation
+    order, bit-identical everywhere (streaming.ops.decayed_score).
+    One key shuffle + one window + one aggregate."""
+    from ..streaming.ops import decayed_score
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_score(ev)

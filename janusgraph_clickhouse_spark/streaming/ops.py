@@ -521,3 +521,50 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     if cur is None:
         raise ValueError(f"no committed rollup version in {rollup_dir}")
     return spark.read.parquet(os.path.join(rollup_dir, f"v{cur}"))
+
+
+def decayed_score(events: DataFrame, key: str = "user_id",
+                  value: str = "value", ts: str = "ts",
+                  tiebreak: str = "event_id",
+                  horizon: int = 30) -> DataFrame:
+    """Per-key exponentially-decayed score (ClickHouse
+    exponentialMovingAverage's event-indexed cousin): each key's most
+    recent event contributes its full value, the one before half, then
+    a quarter — y = Σ_{k=0..horizon} value_k · 2^-k over the (ts,
+    tiebreak)-ordered recency ranks.  The recency-weighted engagement /
+    fraud-pressure feature of an event pipeline, maintainable
+    incrementally (y ← y/2 + x per arrival).
+
+    Exactness as a design property (the q41/q42 sketch discipline
+    applied to decay): values quantize to integer cents —
+    floor(v·100 + 0.5), identical on both engines — and the weights
+    are powers of two over a HARD horizon of `horizon` ranks, so the
+    score is the exact BIGINT  Σ cents_k << (horizon − k)  (≤ 2^44 at
+    cents ≤ 10^6: no overflow, no float, no summation-order anywhere).
+    Returns (key, n_scored, score_fixed); score_fixed / (100·2^horizon)
+    is the decayed value in the original unit.  The horizon is honest,
+    not a hack: rank-31+ terms are < 2^-30 of the newest — below any
+    float representation a pipeline would keep anyway.
+
+    Scale shape: one shuffle on the key, one window rank, one hash
+    aggregate — the s10 class."""
+    from pyspark.sql import Window
+
+    if not 0 <= horizon <= 40:
+        raise ValueError(f"horizon={horizon} outside [0, 40] — the "
+                         f"exact-int64 design bound")
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(),
+                                        F.col(tiebreak).desc())
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    ranked = (events.select(key, cents.alias("_c"),
+                            (F.row_number().over(w) - 1).alias("_k"))
+              .filter(F.col("_k") <= horizon))
+    # pow(2, n) for n ≤ 40 is an exact power of two in double and the
+    # long cast is exact — mirrors the oracle's 2.0 ** (horizon - k)
+    # (shiftleft would read better but Spark's API takes only literal
+    # shift amounts)
+    weight = F.pow(F.lit(2.0),
+                   F.lit(horizon) - F.col("_k")).cast("long")
+    return (ranked.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_scored"),
+                 F.sum(F.col("_c") * weight).alias("score_fixed")))

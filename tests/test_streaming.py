@@ -429,3 +429,28 @@ def test_rollup_merge_is_idempotent_and_crash_safe(spark, tmp_path,
     _merge_rollup_batch(spark, extra, 2, d)
     merged = read_rollup(spark, d)
     assert merged.agg(F.sum("cnt")).collect()[0][0] == ev.count() + 10
+
+
+def test_decayed_score_closed_form_and_horizon(spark):
+    """s13: 3 events valued 1.00/2.00/4.00 oldest→newest score
+    4·2^30 + 2·2^29 + 1·2^28 cents-fixed; events past the horizon
+    contribute nothing; horizon outside [0,40] raises."""
+    import pytest
+    from janusgraph_clickhouse_spark.streaming.ops import decayed_score
+    ev = _attr_events(spark, [
+        (1, 0, 7, "a"), (2, 60, 7, "a"), (3, 120, 7, "a")])
+    ev = ev.drop("value").withColumn(
+        "value", F.when(F.col("event_id") == 1, 1.0)
+        .when(F.col("event_id") == 2, 2.0).otherwise(4.0))
+    row = decayed_score(ev).collect()[0]
+    assert row.n_scored == 3
+    assert row.score_fixed == (400 << 30) + (200 << 29) + (100 << 28)
+    # horizon cut: only the newest horizon+1 ranks score
+    many = _attr_events(spark, [(i, i, 9, "a") for i in range(1, 40)])
+    many = many.withColumn("value", F.lit(1.0))
+    r9 = decayed_score(many, horizon=2).collect()
+    r9 = [r for r in r9 if r.user_id == 9][0]
+    assert r9.n_scored == 3
+    assert r9.score_fixed == 100 * (4 + 2 + 1)
+    with pytest.raises(ValueError, match="horizon"):
+        decayed_score(many, horizon=41)
