@@ -835,3 +835,63 @@ def cdc_dedup_report(df: DataFrame, id_col: str, text_col: str,
                  F.min("n_tokens").alias("n_tokens"),
                  F.min("id").alias("min_doc"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def lsh_banding_audit(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 12, bands: int = 6,
+                      threshold: float = 0.4,
+                      sample: int = 200) -> DataFrame:
+    """Precision/recall audit of the MinHash BANDING stage against exact
+    Jaccard — the measurement that turns "banding recall is believed
+    high" into a number a pipeline can alert on (every l03-style dedup
+    silently assumes it).  Runs on a deterministic md5-ordered sample
+    of `sample` docs, so the exact all-pairs side is bounded by the
+    DECLARED sample size at any corpus scale — never corpus-quadratic
+    (exactly how production dedup audits run).
+
+    The audited signatures use the engine-portable md5 hash family
+    (sig_i = min over shingle strings of md5('i|'+shingle); band bucket
+    = md5 of the band's values joined '|'), NOT the production
+    xxhash64 family — same S-curve statistics, but fully re-derivable
+    in SQL, so the whole audit is hash-checkable.  Returns one row
+    (n_true, n_cand, n_hit, precision, recall, f1) with ratios of
+    exact integers rounded to 6 (f1 via the exact identity
+    2·TP / (cand + true)).
+
+    Scale shape: sample via TakeOrderedAndProject; everything after is
+    sample-bounded."""
+    from ..functions.hashing import md5_long60
+
+    rows_per_band = num_hashes // bands
+    skey = md5_long60(F.col(id_col).cast("string"))
+    s = (df.select(F.col(id_col).alias(id_col), F.col(text_col), skey.alias("_sk"))
+         .orderBy("_sk", id_col).limit(sample).drop("_sk"))
+    sh = shingle_sets(s, id_col, text_col, n, hashed=False)
+    aggs = [F.min(md5_long60(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*aggs)
+    band_exprs = [
+        md5_long60(F.concat_ws("|", F.lit(str(b)), *[
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)]))
+        for b in range(bands)]
+    buckets = sig.select("id", F.posexplode(F.array(*band_exprs))
+                         .alias("band", "bucket"))
+    x = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
+    y = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
+    cand = (x.join(y, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    true_pairs = jaccard_pairs(s, id_col, text_col, n, threshold,
+                               allow_quadratic=True).select("doc_a",
+                                                            "doc_b")
+    hit = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+    counts = (true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+              .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+              .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    return counts.select(
+        "n_true", "n_cand", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        F.round(2 * F.col("n_hit") / (F.col("n_cand") + F.col("n_true")),
+                6).alias("f1"))

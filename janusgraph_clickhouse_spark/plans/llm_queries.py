@@ -1897,3 +1897,77 @@ def l45_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends the l43 training CTEs with the same join."""
     docs = load_table(spark, sf_dir, "documents")
     return X.bpe_token_counts(docs, "doc_id", "text", n_merges=4)
+
+
+def _lsh_audit_oracle(num_hashes: int = 12, bands: int = 6,
+                      sample: int = 200) -> str:
+    """Full SQL re-derivation of the banding audit: md5-ordered sample,
+    portable md5 min-hash signatures, band buckets, candidate pairs,
+    exact-Jaccard true pairs, and the exact-integer metrics row."""
+    rows = num_hashes // bands
+    sig_aggs = ",\n             ".join(
+        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT)"
+        f" AS h{i}" for i in range(num_hashes))
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, ('0x' || substr(md5('{b}' || '|' || {v}),"
+        " 1, 15))::BIGINT AS bucket FROM sig".format(
+            b=b, v=" || '|' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+    WITH sample AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT, doc_id
+      LIMIT {sample}),
+    toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM sample),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS id, g AS shingle FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM toks)),
+    sig AS MATERIALIZED (
+      SELECT id, {sig_aggs}
+      FROM sh GROUP BY id),
+    bk AS MATERIALIZED (
+      {band_selects}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+      FROM bk x JOIN bk y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+    inter AS MATERIALIZED (
+      SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    tp AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.4),
+    hit AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN tp t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+    m AS (SELECT (SELECT count(*) FROM tp) AS n_true,
+                 (SELECT count(*) FROM cand) AS n_cand,
+                 (SELECT count(*) FROM hit) AS n_hit)
+    SELECT n_true, n_cand, n_hit,
+           round(n_hit / n_cand, 6) AS precision,
+           round(n_hit / n_true, 6) AS recall,
+           round(2 * n_hit / (n_cand + n_true), 6) AS f1
+    FROM m"""
+
+
+@query("l46_lsh_banding_audit", oracle=_lsh_audit_oracle())
+def l46_lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit: precision/recall/F1 of the MinHash banding
+    candidate stage vs exact Jaccard (threshold 0.4) on a 200-doc
+    md5-ordered sample — the measurement every LSH dedup silently
+    assumes (l03's oracle equals exact Jaccard ONLY while banding
+    recall holds).  The audited signature family is the engine-portable
+    md5 one, so the whole audit — sample, signatures, buckets,
+    candidates, truth, metrics — is one hash-checkable computation
+    (llm.dedup.lsh_banding_audit); the exact side is bounded by the
+    declared sample size, never corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_banding_audit(docs, "doc_id", "text")

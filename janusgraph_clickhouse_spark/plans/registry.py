@@ -111,6 +111,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "q42_cms_heavy_hitters": 5, "s11_stateful_running_totals": 5,
     "s12_incremental_rollup": 5, "l44_curation_pipeline": 5,
     "l45_bpe_token_counts": 5, "g28_mis": 5, "s13_decayed_score": 5,
+    "l46_lsh_banding_audit": 5,
 }
 
 # ROUND-6 ROTATION, pre-derived: stalest-first.  Candidates whose
@@ -120,10 +121,10 @@ REGISTERED_ROUND: dict[str, int] = {
 #   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
 #   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
 #   s02 s03 s04 s06 s07
-# plus the 29 mid-r5 registrations g23-g28 l34-l45 q38-q42 s08-s13
-# (virtual r4 row) = 78 candidates for 50 slots: put the 29 new ones
-# in (first real driver row) and let 28 of the 49 spill to the r7
-# window — at N=128 the amended bound allows staleness 2, so the
+# plus the 30 mid-r5 registrations g23-g28 l34-l46 q38-q42 s08-s13
+# (virtual r4 row) = 79 candidates for 50 slots: put the 30 new ones
+# in (first real driver row) and let 29 of the 49 spill to the r7
+# window — at N=129 the amended bound allows staleness 2, so the
 # spilled names stay green as long as r7 windows them first.
 # (late-r5 registrations: shared_spans l37, CDC chunk dedup l38,
 # Gopher rules l39, PQ-ADC ANN l40, trending top-k s08, outer

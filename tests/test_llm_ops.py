@@ -1097,3 +1097,21 @@ def test_bpe_token_counts_match_manual_apply(spark):
         words = text.split(" ")
         want = (len(words), sum(len(tokenize(w)) for w in words))
         assert got[_id] == want
+
+
+def test_lsh_banding_audit_invariants(spark):
+    """Audit sanity on a crafted corpus: near-identical docs are true
+    pairs AND banding candidates (recall 1 on identical signatures);
+    hit count is bounded by both sides; disjoint docs never pair."""
+    from janusgraph_clickhouse_spark.llm.dedup import lsh_banding_audit
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base),                      # exact duplicates
+            (3, base + " lambda"),                     # near-duplicate
+            (4, "one two three four five six seven"),  # unrelated
+            (5, "red green blue cyan magenta yellow")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    r = lsh_banding_audit(df, "id", "text", sample=10).collect()[0]
+    assert r.n_hit <= min(r.n_cand, r.n_true)
+    assert r.n_true >= 2          # (1,2) exact + (1,3)/(2,3) near
+    assert r.recall == 1.0        # identical sigs always share buckets
+    assert r.n_cand < 10          # nowhere near all pairs
