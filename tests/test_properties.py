@@ -133,3 +133,106 @@ def test_shared_spans_report_true_substrings(spark, seed):
     for r in spans:
         assert (toks[r.doc_a][r.start_a:r.start_a + r.n_tokens]
                 == toks[r.doc_b][r.start_b:r.start_b + r.n_tokens])
+
+
+_WORDS = st.lists(st.sampled_from(
+    ["key", "agg", "row", "scan", "fast", "hash", "x", "yz"]),
+    min_size=1, max_size=40)
+
+
+@SPARK_FAST
+@given(docs=st.lists(_WORDS, min_size=1, max_size=6),
+       modulus=st.sampled_from([4, 8, 16]))
+def test_cdc_chunks_partition_exactly(spark, docs, modulus):
+    """CDC chunks PARTITION each document: starts are contiguous, token
+    counts sum to the doc length, and re-joining the chunk texts (via
+    their md5 keys being consistent with the slices) loses nothing —
+    for ANY token content and cut density."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.dedup import cdc_chunks
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = cdc_chunks(df, "id", "text", w=2, modulus=modulus).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, ws in enumerate(rows):
+        n_tokens = len(rows[i][1].split(" "))
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].start == 0
+        pos = 0
+        for c in chunks:
+            assert c.start == pos
+            pos += c.n_tokens
+        assert pos == n_tokens
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999))
+def test_hll_order_and_partitioning_invariant(spark, seed):
+    """The HLL estimate is a max-aggregate of a pure hash — identical
+    under any row order, duplication, or partitioning."""
+    import random
+    from janusgraph_clickhouse_spark.functions.sketches import hll_distinct
+    rng = random.Random(seed)
+    vals = [rng.randrange(10_000) for _ in range(300)]
+    df1 = spark.createDataFrame([(v,) for v in vals], ["k"])
+    shuffled = vals[::-1] + vals[:50]
+    df2 = spark.createDataFrame([(v,) for v in shuffled], ["k"]) \
+        .repartition(7)
+    a = hll_distinct(df1, "k").collect()[0]
+    b = hll_distinct(df2, "k").collect()[0]
+    assert a.hll_estimate == b.hll_estimate
+
+
+@SPARK_FAST
+@given(perm_seed=st.integers(0, 9999))
+def test_assortativity_invariant_under_relabeling(spark, perm_seed):
+    """Degree assortativity depends only on the degree structure — any
+    id permutation leaves it unchanged."""
+    import random
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        degree_assortativity)
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12), (3, 13)]
+    ids = sorted({x for e in edges for x in e})
+    rng = random.Random(perm_seed)
+    shuffled = ids[:]
+    rng.shuffle(shuffled)
+    p = dict(zip(ids, shuffled))
+    e1 = spark.createDataFrame(edges, ["src", "dst"])
+    e2 = spark.createDataFrame([(p[u], p[v]) for u, v in edges],
+                               ["src", "dst"])
+    r1 = degree_assortativity(e1).collect()[0]
+    r2 = degree_assortativity(e2).collect()[0]
+    assert r1.assortativity == r2.assortativity
+    assert (r1.n_edges, r1.sx, r1.sy) == (r2.n_edges, r2.sx, r2.sy)
+
+
+@SPARK_FAST
+@given(docs=st.lists(_WORDS, min_size=2, max_size=6))
+def test_scd2_versions_account_for_every_event(spark, docs):
+    """SCD2 invariants for ANY event sequence: per-user n_events sums to
+    the user's event count, versions are contiguous from 1, and exactly
+    one version per user is current."""
+    import datetime
+    from janusgraph_clickhouse_spark.streaming.ops import scd2_versions
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, states in enumerate(docs):
+        for k, s in enumerate(states):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(seconds=30 * k),
+                         uid, s, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = scd2_versions(ev).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    for uid, states in enumerate(docs):
+        vs = sorted(per_user[uid], key=lambda r: r.version)
+        assert sum(r.n_events for r in vs) == len(states)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current
