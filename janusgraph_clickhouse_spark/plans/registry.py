@@ -47,42 +47,49 @@ def query(name: str, oracle: str | None = None):
 # coverage (tests/test_oracle_parity.py sweeps ALL queries) and returns
 # to the window next round under rule 1.
 #
-# Round-5 window: the 46 tail queries whose newest driver row is r3
-# (rule 1 — the entire r4 tail; r4's window went 50/50 green so its
-# members rotate out); l02 changed this round (rule 2: re-registered as
-# the candidates-first rerank form — its plan, not just its oracle,
-# is new); g22/l32/l33 are new registrations (rule 4) and MUST be
-# in-window (a new query in the tail has no prior driver row and trips
-# test_driver_window_rotation_policy).  46 + 1 + 3 = 50 exactly — no
-# rule-5 sentinel slots this round.  g21's r5 change is perf-only
-# (same output, local parity covers it), so it sits in the tail with
-# its r4 green row.  A typo here would silently drop a query from the
-# window — get_queries() asserts every name resolves.
+# Round-6 window.  CORRECTNESS_r05.json NEVER LANDED (driver gate
+# hiccup — the round-5 window of 46-stale+l02+g22/l32/l33 got no
+# driver rows).  The rotation test measures staleness in FILES
+# (union of greens over the last ceil(N/50)=3 CORRECTNESS files), so
+# with r5's file missing the r3 rows of the old window names stay
+# "recent" one extra round — the binding constraint is instead the 82
+# names whose newest (possibly virtual) row is r4: the 49 r4-greens
+# from the r4 window plus all 33 REGISTERED_ROUND=5 names (virtual r4;
+# g22/l32/l33 were windowed in r5 but, with the file missing, never
+# got a REAL row either).  Stalest-first among those: the 33 virtuals
+# (zero real driver evidence, rule 4) then 17 of the 49 reals chosen
+# for plan complexity + family spread; the remaining 32 reals spill
+# to round 7.  This choice stays inside the staleness bound in BOTH
+# contingencies: if r5's file never appears, r7 must (and can) window
+# the 47 old-window names (their r3 file leaves the 3-file horizon
+# once r7's file lands) + 3 spills, r8 the other 29 spills; if the
+# file appears late, the 47 are r5-fresh and r7 windows the 32 spills
+# with 18 slots spare.  A typo here would silently drop a query from
+# the window — get_queries() asserts every name resolves.
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 46 queries whose newest driver row is round 3
-    "q02_slice_multikey", "q04_multi_range_scan",
-    "q05_unordered_scan_topk", "q07_group_count", "q09_semi_join",
-    "q10_anti_join", "q11_shipping_priority", "q12_region_revenue",
-    "q14_union_dedup", "q15_per_group_topk", "q16_distinct_pairs",
-    "q22_left_outer_distribution", "q23_having", "q24_correlated_min",
-    "q25_count_distinct", "q27_set_operations", "q28_sql_surface",
-    "q31_statistics", "q32_cross_nation_volume",
-    "q33_large_order_customers", "q34_window_analytics",
-    "q36_cube_grouping",
-    "g04_connected_components", "g06_pagerank", "g14_repeat_until",
-    "g15_kcore", "g16_label_propagation", "g18_hits",
-    "g19_personalized_pagerank",
-    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup",
-    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
-    "l21_decontaminate", "l22_domain_mixture", "l23_repetition_stats",
-    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
-    "l27_semantic_dedup_clusters", "l28_user_event_sequences",
-    "l29_length_band_filter",
-    "s01_tumbling_window", "s05_asof_join",
-    # rule 2: implementation changed this round
-    "l02_jaccard_pairs",
-    # rule 4: new registrations this round
+    # rule 4/1: the 33 round-5 registrations with no real driver row
     "g22_biased_walks", "l32_containment_pairs", "l33_pii_scrub",
+    "g23_scc", "g24_local_clustering", "g25_ktruss",
+    "g26_assortativity", "g27_diameter", "g28_mis",
+    "l34_bloom_decontaminate", "l35_sq8_topk", "l36_domain_cap",
+    "l37_shared_spans", "l38_cdc_chunk_dedup", "l39_gopher_rules",
+    "l40_pq_topk", "l41_dsir_weights", "l42_weighted_sample",
+    "l43_bpe_merges", "l44_curation_pipeline", "l45_bpe_token_counts",
+    "l46_lsh_banding_audit",
+    "q38_argmax_latest", "q39_window_funnel", "q40_retention",
+    "q41_hll_distinct", "q42_cms_heavy_hitters",
+    "s08_trending_topk", "s09_interval_left_join", "s10_scd2_versions",
+    "s11_stateful_running_totals", "s12_incremental_rollup",
+    "s13_decayed_score",
+    # rule 1 (within the r4-row cohort): 17 of the 49 r4-greens,
+    # complex-plan/high-risk picks with ≥2 per family
+    "q01_slice_point", "q06_agg_pricing_summary", "q17_scalar_functions",
+    "q19_mutate_upsert",
+    "g03_supplier_triangles", "g05_bfs_distances",
+    "g17_link_prediction", "g20_random_walks", "g21_harmonic_centrality",
+    "l01_exact_dedup", "l03_minhash_lsh_pairs", "l04_simhash_pairs",
+    "l10_multimodal_meta", "l30_incremental_dedup", "l31_boilerplate_score",
+    "s06_time_rollup", "s07_interval_join",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -114,26 +121,24 @@ REGISTERED_ROUND: dict[str, int] = {
     "l46_lsh_banding_audit": 5,
 }
 
-# ROUND-6 ROTATION, pre-derived: stalest-first.  Candidates whose
-# newest (possibly virtual) driver row will be r4 once CORRECTNESS_r05
-# lands — 49 tail names:
-#   q01 q03 q06 q08 q13 q17 q18 q19 q20 q21 q26 q29 q30 q35 q37,
-#   g01 g02 g03 g05 g07 g08 g09 g10 g11 g12 g13 g17 g20 g21,
-#   l01 l03 l04 l05 l06 l07 l08 l09 l10 l13 l14 l15 l16 l30 l31,
-#   s02 s03 s04 s06 s07
-# plus the 30 mid-r5 registrations g23-g28 l34-l46 q38-q42 s08-s13
-# (virtual r4 row) = 79 candidates for 50 slots: put the 30 new ones
-# in (first real driver row) and let 29 of the 49 spill to the r7
-# window — at N=129 the amended bound allows staleness 2, so the
-# spilled names stay green as long as r7 windows them first.
-# (late-r5 registrations: shared_spans l37, CDC chunk dedup l38,
-# Gopher rules l39, PQ-ADC ANN l40, trending top-k s08, outer
-# interval join s09, argMax q38, windowFunnel q39, retention q40,
-# deterministic HLL q41, CMS heavy hitters q42, assortativity
-# g26, DSIR l41, weighted
-# sample l42, SCD2 s10, stateful running totals s11, incremental
-# MV rollup s12, curation pipeline l44, BPE merges + apply
-# l43, double-sweep diameter g27 — nothing remains pytest-only.)
+# ROUND-7 ROTATION, pre-derived (contingent on whether the missing
+# CORRECTNESS_r05.json ever appears):
+# - r5 file still missing (expected): the 47 round-5-window names
+#   (newest real row r3) lose coverage the moment r7's file lands
+#   (the 3-file horizon becomes {r4,r6,r7}) — window ALL of them
+#   first: q02 q04 q05 q07 q09-q16 q22-q25 q27 q28 q31-q34 q36,
+#   g04 g06 g14 g15 g16 g18 g19, l02 l11 l12 l17-l29, s01 s05;
+#   fill the remaining 3 slots from the 32 r4-spills below, and
+#   window the other 29 spills FIRST in round 8.
+# - r5 file appeared late: those 47 are r5-fresh; window the 32
+#   r4-spills first (18 slots spare for rule-2/rule-4 names).
+# The 32 r4-spills (newest real row r4, deferred from the r6 window):
+#   q03 q08 q13 q18 q20 q21 q26 q29 q30 q35 q37,
+#   g01 g02 g07 g08 g09 g10 g11 g12 g13,
+#   l05 l06 l07 l08 l09 l13 l14 l15 l16,
+#   s02 s03 s04
+# Round-6 registrations carry REGISTERED_ROUND=6 (virtual r5 row) and
+# must get a real row by round 8 at the latest.
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
