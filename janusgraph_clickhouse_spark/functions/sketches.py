@@ -82,6 +82,89 @@ def _cms_bucket(row: Column, key: Column) -> Column:
                               F.lit("|"), key)) % CMS_W
 
 
+# KMV hash-space size: md5_long60 is uniform on [0, 2^60)
+KMV_M = float(1 << 60)
+
+
+def _kmv_hashes(df: DataFrame, col: str) -> DataFrame:
+    """Distinct md5_long60 hashes of a column — the KMV input stream."""
+    return (df.select(md5_long60(F.col(col).cast("string")).alias("h"))
+            .distinct())
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 32) -> DataFrame:
+    """The k minimum distinct hash values of ``col`` (ClickHouse
+    uniqCombined's KMV half / the theta-sketch idiom).  orderBy+limit
+    compiles to TakeOrderedAndProject — each partition keeps its local
+    k minima and the driver merges k-sized heaps, so the sketch build
+    is one distinct-aggregate plus an O(k) fold at any corpus size."""
+    return _kmv_hashes(df, col).orderBy("h").limit(k)
+
+
+def _kmv_stats(sketch: DataFrame) -> DataFrame:
+    """(n rows kept, kth minimum hash) of a sketch as a 1-row DF."""
+    return sketch.agg(F.count(F.lit(1)).alias("n"),
+                      F.max("h").alias("hk"))
+
+
+def _kmv_estimate(n: Column, hk: Column, k: int) -> Column:
+    """Beyer et al. 2007 unbiased KMV distinct estimate: (k-1)·M/h(k)
+    when the sketch is full, else the sketch IS the set (exact)."""
+    return F.when(n < k, n.cast("double")) \
+            .otherwise(F.lit(k - 1) * F.lit(KMV_M) / hk)
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
+                k: int = 32) -> DataFrame:
+    """Distinct / union / intersection / Jaccard estimates for two key
+    sets from k-minimum-value sketches (Bar-Yossef et al. 2002; Beyer
+    et al. 2007 — the theta-sketch set algebra ClickHouse exposes as
+    uniqCombined + set operations), with the exact values beside them.
+
+    Estimators: per-set and union size via (k-1)·M/h(k) over the
+    respective k-min sketches; the union sketch is the k smallest of
+    the two sketches' union; ρ = members of the union sketch present
+    in BOTH input sketches gives Jaccard ≈ ρ/k and |A∩B| ≈ (ρ/k)·Û.
+    Every comparison and ρ is integer-exact on the md5_long60 hash, so
+    estimates are bit-identical across engines; only the final
+    division is float, rounded at the edge.
+
+    Scale shape: the only corpus-sized work is one distinct-aggregate
+    per side; everything after operates on ≤k-row sketches (broadcast
+    joins).  The exact columns cost a distinct + an equi-join — on a
+    real 100 TB corpus you'd emit only the estimates."""
+    sa, sb = kmv_sketch(a, col, k), kmv_sketch(b, col, k)
+    su = (sa.union(sb).distinct().orderBy("h").limit(k))
+    rho = (su.join(F.broadcast(sa), "h", "left_semi")
+           .join(F.broadcast(sb), "h", "left_semi")
+           .agg(F.count(F.lit(1)).alias("rho")))
+    stats = (_kmv_stats(sa).select(F.col("n").alias("na"),
+                                   F.col("hk").alias("ha"))
+             .crossJoin(_kmv_stats(sb).select(F.col("n").alias("nb"),
+                                              F.col("hk").alias("hb")))
+             .crossJoin(_kmv_stats(su).select(F.col("n").alias("nu"),
+                                              F.col("hk").alias("hu")))
+             .crossJoin(rho))
+    da = a.select(F.col(col).alias("v")).distinct()
+    db = b.select(F.col(col).alias("v")).distinct()
+    exact = (da.agg(F.count(F.lit(1)).alias("n_a"))
+             .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
+             .crossJoin(da.join(db, "v", "left_semi")
+                        .agg(F.count(F.lit(1)).alias("n_intersect"))))
+    est_u = _kmv_estimate(F.col("nu"), F.col("hu"), k)
+    jac = F.col("rho").cast("double") / F.least(F.col("nu"), F.lit(k))
+    return (stats.crossJoin(exact).select(
+        F.lit(k).alias("k"),
+        F.round(_kmv_estimate(F.col("na"), F.col("ha"), k), 4)
+          .alias("est_a"),
+        F.round(_kmv_estimate(F.col("nb"), F.col("hb"), k), 4)
+          .alias("est_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(jac * est_u, 4).alias("est_intersect"),
+        F.round(jac, 6).alias("jaccard_est"),
+        "n_a", "n_b", "n_intersect"))
+
+
 def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
     2005 — ClickHouse's topK/approx frequency idiom): d=4 salted hash

@@ -127,3 +127,68 @@ def time_rollup(df: DataFrame, ts: str, grains: dict[str, str],
     return out.sparkSession.sql(
         f"SELECT {grain_sql}, {agg_sql} FROM __rollup_in "
         f"GROUP BY GROUPING SETS ({sets})")
+
+
+def delta_sum(df: DataFrame, key: str, ts: str, value: str,
+              order_extra: str | None = None) -> DataFrame:
+    """ClickHouse deltaSum / runningDifference analog, made bit-exact:
+    per key, order by time and sum only the POSITIVE differences
+    between consecutive values (monotone-counter increase extraction —
+    the idiom for metrics that reset).
+
+    Values are quantized to cents (floor(v*100 + 0.5), the s13
+    discipline) BEFORE differencing, so every diff and the sum are
+    exact integers — no float summation order on either engine.
+
+    Scale shape: one key shuffle + one window pass + one aggregate;
+    no self-join."""
+    from pyspark.sql import Window
+    order = [ts] + ([order_extra] if order_extra else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    d = cents - F.lag(cents).over(w)
+    inc = F.when(d > 0, d).otherwise(F.lit(0))
+    return (df.withColumn("__d", d).withColumn("__inc", inc)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("__d") > 0, 1).otherwise(0))
+                  .cast("long").alias("n_increases"),
+                 F.sum("__inc").cast("long").alias("delta_sum_cents")))
+
+
+def gap_fill_locf(df: DataFrame, key: str, ts: str, value: str,
+                  width_sec: int = 600) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL`` + ``INTERPOLATE`` analog:
+    per key, bucket events to `width_sec` windows, then emit EVERY
+    bucket between that key's first and last — observed buckets carry
+    their aggregate, gap buckets carry cnt=0 and the last-observed
+    value carried forward (LOCF).
+
+    Spark shape: aggregate → per-key min/max → one `sequence()` +
+    explode generates the dense time axis (rows ∝ span/width per key,
+    never a cross join) → left join observations back → one window
+    pass with `last(ignorenulls)` for the carry-forward.  Two key
+    shuffles total; the dense axis is generated, not scanned.
+
+    Sum is quantized to cents before LOCF so the carried value is an
+    exact integer on both engines."""
+    from pyspark.sql import Window
+    bucket = (F.unix_timestamp(ts) - F.unix_timestamp(ts) % width_sec)
+    obs = (df.select(F.col(key).alias("k"), bucket.alias("b"),
+                     F.floor(F.col(value) * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+           .groupBy("k", "b")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("sum_cents")))
+    axis = (obs.groupBy("k").agg(F.min("b").alias("lo"),
+                                 F.max("b").alias("hi"))
+            .select("k", F.explode(F.sequence(
+                F.col("lo"), F.col("hi"), F.lit(width_sec))).alias("b")))
+    w = (Window.partitionBy("k").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (axis.join(obs, ["k", "b"], "left")
+            .select("k", "b",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                    (F.col("cnt").isNull()).alias("is_gap"),
+                    F.last("sum_cents", ignorenulls=True).over(w)
+                    .alias("filled_sum_cents")))

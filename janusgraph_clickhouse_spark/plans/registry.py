@@ -119,6 +119,9 @@ REGISTERED_ROUND: dict[str, int] = {
     "s12_incremental_rollup": 5, "l44_curation_pipeline": 5,
     "l45_bpe_token_counts": 5, "g28_mis": 5, "s13_decayed_score": 5,
     "l46_lsh_banding_audit": 5,
+    # round-6 registrations (virtual r5 row; real row due by round 8)
+    "q43_kmv_set_ops": 6, "q44_delta_sum": 6,
+    "s14_gap_fill": 6, "s15_pit_enrich": 6,
 }
 
 # ROUND-7 ROTATION, pre-derived (contingent on whether the missing

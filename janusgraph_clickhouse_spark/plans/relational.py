@@ -1242,3 +1242,103 @@ def q42_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import cms_heavy_hitters
     return cms_heavy_hitters(load_table(spark, sf_dir, "events"),
                              "user_id", k=20)
+
+
+@query(
+    "q43_kmv_set_ops",
+    oracle="""
+    WITH ha AS MATERIALIZED (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'view'),
+    hb AS MATERIALIZED (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'),
+    sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 32),
+    sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 32),
+    su AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ORDER BY h LIMIT 32),
+    st AS (
+      SELECT (SELECT count(*) FROM sa) AS na,
+             (SELECT max(h) FROM sa) AS hak,
+             (SELECT count(*) FROM sb) AS nb,
+             (SELECT max(h) FROM sb) AS hbk,
+             (SELECT count(*) FROM su) AS nu,
+             (SELECT max(h) FROM su) AS huk,
+             (SELECT count(*) FROM su
+              WHERE h IN (SELECT h FROM sa)
+                AND h IN (SELECT h FROM sb)) AS rho),
+    ex AS (
+      SELECT (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'view') AS n_a,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'purchase') AS n_b,
+             (SELECT count(*) FROM
+                (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'view') x
+                JOIN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase') y
+                USING (user_id)) AS n_intersect)
+    SELECT 32 AS k,
+      round(CASE WHEN na < 32 THEN CAST(na AS DOUBLE)
+                 ELSE 31 * 1152921504606846976.0 / hak END, 4) AS est_a,
+      round(CASE WHEN nb < 32 THEN CAST(nb AS DOUBLE)
+                 ELSE 31 * 1152921504606846976.0 / hbk END, 4) AS est_b,
+      round(CASE WHEN nu < 32 THEN CAST(nu AS DOUBLE)
+                 ELSE 31 * 1152921504606846976.0 / huk END, 4)
+        AS est_union,
+      round((CAST(rho AS DOUBLE) / least(nu, 32))
+            * CASE WHEN nu < 32 THEN CAST(nu AS DOUBLE)
+                   ELSE 31 * 1152921504606846976.0 / huk END, 4)
+        AS est_intersect,
+      round(CAST(rho AS DOUBLE) / least(nu, 32), 6) AS jaccard_est,
+      n_a, n_b, n_intersect
+    FROM st, ex
+    """,
+)
+def q43_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse uniqCombined / theta-sketch set algebra analog:
+    K-minimum-value sketches (k=32) over the md5_long60 hash of the
+    'view' and 'purchase' user sets, emitting distinct / union /
+    intersection / Jaccard ESTIMATES with the exact values beside
+    them.  All sketch decisions are integer-exact, so the estimates
+    are bit-identical across engines (functions.sketches.kmv_set_ops);
+    the only corpus-sized work is one distinct-aggregate per side —
+    everything downstream is ≤k-row broadcast algebra."""
+    from ..functions.sketches import kmv_set_ops
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_set_ops(ev.filter(F.col("event_type") == "view"),
+                       ev.filter(F.col("event_type") == "purchase"),
+                       "user_id", k=32)
+
+
+@query(
+    "q44_delta_sum",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               - lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events)
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_increases,
+           CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+             AS delta_sum_cents
+    FROM d GROUP BY user_id
+    """,
+)
+def q44_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse deltaSum / runningDifference analog: per user, the
+    sum of POSITIVE value differences between consecutive events in
+    time order (monotone-counter increase extraction).  Cents
+    quantization BEFORE differencing makes every diff and sum an exact
+    integer — bit-identical parity with no float summation order (the
+    s13 discipline; operators.temporal.delta_sum).  One key shuffle +
+    one window pass + one aggregate."""
+    from ..operators.temporal import delta_sum
+    ev = load_table(spark, sf_dir, "events")
+    return delta_sum(ev, "user_id", "ts", "value", order_extra="event_id")

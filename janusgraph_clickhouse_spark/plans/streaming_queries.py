@@ -449,3 +449,117 @@ def s13_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import decayed_score
     ev = load_table(spark, sf_dir, "events")
     return decayed_score(ev)
+
+
+@query(
+    "s14_gap_fill",
+    oracle="""
+    WITH obs AS MATERIALIZED (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS b,
+             count(*) AS cnt,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      FROM events GROUP BY 1, 2),
+    axis AS MATERIALIZED (
+      SELECT k, unnest(generate_series(lo, hi, 600)) AS b
+      FROM (SELECT k, min(b) AS lo, max(b) AS hi FROM obs GROUP BY k)),
+    j AS MATERIALIZED (
+      SELECT a.k, a.b, coalesce(o.cnt, 0) AS cnt,
+             o.cnt IS NULL AS is_gap, o.sum_cents
+      FROM axis a LEFT JOIN obs o ON o.k = a.k AND o.b = a.b)
+    SELECT k, b, cnt, is_gap,
+           last_value(sum_cents IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_sum_cents
+    FROM j
+    """,
+)
+def s14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL`` + ``INTERPOLATE`` analog:
+    per event_type, every 10-minute bucket between that type's first
+    and last observation — gap buckets emitted with cnt=0 and the
+    last-observed sum carried forward (LOCF).  The dense time axis is
+    GENERATED per key via sequence()+explode (rows ∝ span/width, never
+    a cross join); cents quantization keeps the carried value integer-
+    exact (operators.temporal.gap_fill_locf).  Epoch math via
+    unix_timestamp / floor(epoch()) — the CLAUDE.md rounding trap."""
+    from ..operators.temporal import gap_fill_locf
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(ev, "event_type", "ts", "value", width_sec=600)
+
+
+@query(
+    "s15_pit_enrich",
+    oracle="""
+    WITH browse AS MATERIALIZED (
+      SELECT * FROM events
+      WHERE event_type IN ('view', 'click', 'signup')),
+    ordered AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM browse
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versioned AS MATERIALIZED (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered),
+    runs AS MATERIALIZED (
+      SELECT user_id, version, min(event_type) AS state,
+             min(ts) AS vfrom
+      FROM versioned GROUP BY user_id, version),
+    dim AS MATERIALIZED (
+      SELECT user_id, version, state,
+             CAST(floor(epoch(vfrom)) AS BIGINT) AS valid_from_sec,
+             CAST(floor(epoch(lead(vfrom) OVER
+               (PARTITION BY user_id ORDER BY version))) AS BIGINT)
+               AS valid_to_sec
+      FROM runs),
+    facts AS MATERIALIZED (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+      FROM events WHERE event_type IN ('purchase', 'error'))
+    SELECT f.event_id, f.user_id, f.ts_sec, f.event_type,
+           d.state AS browse_state, d.version AS state_version
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id AND f.ts_sec >= d.valid_from_sec
+         AND (d.valid_to_sec IS NULL OR f.ts_sec < d.valid_to_sec)
+    """,
+)
+def s15_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension — the
+    warehouse join every feature pipeline needs to avoid label leakage:
+    purchase/error facts LEFT-joined to the browsing-state version
+    (SCD2 built from view/click/signup events, streaming.ops
+    .scd2_versions) whose [valid_from, valid_to) interval contains the
+    fact's timestamp; facts before the user's first browse keep a NULL
+    state leg.  Spark shape: equi-join on user + interval range
+    predicate — key co-location makes it one shuffle pair, the range
+    filter applied post-probe; no time-axis explosion.  Bounds compare
+    at epoch-second granularity on BOTH sides (sub-second state flips
+    yield empty [s,s) intervals consistently)."""
+    from ..streaming.ops import scd2_versions
+    ev = load_table(spark, sf_dir, "events")
+    dim = (scd2_versions(ev.filter(
+        F.col("event_type").isin("view", "click", "signup")))
+        .select("user_id", "version", "state",
+                "valid_from_sec", "valid_to_sec"))
+    facts = (ev.filter(F.col("event_type").isin("purchase", "error"))
+             .select("event_id", "user_id",
+                     F.unix_timestamp("ts").alias("ts_sec"),
+                     "event_type"))
+    return (facts.alias("f")
+            .join(dim.alias("d"),
+                  (F.col("d.user_id") == F.col("f.user_id"))
+                  & (F.col("f.ts_sec") >= F.col("d.valid_from_sec"))
+                  & (F.col("d.valid_to_sec").isNull()
+                     | (F.col("f.ts_sec") < F.col("d.valid_to_sec"))),
+                  "left")
+            .select("f.event_id", "f.user_id", "f.ts_sec", "f.event_type",
+                    F.col("d.state").alias("browse_state"),
+                    F.col("d.version").alias("state_version")))

@@ -236,3 +236,37 @@ def test_scd2_versions_account_for_every_event(spark, docs):
         assert [r.version for r in vs] == list(range(1, len(vs) + 1))
         assert sum(1 for r in vs if r.is_current) == 1
         assert vs[-1].is_current
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(50, 400))
+@settings(max_examples=5, deadline=None)
+def test_kmv_identical_and_disjoint_sets(spark, seed, n):
+    """KMV algebra closed forms: A vs A gives Jaccard 1 and equal
+    estimates; A vs a disjoint B gives intersection estimate 0; the
+    full-sketch estimate is within the published KMV error at k=32."""
+    from janusgraph_clickhouse_spark.functions.sketches import kmv_set_ops
+    a = spark.range(seed, seed + n).selectExpr("id AS k")
+    same = kmv_set_ops(a, a, "k", k=32).collect()[0]
+    assert same.jaccard_est == 1.0
+    assert same.est_a == same.est_b == same.est_union
+    assert same.n_intersect == n
+    # KMV relative error ~ 1/sqrt(k-1) = 18% at k=32; allow 3 sigma
+    assert abs(same.est_a - n) / n < 0.54
+    b = spark.range(seed + 10**9, seed + 10**9 + n).selectExpr("id AS k")
+    disj = kmv_set_ops(a, b, "k", k=32).collect()[0]
+    assert disj.n_intersect == 0
+    assert disj.est_intersect <= disj.est_union * 0.2
+
+
+def test_kmv_small_sets_are_exact(spark):
+    """Below k distinct values the sketch IS the set: every estimate
+    collapses to the exact count."""
+    from janusgraph_clickhouse_spark.functions.sketches import kmv_set_ops
+    a = spark.range(0, 10).selectExpr("id AS k")
+    b = spark.range(5, 15).selectExpr("id AS k")
+    r = kmv_set_ops(a, b, "k", k=32).collect()[0]
+    assert r.est_a == 10.0 and r.est_b == 10.0
+    assert r.est_union == 15.0
+    assert r.n_intersect == 5
+    assert abs(r.est_intersect - 5.0) < 1e-9
+    assert abs(r.jaccard_est - 5.0 / 15.0) < 1e-6

@@ -454,3 +454,63 @@ def test_decayed_score_closed_form_and_horizon(spark):
     assert r9.score_fixed == 100 * (4 + 2 + 1)
     with pytest.raises(ValueError, match="horizon"):
         decayed_score(many, horizon=41)
+
+
+def test_delta_sum_closed_form(spark):
+    from datetime import datetime
+    from janusgraph_clickhouse_spark.operators.temporal import delta_sum
+    rows = [(1, datetime(2024, 1, 1, 0, i), v, i)
+            for i, v in enumerate([1.00, 3.00, 2.00, 5.00])]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "value double, event_id long")
+    out = delta_sum(df, "user_id", "ts", "value",
+                    order_extra="event_id").collect()[0]
+    # increases: 1.00->3.00 (+200), 2.00->5.00 (+300); 3.00->2.00 ignored
+    assert out.n_events == 4
+    assert out.n_increases == 2
+    assert out.delta_sum_cents == 500
+
+
+def test_gap_fill_locf_closed_form(spark):
+    from datetime import datetime
+    from janusgraph_clickhouse_spark.operators.temporal import gap_fill_locf
+    # buckets 0 and 2 observed; bucket 1 is a gap
+    rows = [("a", datetime(2024, 1, 1, 0, 0), 1.50),
+            ("a", datetime(2024, 1, 1, 0, 21), 2.25)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.b: r for r in
+           gap_fill_locf(df, "k", "ts", "v", width_sec=600).collect()}
+    assert len(out) == 3
+    bs = sorted(out)
+    assert bs[1] - bs[0] == 600 and bs[2] - bs[1] == 600
+    gap = out[bs[1]]
+    assert gap.is_gap and gap.cnt == 0 and gap.filled_sum_cents == 150
+    assert not out[bs[0]].is_gap and out[bs[0]].filled_sum_cents == 150
+    assert out[bs[2]].filled_sum_cents == 225
+
+
+def test_pit_enrich_null_leg_and_state(spark, sf_oracle):
+    """Facts before a user's first browse event keep a NULL state leg;
+    enriched rows carry the state whose interval contains the fact."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    out = QUERIES["s15_pit_enrich"](spark, sf_oracle)
+    rows = out.collect()
+    assert rows, "no facts enriched"
+    # every non-null enrichment must satisfy the interval contract
+    from janusgraph_clickhouse_spark.sources import load_table
+    from janusgraph_clickhouse_spark.streaming.ops import scd2_versions
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_oracle, "events")
+    dim = {(r.user_id, r.version): r for r in scd2_versions(
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+    ).collect()}
+    nulls = 0
+    for r in rows:
+        if r.browse_state is None:
+            nulls += 1
+            continue
+        d = dim[(r.user_id, r.state_version)]
+        assert d.state == r.browse_state
+        assert d.valid_from_sec <= r.ts_sec
+        assert d.valid_to_sec is None or r.ts_sec < d.valid_to_sec
+    assert nulls < len(rows)
