@@ -1665,3 +1665,34 @@ def maximal_independent_set(edges: DataFrame, src: str = "src",
     for part in chosen_parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+def bipartite_project(edges: DataFrame, left: str, right: str,
+                      max_right_degree: int | None = None) -> DataFrame:
+    """Weighted one-mode projection of a bipartite edge list onto the
+    `left` partition: rows (left_a, left_b, weight) where weight = the
+    number of shared `right` neighbors (a < b once each).
+
+    Scale shape: the pair enumeration is a self-join on `right`, so
+    fan-out per right vertex is C(deg, 2) — bounded when the right
+    partition has naturally capped degree (orders hold ≤ a basket's
+    worth of parts), quadratic when it doesn't.  For hub-prone right
+    partitions pass `max_right_degree`: rights above the cap are
+    dropped BEFORE the join via a degree semi-join (the l32
+    max_shingle_df discipline — hubs contribute pairs to everything
+    and discriminate nothing, so capping costs little signal).  One
+    shuffle on `right` for the join, one on the pair key for the
+    aggregate."""
+    e = edges.select(left, right).distinct()
+    if max_right_degree is not None:
+        keep = (e.groupBy(right).agg(F.count(F.lit(1)).alias("__d"))
+                .filter(F.col("__d") <= max_right_degree)
+                .select(right))
+        e = e.join(keep, right, "left_semi")
+    a = e.select(F.col(right).alias("__r"), F.col(left).alias("__a"))
+    b = e.select(F.col(right).alias("__r"), F.col(left).alias("__b"))
+    return (a.join(b, "__r")
+            .filter(F.col("__a") < F.col("__b"))
+            .groupBy(F.col("__a").alias(f"{left}_a"),
+                     F.col("__b").alias(f"{left}_b"))
+            .agg(F.count(F.lit(1)).alias("weight")))

@@ -1164,3 +1164,74 @@ def g28_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("nxt") != F.col("user_id")))
          .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst")))
     return maximal_independent_set(e, max_rounds=10)
+
+
+@query(
+    "g29_copurchase_lift",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+    deg AS MATERIALIZED (SELECT p, count(*) AS s FROM op GROUP BY p),
+    pr AS MATERIALIZED (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS pair_orders
+      FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, pa.p_name AS name_a, pb.p_name AS name_b,
+           pair_orders,
+           round(CAST(pair_orders AS DOUBLE) * n.n_orders
+                 / (da.s * db.s), 6) AS lift
+    FROM pr
+    CROSS JOIN n
+    JOIN deg da ON da.p = pr.part_a
+    JOIN deg db ON db.p = pr.part_b
+    JOIN part pa ON pa.p_partkey = pr.part_a
+    JOIN part pb ON pb.p_partkey = pr.part_b
+    ORDER BY pair_orders DESC, part_a, part_b LIMIT 50
+    """,
+)
+def g29_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket one-mode projection of the order–part bipartite
+    graph (graph.algorithms.bipartite_project): top-50 co-purchased
+    part pairs by shared-order count, with association lift
+    (support_pair · N / (support_a · support_b)) beside the raw count.
+
+    Scale story: the pair fan-out is bounded by BASKET size (≤ ~13
+    parts per order in any TPC-H-shaped corpus), not by part
+    popularity — projecting onto parts keyed by order is the linear
+    direction of this bipartite graph, the opposite projection
+    (customers sharing a part) would be quadratic in part popularity
+    and would need the operator's max_right_degree cap.  Degree and
+    name joins are broadcast (part is a fixed dim); the final top-50
+    is TakeOrderedAndProject with the (count desc, part_a, part_b)
+    unique tiebreak."""
+    from ..graph.algorithms import bipartite_project
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    proj = (bipartite_project(op, left="p", right="o")
+            .withColumnRenamed("p_a", "part_a")
+            .withColumnRenamed("p_b", "part_b"))
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    return (proj
+            .join(F.broadcast(deg.select(F.col("p").alias("part_a"),
+                                         F.col("s").alias("sa"))), "part_a")
+            .join(F.broadcast(deg.select(F.col("p").alias("part_b"),
+                                         F.col("s").alias("sb"))), "part_b")
+            .crossJoin(F.broadcast(n))
+            .join(F.broadcast(part.select(
+                F.col("p_partkey").alias("part_a"),
+                F.col("p_name").alias("name_a"))), "part_a")
+            .join(F.broadcast(part.select(
+                F.col("p_partkey").alias("part_b"),
+                F.col("p_name").alias("name_b"))), "part_b")
+            .select("part_a", "part_b", "name_a", "name_b",
+                    F.col("weight").alias("pair_orders"),
+                    F.round(F.col("weight").cast("double")
+                            * F.col("n_orders")
+                            / (F.col("sa") * F.col("sb")), 6)
+                    .alias("lift"))
+            .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+            .limit(50))

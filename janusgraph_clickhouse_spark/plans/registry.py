@@ -122,6 +122,7 @@ REGISTERED_ROUND: dict[str, int] = {
     # round-6 registrations (virtual r5 row; real row due by round 8)
     "q43_kmv_set_ops": 6, "q44_delta_sum": 6,
     "s14_gap_fill": 6, "s15_pit_enrich": 6,
+    "g29_copurchase_lift": 6,
 }
 
 # ROUND-7 ROTATION, pre-derived (contingent on whether the missing

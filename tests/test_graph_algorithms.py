@@ -824,3 +824,29 @@ def test_mis_raises_when_round_bound_too_small(spark):
         ["src", "dst"])
     with pytest.raises(ValueError, match="not converged"):
         maximal_independent_set(e, max_rounds=1)
+
+
+def test_bipartite_project_closed_form(spark):
+    """K_{2,2} plus a pendant: parts {1,2} share orders {10,20} → one
+    pair with weight 2; part 3 only in order 30 → no pairs."""
+    from janusgraph_clickhouse_spark.graph.algorithms import bipartite_project
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 20), (2, 20), (3, 30)], "p long, o long")
+    rows = bipartite_project(e, left="p", right="o").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_a, r.p_b, r.weight) == (1, 2, 2)
+
+
+def test_bipartite_project_hub_cap(spark):
+    """A right-side hub above max_right_degree contributes no pairs;
+    the bounded rights still project."""
+    from janusgraph_clickhouse_spark.graph.algorithms import bipartite_project
+    hub = [(p, 99) for p in range(10)]           # degree-10 hub order
+    ok = [(1, 10), (2, 10)]                       # bounded order
+    e = spark.createDataFrame(hub + ok, "p long, o long")
+    rows = bipartite_project(e, left="p", right="o",
+                             max_right_degree=5).collect()
+    assert len(rows) == 1 and rows[0].weight == 1
+    uncapped = bipartite_project(e, left="p", right="o").count()
+    assert uncapped == 45 + 1 - 1  # C(10,2) hub pairs + (1,2) merged once
