@@ -441,3 +441,74 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
                          F.round(cosine_expr("cv", qlit), 6)
                          .alias("cosine"))
             .orderBy(F.col("cosine").desc(), "id").limit(k))
+
+
+def knn_classify(df: DataFrame, id_col: str, vec_col: str,
+                 label_col: str, k: int = 5, n_planes: int = 4,
+                 n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classification over LSH-blocked
+    candidates — the eval-harness shape for embedding-quality checks
+    (does the space cluster by label?).
+
+    Candidates for each point are rows sharing its sign-bit bucket in
+    ANY of `n_tables` hyperplane tables — built as `n_tables` separate
+    EQUI-joins on the bucket column, unioned and deduplicated, never
+    an OR-join (each leg hash-joins and scales out; candidate volume
+    is Σ_t Σ_buckets m²/2^n_planes — raise n_planes as the corpus
+    grows, the l17 tradeoff).  Exact cosine reranks the candidates;
+    the top-k vote goes to the most frequent neighbor label, ties to
+    the smallest label; every ordering uses the rounded cosine + id
+    tiebreak so the oracle can replay it bit-exactly.
+
+    Output: one row per point that has ≥1 candidate — vec_id,
+    true_label, pred_label, votes (pred-label count in top-k),
+    n_candidates (pre-cut), correct."""
+    from pyspark.sql import Window
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  F.col(label_col).alias("lbl"))
+    dim = _dim_of(df, vec_col)
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
+    legs = []
+    for t in range(n_tables):
+        a = e.select(F.col("id").alias("i"), F.col(f"b{t}").alias("bk"))
+        b = e.select(F.col("id").alias("j"), F.col(f"b{t}").alias("bk"))
+        legs.append(a.join(b, "bk").filter(F.col("i") != F.col("j"))
+                    .select("i", "j"))
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.union(leg)
+    pairs = pairs.distinct()
+    scored = (pairs
+              .join(e.select(F.col("id").alias("i"),
+                             F.col("v").alias("vi"),
+                             F.col("lbl").alias("true_label")), "i")
+              .join(e.select(F.col("id").alias("j"),
+                             F.col("v").alias("vj"),
+                             F.col("lbl").alias("lj")), "j")
+              .select("i", "j", "true_label", "lj",
+                      F.round(cosine_expr("vi", "vj"), 6).alias("cos")))
+    w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k))
+    cand = scored.groupBy("i").agg(F.count(F.lit(1)).alias("n_candidates"))
+    votes = (top.groupBy("i", "lj")
+             .agg(F.min("true_label").alias("true_label"),
+                  F.count(F.lit(1)).alias("c")))
+    ww = Window.partitionBy("i").orderBy(F.col("c").desc(), "lj")
+    winner = (votes.withColumn("rn", F.row_number().over(ww))
+              .filter(F.col("rn") == 1))
+    return (winner.join(cand, "i")
+            .select(F.col("i").alias("vec_id"), "true_label",
+                    F.col("lj").alias("pred_label"),
+                    F.col("c").alias("votes"), "n_candidates",
+                    (F.col("lj") == F.col("true_label")).alias("correct")))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Static embedding dimensionality from the schema-declared fixture
+    contract (TESTDATA.md: 64) — probed from one row only if needed."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])

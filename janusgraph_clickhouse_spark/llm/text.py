@@ -472,3 +472,42 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str,
                  F.round(F.sum("n_syms")
                          / F.sum("w_chars").cast("double"), 6)
                  .alias("compression")))
+
+
+def entropy_stats(df: DataFrame, id_col: str, text_col: str,
+                  prefix_chars: int = 256) -> DataFrame:
+    """Per-document Shannon entropy quality signals (nats): unigram
+    word entropy over the full text and character entropy over the
+    first `prefix_chars` characters — the compression-style quality
+    heuristics corpus filters use beside Gopher rules (low entropy ⇒
+    repetitive/templated text; the prefix cap keeps the char explode
+    O(1) per document at any document length).
+
+    Cross-engine float discipline (the l41 structure): each c·ln(c)
+    term is quantized to an exact integer (floor(·1e6 + 0.5)) BEFORE
+    the per-document sum, so no float summation order exists; the
+    final H = ln(n) − (S/1e6)/n is one deterministic expression of two
+    exact integers, rounded at the edge."""
+    tid = F.col(id_col)
+
+    def _h(unit_col: Column, src: DataFrame, out: str) -> DataFrame:
+        counts = (src.groupBy(tid.alias("id"), unit_col.alias("u"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+        term = F.floor(F.col("c") * F.log(F.col("c")) * F.lit(1e6)
+                       + F.lit(0.5)).cast("long")
+        agg = (counts.groupBy("id")
+               .agg(F.sum("c").alias("n"), F.sum(term).alias("s_micro")))
+        h = F.log(F.col("n")) - (F.col("s_micro") / F.lit(1e6)) / F.col("n")
+        return agg.select("id", F.col("n").alias(f"n_{out}"),
+                          F.round(h, 6).alias(f"{out}_entropy"))
+
+    words = (df.select(tid, F.explode(F.split(F.col(text_col), " "))
+                       .alias("w")).filter(F.col("w") != ""))
+    chars = df.select(tid, F.explode(F.regexp_extract_all(
+        F.substring(F.col(text_col), 1, prefix_chars), F.lit("."), 0))
+        .alias("ch"))
+    wh = _h(F.col("w"), words, "words")
+    ch = _h(F.col("ch"), chars, "chars")
+    return (wh.join(ch, "id")
+            .select(F.col("id").alias(id_col), "n_words", "words_entropy",
+                    "n_chars", "chars_entropy"))

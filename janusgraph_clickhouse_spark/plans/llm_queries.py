@@ -1971,3 +1971,189 @@ def l46_lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared sample size, never corpus-quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     return D.lsh_banding_audit(docs, "doc_id", "text")
+
+
+@query(
+    "l47_entropy_quality",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS MATERIALIZED (
+      SELECT doc_id, w, count(*) AS c FROM words WHERE w <> ''
+      GROUP BY 1, 2),
+    wagg AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM wc GROUP BY doc_id),
+    chars AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(substr(text, 1, 256), '.')) AS ch
+      FROM documents),
+    cc AS MATERIALIZED (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+    cagg AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM cc GROUP BY doc_id)
+    SELECT w.doc_id, w.n AS n_words,
+           round(ln(w.n) - (w.s / 1e6) / w.n, 6) AS words_entropy,
+           c.n AS n_chars,
+           round(ln(c.n) - (c.s / 1e6) / c.n, 6) AS chars_entropy
+    FROM wagg w JOIN cagg c USING (doc_id)
+    """,
+)
+def l47_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals per document: unigram word
+    entropy (full text) + character entropy (first 256 chars) — the
+    compression-style repetitiveness heuristics corpus filters use
+    beside Gopher rules.  Per-term c·ln(c) micro-quantization makes
+    the sums integer-exact across engines (llm.text.entropy_stats,
+    the l41 float discipline); the char explode is capped by the
+    prefix, so cost is O(1) per document at any length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.entropy_stats(docs, "doc_id", "text", prefix_chars=256)
+
+
+@query(
+    "l48_url_canonical_dedup",
+    oracle="""
+    WITH u AS MATERIALIZED (
+      SELECT doc_id,
+        'HTTPS://' ||
+        CASE WHEN doc_id % 13 = 0 THEN 'www.' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END ||
+        '.Example.COM' ||
+        CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),
+    p AS MATERIALIZED (
+      SELECT doc_id, url,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path
+      FROM u),
+    c AS MATERIALIZED (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        || '://' ||
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\\.', ''), ':(443|80)$', '')
+        || CASE WHEN path = '' THEN '/' ELSE path END AS canonical_url
+      FROM p)
+    SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM c GROUP BY canonical_url
+    """,
+)
+def l48_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style URL dedup: canonicalize (lowercase scheme +
+    host, strip www./default ports/query/fragment/trailing slashes)
+    then group by canonical key (llm.linkage.canonical_url +
+    url_dedup_groups — pure regex codegen, one hash aggregate).  The
+    fixture has no URL column, so the query SYNTHESIZES deterministic
+    messy URLs from (source, doc_id) — same expression on both
+    engines — and the canonicalizer collapses the synthetic mess
+    (case, ports, tracking params, fragments, slashes) into shared
+    keys with real dup groups."""
+    from ..llm.linkage import url_dedup_groups
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 13 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+         .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return url_dedup_groups(docs.withColumn("url", url), "doc_id", "url")
+
+
+@query(
+    "l49_fuzzy_linkage",
+    oracle="""
+    WITH names AS MATERIALIZED (
+      SELECT DISTINCT p_name AS name,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+      FROM part)
+    SELECT a.blk, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev
+    FROM names a JOIN names b ON b.blk = a.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def l49_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage on part names: block by the noun
+    (last word), exact Levenshtein ≤ 4 inside blocks
+    (llm.linkage.fuzzy_match_pairs).  Names dedupe BEFORE pairing, so
+    join cost is quadratic in per-block VOCABULARY (the adjective set),
+    not corpus rows — the blocking-key discipline every entity-
+    resolution pipeline at scale uses."""
+    from ..llm.linkage import fuzzy_match_pairs
+    part = load_table(spark, sf_dir, "part")
+    blk = F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1)
+    return fuzzy_match_pairs(part, "p_name", blk, max_distance=4)
+
+
+def _l50_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 4,
+                seed: int = 42) -> str:
+    """Replay knn_classify in SQL: literal hyperplanes → per-table
+    sign-bit buckets → candidate pairs sharing ANY bucket → rounded-
+    cosine top-k → majority vote with (count desc, label asc) ties —
+    the l11 emit-the-planes pattern extended through the vote."""
+    bs = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        bs.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT e.vec_id, e.v, e.label, {", ".join(bs)} FROM e),
+    pr AS MATERIALIZED (
+      SELECT a.vec_id AS i, c.vec_id AS j, a.label AS true_label,
+             c.label AS lj,
+             round(list_cosine_similarity(a.v, c.v), 6) AS cos
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({cond})),
+    top AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT i, j, true_label, lj, cos,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY cos DESC, j) AS rn
+        FROM pr) WHERE rn <= {k}),
+    cand AS (SELECT i, count(*) AS n_candidates FROM pr GROUP BY i),
+    votes AS (SELECT i, lj, min(true_label) AS true_label,
+                     count(*) AS c
+              FROM top GROUP BY i, lj),
+    winner AS (
+      SELECT i, true_label, lj, c,
+             row_number() OVER (PARTITION BY i ORDER BY c DESC, lj) AS rn
+      FROM votes)
+    SELECT w.i AS vec_id, w.true_label, w.lj AS pred_label,
+           w.c AS votes, cd.n_candidates,
+           w.lj = w.true_label AS correct
+    FROM winner w JOIN cand cd ON cd.i = w.i WHERE w.rn = 1
+    """
+
+
+@query("l50_knn_classify", oracle=_l50_oracle())
+def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classification over LSH-blocked
+    candidates (llm.similarity.knn_classify) — the embedding-space
+    quality eval (do labels cluster?).  Candidates come from 4
+    hyperplane tables as 4 unioned EQUI-joins (never an OR-join);
+    exact cosine reranks; the vote and every ordering use rounded
+    cosine + id/label tiebreaks so the oracle replays bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_classify(emb, "vec_id", "embedding", "label", k=5)

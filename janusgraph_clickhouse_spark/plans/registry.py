@@ -123,6 +123,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "q43_kmv_set_ops": 6, "q44_delta_sum": 6,
     "s14_gap_fill": 6, "s15_pit_enrich": 6,
     "g29_copurchase_lift": 6,
+    "l47_entropy_quality": 6, "l48_url_canonical_dedup": 6,
+    "l49_fuzzy_linkage": 6, "l50_knn_classify": 6,
 }
 
 # ROUND-7 ROTATION, pre-derived (contingent on whether the missing

@@ -1115,3 +1115,68 @@ def test_lsh_banding_audit_invariants(spark):
     assert r.n_true >= 2          # (1,2) exact + (1,3)/(2,3) near
     assert r.recall == 1.0        # identical sigs always share buckets
     assert r.n_cand < 10          # nowhere near all pairs
+
+
+def test_canonical_url_closed_forms(spark):
+    from janusgraph_clickhouse_spark.llm.linkage import canonical_url
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?q=1&utm_x=2#f", "https://ex.com/a/b"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://sub.ex.com/path", "https://sub.ex.com/path"),
+        ("https://ex.com/p//", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_fuzzy_match_pairs_closed_form(spark):
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.linkage import fuzzy_match_pairs
+    rows = [("red widget",), ("rad widget",), ("blue widget",),
+            ("red bolt",), ("red widget",)]  # dup name collapses
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.regexp_extract(F.col("name"), "([a-z]+)$", 1)
+    out = fuzzy_match_pairs(df, "name", blk, max_distance=4).collect()
+    pairs = {(r.name_a, r.name_b): r.lev for r in out}
+    assert pairs[("rad widget", "red widget")] == 1
+    assert ("blue widget", "rad widget") in pairs  # lev 4 boundary
+    # bolt is its own block: never paired with a widget name
+    assert all("bolt" not in a and "bolt" not in b for a, b in pairs)
+    # duplicate names collapse before pairing: no self-pair, 3 pairs total
+    assert len(pairs) == 3
+
+
+def test_entropy_stats_closed_form(spark):
+    import math
+    from janusgraph_clickhouse_spark.llm.text import entropy_stats
+    df = spark.createDataFrame([(1, "a a b b"), (2, "x x x x")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           entropy_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_words == 4
+    assert abs(out[1].words_entropy - math.log(2)) < 1e-5
+    assert out[2].words_entropy == 0.0
+    # chars of "a a b b": {a:2, b:2, ' ':3} over n=7
+    assert out[1].n_chars == 7
+    h = math.log(7) - (2*math.log(2)*2 + 3*math.log(3)) / 7
+    assert abs(out[1].chars_entropy - h) < 1e-5
+
+
+def test_knn_classify_separated_clusters(spark):
+    """Two well-separated direction clusters classify perfectly."""
+    import random
+    from janusgraph_clickhouse_spark.llm.similarity import knn_classify
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        lbl = i % 2
+        base = [1.0, 0.0, 0.0, 0.0] if lbl == 0 else [0.0, 0.0, 0.0, 1.0]
+        vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+        rows.append((i, vec, lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                     "label int")
+    out = knn_classify(df, "vec_id", "embedding", "label", k=3).collect()
+    assert len(out) == 40
+    assert all(r.correct for r in out)
