@@ -465,31 +465,8 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str,
     n_candidates (pre-cut), correct."""
     from pyspark.sql import Window
 
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  F.col(label_col).alias("lbl"))
-    dim = _dim_of(df, vec_col)
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
-    legs = []
-    for t in range(n_tables):
-        a = e.select(F.col("id").alias("i"), F.col(f"b{t}").alias("bk"))
-        b = e.select(F.col("id").alias("j"), F.col(f"b{t}").alias("bk"))
-        legs.append(a.join(b, "bk").filter(F.col("i") != F.col("j"))
-                    .select("i", "j"))
-    pairs = legs[0]
-    for leg in legs[1:]:
-        pairs = pairs.union(leg)
-    pairs = pairs.distinct()
-    scored = (pairs
-              .join(e.select(F.col("id").alias("i"),
-                             F.col("v").alias("vi"),
-                             F.col("lbl").alias("true_label")), "i")
-              .join(e.select(F.col("id").alias("j"),
-                             F.col("v").alias("vj"),
-                             F.col("lbl").alias("lj")), "j")
-              .select("i", "j", "true_label", "lj",
-                      F.round(cosine_expr("vi", "vj"), 6).alias("cos")))
+    scored = _lsh_scored_pairs(df, id_col, vec_col, label_col,
+                               n_planes, n_tables, seed)
     w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
     top = (scored.withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") <= k))
@@ -512,3 +489,67 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     contract (TESTDATA.md: 64) — probed from one row only if needed."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
+                      label_col: str, n_planes: int, n_tables: int,
+                      seed: int) -> DataFrame:
+    """Shared candidate machinery for knn_classify / hard_negatives:
+    LSH-blocked ordered pairs (i, j, true_label, lj, cos) — one leg
+    per hyperplane table as an EQUI-join on the bucket column, unioned
+    and deduplicated, exact rounded cosine on the candidates only.
+    Vectors are cast to double UP FRONT: float32 multiplies diverge
+    from the oracle's DOUBLE[] path by ulps that cross the rounding
+    boundary (l51 found this — l50 passed on luck)."""
+    e = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"),
+                  F.col(label_col).alias("lbl"))
+    dim = _dim_of(df, vec_col)
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
+    legs = []
+    for t in range(n_tables):
+        a = e.select(F.col("id").alias("i"), F.col(f"b{t}").alias("bk"))
+        b = e.select(F.col("id").alias("j"), F.col(f"b{t}").alias("bk"))
+        legs.append(a.join(b, "bk").filter(F.col("i") != F.col("j"))
+                    .select("i", "j"))
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.union(leg)
+    pairs = pairs.distinct()
+    return (pairs
+            .join(e.select(F.col("id").alias("i"),
+                           F.col("v").alias("vi"),
+                           F.col("lbl").alias("true_label")), "i")
+            .join(e.select(F.col("id").alias("j"),
+                           F.col("v").alias("vj"),
+                           F.col("lbl").alias("lj")), "j")
+            .select("i", "j", "true_label", "lj",
+                    F.round(cosine_expr("vi", "vj"), 6).alias("cos")))
+
+
+def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, k: int = 3, n_planes: int = 4,
+                   n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each point, the top-k most-similar candidates with a DIFFERENT
+    label — the pairs a bi-encoder must learn to separate.  Same
+    LSH-blocked candidate machinery as knn_classify (unioned
+    equi-joins, never an OR-join); the different-label filter applies
+    BEFORE the per-point top-k so every emitted negative is genuinely
+    hard.  Orderings use rounded cosine + id tiebreaks (oracle-
+    replayable).  Output: anchor_id, neg_id, anchor_label, neg_label,
+    cos, rank (1 = hardest)."""
+    from pyspark.sql import Window
+
+    scored = _lsh_scored_pairs(df, id_col, vec_col, label_col,
+                               n_planes, n_tables, seed)
+    w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
+    return (scored.filter(F.col("lj") != F.col("true_label"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("i").alias("anchor_id"),
+                    F.col("j").alias("neg_id"),
+                    F.col("true_label").alias("anchor_label"),
+                    F.col("lj").alias("neg_label"), "cos", "rank"))

@@ -192,3 +192,65 @@ def gap_fill_locf(df: DataFrame, key: str, ts: str, value: str,
                     (F.col("cnt").isNull()).alias("is_gap"),
                     F.last("sum_cents", ignorenulls=True).over(w)
                     .alias("filled_sum_cents")))
+
+
+def lttb_downsample(df: DataFrame, key: str, ts: str, value: str,
+                    id_col: str, width_sec: int = 600) -> DataFrame:
+    """Largest-Triangle-Three-Buckets time-series downsampling
+    (Steinarsson 2013; ClickHouse largestTriangleThreeBuckets), in the
+    PARALLEL anchor variant: one representative point per `width_sec`
+    bucket per key — the point maximizing the triangle area against
+    the NEIGHBOR BUCKETS' average anchors.  Classic LTTB anchors on
+    the previously SELECTED point, a sequential dependency; anchoring
+    on the previous bucket's average instead makes every bucket
+    independent (one window pass), the standard trade for distributed
+    execution.  First/last observed buckets keep their first/last
+    point (LTTB's endpoint rule).
+
+    Exactness: timestamps as epoch seconds, values as cents, anchors
+    as (bucket midpoint, floor(mean cents)) — the area comparison
+    |(Px−Nx)(y−Py) − (Px−x)(Ny−Py)| is pure int64 arithmetic, so the
+    argmax is bit-identical across engines (ties → earliest ts, then
+    id).  Scale shape: one (key,bucket) aggregate, one per-key window
+    over BUCKETS (rows ∝ span/width), one join back to points, one
+    per-bucket window."""
+    from pyspark.sql import Window
+    half = width_sec // 2
+    t = F.unix_timestamp(ts)
+    pts = df.select(F.col(key).alias("k"), t.alias("t"),
+                    F.floor(F.col(value) * 100 + F.lit(0.5))
+                    .cast("long").alias("c"),
+                    F.col(id_col).alias("tb"),
+                    (t - t % width_sec).alias("b"))
+    bs = (pts.groupBy("k", "b")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sc")))
+    wb = Window.partitionBy("k").orderBy("b")
+    anchors = bs.select(
+        "k", "b",
+        (F.lag("b").over(wb) + half).alias("px"),
+        F.floor(F.lag("sc").over(wb) / F.lag("n").over(wb))
+         .cast("long").alias("py"),
+        (F.lead("b").over(wb) + half).alias("nx"),
+        F.floor(F.lead("sc").over(wb) / F.lead("n").over(wb))
+         .cast("long").alias("ny"))
+    j = pts.join(anchors, ["k", "b"])
+    area = F.abs((F.col("px") - F.col("nx")) * (F.col("c") - F.col("py"))
+                 - (F.col("px") - F.col("t"))
+                 * (F.col("ny") - F.col("py")))
+    rule = (F.when(F.col("px").isNull(), F.lit("first"))
+            .when(F.col("nx").isNull(), F.lit("last"))
+            .otherwise(F.lit("area")))
+    scored = j.select("k", "b", "t", "c", "tb", rule.alias("rule"),
+                      F.when(rule == "area", area).otherwise(F.lit(0))
+                      .alias("area"))
+    wp = Window.partitionBy("k", "b").orderBy(
+        F.when(F.col("rule") == "last", -F.col("t")).otherwise(
+            F.when(F.col("rule") == "area", -F.col("area"))
+            .otherwise(F.lit(0))),
+        F.when(F.col("rule") == "last", -F.col("tb"))
+         .otherwise(F.col("t")),
+        F.when(F.col("rule") == "last", F.lit(0)).otherwise(F.col("tb")))
+    return (scored.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("k", "b", F.col("t").alias("ts_sec"),
+                    F.col("c").alias("cents"), "rule"))

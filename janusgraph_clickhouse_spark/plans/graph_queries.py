@@ -1235,3 +1235,60 @@ def g29_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("lift"))
             .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
             .limit(50))
+
+
+def _g30_oracle(iters: int = 4) -> str:
+    """Directed modularity of the g16 LPA partition: nest the full LPA
+    oracle as a CTE (DuckDB allows WITH inside a CTE body; the inner
+    edge CTEs shadow the outer re-derivation), then the Leicht-Newman
+    sum with per-community terms quantized to exact nano-units before
+    summing — the repo's no-float-summation-order discipline."""
+    return f"""
+    WITH lab AS MATERIALIZED ({_lpa_oracle(iters)}),
+    {_INTERACTION_EDGES_SQL.strip()},
+    e2 AS MATERIALIZED (
+      SELECT ls.community AS cs, ld.community AS cd
+      FROM e JOIN lab ls ON ls.id = e.src
+             JOIN lab ld ON ld.id = e.dst),
+    mm AS (SELECT count(*) AS m FROM e2),
+    w AS MATERIALIZED (
+      SELECT cs AS c, count(*) AS ec FROM e2 WHERE cs = cd GROUP BY cs),
+    od AS MATERIALIZED (SELECT cs AS c, count(*) AS dout FROM e2 GROUP BY cs),
+    idg AS MATERIALIZED (SELECT cd AS c, count(*) AS din FROM e2 GROUP BY cd),
+    per AS MATERIALIZED (
+      SELECT coalesce(od.c, idg.c) AS c,
+             coalesce(w.ec, 0) AS ec,
+             coalesce(od.dout, 0) AS dout,
+             coalesce(idg.din, 0) AS din
+      FROM od FULL JOIN idg ON idg.c = od.c
+      LEFT JOIN w ON w.c = coalesce(od.c, idg.c)),
+    t AS (
+      SELECT CAST(floor((ec / mm.m - (din / mm.m) * (dout / mm.m)) * 1e9
+                        + 0.5) AS BIGINT) AS t
+      FROM per, mm)
+    SELECT (SELECT count(*) FROM t) AS n_communities,
+           (SELECT m FROM mm) AS n_edges,
+           round((SELECT CAST(sum(t) AS BIGINT) FROM t) / 1e9, 6)
+             AS modularity
+    """
+
+
+@query("g30_modularity", oracle=_g30_oracle())
+def g30_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition quality of the g16 LPA communities: directed
+    modularity (Leicht & Newman 2008) over the symmetric interaction
+    graph (graph.algorithms.directed_modularity).  Per-community terms
+    are quantized to exact nano-units BEFORE the final sum — no float
+    summation order — so the score hash-matches the oracle's nested
+    full-LPA rederivation.  Two label lookups on the edge list +
+    bounded per-community aggregates."""
+    from ..graph.algorithms import directed_modularity, label_propagation
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    labels = label_propagation(g, max_iter=4)
+    # the persisted edge list stores each undirected edge once
+    # (src < dst); modularity needs the symmetric form the oracle uses
+    e = g.edges.select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    return directed_modularity(sym, labels)

@@ -2124,7 +2124,7 @@ def _l50_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 4,
     pr AS MATERIALIZED (
       SELECT a.vec_id AS i, c.vec_id AS j, a.label AS true_label,
              c.label AS lj,
-             round(list_cosine_similarity(a.v, c.v), 6) AS cos
+             round(list_inner_product(a.v, c.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
       FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({cond})),
     top AS MATERIALIZED (
       SELECT * FROM (
@@ -2157,3 +2157,43 @@ def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + id/label tiebreaks so the oracle replays bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_classify(emb, "vec_id", "embedding", "label", k=5)
+
+
+def _l51_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 4,
+                seed: int = 42) -> str:
+    """l50's candidate replay with the different-label filter applied
+    before the per-anchor top-k."""
+    bs = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        bs.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT e.vec_id, e.v, e.label, {", ".join(bs)} FROM e),
+    pr AS MATERIALIZED (
+      SELECT a.vec_id AS i, c.vec_id AS j, a.label AS true_label,
+             c.label AS lj,
+             round(list_inner_product(a.v, c.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({cond})
+      WHERE a.label <> c.label)
+    SELECT i AS anchor_id, j AS neg_id, true_label AS anchor_label,
+           lj AS neg_label, cos, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY i
+                                       ORDER BY cos DESC, j) AS rn
+          FROM pr) WHERE rn <= {k}
+    """
+
+
+@query("l51_hard_negatives", oracle=_l51_oracle())
+def l51_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training
+    (llm.similarity.hard_negatives): per anchor, the top-3 most-similar
+    LSH-blocked candidates with a DIFFERENT label — the pairs a
+    bi-encoder must learn to separate.  Same unioned-equi-join
+    candidate machinery as l50; rounded cosine + id tiebreaks replayed
+    bit-exactly by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, "vec_id", "embedding", "label", k=3)

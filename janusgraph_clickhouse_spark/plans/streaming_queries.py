@@ -563,3 +563,58 @@ def s15_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("f.event_id", "f.user_id", "f.ts_sec", "f.event_type",
                     F.col("d.state").alias("browse_state"),
                     F.col("d.version").alias("state_version")))
+
+
+@query(
+    "s16_lttb_downsample",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             event_id AS tb,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS b
+      FROM events),
+    bs AS MATERIALIZED (
+      SELECT k, b, count(*) AS n, sum(c) AS sc FROM pts GROUP BY 1, 2),
+    an AS MATERIALIZED (
+      SELECT k, b,
+             lag(b) OVER w + 300 AS px,
+             CAST(floor(lag(sc) OVER w / lag(n) OVER w) AS BIGINT) AS py,
+             lead(b) OVER w + 300 AS nx,
+             CAST(floor(lead(sc) OVER w / lead(n) OVER w) AS BIGINT) AS ny
+      FROM bs WINDOW w AS (PARTITION BY k ORDER BY b)),
+    j AS MATERIALIZED (
+      SELECT p.k, p.b, p.t, p.c, p.tb,
+             CASE WHEN a.px IS NULL THEN 'first'
+                  WHEN a.nx IS NULL THEN 'last' ELSE 'area' END AS rule,
+             CASE WHEN a.px IS NOT NULL AND a.nx IS NOT NULL
+                  THEN abs((a.px - a.nx) * (p.c - a.py)
+                           - (a.px - p.t) * (a.ny - a.py))
+                  ELSE 0 END AS area
+      FROM pts p JOIN an a ON a.k = p.k AND a.b = p.b)
+    SELECT k, b, t AS ts_sec, c AS cents, rule FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY k, b ORDER BY
+          CASE WHEN rule = 'last' THEN -t
+               WHEN rule = 'area' THEN -area ELSE 0 END,
+          CASE WHEN rule = 'last' THEN -tb ELSE t END,
+          CASE WHEN rule = 'last' THEN 0 ELSE tb END) AS rn
+      FROM j) WHERE rn = 1
+    """,
+)
+def s16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    largestTriangleThreeBuckets) in the parallel bucket-average-anchor
+    variant: one representative point per event_type per 10-minute
+    bucket, chosen by max triangle area against the neighbor buckets'
+    anchors; first/last buckets keep their endpoints.  Epoch-second ×
+    cents arithmetic makes every area an exact int64 — the argmax is
+    bit-identical across engines (operators.temporal.lttb_downsample).
+    One (key,bucket) aggregate + one per-key window over BUCKETS + one
+    per-bucket window."""
+    from ..operators.temporal import lttb_downsample
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, "event_type", "ts", "value", "event_id",
+                           width_sec=600)

@@ -850,3 +850,23 @@ def test_bipartite_project_hub_cap(spark):
     assert len(rows) == 1 and rows[0].weight == 1
     uncapped = bipartite_project(e, left="p", right="o").count()
     assert uncapped == 45 + 1 - 1  # C(10,2) hub pairs + (1,2) merged once
+
+
+def test_directed_modularity_two_cliques(spark):
+    """Two disjoint symmetric triangles with the perfect partition:
+    Q = 2 * (6/12 - (6/12)^2) = 0.5."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        directed_modularity)
+    tri = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    edges = tri + [(b, a) for a, b in tri]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, community long")
+    r = directed_modularity(e, labels).collect()[0]
+    assert r.n_edges == 12 and r.n_communities == 2
+    assert abs(r.modularity - 0.5) < 1e-9
+    # the all-in-one-community partition scores 0
+    one = spark.createDataFrame([(i, 0) for i in range(6)],
+                                "id long, community long")
+    r1 = directed_modularity(e, one).collect()[0]
+    assert r1.modularity == 0.0

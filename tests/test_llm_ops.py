@@ -1180,3 +1180,37 @@ def test_knn_classify_separated_clusters(spark):
     out = knn_classify(df, "vec_id", "embedding", "label", k=3).collect()
     assert len(out) == 40
     assert all(r.correct for r in out)
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark):
+    """Twin vectors with different labels share every LSH bucket, so
+    each twin is the other's rank-1 hard negative (cos 1.0); an
+    isolated well-separated cluster yields NO cross-label candidates
+    (LSH separates clean clusters by design — blocked mining finds
+    negatives exactly where label regions abut in hash space)."""
+    import random
+    from janusgraph_clickhouse_spark.llm.similarity import hard_negatives
+    rng = random.Random(11)
+    rows = []
+    for i in range(10):
+        vec = [rng.uniform(-1, 1) for _ in range(6)]
+        rows.append((i, vec, 0))
+        rows.append((100 + i, vec, 1))          # identical twin, label 1
+    rows.append((500, [100.0, 90.0, 80.0, 70.0, 60.0, 50.0], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                     "label int")
+    out = hard_negatives(df, "vec_id", "embedding", "label", k=2).collect()
+    assert out
+    by_anchor = {}
+    for r in out:
+        assert r.neg_label != r.anchor_label
+        assert 1 <= r.rank <= 2
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.cos >= b.cos for a, b in zip(rs, rs[1:]))
+    for i in range(10):
+        assert by_anchor[i][0].neg_id == 100 + i
+        assert by_anchor[i][0].cos == 1.0
+        assert by_anchor[100 + i][0].neg_id == i

@@ -514,3 +514,28 @@ def test_pit_enrich_null_leg_and_state(spark, sf_oracle):
         assert d.valid_from_sec <= r.ts_sec
         assert d.valid_to_sec is None or r.ts_sec < d.valid_to_sec
     assert nulls < len(rows)
+
+
+def test_lttb_downsample_closed_form(spark):
+    """Three buckets: endpoints keep first/last points; the middle
+    bucket keeps its max-triangle-area point (the spike, not the
+    flat points)."""
+    from datetime import datetime
+    from janusgraph_clickhouse_spark.operators.temporal import (
+        lttb_downsample)
+    mk = lambda m, s, v, i: ("a", datetime(2024, 1, 1, 0, m, s), v, i)
+    rows = [
+        mk(0, 0, 1.00, 1), mk(5, 0, 1.00, 2),          # bucket 0
+        mk(10, 0, 1.00, 3), mk(12, 0, 9.00, 4),        # bucket 1: spike
+        mk(14, 0, 1.00, 5),
+        mk(20, 0, 1.00, 6), mk(25, 0, 2.00, 7),        # bucket 2
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double, event_id long")
+    out = sorted(lttb_downsample(df, "k", "ts", "value", "event_id",
+                                 width_sec=600).collect(),
+                 key=lambda r: r.b)
+    assert [r.rule for r in out] == ["first", "area", "last"]
+    assert out[0].cents == 100 and out[0].ts_sec == out[0].b
+    assert out[1].cents == 900          # the spike wins the area vote
+    assert out[2].cents == 200          # last point of the last bucket
