@@ -87,6 +87,12 @@ HEADLINE = [
     "l43_bpe_merges",           # BPE tokenizer-merge training
     "g27_diameter",             # double-sweep BFS diameter
     "s10_scd2_versions",        # SCD2 islands build
+    # round-6 additions
+    "q43_kmv_set_ops",          # KMV/theta sketch set algebra
+    "g29_copurchase_lift",      # bipartite projection + lift
+    "l47_entropy_quality",      # word/char entropy quality signals
+    "l50_knn_classify",         # LSH-blocked kNN majority vote
+    "s16_lttb_downsample",      # parallel LTTB downsampling
 ]
 
 

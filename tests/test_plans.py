@@ -413,3 +413,54 @@ def test_cms_never_underestimates_and_is_deterministic(spark):
     # 1000 ids with id%3==0 plus the 20 non-multiples-of-3 with
     # id%100==7 land on key 7
     assert a[0].key == 7 and a[0].exact_cnt == 1020
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_copurchase_plan_broadcasts_dims_no_cartesian(spark, sf_smoke):
+    """g29: degree/name lookups broadcast; pair join + top-50 stay
+    shuffle-shaped (TakeOrderedAndProject), no CartesianProduct (the
+    1-row count side may appear as a broadcast nested loop — that is
+    the broadcast of a scalar, not a quadratic join)."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["g29_copurchase_lift"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_dedup_plan_is_pure_codegen(spark, sf_smoke):
+    """l48: canonicalization is regex codegen — no Python evaluation
+    anywhere in the plan."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["l48_url_canonical_dedup"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_kmv_plan_uses_take_ordered_sketches(spark, sf_smoke):
+    """q43: every k-min sketch compiles to TakeOrderedAndProject (local
+    k-minima per partition + driver merge), never a global sort."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["q43_kmv_set_ops"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") <= plan.count("TakeOrderedAndProject") + 2
+
+
+def test_pit_enrich_no_cartesian(spark, sf_smoke):
+    """s15: the interval join must be an equi-join on user with the
+    range as a post-probe filter — never a CartesianProduct."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["s15_pit_enrich"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_generates_axis_no_cartesian(spark, sf_smoke):
+    """s14: the dense time axis comes from sequence()+explode, not a
+    join against a generated calendar table."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["s14_gap_fill"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
