@@ -1750,3 +1750,105 @@ def directed_modularity(edges: DataFrame, labels: DataFrame,
                     F.col("m").alias("n_edges"),
                     F.round(F.col("s") / F.lit(1e9), 6)
                     .alias("modularity")))
+
+
+def betweenness_approx(edges: DataFrame, n_sources: int = 4,
+                       max_levels: int = 8) -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes 2001 dependency
+    accumulation from k pivots — the standard approximation at scale;
+    exact when every vertex is a pivot).  Pivots are the `n_sources`
+    vertices with smallest (md5_long60(id), id) — deterministic, not a
+    RNG, so the pivot set is a pure function of the graph (the g28/l42
+    discipline).
+
+    Exact integer semantics, cross-engine by construction: forward BFS
+    path counts σ are exact BIGINTs; the backward pass accumulates
+    δ in MICRO-units — each child term floor(σ_p·(1e6 + δ_c)/σ_c) is
+    an exact int64, so no float summation order exists at any level
+    (the quantization IS the operator's definition, applied identically
+    in the SQL oracle).  Raises loudly if a frontier is still expanding
+    at `max_levels` — a silently truncated BFS would understate σ.
+
+    Scale shape: all pivots run in ONE multi-source frontier (source-
+    labeled rows, the g21 harmonic pattern): per level one join on the
+    edge list + one anti-join against the visited set + one aggregate;
+    backward, one level-to-level join per depth.  Frontier rows =
+    Σ_s |ball(s, h)| — linear in reached vertices per pivot.
+
+    `edges` must be the SYMMETRIC directed form (both directions
+    present) for undirected semantics.  Output: (id, n_sources,
+    bc_micro, bc) for every vertex with nonzero dependency."""
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    verts = (e.select(F.col("u").alias("id")).distinct())
+    from ..functions.hashing import md5_long60
+    pivots = (verts.select("id",
+                           md5_long60(F.col("id").cast("string")).alias("h"))
+              .orderBy("h", "id").limit(n_sources)
+              .select(F.col("id").alias("s")))
+    # forward: levels[l] = (s, v, sigma)
+    cur = pivots.select("s", F.col("s").alias("v"),
+                        F.lit(1).cast("long").alias("sigma"),
+                        F.lit(0).alias("level")).localCheckpoint()
+    levels = [cur]
+    visited = cur.select("s", "v")
+    for lvl in range(1, max_levels + 1):
+        nxt = (cur.join(e, cur.v == e.u)
+               .join(visited.withColumnRenamed("v", "w"), ["s", "w"],
+                     "left_anti")
+               .groupBy("s", F.col("w").alias("v"))
+               .agg(F.sum("sigma").alias("sigma"))
+               .withColumn("level", F.lit(lvl))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "v")).localCheckpoint()
+        cur = nxt
+    else:
+        probe = (cur.join(e, cur.v == e.u)
+                 .join(visited.withColumnRenamed("v", "w"), ["s", "w"],
+                       "left_anti"))
+        if not probe.isEmpty():
+            raise ValueError(
+                f"betweenness_approx: frontier still expanding at "
+                f"max_levels={max_levels}; raise the bound")
+    if len(levels) == 1:        # no pivot reached anyone: empty result
+        return (pivots.select(F.col("s").alias("id"),
+                              F.lit(n_sources).alias("n_sources"),
+                              F.lit(0).cast("long").alias("bc_micro"),
+                              F.lit(0.0).alias("bc")).limit(0))
+    # backward: delta in micro-units per (s, v), deepest level first
+    MICRO = F.lit(1_000_000).cast("long")
+    delta = levels[-1].select(
+        "s", "v", F.lit(0).cast("long").alias("d"))
+    acc = []
+    for lvl in range(len(levels) - 2, -1, -1):
+        parents = levels[lvl]
+        children = levels[lvl + 1].join(delta, ["s", "v"]) \
+            .select("s", F.col("v").alias("w"),
+                    F.col("sigma").alias("csigma"), "d")
+        term = F.floor(F.col("sigma") * (MICRO + F.col("d"))
+                       / F.col("csigma")).cast("long")
+        contrib = (parents.join(e, parents.v == e.u)
+                   .join(children, ["s", "w"])
+                   .groupBy("s", "v", "sigma")
+                   .agg(F.sum(term).alias("d"))
+                   .select("s", "v", "d"))
+        delta = (parents.select("s", "v")
+                 .join(contrib, ["s", "v"], "left")
+                 .select("s", "v",
+                         F.coalesce("d", F.lit(0).cast("long")).alias("d"))
+                 .localCheckpoint())
+        acc.append(delta.join(pivots.withColumnRenamed("s", "__s"),
+                              (F.col("s") == F.col("__s"))
+                              & (F.col("v") == F.col("__s")), "left_anti")
+                   .select("v", "d"))
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.union(a)
+    return (out.filter(F.col("d") > 0)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("d").alias("bc_micro"))
+            .select("id", F.lit(n_sources).alias("n_sources"),
+                    "bc_micro",
+                    F.round(F.col("bc_micro") / F.lit(1e6), 6).alias("bc")))

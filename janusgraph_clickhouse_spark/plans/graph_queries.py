@@ -1292,3 +1292,72 @@ def g30_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.union(e.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst")))
     return directed_modularity(sym, labels)
+
+
+def _g31_oracle(n_sources: int = 4, max_levels: int = 6) -> str:
+    """Unrolled source-sampled Brandes: forward BFS levels with exact
+    σ path counts, then per-level dependency accumulation in integer
+    micro-units — floor(σ_p·(1e6+δ_c)/σ_c) per child edge, summed
+    exactly (the quantization IS the operator's semantics, so the two
+    engines agree bit-for-bit at every level)."""
+    H = "('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    parts = [_INTERACTION_EDGES_SQL,
+             "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+             f"""piv AS MATERIALIZED (
+      SELECT id AS s FROM (SELECT id, {H} AS h FROM v
+                           ORDER BY h, id LIMIT {n_sources}))""",
+             "f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT)"
+             " AS sigma FROM piv)",
+             "vis0 AS MATERIALIZED (SELECT s, v FROM f0)"]
+    for l in range(1, max_levels + 1):
+        parts.append(f"""f{l} AS MATERIALIZED (
+      SELECT f.s, e.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM f{l - 1} f JOIN e ON e.src = f.v
+      LEFT JOIN vis{l - 1} x ON x.s = f.s AND x.v = e.dst
+      WHERE x.v IS NULL
+      GROUP BY f.s, e.dst)""")
+        parts.append(f"""vis{l} AS MATERIALIZED (
+      SELECT s, v FROM vis{l - 1} UNION ALL SELECT s, v FROM f{l})""")
+    parts.append(f"""d{max_levels} AS MATERIALIZED (
+      SELECT s, v, CAST(0 AS BIGINT) AS d FROM f{max_levels})""")
+    for l in range(max_levels - 1, -1, -1):
+        parts.append(f"""d{l} AS MATERIALIZED (
+      SELECT p.s, p.v,
+             CAST(coalesce(sum(CAST(floor(p.sigma * (1000000 + c.d)
+                                          / c.sigma) AS BIGINT)), 0)
+                  AS BIGINT) AS d
+      FROM f{l} p
+      LEFT JOIN e ON e.src = p.v
+      LEFT JOIN (SELECT ch.s, ch.v, ch.sigma, dd.d
+                 FROM f{l + 1} ch
+                 JOIN d{l + 1} dd ON dd.s = ch.s AND dd.v = ch.v) c
+        ON c.s = p.s AND c.v = e.dst
+      GROUP BY p.s, p.v)""")
+    uni = " UNION ALL ".join(
+        f"SELECT s, v, d FROM d{l}" for l in range(max_levels + 1))
+    return ("WITH " + ",\n".join(parts) + f""",
+    alld AS MATERIALIZED ({uni})
+    SELECT v AS id, {n_sources} AS n_sources,
+           CAST(sum(d) AS BIGINT) AS bc_micro,
+           round(CAST(sum(d) AS BIGINT) / 1e6, 6) AS bc
+    FROM alld WHERE d > 0 AND v <> s
+    GROUP BY v""")
+
+
+@query("g31_betweenness", oracle=_g31_oracle())
+def g31_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled Brandes betweenness centrality on the symmetric
+    interaction graph (graph.algorithms.betweenness_approx): 4
+    deterministic md5-order pivots, one multi-source labeled frontier
+    forward (σ path counts as exact BIGINTs), per-level backward
+    dependency accumulation in integer micro-units — no float appears
+    before the final display division, so the sampled BC hash-matches
+    the oracle's full unrolled rederivation.  Pivot count is the
+    standard accuracy/cost dial at scale (Brandes-Pich 2007)."""
+    from ..graph.algorithms import betweenness_approx
+    from ..graph.model import interaction_graph
+    g = interaction_graph(spark, sf_dir, "10 minutes")
+    e = g.edges.select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    return betweenness_approx(sym, n_sources=4, max_levels=8)

@@ -126,7 +126,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "l47_entropy_quality": 6, "l48_url_canonical_dedup": 6,
     "l49_fuzzy_linkage": 6, "l50_knn_classify": 6,
     "g30_modularity": 6, "l51_hard_negatives": 6,
-    "s16_lttb_downsample": 6,
+    "s16_lttb_downsample": 6, "g31_betweenness": 6,
 }
 
 # ROUND-7 ROTATION, pre-derived (contingent on whether the missing

@@ -870,3 +870,66 @@ def test_directed_modularity_two_cliques(spark):
                                 "id long, community long")
     r1 = directed_modularity(e, one).collect()[0]
     assert r1.modularity == 0.0
+
+
+def _ref_micro_brandes(edges_sym, sources, micro=10**6):
+    """Independent Python implementation of the micro-quantized
+    source-sampled Brandes used by betweenness_approx."""
+    import collections
+    adj = collections.defaultdict(list)
+    for u, w in edges_sym:
+        adj[u].append(w)
+    total = collections.Counter()
+    for s in sources:
+        from collections import deque
+        level, sigma, q = {s: 0}, {s: 1}, deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in level:
+                    level[w] = level[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if level[w] == level[u] + 1:
+                    sigma[w] += sigma[u]
+        d = {v: 0 for v in level}
+        for v in sorted(level, key=lambda x: -level[x]):
+            for w in adj[v]:
+                if level.get(w) == level[v] + 1:
+                    d[v] += (sigma[v] * (micro + d[w])) // sigma[w]
+        for v in level:
+            if v != s and d[v] > 0:
+                total[v] += d[v]
+    return dict(total)
+
+
+def test_betweenness_matches_reference_on_small_graphs(spark):
+    import hashlib
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        betweenness_approx)
+
+    def md5h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    for und in ([(0, 1), (1, 2), (2, 3)],                    # path P4
+                [(0, 1), (0, 2), (0, 3), (0, 4)],            # star
+                [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]):   # lollipop
+        sym = und + [(b, a) for a, b in und]
+        verts = sorted({v for p in sym for v in p})
+        sources = sorted(verts, key=lambda v: (md5h(v), v))[:4]
+        want = _ref_micro_brandes(sym, sources)
+        e = spark.createDataFrame(sym, "src long, dst long")
+        got = {r.id: r.bc_micro
+               for r in betweenness_approx(e, n_sources=4).collect()}
+        assert got == want, (und, got, want)
+
+
+def test_betweenness_raises_on_truncated_bfs(spark):
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        betweenness_approx)
+    und = [(i, i + 1) for i in range(6)]   # path P7, depth 6 > 2
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    with pytest.raises(ValueError, match="still expanding"):
+        betweenness_approx(e, n_sources=1, max_levels=2)
