@@ -2197,3 +2197,54 @@ def l51_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.hard_negatives(emb, "vec_id", "embedding", "label", k=3)
+
+
+def _l52_oracle() -> str:
+    """Per-source dataset card: nest l39's full Gopher oracle as a CTE
+    and aggregate its per-document verdicts by source with exact
+    integer counts (rates = one deterministic division at the edge)."""
+    from .registry import ORACLES
+    gopher = ORACLES["l39_gopher_rules"]
+    return f"""
+    WITH gp AS MATERIALIZED ({gopher}),
+    d2 AS MATERIALIZED (
+      SELECT doc_id, source, md5(text) AS h FROM documents)
+    SELECT d2.source,
+      count(*) AS n_docs,
+      CAST(count(DISTINCT d2.h) AS BIGINT) AS uniq_texts,
+      CAST(sum(g.n_words) AS BIGINT) AS total_words,
+      round(CAST(sum(g.n_words) AS DOUBLE) / count(*), 2) AS avg_words,
+      CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_gopher_pass,
+      round(CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS gopher_pass_rate
+    FROM d2 JOIN gp g USING (doc_id)
+    GROUP BY d2.source
+    """
+
+
+@query("l52_source_report", oracle=_l52_oracle())
+def l52_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per source — the curation dashboard every
+    corpus build publishes: document count, exact-dup collapse
+    (distinct md5 texts), token volume, and Gopher pass rate, each an
+    exact integer aggregate with rates derived by one deterministic
+    division at the edge.  Pure composition of individually-oracled
+    pieces (l01's hash key, l39's verdicts), so the report stays
+    hash-checkable end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = X.gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "passes")
+    d2 = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    return (d2.join(g, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("h").alias("uniq_texts"),
+                 F.sum("n_words").alias("total_words"),
+                 F.round(F.sum("n_words").cast("double")
+                         / F.count(F.lit(1)), 2).alias("avg_words"),
+                 F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                  .cast("long").alias("n_gopher_pass"),
+                 F.round(F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                         .cast("double") / F.count(F.lit(1)), 4)
+                  .alias("gopher_pass_rate")))

@@ -127,6 +127,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "l49_fuzzy_linkage": 6, "l50_knn_classify": 6,
     "g30_modularity": 6, "l51_hard_negatives": 6,
     "s16_lttb_downsample": 6, "g31_betweenness": 6,
+    "q45_ttl_partition_prune": 6, "l52_source_report": 6,
 }
 
 # ROUND-7 ROTATION, pre-derived (contingent on whether the missing

@@ -1342,3 +1342,58 @@ def q44_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import delta_sum
     ev = load_table(spark, sf_dir, "events")
     return delta_sum(ev, "user_id", "ts", "value", order_extra="event_id")
+
+
+@query(
+    "q45_ttl_partition_prune",
+    oracle="""
+    WITH days AS MATERIALIZED (
+      SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    c AS (SELECT mn + CAST(floor((mx - mn) / 2) AS BIGINT) AS cutoff
+          FROM (SELECT min(d) AS mn, max(d) AS mx FROM days))
+    SELECT d, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           (SELECT CAST(count(DISTINCT d) AS BIGINT)
+            FROM days, c WHERE d < cutoff) AS n_dropped_partitions
+    FROM days, c WHERE d >= cutoff GROUP BY d, cutoff
+    """,
+)
+def q45_ttl_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse TTL / DROP PARTITION maintenance, driver-checked end
+    to end: the query WRITES events partitioned by epoch-day, applies
+    a metadata-only TTL (sources.layout.apply_ttl unlinks whole
+    partition directories below the cutoff — O(partitions), no row
+    read or rewritten), then reads the survivors back and aggregates
+    per day.  The read-back must equal the oracle's WHERE d >= cutoff
+    — proving the partition drop removed exactly the expired days.
+    Cutoff = median day, derived from the data on both sides.  The
+    s12 pattern: real side-effects inside the registered query, work
+    dir deleted after a localCheckpoint."""
+    import os
+    import shutil
+    import tempfile
+    from ..sources.layout import apply_ttl
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    work = tempfile.mkdtemp(prefix="q45_ttl_")
+    try:
+        tbl = os.path.join(work, "events_by_day")
+        (ev.select(day.alias("d"), cents.alias("cents"))
+         .write.partitionBy("d").parquet(tbl))
+        b = (spark.read.parquet(tbl)
+             .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+             .first())
+        cutoff = int(b.mn + (b.mx - b.mn) // 2)
+        dropped = apply_ttl(tbl, "d", cutoff)
+        out = (spark.read.parquet(tbl)
+               .groupBy(F.col("d").cast("long").alias("d"))
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.sum("cents").alias("sum_cents"))
+               .withColumn("n_dropped_partitions",
+                           F.lit(dropped).cast("long"))
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -97,3 +97,32 @@ def write_zordered_parquet(df: DataFrame, path: str,
      .sortWithinPartitions("__z")
      .drop("__z")
      .write.mode("overwrite").parquet(path))
+
+
+def apply_ttl(path: str, partition_col: str, cutoff: int) -> int:
+    """ClickHouse ``TTL ... DELETE`` / ``DROP PARTITION`` analog for a
+    directory-partitioned parquet table: delete every partition
+    directory whose integer partition value is < `cutoff`.  This is a
+    METADATA-ONLY operation — whole directories unlink, no row is read
+    or rewritten — which is the entire point of partitioning by the
+    expiry dimension: at 100 TB, expiring a day of data must not cost
+    a scan of that day.  Returns the number of partitions dropped.
+
+    The expiry decision reads only the directory NAMES (one listing),
+    so cost is O(partitions), never O(rows)."""
+    import os
+    import shutil
+
+    dropped = 0
+    prefix = partition_col + "="
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        try:
+            val = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if val < cutoff:
+            shutil.rmtree(os.path.join(path, name))
+            dropped += 1
+    return dropped

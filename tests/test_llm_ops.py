@@ -1214,3 +1214,30 @@ def test_hard_negatives_are_cross_label_and_ranked(spark):
         assert by_anchor[i][0].neg_id == 100 + i
         assert by_anchor[i][0].cos == 1.0
         assert by_anchor[100 + i][0].neg_id == i
+
+
+def test_source_report_composition_consistency(spark, sf_smoke):
+    """The dataset-card rollup must equal a recomputation from its
+    individually-tested pieces (gopher verdicts + md5 dedup keys)."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    docs = _docs(spark, sf_smoke)
+    rep = {r.source: r for r in
+           QUERIES["l52_source_report"](spark, sf_smoke).collect()}
+    g = {r.doc_id: r for r in
+         X.gopher_rules(docs, "doc_id", "text").collect()}
+    rows = docs.select("doc_id", "source", "text").collect()
+    import collections
+    agg = collections.defaultdict(lambda: [0, set(), 0, 0])
+    for r in rows:
+        a = agg[r.source]
+        a[0] += 1
+        a[1].add(r.text)
+        a[2] += g[r.doc_id].n_words
+        a[3] += 1 if g[r.doc_id].passes else 0
+    assert set(rep) == set(agg)
+    for srcname, (n, texts, words, passes) in agg.items():
+        row = rep[srcname]
+        assert row.n_docs == n
+        assert row.uniq_texts == len(texts)
+        assert row.total_words == words
+        assert row.n_gopher_pass == passes

@@ -272,3 +272,29 @@ def test_events_ts_unit_bounded_probe_and_eviction(tmp_path, monkeypatch):
     write_all("ns")
     assert C.events_ts_unit(str(d)) == "ns"
     assert len([k for k in C._TS_UNIT_CACHE if k == str(d)]) == 1
+
+
+def test_apply_ttl_drops_whole_partitions_only(spark, tmp_path):
+    """TTL unlinks expired partition dirs without touching survivors or
+    non-partition files; the decision reads only directory names."""
+    import os
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.sources.layout import apply_ttl
+    tbl = str(tmp_path / "t")
+    (spark.range(100)
+     .select((F.col("id") % 5).alias("d"), F.col("id").alias("x"))
+     .write.partitionBy("d").parquet(tbl))
+    before = spark.read.parquet(tbl).count()
+    assert before == 100
+    dropped = apply_ttl(tbl, "d", cutoff=2)
+    assert dropped == 2                      # d=0, d=1
+    left = spark.read.parquet(tbl)
+    assert left.count() == 60
+    assert sorted(r.d for r in left.select("d").distinct().collect()) \
+        == [2, 3, 4]
+    # idempotent: nothing left below the cutoff
+    assert apply_ttl(tbl, "d", cutoff=2) == 0
+    # partition pruning works on the survivors (scan-level filter)
+    plan = (left.filter(F.col("d") >= 4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
