@@ -270,3 +270,119 @@ def test_kmv_small_sets_are_exact(spark):
     assert r.n_intersect == 5
     assert abs(r.est_intersect - 5.0) < 1e-9
     assert abs(r.jaccard_est - 5.0 / 15.0) < 1e-6
+
+
+@SPARK_FAST
+@given(vals=st.lists(st.floats(0, 100, allow_nan=False, width=32),
+                     min_size=1, max_size=30))
+def test_delta_sum_matches_python_reference(spark, vals):
+    """deltaSum over any value sequence equals the per-pair cents
+    reference — quantization before differencing, positive diffs only."""
+    from datetime import datetime, timedelta
+    from janusgraph_clickhouse_spark.operators.temporal import delta_sum
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(minutes=i), float(v), i)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "value double, event_id long")
+    out = delta_sum(df, "user_id", "ts", "value",
+                    order_extra="event_id").collect()[0]
+    import math
+    cents = [math.floor(float(v) * 100 + 0.5) for v in vals]
+    diffs = [b - a for a, b in zip(cents, cents[1:])]
+    assert out.n_events == len(vals)
+    assert out.n_increases == sum(1 for d in diffs if d > 0)
+    assert out.delta_sum_cents == sum(d for d in diffs if d > 0)
+
+
+@SPARK_FAST
+@given(buckets=st.lists(st.tuples(st.integers(0, 20),
+                                  st.floats(0, 50, allow_nan=False)),
+                        min_size=1, max_size=15, unique_by=lambda t: t[0]))
+def test_gap_fill_axis_dense_and_locf(spark, buckets):
+    """The filled axis is exactly [min_b, max_b] step width; every gap
+    bucket carries the last observed sum forward."""
+    from datetime import datetime, timedelta
+    from janusgraph_clickhouse_spark.operators.temporal import gap_fill_locf
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(minutes=10 * b), float(v))
+            for b, v in buckets]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = sorted(gap_fill_locf(df, "k", "ts", "v", width_sec=600)
+                 .collect(), key=lambda r: r.b)
+    bs = [r.b for r in out]
+    assert bs == list(range(bs[0], bs[-1] + 1, 600))
+    import math
+    obs = {b: math.floor(float(v) * 100 + 0.5)
+           for b, v in buckets}
+    b0 = min(obs)
+    last = None
+    for r in out:
+        idx = (r.b - out[0].b) // 600 + min(b for b, _ in buckets)
+        if idx in obs:
+            last = obs[idx]
+            assert not r.is_gap and r.cnt == 1
+        else:
+            assert r.is_gap and r.cnt == 0
+        assert r.filled_sum_cents == last
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7))
+                     .filter(lambda t: t[0] != t[1]),
+                     min_size=1, max_size=16))
+def test_betweenness_random_graphs_match_reference(spark, edges):
+    import hashlib
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        betweenness_approx)
+    from .test_graph_algorithms import _ref_micro_brandes
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    verts = sorted({v for p in sym for v in p})
+    md5h = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    sources = sorted(verts, key=lambda v: (md5h(v), v))[:4]
+    want = _ref_micro_brandes(sym, sources)
+    e = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.id: r.bc_micro
+           for r in betweenness_approx(e, n_sources=4,
+                                       max_levels=10).collect()}
+    assert got == want
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(10, 14)),
+                     min_size=1, max_size=20))
+def test_bipartite_project_matches_reference(spark, edges):
+    from collections import defaultdict
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        bipartite_project)
+    e = spark.createDataFrame(sorted(edges), "p long, o long")
+    got = {(r.p_a, r.p_b): r.weight
+           for r in bipartite_project(e, left="p", right="o").collect()}
+    by_right = defaultdict(set)
+    for p, o in edges:
+        by_right[o].add(p)
+    want = defaultdict(int)
+    for ps in by_right.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                want[(ps[i], ps[j])] += 1
+    assert got == dict(want)
+
+
+@FAST
+@given(host=st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+       path=st.from_regex(r"(/[A-Za-z0-9]{0,5}){0,3}/?", fullmatch=True),
+       www=st.booleans(), port=st.booleans(), query=st.booleans())
+def test_canonical_url_idempotent(spark, host, path, www, port, query):
+    """canonical(canonical(u)) == canonical(u) — the canonical form is
+    a fixed point."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.linkage import canonical_url
+    u = ("https://" + ("www." if www else "") + host + ".com"
+         + (":443" if port else "") + path
+         + ("?utm_x=1" if query else ""))
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(canonical_url("url").alias("c"))
+    twice = once.select(canonical_url("c").alias("c2"), "c").collect()[0]
+    assert twice.c2 == twice.c
