@@ -204,3 +204,35 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
                        (F.col("cms_estimate") - F.col("exact_cnt"))
                        .alias("overcount"))
             .orderBy(F.col("cms_estimate").desc(), "key").limit(k))
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """MERGEABLE HyperLogLog state (ClickHouse uniqState): per group,
+    the m=256 register table (bucket, max rank) for `col`'s hash.
+    Registers are the associative half of the sketch — states for any
+    two groups merge by per-bucket MAX, so coarser rollups derive from
+    finer ones WITHOUT rescanning the fact table (the
+    AggregatingMergeTree materialized-view idiom)."""
+    h = md5_long60(F.col(col).cast("string"))
+    rest = F.shiftright(h, 8)
+    rank = F.when(rest > 0,
+                  F.lit(53) - F.length(F.bin(rest))).otherwise(F.lit(53))
+    return (df.select(*group_cols, (h % HLL_M).alias("bucket"),
+                      rank.alias("rank"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rank").alias("m")))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list[str]) -> DataFrame:
+    """Fold a register table (ClickHouse uniqMerge): per group,
+    Z = Σ 2^(53-m) + (missing buckets)·2^53 as an EXACT int64, then
+    the Flajolet estimate — bit-identical across engines (the q41
+    fold, applied to persisted state)."""
+    z = (regs.groupBy(*group_cols).agg(
+        (F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long"))
+         + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)).alias("z")))
+    return z.select(*group_cols,
+                    F.round(F.lit(HLL_NUMER) / F.col("z"), 4)
+                    .alias("uniq_estimate"))
