@@ -31,7 +31,11 @@ def canonical_url(url: str | Column) -> Column:
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.concat(scheme, F.lit("://"), host, path)
+    # Schemeless/malformed URLs would all extract to ':///'; keep the raw
+    # string as its own key instead so unparseable URLs never collapse
+    # into one dup group (only byte-identical ones still dedup).
+    return F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+"),
+                  F.concat(scheme, F.lit("://"), host, path)).otherwise(u)
 
 
 def url_dedup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:

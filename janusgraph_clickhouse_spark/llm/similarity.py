@@ -443,9 +443,32 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
             .orderBy(F.col("cosine").desc(), "id").limit(k))
 
 
+def _auto_planes(df: DataFrame, n_planes: int | str,
+                 candidate_budget: int) -> int:
+    """Resolve ``n_planes="auto"`` from the corpus size so candidate
+    volume stays bounded as the corpus grows (the l04 ``sub_bands=
+    "auto"`` discipline applied to hyperplane LSH): expected candidate
+    pairs per table are ~m²/2^p under uniform buckets, so p =
+    ceil(log2(m / candidate_budget)) keeps expected candidates per
+    point ≤ candidate_budget per table at ANY m — a fixed p=4 grows
+    the pair volume ~10,000× for a 100× corpus (r6 verdict).  Floor 4
+    preserves fixture-scale behavior (m ≤ 2^4·budget resolves to 4,
+    so static oracles stay valid); cap 24 bounds plan-literal size.
+    Cost: one metadata-cheap count() job, only in auto mode."""
+    if not isinstance(n_planes, str):
+        return n_planes
+    import math
+    m = df.count()
+    return min(24, max(4, math.ceil(
+        math.log2(max(1.0, m / float(candidate_budget))))))
+
+
 def knn_classify(df: DataFrame, id_col: str, vec_col: str,
-                 label_col: str, k: int = 5, n_planes: int = 4,
-                 n_tables: int = 4, seed: int = 42) -> DataFrame:
+                 label_col: str, k: int = 5,
+                 n_planes: int | str = "auto",
+                 n_tables: int = 4, seed: int = 42,
+                 candidate_budget: int = 256,
+                 dim: int | None = None) -> DataFrame:
     """Leave-one-out k-NN majority-vote classification over LSH-blocked
     candidates — the eval-harness shape for embedding-quality checks
     (does the space cluster by label?).
@@ -454,8 +477,9 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str,
     ANY of `n_tables` hyperplane tables — built as `n_tables` separate
     EQUI-joins on the bucket column, unioned and deduplicated, never
     an OR-join (each leg hash-joins and scales out; candidate volume
-    is Σ_t Σ_buckets m²/2^n_planes — raise n_planes as the corpus
-    grows, the l17 tradeoff).  Exact cosine reranks the candidates;
+    is Σ_t Σ_buckets m²/2^n_planes — the default ``n_planes="auto"``
+    grows the bit count with the corpus so expected candidates per
+    point stay ≤ `candidate_budget` per table).  Exact cosine reranks;
     the top-k vote goes to the most frequent neighbor label, ties to
     the smallest label; every ordering uses the rounded cosine + id
     tiebreak so the oracle can replay it bit-exactly.
@@ -466,7 +490,9 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str,
     from pyspark.sql import Window
 
     scored = _lsh_scored_pairs(df, id_col, vec_col, label_col,
-                               n_planes, n_tables, seed)
+                               _auto_planes(df, n_planes,
+                                            candidate_budget),
+                               n_tables, seed, dim)
     w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
     top = (scored.withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") <= k))
@@ -484,16 +510,19 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str,
                     (F.col("lj") == F.col("true_label")).alias("correct")))
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    """Static embedding dimensionality from the schema-declared fixture
-    contract (TESTDATA.md: 64) — probed from one row only if needed."""
+def _dim_of(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Embedding dimensionality: the caller-declared static contract
+    when given (TESTDATA.md fixes the fixture at 64 — registered
+    queries pass it, costing zero jobs), else probed from one row."""
+    if dim is not None:
+        return dim
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
 
 
 def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
                       label_col: str, n_planes: int, n_tables: int,
-                      seed: int) -> DataFrame:
+                      seed: int, dim: int | None = None) -> DataFrame:
     """Shared candidate machinery for knn_classify / hard_negatives:
     LSH-blocked ordered pairs (i, j, true_label, lj, cos) — one leg
     per hyperplane table as an EQUI-join on the bucket column, unioned
@@ -504,7 +533,7 @@ def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
     e = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"),
                   F.col(label_col).alias("lbl"))
-    dim = _dim_of(df, vec_col)
+    dim = _dim_of(df, vec_col, dim)
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
         e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
@@ -530,8 +559,11 @@ def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 
 def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
-                   label_col: str, k: int = 3, n_planes: int = 4,
-                   n_tables: int = 4, seed: int = 42) -> DataFrame:
+                   label_col: str, k: int = 3,
+                   n_planes: int | str = "auto",
+                   n_tables: int = 4, seed: int = 42,
+                   candidate_budget: int = 256,
+                   dim: int | None = None) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for
     each point, the top-k most-similar candidates with a DIFFERENT
     label — the pairs a bi-encoder must learn to separate.  Same
@@ -544,7 +576,9 @@ def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
     from pyspark.sql import Window
 
     scored = _lsh_scored_pairs(df, id_col, vec_col, label_col,
-                               n_planes, n_tables, seed)
+                               _auto_planes(df, n_planes,
+                                            candidate_budget),
+                               n_tables, seed, dim)
     w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
     return (scored.filter(F.col("lj") != F.col("true_label"))
             .withColumn("rank", F.row_number().over(w))

@@ -503,8 +503,11 @@ def entropy_stats(df: DataFrame, id_col: str, text_col: str,
 
     words = (df.select(tid, F.explode(F.split(F.col(text_col), " "))
                        .alias("w")).filter(F.col("w") != ""))
+    # '[^\n]' not '.': Java's '.' excludes \r and the Unicode line
+    # separators while RE2's excludes only \n — an explicit class makes
+    # both engines count the same characters.
     chars = df.select(tid, F.explode(F.regexp_extract_all(
-        F.substring(F.col(text_col), 1, prefix_chars), F.lit("."), 0))
+        F.substring(F.col(text_col), 1, prefix_chars), F.lit("[^\\n]"), 0))
         .alias("ch"))
     wh = _h(F.col("w"), words, "words")
     ch = _h(F.col("ch"), chars, "chars")

@@ -1294,7 +1294,15 @@ def g30_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_modularity(sym, labels)
 
 
-def _g31_oracle(n_sources: int = 4, max_levels: int = 6) -> str:
+# One shared BFS depth bound for BOTH sides of g31: the Spark operator
+# raises loudly past it, but the unrolled oracle would silently truncate
+# at its own bound — a mismatch (Spark 8 / oracle 6) turns a deep pivot
+# into a quiet parity divergence instead of the documented ValueError.
+_G31_MAX_LEVELS = 8
+
+
+def _g31_oracle(n_sources: int = 4,
+                max_levels: int = _G31_MAX_LEVELS) -> str:
     """Unrolled source-sampled Brandes: forward BFS levels with exact
     σ path counts, then per-level dependency accumulation in integer
     micro-units — floor(σ_p·(1e6+δ_c)/σ_c) per child edge, summed
@@ -1360,4 +1368,5 @@ def g31_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.edges.select("src", "dst")
     sym = e.union(e.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst")))
-    return betweenness_approx(sym, n_sources=4, max_levels=8)
+    return betweenness_approx(sym, n_sources=4,
+                              max_levels=_G31_MAX_LEVELS)

@@ -1988,7 +1988,7 @@ def l46_lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wc GROUP BY doc_id),
     chars AS MATERIALIZED (
       SELECT doc_id,
-             unnest(regexp_extract_all(substr(text, 1, 256), '.')) AS ch
+             unnest(regexp_extract_all(substr(text, 1, 256), '[^\n]')) AS ch
       FROM documents),
     cc AS MATERIALIZED (
       SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
@@ -2156,7 +2156,11 @@ def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine reranks; the vote and every ordering use rounded
     cosine + id/label tiebreaks so the oracle replays bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_classify(emb, "vec_id", "embedding", "label", k=5)
+    # n_planes="auto" resolves to the oracle's 4 at every fixture scale
+    # (m ≤ 2^4·candidate_budget = 4096); dim from the TESTDATA
+    # contract — no probe job in the build path.
+    return S.knn_classify(emb, "vec_id", "embedding", "label", k=5,
+                          dim=_EMB_DIM)
 
 
 def _l51_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 4,
@@ -2196,7 +2200,8 @@ def l51_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate machinery as l50; rounded cosine + id tiebreaks replayed
     bit-exactly by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.hard_negatives(emb, "vec_id", "embedding", "label", k=3)
+    return S.hard_negatives(emb, "vec_id", "embedding", "label", k=3,
+                            dim=_EMB_DIM)
 
 
 def _l52_oracle() -> str:

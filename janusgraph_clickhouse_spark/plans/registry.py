@@ -66,30 +66,47 @@ def query(name: str, oracle: str | None = None):
 # file appears late, the 47 are r5-fresh and r7 windows the 32 spills
 # with 18 slots spare.  A typo here would silently drop a query from
 # the window — get_queries() asserts every name resolves.
+# ROUND-7 WINDOW (the pre-derived r5-file-still-missing branch, with
+# one correction made against the ACTUAL correctness files: the r3-row
+# cohort is 46 names, not 47 — q13 and l02 have r4 rows (the old
+# comment's ranges q09-q16 / "l02" were off by those two; they belong
+# with the r4 spills).  Rule 1: all 46 r3-row names go first — their
+# r3 evidence leaves the 3-file horizon {r4,r6,r7} the moment
+# CORRECTNESS_r07 lands.  Then rule 3+2: s10 (the one r6 red; its
+# oracle's HUGEINT version cast fixed this round), rule 2: s15 (same
+# cast fix reaches its state_version output) and l47 (entropy regex
+# '[^\n]' alignment — behavioral if any doc carries \r), rule 4: q46
+# (registered this round).  Changed-but-latent fixes (l48 malformed-URL
+# guard, g31 shared max_levels — both no-ops on this fixture) and the
+# l50/l51 auto-n_planes impl change stay in the tail under the local
+# parity sweep; l50/l51 are due a real row by r8 regardless.
 DRIVER_PRIORITY: list[str] = [
-    # rule 4/1: the 33 round-5 registrations with no real driver row
-    "g22_biased_walks", "l32_containment_pairs", "l33_pii_scrub",
-    "g23_scc", "g24_local_clustering", "g25_ktruss",
-    "g26_assortativity", "g27_diameter", "g28_mis",
-    "l34_bloom_decontaminate", "l35_sq8_topk", "l36_domain_cap",
-    "l37_shared_spans", "l38_cdc_chunk_dedup", "l39_gopher_rules",
-    "l40_pq_topk", "l41_dsir_weights", "l42_weighted_sample",
-    "l43_bpe_merges", "l44_curation_pipeline", "l45_bpe_token_counts",
-    "l46_lsh_banding_audit",
-    "q38_argmax_latest", "q39_window_funnel", "q40_retention",
-    "q41_hll_distinct", "q42_cms_heavy_hitters",
-    "s08_trending_topk", "s09_interval_left_join", "s10_scd2_versions",
-    "s11_stateful_running_totals", "s12_incremental_rollup",
-    "s13_decayed_score",
-    # rule 1 (within the r4-row cohort): 17 of the 49 r4-greens,
-    # complex-plan/high-risk picks with ≥2 per family
-    "q01_slice_point", "q06_agg_pricing_summary", "q17_scalar_functions",
-    "q19_mutate_upsert",
-    "g03_supplier_triangles", "g05_bfs_distances",
-    "g17_link_prediction", "g20_random_walks", "g21_harmonic_centrality",
-    "l01_exact_dedup", "l03_minhash_lsh_pairs", "l04_simhash_pairs",
-    "l10_multimodal_meta", "l30_incremental_dedup", "l31_boilerplate_score",
-    "s06_time_rollup", "s07_interval_join",
+    # rule 1: the 46 names whose newest real driver row is r3
+    "q02_slice_multikey", "q04_multi_range_scan",
+    "q05_unordered_scan_topk", "q07_group_count",
+    "q09_semi_join", "q10_anti_join", "q11_shipping_priority",
+    "q12_region_revenue", "q14_union_dedup", "q15_per_group_topk",
+    "q16_distinct_pairs", "q22_left_outer_distribution", "q23_having",
+    "q24_correlated_min", "q25_count_distinct", "q27_set_operations",
+    "q28_sql_surface", "q31_statistics", "q32_cross_nation_volume",
+    "q33_large_order_customers", "q34_window_analytics",
+    "q36_cube_grouping",
+    "g04_connected_components", "g06_pagerank", "g14_repeat_until",
+    "g15_kcore", "g16_label_propagation", "g18_hits",
+    "g19_personalized_pagerank",
+    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup",
+    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
+    "l21_decontaminate", "l22_domain_mixture", "l23_repetition_stats",
+    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
+    "l27_semantic_dedup_clusters", "l28_user_event_sequences",
+    "l29_length_band_filter",
+    "s01_tumbling_window", "s05_asof_join",
+    # rule 3 (red last round) + rule 2 (oracle cast fix)
+    "s10_scd2_versions",
+    # rule 2: oracles/impl changed this round
+    "s15_pit_enrich", "l47_entropy_quality",
+    # rule 4: registered this round
+    "q46_hll_mergeable_rollup",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -128,26 +145,24 @@ REGISTERED_ROUND: dict[str, int] = {
     "g30_modularity": 6, "l51_hard_negatives": 6,
     "s16_lttb_downsample": 6, "g31_betweenness": 6,
     "q45_ttl_partition_prune": 6, "l52_source_report": 6,
+    # round-7 registrations (virtual r6 row; real row due by round 9)
+    "q46_hll_mergeable_rollup": 7,
 }
 
-# ROUND-7 ROTATION, pre-derived (contingent on whether the missing
-# CORRECTNESS_r05.json ever appears):
-# - r5 file still missing (expected): the 47 round-5-window names
-#   (newest real row r3) lose coverage the moment r7's file lands
-#   (the 3-file horizon becomes {r4,r6,r7}) — window ALL of them
-#   first: q02 q04 q05 q07 q09-q16 q22-q25 q27 q28 q31-q34 q36,
-#   g04 g06 g14 g15 g16 g18 g19, l02 l11 l12 l17-l29, s01 s05;
-#   fill the remaining 3 slots from the 32 r4-spills below, and
-#   window the other 29 spills FIRST in round 8.
-# - r5 file appeared late: those 47 are r5-fresh; window the 32
-#   r4-spills first (18 slots spare for rule-2/rule-4 names).
-# The 32 r4-spills (newest real row r4, deferred from the r6 window):
+# ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the
+# r5 file never appeared and is now irrelevant — everything it would
+# have covered was re-windowed in r6/r7):
+# When CORRECTNESS_r08 lands the horizon becomes {r6,r7,r8}, so the
+# 33 names whose newest real row is r4 go FIRST:
 #   q03 q08 q13 q18 q20 q21 q26 q29 q30 q35 q37,
 #   g01 g02 g07 g08 g09 g10 g11 g12 g13,
-#   l05 l06 l07 l08 l09 l13 l14 l15 l16,
+#   l02 l05 l06 l07 l08 l09 l13 l14 l15 l16,
 #   s02 s03 s04
-# Round-6 registrations carry REGISTERED_ROUND=6 (virtual r5 row) and
-# must get a real row by round 8 at the latest.
+# then the 13 REGISTERED_ROUND=6 names not windowed in r7 (due r8 by
+# the virtual-row bound): q43 q44 q45, s14 s16, g29 g30 g31,
+# l48 l49 l50 l51 l52.  33 + 13 = 46; the 4 spare slots go to
+# rule-2 (changed in r8) and rule-4 (new in r8) names, else to the
+# stalest r6 greens.
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

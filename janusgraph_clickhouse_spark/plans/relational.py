@@ -1397,3 +1397,65 @@ def q45_ttl_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "q46_hll_mergeable_rollup",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT grp, h % 256 AS bucket,
+             CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+                  ELSE 53 END AS rank
+      FROM (SELECT o_orderpriority AS grp,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM orders)),
+    reg AS MATERIALIZED (
+      SELECT grp, bucket, max(rank) AS m FROM r GROUP BY grp, bucket),
+    allreg AS MATERIALIZED (
+      SELECT 'ALL' AS grp, bucket, max(m) AS m FROM reg GROUP BY bucket),
+    u AS MATERIALIZED (
+      SELECT grp, bucket, m FROM reg
+      UNION ALL SELECT grp, bucket, m FROM allreg),
+    z AS MATERIALIZED (
+      SELECT grp,
+             CAST(sum(CAST(2.0 ** (53 - m) AS BIGINT)) AS BIGINT)
+             + (256 - count(*)) * 9007199254740992 AS z
+      FROM u GROUP BY grp),
+    ex AS MATERIALIZED (
+      SELECT o_orderpriority AS grp,
+             count(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
+    SELECT z.grp AS o_orderpriority,
+           round(4.2399330249068963e+20 / z.z, 4) AS uniq_estimate,
+           ex.n_exact
+    FROM z JOIN ex ON ex.grp = z.grp
+    """,
+)
+def q46_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse uniqState/uniqMerge analog (the AggregatingMergeTree
+    materialized-view idiom): per-priority HLL REGISTER STATES for
+    distinct customers, per-group estimates folded from the states, and
+    the global 'ALL' rollup derived by MERGING the five register tables
+    (per-bucket MAX) — never rescanning the fact table.  The hash-match
+    against the oracle's full rederivation proves the merge is exact:
+    the coarse estimate equals what a direct global sketch would give.
+    At 100 TB this is the shape that makes rollup hierarchies cheap —
+    states are 256 rows per group, mergeable in any order
+    (functions.sketches.hll_registers / hll_estimate_from_registers)."""
+    from ..functions.sketches import (hll_estimate_from_registers,
+                                      hll_registers)
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey", ["o_orderpriority"])
+    per = hll_estimate_from_registers(regs, ["o_orderpriority"])
+    merged = (regs.groupBy("bucket").agg(F.max("m").alias("m"))
+              .withColumn("o_orderpriority", F.lit("ALL")))
+    allr = hll_estimate_from_registers(merged, ["o_orderpriority"])
+    ex = (orders.groupBy("o_orderpriority")
+          .agg(F.countDistinct("o_custkey").alias("n_exact"))
+          .union(orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+                 .select(F.lit("ALL").alias("o_orderpriority"),
+                         "n_exact")))
+    return per.union(allr).join(ex, "o_orderpriority")

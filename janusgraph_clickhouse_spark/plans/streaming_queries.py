@@ -295,8 +295,13 @@ def s09_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     versioned AS MATERIALIZED (
       SELECT user_id, event_type, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS version
+             -- DuckDB windowed sum over INTEGER yields HUGEINT; cast so
+             -- the version column (exposed in the output, directly or as
+             -- state_version) matches Spark's BIGINT.  The r6 driver red
+             -- on s10 was purely this type in the hashed output.
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
       FROM ordered),
     runs AS MATERIALIZED (
       SELECT user_id, version, min(event_type) AS state,
@@ -459,7 +464,11 @@ def s13_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(ts)) AS BIGINT)
                - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS b,
              count(*) AS cnt,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+             -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which would
+             -- ride last_value() into the exposed filled_sum_cents
+             -- (the s10 r6 driver-red type trap).
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2),
     axis AS MATERIALIZED (
       SELECT k, unnest(generate_series(lo, hi, 600)) AS b
@@ -505,8 +514,13 @@ def s14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     versioned AS MATERIALIZED (
       SELECT user_id, event_type, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS version
+             -- DuckDB windowed sum over INTEGER yields HUGEINT; cast so
+             -- the version column (exposed in the output, directly or as
+             -- state_version) matches Spark's BIGINT.  The r6 driver red
+             -- on s10 was purely this type in the hashed output.
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
       FROM ordered),
     runs AS MATERIALIZED (
       SELECT user_id, version, min(event_type) AS state,

@@ -1131,6 +1131,26 @@ def test_canonical_url_closed_forms(spark):
     assert got == [want for _, want in cases]
 
 
+def test_canonical_url_malformed_keeps_raw_key(spark):
+    """Schemeless/malformed URLs must NOT collapse into one ':///'
+    group (ADVICE r6): each keeps its raw string as its own key, so
+    only byte-identical malformed strings still dedup together."""
+    from janusgraph_clickhouse_spark.llm.linkage import (canonical_url,
+                                                        url_dedup_groups)
+    rows = [(1, "not a url"), (2, "ex.com/no-scheme"), (3, "://"),
+            (4, "not a url"), (5, "https://ok.com/x")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c"))
+           .collect()]
+    assert got == ["not a url", "ex.com/no-scheme", "://",
+                   "not a url", "https://ok.com/x"]
+    groups = {r.canonical_url: (r.keep_id, r.dup_count)
+              for r in url_dedup_groups(df, "id", "url").collect()}
+    assert len(groups) == 4
+    assert groups["not a url"] == (1, 2)  # identical raws still dedup
+    assert groups["https://ok.com/x"] == (5, 1)
+
+
 def test_fuzzy_match_pairs_closed_form(spark):
     from pyspark.sql import functions as F
     from janusgraph_clickhouse_spark.llm.linkage import fuzzy_match_pairs
@@ -1164,6 +1184,18 @@ def test_entropy_stats_closed_form(spark):
     assert abs(out[1].chars_entropy - h) < 1e-5
 
 
+def test_entropy_stats_line_separator_chars(spark):
+    """Char counting uses an explicit [^\\n] class so Java and RE2
+    agree (ADVICE r6): \\r, \\u0085, \\u2028, \\u2029 COUNT as chars
+    (RE2 semantics, which the DuckDB oracle shares); \\n never does."""
+    from janusgraph_clickhouse_spark.llm.text import entropy_stats
+    df = spark.createDataFrame(
+        [(1, "ab\r\ncd e")], "doc_id long, text string")
+    out = entropy_stats(df, "doc_id", "text").collect()[0]
+    # a b \r c d   e = 7 chars; the \n is excluded
+    assert out.n_chars == 7
+
+
 def test_knn_classify_separated_clusters(spark):
     """Two well-separated direction clusters classify perfectly."""
     import random
@@ -1180,6 +1212,48 @@ def test_knn_classify_separated_clusters(spark):
     out = knn_classify(df, "vec_id", "embedding", "label", k=3).collect()
     assert len(out) == 40
     assert all(r.correct for r in out)
+
+
+def test_auto_planes_scales_with_corpus(spark):
+    """``n_planes="auto"`` (r6 verdict item): fixture-scale corpora
+    resolve to the oracle's 4; past m = 16·budget the bit count grows
+    so expected candidates per point stay ≤ budget per table —
+    candidate volume is bounded under corpus growth."""
+    from janusgraph_clickhouse_spark.llm.similarity import _auto_planes
+
+    def auto(m, budget=256):
+        return _auto_planes(spark.range(m), "auto", budget)
+
+    assert auto(500) == 4       # sf0.01 fixture → oracle's value
+    assert auto(2000) == 4      # sf0.1 fixture → oracle's value
+    assert auto(16 * 256) == 4          # boundary (m = 2^4·budget)
+    assert auto(16 * 256 + 1) == 5      # first flip
+    assert auto(10**9) == 22    # 1B vectors → ~4M buckets/table
+    assert auto(10**12) == 24   # cap bounds plan-literal size
+    # explicit ints pass through without a count job
+    assert _auto_planes(spark.range(1), 7, 256) == 7
+
+
+def test_auto_planes_bounds_candidate_volume(spark):
+    """Plan-level pin of the flip: a planted corpus above the budget
+    threshold gets MORE hyperplane bits, and the realized candidate
+    count per point drops versus the old fixed n_planes=4."""
+    import random
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.similarity import knn_classify
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], i % 3)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    # budget 4 → p = ceil(log2(300/4)) = 7 bits vs the fixed 4
+    auto = knn_classify(df, "vec_id", "embedding", "label", k=3,
+                        candidate_budget=4, dim=8)
+    fixed = knn_classify(df, "vec_id", "embedding", "label", k=3,
+                         n_planes=4, dim=8)
+    n_auto = auto.agg(F.sum("n_candidates")).collect()[0][0]
+    n_fixed = fixed.agg(F.sum("n_candidates")).collect()[0][0]
+    assert n_auto < n_fixed / 2, (n_auto, n_fixed)
 
 
 def test_hard_negatives_are_cross_label_and_ranked(spark):

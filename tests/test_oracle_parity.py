@@ -84,3 +84,23 @@ def test_driver_window_rotation_policy():
     assert not stale, (
         f"tail queries with no driver row in the last {lag} rounds "
         f"(rotate them into DRIVER_PRIORITY): {stale}")
+
+
+def test_no_hugeint_oracle_outputs(sf_oracle):
+    """DuckDB silently widens integer sums (sum(INT/BIGINT) and windowed
+    sums -> HUGEINT); a HUGEINT reaching an ORACLE OUTPUT column breaks
+    the driver's value formatting even when every value is identical
+    (the r6 s10 red).  Bind every oracle and assert no exposed column is
+    HUGEINT — binding alone resolves types, so this is cheap."""
+    from .oracle_harness import duckdb_connection
+    con = duckdb_connection(sf_oracle)
+    offenders = {}
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        hit = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+               if "HUGEINT" in str(t)]
+        if hit:
+            offenders[name] = hit
+    assert not offenders, (
+        f"oracles exposing HUGEINT output columns (CAST ... AS BIGINT "
+        f"at the last integer step): {offenders}")

@@ -396,6 +396,25 @@ def test_hll_estimate_accuracy_and_determinism(spark):
     assert c.hll_estimate == a.hll_estimate
 
 
+def test_hll_register_merge_equals_direct_sketch(spark):
+    """uniqState/uniqMerge exactness (q46): merging per-group register
+    tables by per-bucket MAX then folding gives the BIT-IDENTICAL
+    estimate a direct global sketch would — rollups never need the
+    fact table again."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        hll_distinct, hll_estimate_from_registers, hll_registers)
+    df = (spark.range(5_000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 7).alias("grp")))
+    regs = hll_registers(df, "k", ["grp"])
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m")) \
+        .withColumn("g", F.lit("ALL"))
+    est = hll_estimate_from_registers(merged, ["g"]).collect()[0]
+    direct = hll_distinct(df, "k").collect()[0]
+    assert est.uniq_estimate == direct.hll_estimate
+
+
 def test_cms_never_underestimates_and_is_deterministic(spark):
     """Count-Min property: estimate >= exact for EVERY key (min of
     counters each of which includes the key's own count); determinism
