@@ -236,3 +236,57 @@ def hll_estimate_from_registers(regs: DataFrame,
     return z.select(*group_cols,
                     F.round(F.lit(HLL_NUMER) / F.col("z"), 4)
                     .alias("uniq_estimate"))
+
+
+def histogram_state(df: DataFrame, val_col: str, group_cols: list[str],
+                    lo: int, width: int, n_bins: int) -> DataFrame:
+    """MERGEABLE fixed-bin histogram state (the ClickHouse
+    quantile-state idiom, deterministic variant): per group, (bin,
+    cnt) rows over an integer value column — bin = clamp((v - lo) DIV
+    width).  States merge by per-bin count SUM (associative, any
+    order), so rollup hierarchies derive from fine states without
+    rescanning facts; one hash aggregate with map-side combine, state
+    size ≤ n_bins rows per group at any data scale."""
+    a = (F.col(val_col).cast("long") - F.lit(lo))
+    b = ((a - a % F.lit(width)) / F.lit(width)).cast("long")
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+    return (df.select(*group_cols, bin_.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantiles(state: DataFrame, group_cols: list[str],
+                        lo: int, width: int,
+                        percents: list[int]) -> DataFrame:
+    """Fold a histogram state into per-group quantile estimates, one
+    row per (group, pct).  Integer-exact across engines: rank r =
+    ceil(n·p/100) via (n·p + 99) DIV 100, the covering bin found on
+    the cumulative count, and the within-bin midpoint interpolation
+    done in micro-units with integer DIV only — no float touches the
+    value until the caller's final display division."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*group_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (state.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy(*group_cols))))
+    p = cum.select(*group_cols, "bin", "cnt", "cum", "n",
+                   F.explode(F.array(*[F.lit(x) for x in percents]))
+                   .alias("pct"))
+    p = p.withColumn("num_r", F.col("n") * F.col("pct") + F.lit(99))
+    p = p.withColumn("r", F.expr("num_r DIV 100"))
+    hit = p.filter((F.col("cum") >= F.col("r"))
+                   & (F.col("cum") - F.col("cnt") < F.col("r")))
+    micro = F.lit(int(width) * 1_000_000).cast("long")
+    hit = (hit.withColumn(
+        "num_i",
+        micro * (F.lit(2) * (F.col("r") - (F.col("cum") - F.col("cnt")))
+                 - F.lit(1)))
+        .withColumn("den_i", F.lit(2) * F.col("cnt"))
+        .withColumn("interp", F.expr("num_i DIV den_i")))
+    est = (F.lit(lo).cast("long")
+           + F.col("bin") * F.lit(width)) * F.lit(1_000_000).cast("long") \
+        + F.col("interp")
+    return hit.select(*group_cols, "pct",
+                      est.cast("long").alias("est_micro"))

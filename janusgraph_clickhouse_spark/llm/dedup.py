@@ -895,3 +895,39 @@ def lsh_banding_audit(df: DataFrame, id_col: str, text_col: str,
         F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
         F.round(2 * F.col("n_hit") / (F.col("n_cand") + F.col("n_true")),
                 6).alias("f1"))
+
+
+def paragraph_dedup(paras: DataFrame, id_col: str, idx_col: str,
+                    text_col: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the
+    RefinedWeb/Falcon curation step: boilerplate paragraphs repeat
+    across pages even when whole documents don't).  Input is one row
+    per (doc, paragraph index, paragraph text); the FIRST global
+    occurrence of each distinct paragraph — ordered by (doc id, index)
+    — survives, every later copy is dropped, and each document is
+    rebuilt from its surviving paragraphs in index order.
+
+    Scale shape: one shuffle keyed by md5(paragraph) (fixed-width,
+    balanced) for the keep-first window, one groupBy(doc) for
+    reassembly whose state is bounded by per-document paragraph count.
+    Output per document: n_paras, n_kept, new_text_hash (md5 of the
+    space-joined surviving text; md5('') when everything was a dup).
+    """
+    from pyspark.sql import Window
+
+    p = paras.select(F.col(id_col).alias("id"),
+                     F.col(idx_col).alias("idx"),
+                     F.col(text_col).alias("para"))
+    w = Window.partitionBy(F.md5("para")).orderBy("id", "idx")
+    m = p.withColumn("keep", F.row_number().over(w) == 1)
+    kept_text = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("keep"),
+                       F.struct(F.col("idx"), F.col("para"))))),
+            lambda s: s.para), " ")
+    return (m.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.md5(kept_text).alias("new_text_hash"))
+            .withColumnRenamed("id", id_col))

@@ -587,3 +587,65 @@ def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
                     F.col("j").alias("neg_id"),
                     F.col("true_label").alias("anchor_label"),
                     F.col("lj").alias("neg_label"), "cos", "rank"))
+
+
+def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
+                    query_mod: int = 97, k: int = 10, n_planes: int = 4,
+                    n_tables: int = 4, seed: int = 42,
+                    dim: int | None = None) -> DataFrame:
+    """Recall@k audit of the hyperplane-LSH ANN path against exact
+    brute force — the eval every ANN deployment needs before trusting
+    the shortlist (the l46 banding-audit discipline applied to
+    embeddings).  Query points are the deterministic id % query_mod
+    == 0 sample; the exact side broadcasts them over ONE corpus scan
+    (bounded by |queries|·m rounded-cosine rows, which is why the
+    sample is modular, not the corpus); the ANN side reuses the
+    production candidate machinery (per-table bucket EQUI-joins,
+    unioned, deduplicated — never an OR-join).
+
+    Output per query point: n_exact (true top-k size), n_shortlist
+    (ANN candidates), n_hit (overlap of the two top-k sets), recall =
+    n_hit / n_exact."""
+    from pyspark.sql import Window
+
+    e = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    d = _dim_of(df, vec_col, dim)
+    for t in range(n_tables):
+        planes = hyperplanes(d, n_planes, seed + 1000 * t)
+        e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
+    q = e.filter((F.col("id") % query_mod) == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)])
+    exact = brute_force_topk_join(q.select("qid", "qv"),
+                                  e.select("id", "v"),
+                                  "qid", "qv", "id", "v", k=k,
+                                  exclude_self=True)
+    extk = exact.select(F.col("query_id").alias("qid"), "id")
+    legs = []
+    for t in range(n_tables):
+        legs.append(
+            q.select("qid", F.col(f"qb{t}").alias("bk"))
+            .join(e.select("id", F.col(f"b{t}").alias("bk")), "bk")
+            .filter(F.col("id") != F.col("qid")).select("qid", "id"))
+    cands = legs[0]
+    for leg in legs[1:]:
+        cands = cands.union(leg)
+    cands = cands.distinct()
+    scored = (cands.join(e.select("id", "v"), "id")
+              .join(F.broadcast(q.select("qid", "qv")), "qid")
+              .withColumn("cos", F.round(cosine_expr("v", "qv"), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "id")
+    anntk = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k).select("qid", "id"))
+    nex = extk.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    nsl = cands.groupBy("qid").agg(F.count(F.lit(1)).alias("n_shortlist"))
+    hit = (extk.join(anntk, ["qid", "id"])
+           .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")))
+    z = F.lit(0).cast("long")
+    return (nex.join(nsl, "qid", "left").join(hit, "qid", "left")
+            .select(F.col("qid").alias("query_id"), "n_exact",
+                    F.coalesce("n_shortlist", z).alias("n_shortlist"),
+                    F.coalesce("n_hit", z).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", z) / F.col("n_exact"), 4)
+                    .alias("recall")))

@@ -240,3 +240,64 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                     key_nano.alias("key_nano"))
             .orderBy(F.col("key_nano").desc(), "id")
             .limit(k))
+
+
+def exact_stratified_split(df: DataFrame, id_col: str, strata_col: str,
+                           pcts: tuple[int, int, int] = (80, 10, 10),
+                           names: tuple[str, str, str] = ("train", "val",
+                                                          "test"),
+                           salt: str = "") -> DataFrame:
+    """EXACT stratified train/val/test split: within every stratum the
+    split sizes are the largest-remainder apportionment of (n·pct/100)
+    — hash splits (train_val_test_split) only hit the proportions in
+    expectation, which matters for small strata and for eval sets that
+    must have an exact size.  Assignment is still fully deterministic:
+    rows rank by (md5(salt+id), id) inside their stratum and the first
+    seats_train go to train, etc., so re-runs and engine replays agree
+    row-for-row.
+
+    Integer-exact seats: base = (n·pct) DIV 100, leftover seats go to
+    the splits with the largest (n·pct) MOD 100, ties broken by split
+    order.  Scale shape: one count aggregate over strata, the seat
+    table stays strata-sized (broadcast), and rows take one shuffle
+    for the per-stratum rank window — the same cost as any
+    deterministic shuffle-split."""
+    from pyspark.sql import Window
+
+    cnt = (df.groupBy(strata_col)
+           .agg(F.count(F.lit(1)).alias("n")))
+    parts = F.array(*[
+        F.struct(F.lit(i).alias("prio"), F.lit(int(p)).alias("pct"))
+        for i, p in enumerate(pcts)])
+    a = (cnt.select(strata_col, "n", F.explode(parts).alias("s"))
+         .select(strata_col, "n", F.col("s.prio").alias("prio"),
+                 F.col("s.pct").alias("pct"))
+         .withColumn("np", F.col("n") * F.col("pct"))
+         .withColumn("base", F.expr("np DIV 100"))
+         .withColumn("rem", F.col("np") % 100))
+    ws = Window.partitionBy(strata_col)
+    wr = Window.partitionBy(strata_col).orderBy(F.col("rem").desc(),
+                                                "prio")
+    a = (a.withColumn("leftover", F.col("n") - F.sum("base").over(ws))
+         .withColumn("rk", F.row_number().over(wr))
+         .withColumn("seats", F.col("base")
+                     + F.when(F.col("rk") <= F.col("leftover"), 1)
+                     .otherwise(0)))
+    wc = (Window.partitionBy(strata_col).orderBy("prio")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    a = a.withColumn("cum", F.sum("seats").over(wc))
+    piv = (a.groupBy(strata_col)
+           .agg(F.max(F.when(F.col("prio") == 0, F.col("cum")))
+                .alias("c0"),
+                F.max(F.when(F.col("prio") == 1, F.col("cum")))
+                .alias("c1")))
+    wn = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        id_col)
+    rows = df.withColumn("rn", F.row_number().over(wn))
+    split = (F.when(F.col("rn") <= F.col("c0"), names[0])
+             .when(F.col("rn") <= F.col("c1"), names[1])
+             .otherwise(names[2]))
+    return (rows.join(F.broadcast(piv), strata_col)
+            .withColumn("split", split)
+            .drop("rn", "c0", "c1"))

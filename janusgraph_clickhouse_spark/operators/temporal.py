@@ -254,3 +254,38 @@ def lttb_downsample(df: DataFrame, key: str, ts: str, value: str,
             .filter(F.col("rn") == 1)
             .select("k", "b", F.col("t").alias("ts_sec"),
                     F.col("c").alias("cents"), "rule"))
+
+
+def sequence_match(df: DataFrame, key: str, ts: str, tie: str,
+                   type_col: str, letters: dict[str, str],
+                   patterns: dict[str, str]) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t>..)(?2)...')`` analog
+    (reference users drive funnel/event-order checks through it): per
+    key, the event-type stream is rendered as a compact letter string
+    in (ts, tie) order and each named pattern becomes one regex match
+    over that string — arbitrary event-order conditions (gaps allowed
+    via ``.*``) without self-joins.
+
+    Scale shape: ONE hash aggregate (collect_list of (ts, tie,
+    letter) structs), per-key sort inside `sort_array`, then pure
+    codegen string ops — state is bounded by per-key event count
+    (exactly ClickHouse's sequenceMatch memory model), never by corpus
+    size; no shuffle beyond the one groupBy.  Unmapped event types
+    render as '?' so patterns can't accidentally match them.  Regexes
+    must stick to the Java∩RE2 common core ('.', '*', literals) so a
+    DuckDB oracle replays them byte-identically."""
+    letter = F.lit("?")
+    for t, ch in sorted(letters.items()):
+        letter = F.when(F.col(type_col) == t, F.lit(ch)).otherwise(letter)
+    ev = df.select(F.col(key), F.col(ts).alias("_ts"),
+                   F.col(tie).alias("_tie"), letter.alias("_ch"))
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("_ts"), F.col("_tie"), F.col("_ch")))),
+            lambda s: s._ch), "")
+    out = ev.groupBy(key).agg(seq.alias("seq"))
+    cols = [F.col(key), F.length("seq").cast("long").alias("seq_len")]
+    for name, rx in sorted(patterns.items()):
+        cols.append(F.col("seq").rlike(rx).alias(name))
+    return out.select(*cols)

@@ -2253,3 +2253,177 @@ def l52_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.when(F.col("passes"), 1).otherwise(0))
                          .cast("double") / F.count(F.lit(1)), 4)
                   .alias("gopher_pass_rate")))
+
+
+@query(
+    "l53_paragraph_dedup",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    t AS MATERIALIZED (
+      SELECT doc_id, r.i, ws[r.i] AS wd, (r.i - 1) // 10 AS blk
+      FROM w, LATERAL unnest(range(1, len(ws) + 1)) AS r(i)),
+    p AS MATERIALIZED (
+      SELECT doc_id, blk AS idx,
+             string_agg(wd, ' ' ORDER BY i) AS para
+      FROM t GROUP BY doc_id, blk),
+    m AS MATERIALIZED (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, idx) = 1 AS keep
+      FROM p)
+    SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+                                   ORDER BY idx), '')) AS new_text_hash
+    FROM m GROUP BY doc_id
+    """,
+)
+def l53_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (llm.dedup
+    .paragraph_dedup — the RefinedWeb curation step): the FIRST global
+    occurrence of each distinct paragraph survives, documents rebuild
+    from surviving paragraphs in order.  The fixture has no paragraph
+    breaks, so the query SYNTHESIZES paragraphs as 10-word blocks —
+    the same relational chunking on both engines (posexplode + DIV,
+    never a regex) — then runs the real operator: one md5-keyed
+    keep-first window + one per-doc reassembly aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "wd"))
+    paras = (words.withColumn("idx", F.expr("pos DIV 10"))
+             .groupBy("doc_id", "idx")
+             .agg(F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct("pos", "wd"))),
+                     lambda s: s.wd), " ").alias("para")))
+    return D.paragraph_dedup(paras, "doc_id", "idx", "para")
+
+
+@query(
+    "l54_stratified_split",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    a AS MATERIALIZED (
+      SELECT source, n, p.prio, p.pct,
+             (n * p.pct) // 100 AS base, (n * p.pct) % 100 AS rem
+      FROM c CROSS JOIN (VALUES (0, 80), (1, 10), (2, 10))
+        AS p(prio, pct)),
+    b AS MATERIALIZED (
+      SELECT *, n - sum(base) OVER (PARTITION BY source) AS leftover,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY rem DESC, prio) AS rk
+      FROM a),
+    s AS MATERIALIZED (
+      SELECT source, prio,
+             base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS seats
+      FROM b),
+    cm AS MATERIALIZED (
+      SELECT source, prio,
+             CAST(sum(seats) OVER (PARTITION BY source ORDER BY prio
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM s),
+    piv AS MATERIALIZED (
+      SELECT source, max(CASE WHEN prio = 0 THEN cum END) AS c0,
+             max(CASE WHEN prio = 1 THEN cum END) AS c1
+      FROM cm GROUP BY source),
+    r AS MATERIALIZED (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d)
+    SELECT r.source,
+           CASE WHEN rn <= c0 THEN 'train'
+                WHEN rn <= c1 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM r JOIN piv ON piv.source = r.source
+    GROUP BY 1, 2
+    """,
+)
+def l54_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified train/val/test split (llm.split
+    .exact_stratified_split): per source the 80/10/10 sizes are the
+    largest-remainder apportionment — hash splits only hit proportions
+    in expectation, which breaks small strata and fixed-size eval
+    sets.  Output aggregates per (source, split) with sum of assigned
+    ids, so the hash-match proves WHICH rows landed where, not just
+    how many."""
+    from ..llm.split import exact_stratified_split
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_stratified_split(docs, "doc_id", "source")
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
+def _l55_oracle(query_mod: int = 97, k: int = 10, n_planes: int = 4,
+                n_tables: int = 4, seed: int = 42) -> str:
+    """Replay ann_recall_eval: literal hyperplanes -> per-table buckets,
+    exact top-k vs OR-of-buckets shortlist top-k, overlap counts."""
+    bs = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(_EMB_DIM, n_planes, seed + 1000 * t)
+        bs.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
+    cond = " OR ".join(f"q.qb{t} = c.b{t}" for t in range(n_tables))
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    cos = ("round(list_inner_product({a}, {b})"
+           " / (sqrt(list_inner_product({a}, {a}))"
+           " * sqrt(list_inner_product({b}, {b}))), 6)")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT e.vec_id, e.v, {", ".join(bs)} FROM e),
+    q AS MATERIALIZED (
+      SELECT vec_id AS qid, v AS qv, {qcols} FROM b
+      WHERE vec_id % {query_mod} = 0),
+    ex AS MATERIALIZED (
+      SELECT q.qid, c.vec_id AS id,
+             {cos.format(a="q.qv", b="c.v")} AS cos
+      FROM q JOIN b c ON c.vec_id <> q.qid),
+    extk AS MATERIALIZED (
+      SELECT qid, id FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, id) AS rn FROM ex)
+      WHERE rn <= {k}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.qid, c.vec_id AS id
+      FROM q JOIN b c ON c.vec_id <> q.qid AND ({cond})),
+    sc AS MATERIALIZED (
+      SELECT cd.qid, cd.id, {cos.format(a="q.qv", b="c.v")} AS cos
+      FROM cand cd JOIN b c ON c.vec_id = cd.id
+      JOIN q ON q.qid = cd.qid),
+    annt AS MATERIALIZED (
+      SELECT qid, id FROM (
+        SELECT qid, id, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, id) AS rn FROM sc)
+      WHERE rn <= {k}),
+    nex AS (SELECT qid, count(*) AS n_exact FROM extk GROUP BY qid),
+    nsl AS (SELECT qid, count(*) AS n_shortlist FROM cand GROUP BY qid),
+    hit AS (SELECT x.qid, count(*) AS n_hit
+            FROM extk x JOIN annt a ON a.qid = x.qid AND a.id = x.id
+            GROUP BY x.qid)
+    SELECT nex.qid AS query_id, nex.n_exact,
+           CAST(coalesce(nsl.n_shortlist, 0) AS BIGINT) AS n_shortlist,
+           CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(hit.n_hit, 0) AS BIGINT)
+                 / nex.n_exact, 4) AS recall
+    FROM nex LEFT JOIN nsl ON nsl.qid = nex.qid
+    LEFT JOIN hit ON hit.qid = nex.qid
+    """
+
+
+@query("l55_ann_recall_eval", oracle=_l55_oracle())
+def l55_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the hyperplane-LSH ANN path vs exact brute
+    force (llm.similarity.ann_recall_eval) — the deploy-gate eval for
+    any ANN index, done the scale-safe way: a deterministic modular
+    query sample broadcast over ONE corpus scan for the exact side,
+    and the production candidate machinery (per-table bucket
+    equi-joins, unioned, deduplicated) for the ANN side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall_eval(emb, "vec_id", "embedding", dim=_EMB_DIM)

@@ -147,6 +147,9 @@ REGISTERED_ROUND: dict[str, int] = {
     "q45_ttl_partition_prune": 6, "l52_source_report": 6,
     # round-7 registrations (virtual r6 row; real row due by round 9)
     "q46_hll_mergeable_rollup": 7,
+    "q47_map_aggregates": 7, "q48_histogram_quantiles": 7,
+    "s17_sequence_match": 7, "l53_paragraph_dedup": 7,
+    "l54_stratified_split": 7, "l55_ann_recall_eval": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

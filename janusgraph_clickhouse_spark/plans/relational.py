@@ -1459,3 +1459,107 @@ def q46_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.lit("ALL").alias("o_orderpriority"),
                          "n_exact")))
     return per.union(allr).join(ex, "o_orderpriority")
+
+
+@query(
+    "q47_map_aggregates",
+    oracle="""
+    WITH a AS MATERIALIZED (
+      SELECT l_returnflag AS f, l_linestatus AS k,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sc,
+             CAST(max(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS mq
+      FROM lineitem GROUP BY 1, 2)
+    SELECT f AS l_returnflag,
+           string_agg(k || ':' || CAST(sc AS VARCHAR), ','
+                      ORDER BY k) AS sum_map,
+           string_agg(k || ':' || CAST(mq AS VARCHAR), ','
+                      ORDER BY k) AS max_map
+    FROM a GROUP BY f
+    """,
+)
+def q47_map_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumMap/maxMap analog (functions.maps): per return
+    flag, a key-sorted MAP linestatus -> summed revenue cents and ->
+    max quantity, rendered in the canonical 'k:v,...' form both engines
+    share.  Two hash aggregates: the per-(group, key) rollup does the
+    real work with map-side combine; map assembly moves one row per
+    (group, key) — bounded by key cardinality, never row count."""
+    from ..functions.maps import map_as_string, max_map, sum_map
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus",
+                  F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"),
+                  F.floor(F.col("l_quantity") + F.lit(0.5))
+                  .cast("long").alias("qty")))
+    s = sum_map(li, ["l_returnflag"], "l_linestatus", "cents")
+    m = max_map(li, ["l_returnflag"], "l_linestatus", "qty")
+    return (s.join(m, "l_returnflag")
+            .select("l_returnflag",
+                    map_as_string("sum_map").alias("sum_map"),
+                    map_as_string("max_map").alias("max_map")))
+
+
+@query(
+    "q48_histogram_quantiles",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    st AS MATERIALIZED (
+      SELECT g, least(63, greatest(0, c // 1000000)) AS bin,
+             count(*) AS cnt
+      FROM v GROUP BY 1, 2),
+    allst AS MATERIALIZED (
+      SELECT 'ALL' AS g, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM st GROUP BY bin),
+    u AS MATERIALIZED (
+      SELECT g, bin, CAST(cnt AS BIGINT) AS cnt FROM st
+      UNION ALL SELECT g, bin, cnt FROM allst),
+    cc AS MATERIALIZED (
+      SELECT g, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM u),
+    pp AS MATERIALIZED (
+      SELECT cc.g, cc.bin, cc.cnt, cc.cum, cc.n, p.pct,
+             (cc.n * p.pct + 99) // 100 AS r
+      FROM cc, LATERAL unnest([50, 90, 99]) AS p(pct))
+    SELECT g AS o_orderpriority, CAST(pct AS INT) AS pct,
+           round(CAST((bin * 1000000) * CAST(1000000 AS BIGINT)
+                      + (CAST(1000000 AS BIGINT) * 1000000
+                         * (2 * (r - (cum - cnt)) - 1))
+                        // (2 * cnt) AS BIGINT) / 1e8, 4) AS est_dollars
+    FROM pp WHERE cum >= r AND cum - cnt < r
+    """,
+)
+def q48_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile states (ClickHouse quantile-state idiom,
+    deterministic): per order priority, a 64-bin fixed-width histogram
+    of order value in cents (functions.sketches.histogram_state), the
+    global 'ALL' state derived by MERGING per-group states (per-bin
+    SUM — never rescanning orders), and p50/p90/p99 folded from each
+    state with integer-exact midpoint interpolation
+    (histogram_quantiles).  States are ≤64 rows per group at any data
+    scale; the fold's arithmetic is pure int64 DIV until the one
+    display division, so both engines agree bit-for-bit."""
+    from ..functions.sketches import histogram_quantiles, histogram_state
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("c"))
+    st = histogram_state(v, "c", ["g"], lo=0, width=1_000_000, n_bins=64)
+    merged = (st.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+              .withColumn("g", F.lit("ALL"))
+              .select("g", "bin", "cnt"))
+    q = histogram_quantiles(st.union(merged), ["g"], lo=0,
+                            width=1_000_000, percents=[50, 90, 99])
+    return q.select(F.col("g").alias("o_orderpriority"),
+                    F.col("pct").cast("int").alias("pct"),
+                    F.round(F.col("est_micro") / F.lit(1e8), 4)
+                    .alias("est_dollars"))

@@ -632,3 +632,40 @@ def s16_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return lttb_downsample(ev, "event_type", "ts", "value", "event_id",
                            width_sec=600)
+
+
+@query(
+    "s17_sequence_match",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                          WHEN 'error' THEN 'e' ELSE '?' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, 'p.*e') AS m_error_after_purchase,
+           regexp_matches(seq, 'v.*c.*p') AS m_funnel,
+           regexp_matches(seq, 's.*p') AS m_signup_purchase
+    FROM s
+    """,
+)
+def s17_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceMatch analog (operators.temporal
+    .sequence_match): per user the event stream renders to a letter
+    string in (ts, event_id) order and each funnel condition is one
+    regex over it — view→click→purchase, signup→purchase,
+    error-after-purchase — no self-joins, one hash aggregate, state
+    bounded by per-user event count.  Patterns use the Java∩RE2 core
+    so the oracle replays them byte-identically."""
+    from ..operators.temporal import sequence_match
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_match(
+        ev, "user_id", "ts", "event_id", "event_type",
+        letters={"view": "v", "click": "c", "signup": "s",
+                 "purchase": "p", "error": "e"},
+        patterns={"m_funnel": "v.*c.*p",
+                  "m_signup_purchase": "s.*p",
+                  "m_error_after_purchase": "p.*e"})

@@ -1,0 +1,137 @@
+"""Closed-form unit tests for the round-7 operators: map aggregates,
+mergeable histogram quantiles, sequenceMatch, paragraph dedup, exact
+stratified split, ANN recall eval."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_sum_max_map_closed_form(spark):
+    from janusgraph_clickhouse_spark.functions.maps import (map_as_string,
+                                                            max_map,
+                                                            sum_map)
+    rows = [("a", "x", 1), ("a", "x", 2), ("a", "y", 5),
+            ("b", "y", 7), ("b", "z", 1)]
+    df = spark.createDataFrame(rows, "g string, k string, v long")
+    s = {r.g: r.s for r in
+         sum_map(df, ["g"], "k", "v")
+         .select("g", map_as_string("sum_map").alias("s")).collect()}
+    assert s == {"a": "x:3,y:5", "b": "y:7,z:1"}
+    m = {r.g: r.s for r in
+         max_map(df, ["g"], "k", "v")
+         .select("g", map_as_string("max_map").alias("s")).collect()}
+    assert m == {"a": "x:2,y:5", "b": "y:7,z:1"}
+
+
+def test_histogram_quantile_exact_interpolation(spark):
+    """10 values 5..95 step 10 in [0,100), width 10 → each bin holds
+    one value; p50 rank ceil(10*50/100)=5 lands in bin 4 and the
+    midpoint interpolation gives exactly bin_lo + width/2 = 45."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        histogram_quantiles, histogram_state)
+    df = spark.createDataFrame([(i * 10 + 5,) for i in range(10)],
+                               "c long").withColumn("g", F.lit("only"))
+    st = histogram_state(df, "c", ["g"], lo=0, width=10, n_bins=10)
+    q = {r.pct: r.est_micro for r in
+         histogram_quantiles(st, ["g"], lo=0, width=10,
+                             percents=[50, 90]).collect()}
+    assert q[50] == 45_000_000   # 45.0 in micro-units
+    assert q[90] == 85_000_000
+
+
+def test_histogram_state_merge_equals_direct(spark):
+    """Merging per-group states by bin-count SUM gives the identical
+    quantiles a direct global state would (q48's claim)."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        histogram_quantiles, histogram_state)
+    df = (spark.range(1000)
+          .select((F.col("id") % 7).cast("string").alias("g"),
+                  (F.col("id") * 13 % 640).alias("c")))
+    fine = histogram_state(df, "c", ["g"], lo=0, width=10, n_bins=64)
+    merged = (fine.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+              .withColumn("g", F.lit("ALL")).select("g", "bin", "cnt"))
+    direct = histogram_state(df.withColumn("g", F.lit("ALL")),
+                             "c", ["g"], lo=0, width=10, n_bins=64)
+    qa = {r.pct: r.est_micro for r in histogram_quantiles(
+        merged, ["g"], lo=0, width=10, percents=[50, 90, 99]).collect()}
+    qb = {r.pct: r.est_micro for r in histogram_quantiles(
+        direct, ["g"], lo=0, width=10, percents=[50, 90, 99]).collect()}
+    assert qa == qb
+
+
+def test_sequence_match_closed_form(spark):
+    from janusgraph_clickhouse_spark.operators.temporal import (
+        sequence_match)
+    rows = [
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "purchase"),
+        (2, 10, 4, "click"), (2, 20, 5, "view"),      # wrong order
+        (3, 10, 6, "purchase"), (3, 20, 7, "error"),  # error after buy
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    out = {r.user_id: r for r in sequence_match(
+        df, "user_id", "ts", "event_id", "event_type",
+        letters={"view": "v", "click": "c", "purchase": "p",
+                 "error": "e"},
+        patterns={"m_funnel": "v.*c.*p",
+                  "m_err": "p.*e"}).collect()}
+    assert out[1].m_funnel and not out[1].m_err
+    assert not out[2].m_funnel          # order matters: cv, not vc
+    assert out[3].m_err and not out[3].m_funnel
+    assert out[1].seq_len == 3
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    from janusgraph_clickhouse_spark.llm.dedup import paragraph_dedup
+    rows = [
+        (1, 0, "alpha beta"), (1, 1, "gamma"),
+        (2, 0, "alpha beta"),              # cross-doc dup -> dropped
+        (2, 1, "delta"),
+        (3, 0, "gamma"), (3, 1, "gamma"),  # in-doc + cross-doc dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, idx long, para string")
+    out = {r.doc_id: r for r in
+           paragraph_dedup(df, "doc_id", "idx", "para").collect()}
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert (out[3].n_paras, out[3].n_kept) == (2, 0)  # all were dups
+    import hashlib
+    assert out[2].new_text_hash == hashlib.md5(b"delta").hexdigest()
+    assert out[3].new_text_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_exact_stratified_split_largest_remainder(spark):
+    """n=7 at 80/10/10: bases (5,0,0), leftover 2, remainders
+    (60,70,70) → val and test each get one seat → (5,1,1) EXACTLY —
+    a hash split could never guarantee this on 7 rows."""
+    from janusgraph_clickhouse_spark.llm.split import (
+        exact_stratified_split)
+    df = spark.createDataFrame([(i, "s") for i in range(7)],
+                               "id long, src string")
+    out = exact_stratified_split(df, "id", "src")
+    counts = {r.split: r.c for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    assert counts == {"train": 5, "val": 1, "test": 1}
+    # determinism: the same rows land in the same splits on re-run
+    a = sorted((r.id, r.split) for r in out.collect())
+    b = sorted((r.id, r.split) for r in
+               exact_stratified_split(df, "id", "src").collect())
+    assert a == b
+
+
+def test_ann_recall_eval_bounds_and_perfect_case(spark):
+    """Identical-direction corpus: every point shares every bucket, so
+    the shortlist is the whole corpus and recall is exactly 1.0."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        ann_recall_eval)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_recall_eval(df, "vec_id", "embedding", query_mod=10,
+                          k=5, dim=4).collect()
+    assert len(out) == 3           # ids 0, 10, 20
+    for r in out:
+        assert r.n_exact == 5
+        assert r.n_shortlist == 29
+        assert r.n_hit == 5 and r.recall == 1.0
