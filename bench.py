@@ -93,6 +93,13 @@ HEADLINE = [
     "l47_entropy_quality",      # word/char entropy quality signals
     "l50_knn_classify",         # LSH-blocked kNN majority vote
     "s16_lttb_downsample",      # parallel LTTB downsampling
+    # round-7 additions
+    "q46_hll_mergeable_rollup", # uniqState/uniqMerge register merge
+    "q48_histogram_quantiles",  # mergeable histogram quantile states
+    "s17_sequence_match",       # sequenceMatch funnel regexes
+    "l53_paragraph_dedup",      # paragraph keep-first + reassembly
+    "l54_stratified_split",     # largest-remainder exact split
+    "l55_ann_recall_eval",      # ANN recall@k vs brute force
 ]
 
 

@@ -483,3 +483,61 @@ def test_gap_fill_generates_axis_no_cartesian(spark, sf_smoke):
     plan = _physical(QUERIES["s14_gap_fill"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_map_aggregates_plan_two_hash_aggs_no_python(spark, sf_smoke):
+    """q47: sumMap/maxMap compile to hash-aggregate pairs with map-side
+    combine and zero Python evaluation; no window, no sort."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["q47_map_aggregates"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_histogram_quantiles_plan_state_side_agg(spark, sf_smoke):
+    """q48: the state build is a hash aggregate on (group, bin) — the
+    scan side; the quantile fold windows over ≤64-row states, and no
+    Python appears anywhere."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["q48_histogram_quantiles"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sequence_match_plan_single_agg_no_join(spark, sf_smoke):
+    """s17: one hash aggregate builds the per-key letter string; the
+    funnel checks are codegen regexes — no self-joins at all."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["s17_sequence_match"](spark, sf_smoke))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_plan_no_cartesian_no_python(spark, sf_smoke):
+    """l53: keep-first is a window over the md5-keyed shuffle and
+    reassembly one aggregate — never a self-join of paragraphs."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["l53_paragraph_dedup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_split_plan_broadcasts_seat_table(spark, sf_smoke):
+    """l54: the per-stratum seat table joins back by BROADCAST (it is
+    strata-sized); rows take exactly the rank-window shuffle."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["l54_stratified_split"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_plan_equi_join_candidates(spark, sf_smoke):
+    """l55: ANN candidates come from bucket EQUI-joins; the exact side
+    is the broadcast of the tiny query sample (BroadcastNestedLoopJoin
+    of a scalar-sized side is that broadcast, not a quadratic join) —
+    no CartesianProduct, no Python."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    plan = _physical(QUERIES["l55_ann_recall_eval"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
