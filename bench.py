@@ -100,6 +100,9 @@ HEADLINE = [
     "l53_paragraph_dedup",      # paragraph keep-first + reassembly
     "l54_stratified_split",     # largest-remainder exact split
     "l55_ann_recall_eval",      # ANN recall@k vs brute force
+    "q49_weighted_quantiles",   # exact weighted p50/p90/p99
+    "l56_source_overlap_matrix",  # per-source MinHash overlap
+    "s18_sequence_count",       # sequenceCount pattern counting
 ]
 
 

@@ -290,3 +290,37 @@ def histogram_quantiles(state: DataFrame, group_cols: list[str],
         + F.col("interp")
     return hit.select(*group_cols, "pct",
                       est.cast("long").alias("est_micro"))
+
+
+def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
+                       group_cols: list[str],
+                       percents: list[int]) -> DataFrame:
+    """ClickHouse quantileExactWeighted analog: per group, the EXACT
+    weighted quantile — the smallest value whose cumulative weight
+    reaches ceil(W·p/100) (type-1 weighted quantile).  Inputs must be
+    integer (quantize values to cents, weights to counts) so rank
+    arithmetic is (W·p + 99) DIV 100 — no float anywhere, both
+    engines agree exactly.
+
+    Scale shape: one pre-aggregate on (group, value) collapses
+    duplicate values (bounded by value cardinality per group), then a
+    cumulative-weight window over that collapsed set; one row per
+    (group, pct) out."""
+    from pyspark.sql import Window
+
+    g = (df.groupBy(*group_cols, val_col)
+         .agg(F.sum(weight_col).alias("w")))
+    wc = (Window.partitionBy(*group_cols).orderBy(val_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (g.withColumn("cum", F.sum("w").over(wc))
+         .withColumn("tot", F.sum("w").over(
+             Window.partitionBy(*group_cols))))
+    p = c.select(*group_cols, val_col, "w", "cum", "tot",
+                 F.explode(F.array(*[F.lit(x) for x in percents]))
+                 .alias("pct"))
+    p = (p.withColumn("num_r", F.col("tot") * F.col("pct") + F.lit(99))
+         .withColumn("r", F.expr("num_r DIV 100")))
+    hit = p.filter((F.col("cum") >= F.col("r"))
+                   & (F.col("cum") - F.col("w") < F.col("r")))
+    return hit.select(*group_cols, "pct",
+                      F.col(val_col).alias("q_value"))

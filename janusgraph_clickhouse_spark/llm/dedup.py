@@ -931,3 +931,62 @@ def paragraph_dedup(paras: DataFrame, id_col: str, idx_col: str,
                  F.sum(F.col("keep").cast("long")).alias("n_kept"),
                  F.md5(kept_text).alias("new_text_hash"))
             .withColumnRenamed("id", id_col))
+
+
+def source_overlap_matrix(df: DataFrame, group_col: str, text_col: str,
+                          n: int = 3, k: int = 32) -> DataFrame:
+    """Corpus-governance overlap matrix: for every pair of sources, the
+    MinHash-estimated AND exact Jaccard similarity of their word
+    n-gram shingle SETS — the "how much does source A duplicate source
+    B" dashboard a corpus build consults before mixing sources.
+
+    The sketch side uses the engine-portable md5-based component hash
+    family ('mh<i>|' + shingle → md5_long60, min per component) so the
+    ESTIMATE itself is oracle-checkable bit-for-bit — unlike the
+    xxhash64 family the per-document dedup path uses for shuffle
+    economy (there the hashes only gate candidates; here the estimate
+    IS the output).  At 100 TB you would keep only the sketch side:
+    per-source state is k longs (mergeable by min — accumulate it
+    incrementally per batch), and the pairwise matrix is
+    |sources|²·k work on a broadcast-sized signature table.  The exact
+    columns cost one shingle self-join keyed by shingle string and are
+    the audit half, same as every sketch query in this repo."""
+    from ..functions.hashing import md5_long60
+
+    sh = (df.select(F.col(group_col).alias("g"),
+                    F.explode(word_shingles(text_col, n)).alias("sh"))
+          .distinct())
+    aggs = [F.min(md5_long60(
+        F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(k)]
+    sig = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    a = sig.select(F.col("g").alias("source_a"),
+                   F.col("n").alias("n_shingles_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    b = sig.select(F.col("g").alias("source_b"),
+                   F.col("n").alias("n_shingles_b"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+         for i in range(k)), F.lit(0))
+    pairs = (a.join(F.broadcast(b),
+                    F.col("source_a") < F.col("source_b"))
+             .select("source_a", "source_b", "n_shingles_a",
+                     "n_shingles_b", matches.alias("m")))
+    inter = (sh.alias("x").join(
+        sh.alias("y"),
+        (F.col("x.sh") == F.col("y.sh"))
+        & (F.col("x.g") < F.col("y.g")))
+        .groupBy(F.col("x.g").alias("source_a"),
+                 F.col("y.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    ni = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    return (pairs.join(inter, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b", "n_shingles_a",
+                    "n_shingles_b",
+                    F.round(F.col("m") / F.lit(float(k)), 6)
+                    .alias("est_jaccard"),
+                    ni.alias("n_common"),
+                    F.round(ni / (F.col("n_shingles_a")
+                                  + F.col("n_shingles_b") - ni), 6)
+                    .alias("exact_jaccard")))

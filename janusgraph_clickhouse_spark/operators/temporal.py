@@ -289,3 +289,30 @@ def sequence_match(df: DataFrame, key: str, ts: str, tie: str,
     for name, rx in sorted(patterns.items()):
         cols.append(F.col("seq").rlike(rx).alias(name))
     return out.select(*cols)
+
+
+def sequence_count(df: DataFrame, key: str, ts: str, tie: str,
+                   type_col: str, letters: dict[str, str],
+                   patterns: dict[str, str]) -> DataFrame:
+    """ClickHouse ``sequenceCount`` analog: like sequence_match, but
+    each named pattern yields the COUNT of non-overlapping matches in
+    the per-key letter string (greedy left-to-right — the semantics
+    Java's Matcher.find loop and RE2's findall share, so a DuckDB
+    oracle counts identically).  Same scale shape as sequence_match:
+    one aggregate, codegen regex, no self-joins."""
+    letter = F.lit("?")
+    for t, ch in sorted(letters.items()):
+        letter = F.when(F.col(type_col) == t, F.lit(ch)).otherwise(letter)
+    ev = df.select(F.col(key), F.col(ts).alias("_ts"),
+                   F.col(tie).alias("_tie"), letter.alias("_ch"))
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("_ts"), F.col("_tie"), F.col("_ch")))),
+            lambda s: s._ch), "")
+    out = ev.groupBy(key).agg(seq.alias("seq"))
+    cols = [F.col(key), F.length("seq").cast("long").alias("seq_len")]
+    for name, rx in sorted(patterns.items()):
+        cols.append(F.regexp_count("seq", F.lit(rx)).cast("long")
+                    .alias(name))
+    return out.select(*cols)

@@ -150,6 +150,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "q47_map_aggregates": 7, "q48_histogram_quantiles": 7,
     "s17_sequence_match": 7, "l53_paragraph_dedup": 7,
     "l54_stratified_split": 7, "l55_ann_recall_eval": 7,
+    "q49_weighted_quantiles": 7, "l56_source_overlap_matrix": 7,
+    "s18_sequence_count": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

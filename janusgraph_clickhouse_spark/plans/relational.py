@@ -1563,3 +1563,50 @@ def q48_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("pct").cast("int").alias("pct"),
                     F.round(F.col("est_micro") / F.lit(1e8), 4)
                     .alias("est_dollars"))
+
+
+@query(
+    "q49_weighted_quantiles",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem),
+    a AS MATERIALIZED (
+      SELECT g, c, CAST(sum(w) AS BIGINT) AS w FROM v GROUP BY g, c),
+    cc AS MATERIALIZED (
+      SELECT g, c, w,
+             CAST(sum(w) OVER (PARTITION BY g ORDER BY c
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+      FROM a),
+    p AS MATERIALIZED (
+      SELECT cc.g, cc.c, cc.w, cc.cum, cc.tot, pp.pct,
+             (cc.tot * pp.pct + 99) // 100 AS r
+      FROM cc, LATERAL unnest([50, 90, 99]) AS pp(pct))
+    SELECT g AS l_returnflag, CAST(pct AS INT) AS pct,
+           c AS q_value_cents
+    FROM p WHERE cum >= r AND cum - w < r
+    """,
+)
+def q49_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse quantileExactWeighted analog (functions.sketches
+    .weighted_quantiles): per return flag, the EXACT quantity-weighted
+    p50/p90/p99 of line revenue — the smallest value whose cumulative
+    weight reaches ceil(W·p/100).  Values pre-collapsed per (group,
+    value) so the window runs over value cardinality, not row count;
+    rank arithmetic pure int64 — both engines agree exactly."""
+    from ..functions.sketches import weighted_quantiles
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("c"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("long").alias("w"))
+    q = weighted_quantiles(v, "c", "w", ["g"], [50, 90, 99])
+    return q.select(F.col("g").alias("l_returnflag"),
+                    F.col("pct").cast("int").alias("pct"),
+                    F.col("q_value").alias("q_value_cents"))

@@ -669,3 +669,40 @@ def s17_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         patterns={"m_funnel": "v.*c.*p",
                   "m_signup_purchase": "s.*p",
                   "m_error_after_purchase": "p.*e"})
+
+
+@query(
+    "s18_sequence_count",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                          WHEN 'error' THEN 'e' ELSE '?' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT)
+             AS n_click_purchase,
+           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+             AS n_journeys,
+           CAST(len(regexp_extract_all(seq, 'e')) AS BIGINT) AS n_errors
+    FROM s
+    """,
+)
+def s18_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sequenceCount analog (operators.temporal
+    .sequence_count): per user, how many non-overlapping times each
+    event-order pattern occurs — adjacent click→purchase conversions,
+    complete view→(views/clicks)→purchase journeys, raw error count —
+    one aggregate + codegen regex counting, no self-joins."""
+    from ..operators.temporal import sequence_count
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_count(
+        ev, "user_id", "ts", "event_id", "event_type",
+        letters={"view": "v", "click": "c", "signup": "s",
+                 "purchase": "p", "error": "e"},
+        patterns={"n_click_purchase": "cp",
+                  "n_journeys": "v[vc]*p",
+                  "n_errors": "e"})

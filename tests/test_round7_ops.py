@@ -135,3 +135,57 @@ def test_ann_recall_eval_bounds_and_perfect_case(spark):
         assert r.n_exact == 5
         assert r.n_shortlist == 29
         assert r.n_hit == 5 and r.recall == 1.0
+
+
+def test_weighted_quantiles_closed_form(spark):
+    """Values 10,20,30 with weights 1,8,1 (W=10): p50 rank ceil(5)=5
+    lands in 20's span [2,9]; p90 rank 9 also 20; p99 rank 10 -> 30."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        weighted_quantiles)
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 20, 8), ("g", 30, 1)],
+        "g string, c long, w long")
+    q = {r.pct: r.q_value for r in
+         weighted_quantiles(df, "c", "w", ["g"], [50, 90, 99])
+         .collect()}
+    assert q == {50: 20, 90: 20, 99: 30}
+
+
+def test_source_overlap_matrix_closed_form(spark):
+    """Two sources sharing half their shingles: exact Jaccard is
+    computed from shingle sets; identical sources estimate 1.0."""
+    from janusgraph_clickhouse_spark.llm.dedup import (
+        source_overlap_matrix)
+    rows = [
+        (1, "a b c d e", "s1"),
+        (2, "a b c d e", "s2"),      # identical to s1's doc
+        (3, "x y z w q", "s3"),      # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    out = {(r.source_a, r.source_b): r for r in
+           source_overlap_matrix(df, "source", "text").collect()}
+    assert out[("s1", "s2")].exact_jaccard == 1.0
+    assert out[("s1", "s2")].est_jaccard == 1.0
+    assert out[("s1", "s3")].exact_jaccard == 0.0
+    assert out[("s1", "s3")].n_common == 0
+
+
+def test_sequence_count_non_overlapping(spark):
+    from janusgraph_clickhouse_spark.operators.temporal import (
+        sequence_count)
+    rows = [(1, t, t, e) for t, e in enumerate(
+        ["view", "click", "purchase", "view", "purchase", "error",
+         "error"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    r = sequence_count(
+        df, "user_id", "ts", "event_id", "event_type",
+        letters={"view": "v", "click": "c", "purchase": "p",
+                 "error": "e"},
+        patterns={"n_cp": "cp", "n_j": "v[vc]*p",
+                  "n_e": "e"}).collect()[0]
+    # seq = vcpvpee
+    assert r.n_cp == 1
+    assert r.n_j == 2       # vcp and vp, non-overlapping
+    assert r.n_e == 2
