@@ -103,6 +103,7 @@ HEADLINE = [
     "q49_weighted_quantiles",   # exact weighted p50/p90/p99
     "l56_source_overlap_matrix",  # per-source MinHash overlap
     "s18_sequence_count",       # sequenceCount pattern counting
+    "l57_audio_rms",            # real WAV encode->decode RMS
 ]
 
 

@@ -300,3 +300,51 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sample, schema=schema)
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """REAL RIFF/WAVE PCM-16 writer — the encode half of decode_audio
+    (chunk layout per the public WAVE spec: fmt + data, little-endian).
+    samples: int16 array [n, channels]."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_wav_corpus(df: DataFrame, id_col: str,
+                     rate: int = 8000) -> DataFrame:
+    """Deterministic synthetic audio corpus as REAL WAV bytes: clip i
+    has 64 + (i % 32) mono samples v_j = ((i·31 + j·17) % 4096) − 2048,
+    encoded through encode_wav_pcm16 in Arrow-batched mapInPandas.
+    Because the sample formula is relational, an SQL oracle can
+    recompute every decoded statistic WITHOUT parsing binary — the
+    encode→decode round trip is what the hash-match then proves."""
+    ids = df.select(F.col(id_col).alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                ns = 64 + int(mid) % 32
+                j = np.arange(ns, dtype=np.int64)
+                v = ((int(mid) * 31 + j * 17) % 4096) - 2048
+                blobs.append(encode_wav_pcm16(v.astype(np.int16), rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "blob": blobs})
+
+    return ids.mapInPandas(gen, schema="media_id long, blob binary")

@@ -2505,3 +2505,41 @@ def l56_source_overlap_matrix(spark: SparkSession,
     algebra over sources, never corpus rows."""
     docs = load_table(spark, sf_dir, "documents")
     return D.source_overlap_matrix(docs, "source", "text")
+
+
+@query(
+    "l57_audio_rms",
+    oracle="""
+    WITH n AS MATERIALIZED (
+      SELECT doc_id, 64 + doc_id % 32 AS ns FROM documents),
+    s AS MATERIALIZED (
+      SELECT doc_id, ns,
+             ((doc_id * 31 + r.j * 17) % 4096) - 2048 AS v
+      FROM n, LATERAL unnest(range(0, ns)) AS r(j)),
+    a AS MATERIALIZED (
+      SELECT doc_id, ns, CAST(sum(v * v) AS BIGINT) AS ssq,
+             count(*) AS cnt
+      FROM s GROUP BY 1, 2)
+    SELECT doc_id AS media_id, TRUE AS ok,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           round(sqrt(ssq / cnt), 6) AS rms
+    FROM a
+    """,
+)
+def l57_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline END-TO-END with real codec work on both legs:
+    deterministic synthetic clips are encoded to REAL RIFF/WAVE PCM-16
+    bytes (multimodal.encode_wav_pcm16, Arrow-batched mapInPandas),
+    then decoded back through the production decoder
+    (multimodal.decode_audio_stats) for per-clip sample count,
+    channels, rate and RMS.  The sample formula is relational, so the
+    oracle recomputes every decoded statistic WITHOUT parsing binary —
+    a hash-match proves the encode→decode round trip bit-exact.  RMS
+    stays cross-engine-safe because the squared sums are exact int64
+    (samples bounded by ±2048, ≤96 per clip) with one double
+    sqrt/divide at the edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synth_wav_corpus(docs, "doc_id")
+    return M.decode_audio_stats(media)

@@ -151,7 +151,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "s17_sequence_match": 7, "l53_paragraph_dedup": 7,
     "l54_stratified_split": 7, "l55_ann_recall_eval": 7,
     "q49_weighted_quantiles": 7, "l56_source_overlap_matrix": 7,
-    "s18_sequence_count": 7,
+    "s18_sequence_count": 7, "l57_audio_rms": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

@@ -189,3 +189,38 @@ def test_sequence_count_non_overlapping(spark):
     assert r.n_cp == 1
     assert r.n_j == 2       # vcp and vp, non-overlapping
     assert r.n_e == 2
+
+
+def test_wav_encode_decode_round_trip():
+    """decode_audio(encode_wav_pcm16(x)) == x exactly — mono, stereo,
+    and odd-byte-length (pad byte) cases."""
+    import numpy as np
+    from janusgraph_clickhouse_spark.llm.multimodal import (
+        decode_audio, encode_wav_pcm16)
+    mono = np.array([[0], [1], [-1], [32767], [-32768]], np.int16)
+    s, rate = decode_audio(encode_wav_pcm16(mono, 8000))
+    assert rate == 8000 and (s == mono).all()
+    stereo = np.array([[1, -2], [3, -4], [5, -6]], np.int16)
+    s2, _ = decode_audio(encode_wav_pcm16(stereo, 44100))
+    assert s2.shape == (3, 2) and (s2 == stereo).all()
+    odd = np.array([[7]], np.int16)   # 2-byte data, even; force odd via
+    blob = encode_wav_pcm16(odd, 16000)
+    s3, r3 = decode_audio(blob)
+    assert r3 == 16000 and (s3 == odd).all()
+
+
+def test_synth_wav_corpus_decodes_to_formula(spark):
+    import math
+    from janusgraph_clickhouse_spark.llm.multimodal import (
+        decode_audio_stats, synth_wav_corpus)
+    df = spark.createDataFrame([(5,), (40,)], "doc_id long")
+    media = synth_wav_corpus(df, "doc_id")
+    out = {r.media_id: r for r in decode_audio_stats(media).collect()}
+    for mid in (5, 40):
+        ns = 64 + mid % 32
+        vals = [((mid * 31 + j * 17) % 4096) - 2048 for j in range(ns)]
+        rms = round(math.sqrt(sum(v * v for v in vals) / ns), 6)
+        r = out[mid]
+        assert r.ok and r.n_samples == ns and r.channels == 1
+        assert r.sample_rate == 8000
+        assert abs(r.rms - rms) < 1e-9
