@@ -386,3 +386,109 @@ def test_canonical_url_idempotent(spark, host, path, www, port, query):
     once = df.select(canonical_url("url").alias("c"))
     twice = once.select(canonical_url("c").alias("c2"), "c").collect()[0]
     assert twice.c2 == twice.c
+
+
+@SPARK_FAST
+@given(data=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 9)),
+                     min_size=1, max_size=30),
+       pcts=st.sets(st.integers(1, 100), min_size=1, max_size=4))
+def test_weighted_quantiles_match_python_reference(spark, data, pcts):
+    """weighted_quantiles == the sort-and-accumulate reference for any
+    integer values/weights and any percent set."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        weighted_quantiles)
+    df = spark.createDataFrame([("g", v, w) for v, w in data],
+                               "g string, c long, w long")
+    got = {r.pct: r.q_value for r in
+           weighted_quantiles(df, "c", "w", ["g"],
+                              sorted(pcts)).collect()}
+    W = sum(w for _, w in data)
+    agg = {}
+    for v, w in data:
+        agg[v] = agg.get(v, 0) + w
+    for p in pcts:
+        r = -(-W * p // 100)  # ceil
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if cum >= r:
+                assert got[p] == v, (p, r, got, agg)
+                break
+
+
+@SPARK_FAST
+@given(counts=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+       pcts=st.tuples(st.integers(1, 98), st.integers(1, 50)))
+def test_exact_stratified_split_is_largest_remainder(spark, counts, pcts):
+    """Per-stratum split sizes equal the largest-remainder reference
+    for arbitrary stratum sizes and percentages."""
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.llm.split import (
+        exact_stratified_split)
+    tp, vp = pcts
+    if tp + vp >= 100:
+        vp = (100 - tp) // 2
+    sp = 100 - tp - vp
+    rows, base = [], 0
+    for si, n in enumerate(counts):
+        rows += [(base + i, f"s{si}") for i in range(n)]
+        base += n
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = exact_stratified_split(df, "id", "src", pcts=(tp, vp, sp))
+    got = {(r.src, r.split): r.c for r in
+           out.groupBy("src", "split")
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    for si, n in enumerate(counts):
+        seats = []
+        for prio, p in enumerate((tp, vp, sp)):
+            seats.append([n * p // 100, n * p % 100, prio])
+        leftover = n - sum(s[0] for s in seats)
+        for s in sorted(seats, key=lambda s: (-s[1], s[2]))[:leftover]:
+            s[0] += 1
+        for (want, _, prio), name in zip(
+                seats, ("train", "val", "test")):
+            have = got.get((f"s{si}", name), 0)
+            assert have == want, (si, n, name, want, have, got)
+
+
+@SPARK_FAST
+@given(seq=st.lists(st.sampled_from("vcspe"), min_size=0, max_size=25))
+def test_sequence_count_matches_re_findall(spark, seq):
+    """sequence_count == Python re.findall (non-overlapping greedy) for
+    any event stream."""
+    import re
+    from janusgraph_clickhouse_spark.operators.temporal import (
+        sequence_count)
+    letters = {"view": "v", "click": "c", "signup": "s",
+               "purchase": "p", "error": "e"}
+    inv = {v: k for k, v in letters.items()}
+    rows = [(1, t, t, inv[ch]) for t, ch in enumerate(seq)]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    pats = {"n_cp": "cp", "n_j": "v[vc]*p", "n_e": "e"}
+    r = sequence_count(df, "user_id", "ts", "event_id", "event_type",
+                       letters=letters, patterns=pats).collect()[0]
+    s = "".join(seq)
+    for name, rx in pats.items():
+        assert getattr(r, name) == len(re.findall(rx, s)), (s, name)
+
+
+@SPARK_FAST
+@given(paras=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 4),
+                                st.sampled_from(["aa", "bb", "cc"])),
+                      min_size=1, max_size=20, unique_by=lambda t: t[:2]))
+def test_paragraph_dedup_conservation(spark, paras):
+    """Σ n_kept == number of DISTINCT paragraph texts that appear (each
+    distinct text survives exactly once, anywhere), and n_paras sums to
+    the input size."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.dedup import paragraph_dedup
+    df = spark.createDataFrame(paras, "doc_id long, idx long, para string")
+    out = paragraph_dedup(df, "doc_id", "idx", "para")
+    agg = out.agg(F.sum("n_paras").alias("np"),
+                  F.sum("n_kept").alias("nk")).collect()[0]
+    assert agg.np == len(paras)
+    assert agg.nk == len({p for _, _, p in paras})
