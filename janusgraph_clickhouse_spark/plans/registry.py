@@ -156,18 +156,24 @@ REGISTERED_ROUND: dict[str, int] = {
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the
 # r5 file never appeared and is now irrelevant — everything it would
-# have covered was re-windowed in r6/r7):
-# When CORRECTNESS_r08 lands the horizon becomes {r6,r7,r8}, so the
-# 33 names whose newest real row is r4 go FIRST:
-#   q03 q08 q13 q18 q20 q21 q26 q29 q30 q35 q37,
-#   g01 g02 g07 g08 g09 g10 g11 g12 g13,
-#   l02 l05 l06 l07 l08 l09 l13 l14 l15 l16,
-#   s02 s03 s04
-# then the 13 REGISTERED_ROUND=6 names not windowed in r7 (due r8 by
-# the virtual-row bound): q43 q44 q45, s14 s16, g29 g30 g31,
-# l48 l49 l50 l51 l52.  33 + 13 = 46; the 4 spare slots go to
-# rule-2 (changed in r8) and rule-4 (new in r8) names, else to the
-# stalest r6 greens.
+# have covered was re-windowed in r6/r7).  NOTE: the registry crossed
+# 150 in round 7, so lag = ceil(N/50) = 4 CORRECTNESS files — at r8
+# the horizon is {r4,r6,r7,r8} and nothing is formally stale.  The
+# stalest-first RULE still orders the window; the bound is only the
+# tripwire.  Window, in order:
+# 1. the 33 names whose newest real row is r4 (they leave the horizon
+#    when r9's file lands — windowing them at r8 keeps actual
+#    staleness minimal):
+#      q03 q08 q13 q18 q20 q21 q26 q29 q30 q35 q37,
+#      g01 g02 g07 g08 g09 g10 g11 g12 g13,
+#      l02 l05 l06 l07 l08 l09 l13 l14 l15 l16,
+#      s02 s03 s04
+# 2. the 13 REGISTERED_ROUND=6 names not windowed in r7 (virtual r5
+#    rows leave the horizon at r9): q43 q44 q45, s14 s16,
+#    g29 g30 g31, l48 l49 l50 l51 l52.
+# 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
+# rule-4 (new in r8) names, else to the 12 round-7 registrations
+# (q46-q49, s17 s18, l53-l57 — virtual r6 rows, due r9 with the rest).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
