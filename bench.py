@@ -104,6 +104,8 @@ HEADLINE = [
     "l56_source_overlap_matrix",  # per-source MinHash overlap
     "s18_sequence_count",       # sequenceCount pattern counting
     "l57_audio_rms",            # real WAV encode->decode RMS
+    "q50_range_frame_windows",  # RANGE-frame moving window aggs
+    "l58_snapshot_diff",        # corpus version diff
 ]
 
 

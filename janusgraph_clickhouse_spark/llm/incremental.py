@@ -313,3 +313,27 @@ def compact_index_catalog(spark: SparkSession, path: str,
          .saveAsTable(name))
         out[t] = spark.table(name)
     return out
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit every
+    periodic corpus rebuild publishes: per document id, whether it was
+    added, removed, changed (content hash differs) or unchanged
+    between two snapshots.  One full outer join on the id with md5
+    content fingerprints computed scan-side; at 100 TB both legs are
+    one pass and the join keys are the natural document ids (co-
+    partitioned if both snapshots share layout — zero extra shuffle
+    when bucketed by id, the `bucketed_tables` idiom above).
+
+    Returns one row per id in either snapshot: (id, status)."""
+    o = old.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("h_old"))
+    n = new.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("h_new"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("h_old").isNull(), "added")
+              .when(F.col("h_new").isNull(), "removed")
+              .when(F.col("h_old") != F.col("h_new"), "changed")
+              .otherwise("unchanged"))
+    return j.select("id", status.alias("status"))

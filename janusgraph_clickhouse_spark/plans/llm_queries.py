@@ -2543,3 +2543,55 @@ def l57_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synth_wav_corpus(docs, "doc_id")
     return M.decode_audio_stats(media)
+
+
+@query(
+    "l58_snapshot_diff",
+    oracle="""
+    WITH oldt AS MATERIALIZED (
+      SELECT doc_id, text FROM documents),
+    newt AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 11 = 0),
+    j AS MATERIALIZED (
+      SELECT coalesce(o.doc_id, n.doc_id) AS id,
+             md5(o.text) AS ho, md5(n.text) AS hn
+      FROM oldt o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id)
+    SELECT CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho <> hn THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids
+    FROM j GROUP BY 1
+    """,
+)
+def l58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff (llm.incremental.snapshot_diff): the
+    added/removed/changed/unchanged audit between two corpus versions
+    via one full outer join on document id with scan-side md5
+    fingerprints.  Snapshot B is SYNTHESIZED deterministically from
+    the fixture (drop id%7, edit id%5, add id%11 under new ids) — the
+    same derivation on both engines, the l48 precedent.  Output
+    aggregates per status with sum of ids, proving WHICH documents
+    landed in each class."""
+    from ..llm.incremental import snapshot_diff
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    new = (docs.filter(d % 7 != 0)
+           .select("doc_id",
+                   F.when(d % 5 == 0, F.concat(F.col("text"),
+                                               F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .union(docs.filter(d % 11 == 0)
+                  .select((d + 100000).alias("doc_id"),
+                          F.concat(F.lit("new doc "),
+                                   d.cast("string")).alias("text"))))
+    diff = snapshot_diff(docs, new, "doc_id", "text")
+    return (diff.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("id").alias("sum_ids")))

@@ -1610,3 +1610,45 @@ def q49_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(F.col("g").alias("l_returnflag"),
                     F.col("pct").cast("int").alias("pct"),
                     F.col("q_value").alias("q_value_cents"))
+
+
+@query(
+    "q50_range_frame_windows",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT user_id, event_id, ts_sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h,
+           CAST(max(cents) OVER w AS BIGINT) AS max_cents_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q50_range_frame_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame (time-interval) window aggregates — the moving
+    "last hour per user" rollup every monitoring query needs, and a
+    window surface q34's ROWS frames don't cover: the frame is bounded
+    by VALUE distance (ts within 3600 s), not row count, so ties and
+    gaps behave per the SQL standard on both engines.  One key shuffle
+    + one ordered window pass; cents quantization keeps the moving
+    sums integer-exact.  (Rows sharing a ts_sec share a frame — RANGE
+    semantics — which is why the frame column set is deterministic
+    without an event_id tiebreak.)"""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id",
+                  F.unix_timestamp("ts").alias("ts_sec"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts_sec")
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "user_id", "event_id", "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+        F.max("cents").over(w).alias("max_cents_1h"))

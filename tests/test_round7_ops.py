@@ -224,3 +224,34 @@ def test_synth_wav_corpus_decodes_to_formula(spark):
         assert r.ok and r.n_samples == ns and r.channels == 1
         assert r.sample_rate == 8000
         assert abs(r.rms - rms) < 1e-9
+
+
+def test_range_frame_vs_rows_semantics(spark):
+    """RANGE frames include ALL rows within the value distance — ties
+    on the order key share a frame, and gaps larger than the bound
+    exclude rows regardless of adjacency (the semantics ROWS frames
+    cannot express)."""
+    from pyspark.sql import Window
+    rows = [(1, 0, 10), (1, 1800, 20), (1, 1800, 30), (1, 7200, 40)]
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    w = Window.partitionBy("k").orderBy("ts").rangeBetween(-3600, 0)
+    out = {(r.ts, r.v): r.s for r in
+           df.select("ts", "v", F.sum("v").over(w).alias("s"))
+           .collect()}
+    assert out[(0, 10)] == 10
+    # the two ts=1800 rows share one frame: 10+20+30
+    assert out[(1800, 20)] == 60 and out[(1800, 30)] == 60
+    # ts=7200 is >3600 past everything: alone in its frame
+    assert out[(7200, 40)] == 40
+
+
+def test_snapshot_diff_closed_form(spark):
+    from janusgraph_clickhouse_spark.llm.incremental import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string")
+    got = {r.id: r.status for r in
+           snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
