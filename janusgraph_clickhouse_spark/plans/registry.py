@@ -153,6 +153,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "q49_weighted_quantiles": 7, "l56_source_overlap_matrix": 7,
     "s18_sequence_count": 7, "l57_audio_rms": 7,
     "q50_range_frame_windows": 7, "l58_snapshot_diff": 7,
+    "s19_stream_enrich": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

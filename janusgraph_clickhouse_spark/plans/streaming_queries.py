@@ -706,3 +706,53 @@ def s18_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         patterns={"n_click_purchase": "cp",
                   "n_journeys": "v[vc]*p",
                   "n_errors": "e"})
+
+
+@query(
+    "s19_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def s19_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, driver-checked END TO END (the s11
+    pattern): a REAL availableNow streaming query runs inside this
+    builder — file source over the events fixture, each micro-batch
+    LEFT-joined against the broadcast customer dimension
+    (streaming.ops.enrich_stream — the static side re-resolves per
+    batch, so slowly-changing dims pick up updates without a restart)
+    — lands in a memory sink, and the enriched rows are then rolled up
+    per (market segment, event type).  The oracle is the plain batch
+    join+GROUP BY; equality proves the per-micro-batch join drops or
+    duplicates nothing across batch boundaries."""
+    import os
+    import shutil
+    import tempfile
+    from ..streaming.ops import (enrich_stream, events_stream,
+                                 run_to_memory)
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="s19_events_")
+    try:
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(d, "events.parquet"))
+        else:
+            shutil.copy(src, d)
+        stream = events_stream(spark, d, max_files_per_trigger=1)
+        out = run_to_memory(enrich_stream(stream, dim, "user_id"),
+                            mode="append")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (out.groupBy(F.col("c_mktsegment").alias("mktsegment"),
+                        "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                       .cast("long")).alias("sum_cents")))
