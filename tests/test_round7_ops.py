@@ -255,3 +255,28 @@ def test_snapshot_diff_closed_form(spark):
            snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added"}
+
+
+def test_side_effect_queries_rerun_identically(spark, sf_smoke):
+    """Queries with real side effects inside the builder (temp-dir
+    writes, availableNow streams, TTL partition drops, incremental
+    index state) must return IDENTICAL results when invoked twice in
+    one session — leaked state or reused temp paths would diverge on
+    the second call (the verify-skill 'rerun twice' probe, pinned)."""
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    for name in ["q45_ttl_partition_prune", "s11_stateful_running_totals",
+                 "s19_stream_enrich", "l30_incremental_dedup"]:
+        fn = QUERIES[name]
+        a = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+        b = sorted(map(tuple, fn(spark, sf_smoke).collect()))
+        assert a == b, f"{name}: rerun diverged"
+
+
+def test_missing_sf_dir_fails_loudly(spark):
+    """A nonexistent fixture dir must raise the clean AnalysisException
+    (PATH_NOT_FOUND), not a silent empty result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from janusgraph_clickhouse_spark.plans.registry import QUERIES
+    with pytest.raises(AnalysisException):
+        QUERIES["q01_slice_point"](spark, "/root/testdata/sf_nope").collect()
