@@ -953,9 +953,14 @@ def source_overlap_matrix(df: DataFrame, group_col: str, text_col: str,
     the audit half, same as every sketch query in this repo."""
     from ..functions.hashing import md5_long60
 
+    # materialized once: the (group, shingle) set feeds THREE consumers
+    # (signature aggregate + both sides of the exact-intersection
+    # self-join) — without the checkpoint each one re-runs the corpus
+    # scan + explode + distinct (the CLAUDE.md re-derived-lineage
+    # pathology)
     sh = (df.select(F.col(group_col).alias("g"),
                     F.explode(word_shingles(text_col, n)).alias("sh"))
-          .distinct())
+          .distinct().localCheckpoint(eager=True))
     aggs = [F.min(md5_long60(
         F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(k)]

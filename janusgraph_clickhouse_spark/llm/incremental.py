@@ -328,12 +328,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
 
     Returns one row per id in either snapshot: (id, status)."""
     o = old.select(F.col(id_col).alias("id"),
-                   F.md5(F.col(text_col)).alias("h_old"))
+                   F.md5(F.col(text_col)).alias("h_old"),
+                   F.lit(True).alias("in_old"))
     n = new.select(F.col(id_col).alias("id"),
-                   F.md5(F.col(text_col)).alias("h_new"))
+                   F.md5(F.col(text_col)).alias("h_new"),
+                   F.lit(True).alias("in_new"))
     j = o.join(n, "id", "full_outer")
-    status = (F.when(F.col("h_old").isNull(), "added")
-              .when(F.col("h_new").isNull(), "removed")
-              .when(F.col("h_old") != F.col("h_new"), "changed")
+    # presence comes from join-side MARKERS, never from hash nullity —
+    # md5(NULL text) is NULL, so a present-but-null-text document would
+    # otherwise masquerade as added/removed
+    status = (F.when(F.col("in_old").isNull(), "added")
+              .when(F.col("in_new").isNull(), "removed")
+              .when(~F.col("h_old").eqNullSafe(F.col("h_new")), "changed")
               .otherwise("unchanged"))
     return j.select("id", status.alias("status"))

@@ -318,10 +318,12 @@ def encode_wav_pcm16(samples, rate: int) -> bytes:
     byte_rate = rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
                       channels * 2, 16)
+    # no pad byte: PCM-16 data is always even (n·channels·2).  The
+    # decoder's `sz & 1` chunk-walk skip is the half that matters for
+    # FOREIGN WAVs carrying odd-sized chunks.
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-            + (b"\x00" if len(data) & 1 else b""))
+            + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -256,6 +256,25 @@ def lttb_downsample(df: DataFrame, key: str, ts: str, value: str,
                     F.col("c").alias("cents"), "rule"))
 
 
+def _letter_seq(df: DataFrame, key: str, ts: str, tie: str,
+                type_col: str, letters: dict[str, str]) -> DataFrame:
+    """Shared sequence-string builder for sequence_match/sequence_count:
+    per key, the event stream rendered as a letter string in (ts, tie)
+    order via ONE collect_list aggregate; unmapped types render '?' so
+    patterns can't accidentally match them.  Returns (key, seq)."""
+    letter = F.lit("?")
+    for t, ch in sorted(letters.items()):
+        letter = F.when(F.col(type_col) == t, F.lit(ch)).otherwise(letter)
+    ev = df.select(F.col(key), F.col(ts).alias("_ts"),
+                   F.col(tie).alias("_tie"), letter.alias("_ch"))
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("_ts"), F.col("_tie"), F.col("_ch")))),
+            lambda s: s._ch), "")
+    return ev.groupBy(key).agg(seq.alias("seq"))
+
+
 def sequence_match(df: DataFrame, key: str, ts: str, tie: str,
                    type_col: str, letters: dict[str, str],
                    patterns: dict[str, str]) -> DataFrame:
@@ -274,17 +293,7 @@ def sequence_match(df: DataFrame, key: str, ts: str, tie: str,
     render as '?' so patterns can't accidentally match them.  Regexes
     must stick to the Java∩RE2 common core ('.', '*', literals) so a
     DuckDB oracle replays them byte-identically."""
-    letter = F.lit("?")
-    for t, ch in sorted(letters.items()):
-        letter = F.when(F.col(type_col) == t, F.lit(ch)).otherwise(letter)
-    ev = df.select(F.col(key), F.col(ts).alias("_ts"),
-                   F.col(tie).alias("_tie"), letter.alias("_ch"))
-    seq = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(
-                F.struct(F.col("_ts"), F.col("_tie"), F.col("_ch")))),
-            lambda s: s._ch), "")
-    out = ev.groupBy(key).agg(seq.alias("seq"))
+    out = _letter_seq(df, key, ts, tie, type_col, letters)
     cols = [F.col(key), F.length("seq").cast("long").alias("seq_len")]
     for name, rx in sorted(patterns.items()):
         cols.append(F.col("seq").rlike(rx).alias(name))
@@ -299,18 +308,9 @@ def sequence_count(df: DataFrame, key: str, ts: str, tie: str,
     the per-key letter string (greedy left-to-right — the semantics
     Java's Matcher.find loop and RE2's findall share, so a DuckDB
     oracle counts identically).  Same scale shape as sequence_match:
-    one aggregate, codegen regex, no self-joins."""
-    letter = F.lit("?")
-    for t, ch in sorted(letters.items()):
-        letter = F.when(F.col(type_col) == t, F.lit(ch)).otherwise(letter)
-    ev = df.select(F.col(key), F.col(ts).alias("_ts"),
-                   F.col(tie).alias("_tie"), letter.alias("_ch"))
-    seq = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(
-                F.struct(F.col("_ts"), F.col("_tie"), F.col("_ch")))),
-            lambda s: s._ch), "")
-    out = ev.groupBy(key).agg(seq.alias("seq"))
+    one aggregate (shared _letter_seq builder), codegen regex, no
+    self-joins."""
+    out = _letter_seq(df, key, ts, tie, type_col, letters)
     cols = [F.col(key), F.length("seq").cast("long").alias("seq_len")]
     for name, rx in sorted(patterns.items()):
         cols.append(F.regexp_count("seq", F.lit(rx)).cast("long")

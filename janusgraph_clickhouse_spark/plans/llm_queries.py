@@ -2157,8 +2157,10 @@ def l50_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + id/label tiebreaks so the oracle replays bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     # n_planes="auto" resolves to the oracle's 4 at every fixture scale
-    # (m ≤ 2^4·candidate_budget = 4096); dim from the TESTDATA
-    # contract — no probe job in the build path.
+    # (m ≤ 2^4·candidate_budget = 4096; tripwire test pins this so a
+    # fixture regen past the flip can't become a silent parity red).
+    # auto costs one metadata-cheap count() job; the static dim from
+    # the TESTDATA contract is what removes the row-probe job.
     return S.knn_classify(emb, "vec_id", "embedding", "label", k=5,
                           dim=_EMB_DIM)
 
@@ -2429,7 +2431,21 @@ def l55_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall_eval(emb, "vec_id", "embedding", dim=_EMB_DIM)
 
 
-_L56_ORACLE = """
+_L56_K = 32
+
+
+def _l56_oracle(k: int = _L56_K) -> str:
+    """Generate the l56 replay: k min(md5('mh<i>|' || sh)) component
+    aggregates and the k-term match sum, driven by ONE constant shared
+    with the Spark implementation's range(k) loop (the _l50/_l55
+    emit-the-literals pattern — hand-unrolling k occurrences invites a
+    silently-skewed est_jaccard when k changes)."""
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('mh{i}|' || sh), 1, 15))::BIGINT)"
+        f" AS h{i}" for i in range(k))
+    match = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                       for i in range(k))
+    return f"""
     WITH t AS MATERIALIZED (
       SELECT source, string_split(text, ' ') AS w FROM documents),
     sh0 AS MATERIALIZED (
@@ -2440,50 +2456,19 @@ _L56_ORACLE = """
     sh AS MATERIALIZED (SELECT DISTINCT source AS g, sh FROM sh0),
     sig AS MATERIALIZED (
       SELECT g, count(*) AS n,
-             min(('0x' || substr(md5('mh0|' || sh), 1, 15))::BIGINT) AS h0,
-             min(('0x' || substr(md5('mh1|' || sh), 1, 15))::BIGINT) AS h1,
-             min(('0x' || substr(md5('mh2|' || sh), 1, 15))::BIGINT) AS h2,
-             min(('0x' || substr(md5('mh3|' || sh), 1, 15))::BIGINT) AS h3,
-             min(('0x' || substr(md5('mh4|' || sh), 1, 15))::BIGINT) AS h4,
-             min(('0x' || substr(md5('mh5|' || sh), 1, 15))::BIGINT) AS h5,
-             min(('0x' || substr(md5('mh6|' || sh), 1, 15))::BIGINT) AS h6,
-             min(('0x' || substr(md5('mh7|' || sh), 1, 15))::BIGINT) AS h7,
-             min(('0x' || substr(md5('mh8|' || sh), 1, 15))::BIGINT) AS h8,
-             min(('0x' || substr(md5('mh9|' || sh), 1, 15))::BIGINT) AS h9,
-             min(('0x' || substr(md5('mh10|' || sh), 1, 15))::BIGINT) AS h10,
-             min(('0x' || substr(md5('mh11|' || sh), 1, 15))::BIGINT) AS h11,
-             min(('0x' || substr(md5('mh12|' || sh), 1, 15))::BIGINT) AS h12,
-             min(('0x' || substr(md5('mh13|' || sh), 1, 15))::BIGINT) AS h13,
-             min(('0x' || substr(md5('mh14|' || sh), 1, 15))::BIGINT) AS h14,
-             min(('0x' || substr(md5('mh15|' || sh), 1, 15))::BIGINT) AS h15,
-             min(('0x' || substr(md5('mh16|' || sh), 1, 15))::BIGINT) AS h16,
-             min(('0x' || substr(md5('mh17|' || sh), 1, 15))::BIGINT) AS h17,
-             min(('0x' || substr(md5('mh18|' || sh), 1, 15))::BIGINT) AS h18,
-             min(('0x' || substr(md5('mh19|' || sh), 1, 15))::BIGINT) AS h19,
-             min(('0x' || substr(md5('mh20|' || sh), 1, 15))::BIGINT) AS h20,
-             min(('0x' || substr(md5('mh21|' || sh), 1, 15))::BIGINT) AS h21,
-             min(('0x' || substr(md5('mh22|' || sh), 1, 15))::BIGINT) AS h22,
-             min(('0x' || substr(md5('mh23|' || sh), 1, 15))::BIGINT) AS h23,
-             min(('0x' || substr(md5('mh24|' || sh), 1, 15))::BIGINT) AS h24,
-             min(('0x' || substr(md5('mh25|' || sh), 1, 15))::BIGINT) AS h25,
-             min(('0x' || substr(md5('mh26|' || sh), 1, 15))::BIGINT) AS h26,
-             min(('0x' || substr(md5('mh27|' || sh), 1, 15))::BIGINT) AS h27,
-             min(('0x' || substr(md5('mh28|' || sh), 1, 15))::BIGINT) AS h28,
-             min(('0x' || substr(md5('mh29|' || sh), 1, 15))::BIGINT) AS h29,
-             min(('0x' || substr(md5('mh30|' || sh), 1, 15))::BIGINT) AS h30,
-             min(('0x' || substr(md5('mh31|' || sh), 1, 15))::BIGINT) AS h31
+             {mins}
       FROM sh GROUP BY g),
     pairs AS MATERIALIZED (
       SELECT a.g AS source_a, b.g AS source_b,
              a.n AS n_shingles_a, b.n AS n_shingles_b,
-             (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) + (CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END) + (CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END) + (CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END) + (CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) + (CASE WHEN a.h12 = b.h12 THEN 1 ELSE 0 END) + (CASE WHEN a.h13 = b.h13 THEN 1 ELSE 0 END) + (CASE WHEN a.h14 = b.h14 THEN 1 ELSE 0 END) + (CASE WHEN a.h15 = b.h15 THEN 1 ELSE 0 END) + (CASE WHEN a.h16 = b.h16 THEN 1 ELSE 0 END) + (CASE WHEN a.h17 = b.h17 THEN 1 ELSE 0 END) + (CASE WHEN a.h18 = b.h18 THEN 1 ELSE 0 END) + (CASE WHEN a.h19 = b.h19 THEN 1 ELSE 0 END) + (CASE WHEN a.h20 = b.h20 THEN 1 ELSE 0 END) + (CASE WHEN a.h21 = b.h21 THEN 1 ELSE 0 END) + (CASE WHEN a.h22 = b.h22 THEN 1 ELSE 0 END) + (CASE WHEN a.h23 = b.h23 THEN 1 ELSE 0 END) + (CASE WHEN a.h24 = b.h24 THEN 1 ELSE 0 END) + (CASE WHEN a.h25 = b.h25 THEN 1 ELSE 0 END) + (CASE WHEN a.h26 = b.h26 THEN 1 ELSE 0 END) + (CASE WHEN a.h27 = b.h27 THEN 1 ELSE 0 END) + (CASE WHEN a.h28 = b.h28 THEN 1 ELSE 0 END) + (CASE WHEN a.h29 = b.h29 THEN 1 ELSE 0 END) + (CASE WHEN a.h30 = b.h30 THEN 1 ELSE 0 END) + (CASE WHEN a.h31 = b.h31 THEN 1 ELSE 0 END) AS m
+             {match} AS m
       FROM sig a JOIN sig b ON a.g < b.g),
     inter AS MATERIALIZED (
       SELECT x.g AS source_a, y.g AS source_b, count(*) AS ni
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.g < y.g
       GROUP BY 1, 2)
     SELECT p.source_a, p.source_b, p.n_shingles_a, p.n_shingles_b,
-           round(p.m / 32.0, 6) AS est_jaccard,
+           round(p.m / {k}.0, 6) AS est_jaccard,
            CAST(coalesce(i.ni, 0) AS BIGINT) AS n_common,
            round(CAST(coalesce(i.ni, 0) AS BIGINT)
                  / (p.n_shingles_a + p.n_shingles_b
@@ -2493,7 +2478,7 @@ _L56_ORACLE = """
     """
 
 
-@query("l56_source_overlap_matrix", oracle=_L56_ORACLE)
+@query("l56_source_overlap_matrix", oracle=_l56_oracle())
 def l56_source_overlap_matrix(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Cross-source shingle-overlap matrix (llm.dedup
@@ -2504,7 +2489,7 @@ def l56_source_overlap_matrix(spark: SparkSession,
     MIN, incrementally maintainable); the pair matrix is broadcast
     algebra over sources, never corpus rows."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.source_overlap_matrix(docs, "source", "text")
+    return D.source_overlap_matrix(docs, "source", "text", k=_L56_K)
 
 
 @query(

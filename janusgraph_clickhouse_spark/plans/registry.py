@@ -74,12 +74,15 @@ def query(name: str, oracle: str | None = None):
 # r3 evidence leaves the 3-file horizon {r4,r6,r7} the moment
 # CORRECTNESS_r07 lands.  Then rule 3+2: s10 (the one r6 red; its
 # oracle's HUGEINT version cast fixed this round), rule 2: s15 (same
-# cast fix reaches its state_version output) and l47 (entropy regex
-# '[^\n]' alignment — behavioral if any doc carries \r), rule 4: q46
-# (registered this round).  Changed-but-latent fixes (l48 malformed-URL
+# cast fix reaches its state_version output), l47 (entropy regex
+# '[^\n]' alignment — behavioral if any doc carries \r), and l50
+# (the n_planes="auto" DEFAULT change; rule 2 outranks rule 4, so it
+# displaced the new q46 from the last slot — q46 and the other r7
+# registrations are parity-swept at two scales and due r9).
+# Changed-but-latent fixes (l48 malformed-URL
 # guard, g31 shared max_levels — both no-ops on this fixture) and the
-# l50/l51 auto-n_planes impl change stay in the tail under the local
-# parity sweep; l50/l51 are due a real row by r8 regardless.
+# l51 (identical changed machinery to the windowed l50) stay in the
+# tail under the local parity sweep; l51 is due a real row by r8.
 DRIVER_PRIORITY: list[str] = [
     # rule 1: the 46 names whose newest real driver row is r3
     "q02_slice_multikey", "q04_multi_range_scan",
@@ -103,10 +106,12 @@ DRIVER_PRIORITY: list[str] = [
     "s01_tumbling_window", "s05_asof_join",
     # rule 3 (red last round) + rule 2 (oracle cast fix)
     "s10_scd2_versions",
-    # rule 2: oracles/impl changed this round
-    "s15_pit_enrich", "l47_entropy_quality",
-    # rule 4: registered this round
-    "q46_hll_mergeable_rollup",
+    # rule 2: oracles/impl changed this round.  l50 carries the
+    # n_planes="auto" default change (rule 2 outranks rule 4, so it
+    # takes the slot a new registration would otherwise get; l51
+    # shares the identical changed machinery and q46 + the other r7
+    # registrations are parity-swept at two scales, due r9).
+    "s15_pit_enrich", "l47_entropy_quality", "l50_knn_classify",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -174,8 +179,11 @@ REGISTERED_ROUND: dict[str, int] = {
 #    rows leave the horizon at r9): q43 q44 q45, s14 s16,
 #    g29 g30 g31, l48 l49 l50 l51 l52.
 # 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
-# rule-4 (new in r8) names, else to the 12 round-7 registrations
-# (q46-q49, s17 s18, l53-l57 — virtual r6 rows, due r9 with the rest).
+# rule-4 (new in r8) names, else to the 13 round-7 registrations not
+# yet windowed (q47-q50, s17 s18 s19, l53-l58 — virtual r6 rows, due
+# r9; q46 and l50 were windowed in r7 itself).  Re-derive this list
+# from REGISTERED_ROUND ∪ the correctness files at r8 — do not trust
+# this enumeration any more than r7 could trust r6's.
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

@@ -192,8 +192,11 @@ def test_sequence_count_non_overlapping(spark):
 
 
 def test_wav_encode_decode_round_trip():
-    """decode_audio(encode_wav_pcm16(x)) == x exactly — mono, stereo,
-    and odd-byte-length (pad byte) cases."""
+    """decode_audio(encode_wav_pcm16(x)) == x exactly — mono and
+    stereo; plus a FOREIGN WAV carrying an odd-sized extra chunk, which
+    exercises the decoder's `sz & 1` pad-skip (the encoder itself never
+    emits one: PCM-16 data is always even)."""
+    import struct
     import numpy as np
     from janusgraph_clickhouse_spark.llm.multimodal import (
         decode_audio, encode_wav_pcm16)
@@ -203,10 +206,16 @@ def test_wav_encode_decode_round_trip():
     stereo = np.array([[1, -2], [3, -4], [5, -6]], np.int16)
     s2, _ = decode_audio(encode_wav_pcm16(stereo, 44100))
     assert s2.shape == (3, 2) and (s2 == stereo).all()
-    odd = np.array([[7]], np.int16)   # 2-byte data, even; force odd via
-    blob = encode_wav_pcm16(odd, 16000)
-    s3, r3 = decode_audio(blob)
-    assert r3 == 16000 and (s3 == odd).all()
+    # foreign odd-chunk WAV: splice a 3-byte LIST chunk (padded to 4)
+    # between fmt and data; the decoder must skip the pad byte
+    blob = encode_wav_pcm16(mono, 16000)
+    fmt_end = blob.index(b"data")
+    odd_chunk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = blob[:fmt_end] + odd_chunk + blob[fmt_end:]
+    spliced = (spliced[:4] + struct.pack("<I", len(spliced) - 8)
+               + spliced[8:])
+    s3, r3 = decode_audio(spliced)
+    assert r3 == 16000 and (s3 == mono).all()
 
 
 def test_synth_wav_corpus_decodes_to_formula(spark):
@@ -280,3 +289,44 @@ def test_missing_sf_dir_fails_loudly(spark):
     from janusgraph_clickhouse_spark.plans.registry import QUERIES
     with pytest.raises(AnalysisException):
         QUERIES["q01_slice_point"](spark, "/root/testdata/sf_nope").collect()
+
+
+def test_l50_oracle_planes_match_auto_resolution(spark):
+    """TRIPWIRE: l50/l51's static oracles embed 4 hyperplane tables; the
+    builders rely on n_planes="auto" resolving to exactly 4 at fixture
+    scale.  If a fixture regen pushes the embeddings corpus past the
+    flip (m > 2^4·256 = 4096), auto resolves to 5+ while the oracles
+    keep 4 literals — a bulk parity red with nothing pointing at the
+    cause.  This test names the cause preemptively for every fixture
+    scale present."""
+    import os
+    from janusgraph_clickhouse_spark.llm.similarity import _auto_planes
+    from janusgraph_clickhouse_spark.sources import load_table
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        emb = load_table(spark, d, "embeddings")
+        p = _auto_planes(emb, "auto", 256)
+        assert p == 4, (
+            f"{sf}: auto n_planes resolved to {p}, but the l50/l51 "
+            f"oracles embed 4 hyperplane tables — regenerate the "
+            f"oracles (or pass explicit n_planes) before the parity "
+            f"sweep goes red in bulk")
+
+
+def test_snapshot_diff_null_text_uses_presence_markers(spark):
+    """A document PRESENT with NULL text must not masquerade as
+    added/removed (md5(NULL) is NULL — presence comes from join-side
+    markers, the r7 review fix)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "now-filled"), (2, None), (4, None)],
+        "doc_id long, text string")
+    from janusgraph_clickhouse_spark.llm.incremental import snapshot_diff
+    got = {r.id: r.status for r in
+           snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "changed",       # NULL -> text, not 'added'
+                   2: "unchanged",     # NULL == NULL via eqNullSafe
+                   3: "removed", 4: "added"}
