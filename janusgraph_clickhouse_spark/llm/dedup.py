@@ -73,12 +73,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str,
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row (min id) per distinct text.
 
-    Both the aggregate and the semi-join shuffle md5(text) — a 32-byte
-    key — never the document body (shuffling full text as the group key
-    is the classic dedup scale-killer: the shuffle carries the corpus)."""
+    The only shuffle key is md5(text) — 32 bytes — never the document
+    body (shuffling full text as the group key is the classic dedup
+    scale-killer: the shuffle carries the corpus).  Keep-first is a
+    window over that key rather than a groupBy+semi-join so NULL texts
+    behave like any other group (md5(NULL) is NULL; a null-unsafe
+    equi-join would silently DELETE every NULL-text row instead of
+    keeping one, diverging from exact_dedup_groups)."""
+    from pyspark.sql import Window
+
     keyed = df.withColumn("__h", F.md5(F.col(text_col)))
-    keep = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keep, ["__h", id_col], "left_semi").drop("__h")
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__h", "__rn"))
 
 
 # -- exact n-gram Jaccard (quadratic baseline / rerank stage) ---------------
@@ -106,8 +113,13 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
             "minhash_dedup_pairs) or opt in with allow_quadratic=True "
             "for a bounded baseline/rerank run")
     sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
+        # normalize caller-supplied pair order: an un-canonicalized
+        # (7, 3) would otherwise never match the (3, 7) the
+        # intersection emits and the pair would silently vanish
+        candidates = candidates.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"))
         # rerank path: restrict the expensive shingle self-join to docs
         # that appear in some candidate pair BEFORE joining — this is what
         # makes LSH cheaper than the exact baseline, not just a post-filter
@@ -115,6 +127,10 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                      .unionAll(candidates.select(F.col("doc_b").alias("id")))
                      .distinct())
         sh = sh.join(cand_docs, "id", "left_semi")
+    # sizes AFTER the candidate restriction: the aggregate's shuffle is
+    # |candidate-doc shingles|, not |corpus shingles| (identical output —
+    # only whole docs are filtered, never individual shingles)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
     inter = (a.join(b, "shingle")
@@ -161,6 +177,34 @@ def signatures_from_shingles(sh: DataFrame,
                       .alias("sig"))
 
 
+def band_bucket_expr(sig_col: str, bands: int, rows_per_band: int):
+    """The (band, bucket) posexplode expression shared by batch banding
+    (lsh_candidates) and the incremental fingerprint index
+    (llm.incremental.fingerprint_tables) — ONE definition so the two
+    can never drift: a divergent copy would make the batch-vs-index
+    bucket join silently miss every previously absorbed row."""
+    return F.posexplode(F.array(*[
+        F.xxhash64(F.lit(b), *[
+            F.element_at(sig_col, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)])
+        for b in range(bands)]))
+
+
+def check_band_params(num_hashes: int, bands: int,
+                      rows_per_band: int) -> None:
+    """Loud-failure guard: bands·rows_per_band must EQUAL the signature
+    width.  Larger: element_at past the end returns NULL (non-ANSI),
+    xxhash64 silently skips NULL children, and the starved bands hash
+    fewer (eventually zero) values — every doc lands in one bucket and
+    the self-join goes quadratic with no error.  Smaller: trailing
+    min-hash aggregates are paid for and silently ignored."""
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands ({bands}) x rows_per_band ({rows_per_band}) must "
+            f"equal num_hashes ({num_hashes}); got "
+            f"{bands * rows_per_band}")
+
+
 def lsh_candidates(signatures: DataFrame, bands: int = 16,
                    rows_per_band: int = 3,
                    max_bucket_rows: int | None = None) -> DataFrame:
@@ -179,13 +223,8 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16,
     over-full buckets shouldn't exist).  None (default) keeps the
     complete behavior for oracle parity."""
     buckets = signatures.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.lit(b), *[
-                F.element_at("sig", b * rows_per_band + r + 1)
-                for r in range(rows_per_band)])
-            for b in range(bands)
-        ])).alias("band", "bucket"))
+        "id", band_bucket_expr("sig", bands, rows_per_band)
+        .alias("band", "bucket"))
     if max_bucket_rows is not None:
         sizes = (buckets.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("_n"))
@@ -207,6 +246,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     rerank of candidates only.  Band parameters (16 bands × 3 rows) put
     the S-curve threshold at (1/16)^(1/3) ≈ 0.40."""
     rows_per_band = num_hashes // bands
+    check_band_params(num_hashes, bands, rows_per_band)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cand = lsh_candidates(sig, bands, rows_per_band)
     return jaccard_pairs(df, id_col, text_col, n, threshold,
@@ -317,9 +357,14 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     pair-set is identical for both blockings (pytest-pinned)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    sh = simhash(df, id_col, text_col)
+    # checkpoint on EVERY path: the signature DF feeds both sides of
+    # the bucket self-join, and without materialization each side
+    # re-runs the pandas-UDF SimHash over the full corpus — the
+    # family's dominant cost paid twice (previously only the "auto"
+    # branch checkpointed, so the documented explicit-m scale path was
+    # the slow one)
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     if sub_bands == "auto":
-        sh = sh.localCheckpoint(eager=True)
         sub_bands = (max_hamming + 2
                      if sh.count() > auto_row_threshold else None)
     n_bands = (sub_bands if sub_bands is not None else max_hamming + 1)
@@ -396,7 +441,12 @@ def lsh_blocked_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     a CartesianProduct; recall follows the 1-(1-p^b)^T LSH curve and is
     pytest-pinned against the exact all-pairs baseline."""
     from .similarity import hyperplanes, lsh_bucket_expr
-    dim = len(df.select(vec_col).first()[0])
+    # probe the first NON-NULL vector; an empty (or all-null) corpus
+    # gets dummy 1-dim planes and flows through to the empty pair set
+    # with the right schema instead of a driver-side TypeError
+    row = (df.select(vec_col)
+           .filter(F.col(vec_col).isNotNull()).first())
+    dim = len(row[0]) if row is not None else 1
     out = None
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -632,7 +682,12 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates only, so the cap never biases emitted scores."""
     sh = shingle_sets(df, id_col, text_col, n)
     if candidates is not None:
-        cand = candidates.select("doc_a", "doc_b")
+        # normalize caller pair order (the jaccard_pairs trap): an
+        # un-canonicalized (7, 3) would never match the intersection's
+        # (3, 7) and would silently vanish
+        cand = candidates.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"))
     else:
         from pyspark.sql import Window
         sh_blk = sh
@@ -652,11 +707,13 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select(F.least("ia", "ib").alias("doc_a"),
                         F.greatest("ia", "ib").alias("doc_b"))
                 .distinct())
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     cand_docs = (cand.select(F.col("doc_a").alias("id"))
                  .unionAll(cand.select(F.col("doc_b").alias("id")))
                  .distinct())
     sh = sh.join(cand_docs, "id", "left_semi")
+    # sizes AFTER the candidate restriction (exact containment still
+    # uses ALL of a candidate doc's shingles — only whole docs filter)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
     inter = (a.join(b, "shingle")
@@ -785,8 +842,10 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
     if modulus < 2:
         raise ValueError(f"modulus={modulus} must be >= 2")
 
-    def md5int(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    # the shared engine-portable hash: the cut decision must be
+    # byte-identical to the DuckDB oracle's replay, so there is exactly
+    # ONE definition of it in the repo
+    from ..functions.hashing import md5_long60 as md5int
 
     # staged projections so the token array and the cut array are each
     # evaluated ONCE per row: CollapseProject declines to inline a
@@ -889,12 +948,23 @@ def lsh_banding_audit(df: DataFrame, id_col: str, text_col: str,
     counts = (true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
               .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
               .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    # zero-denominator convention (an ALERTING consumer must get a
+    # number, never NULL): no candidates → vacuously precise (1.0); no
+    # true pairs → nothing to miss, recall 1.0; both empty → f1 1.0.
+    # A clean sample then scores 1/1/1 instead of silently NULLing the
+    # very alert that should fire on recall collapse.
+    prec = F.when(F.col("n_cand") > 0,
+                  F.col("n_hit") / F.col("n_cand")).otherwise(F.lit(1.0))
+    rec = F.when(F.col("n_true") > 0,
+                 F.col("n_hit") / F.col("n_true")).otherwise(F.lit(1.0))
+    f1 = F.when(F.col("n_cand") + F.col("n_true") > 0,
+                2 * F.col("n_hit") / (F.col("n_cand") + F.col("n_true"))
+                ).otherwise(F.lit(1.0))
     return counts.select(
         "n_true", "n_cand", "n_hit",
-        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
-        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
-        F.round(2 * F.col("n_hit") / (F.col("n_cand") + F.col("n_true")),
-                6).alias("f1"))
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
 
 
 def paragraph_dedup(paras: DataFrame, id_col: str, idx_col: str,

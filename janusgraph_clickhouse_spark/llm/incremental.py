@@ -81,19 +81,19 @@ def fingerprint_tables(df: DataFrame, id_col: str, text_col: str,
     that pass first, so a caller who then WRITES all three tables scans
     the source documents exactly once (absorb_batch) instead of once
     per table write — the batch is fingerprinted once."""
+    from .dedup import band_bucket_expr, check_band_params
     rows_per_band = num_hashes // bands
+    check_band_params(num_hashes, bands, rows_per_band)
     sh = shingle_sets(df, id_col, text_col, n)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     sig = signatures_from_shingles(sh, num_hashes)
+    # the SHARED band-bucket expression (dedup.band_bucket_expr): the
+    # index must hash buckets bit-identically to batch lsh_candidates
+    # or the batch-vs-index join silently misses every absorbed row
     buckets = sig.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.lit(b), *[
-                F.element_at("sig", b * rows_per_band + r + 1)
-                for r in range(rows_per_band)])
-            for b in range(bands)
-        ])).alias("band", "bucket"))
+        "id", band_bucket_expr("sig", bands, rows_per_band)
+        .alias("band", "bucket"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return {"buckets": buckets, "shingles": sh, "sizes": sizes}
 

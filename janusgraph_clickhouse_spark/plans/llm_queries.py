@@ -1952,9 +1952,13 @@ def _lsh_audit_oracle(num_hashes: int = 12, bands: int = 6,
                  (SELECT count(*) FROM cand) AS n_cand,
                  (SELECT count(*) FROM hit) AS n_hit)
     SELECT n_true, n_cand, n_hit,
-           round(n_hit / n_cand, 6) AS precision,
-           round(n_hit / n_true, 6) AS recall,
-           round(2 * n_hit / (n_cand + n_true), 6) AS f1
+           round(CASE WHEN n_cand > 0 THEN n_hit / n_cand
+                      ELSE 1.0 END, 6) AS precision,
+           round(CASE WHEN n_true > 0 THEN n_hit / n_true
+                      ELSE 1.0 END, 6) AS recall,
+           round(CASE WHEN n_cand + n_true > 0
+                      THEN 2 * n_hit / (n_cand + n_true)
+                      ELSE 1.0 END, 6) AS f1
     FROM m"""
 
 

@@ -1315,3 +1315,70 @@ def test_source_report_composition_consistency(spark, sf_smoke):
         assert row.uniq_texts == len(texts)
         assert row.total_words == words
         assert row.n_gopher_pass == passes
+
+
+def test_exact_dedup_null_texts_keep_one(spark):
+    """NULL texts form one dedup group like any other (md5(NULL) is
+    NULL; the old null-unsafe semi-join silently deleted ALL of them —
+    r7 review fix)."""
+    from janusgraph_clickhouse_spark.llm.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string")
+    out = sorted(r.doc_id for r in
+                 exact_dedup(df, "doc_id", "text").collect())
+    assert out == [1, 3, 5]
+
+
+def test_jaccard_pairs_normalizes_candidate_order(spark):
+    """Caller candidates in (big, small) order must still be scored —
+    previously they silently vanished (r7 review fix)."""
+    from janusgraph_clickhouse_spark.llm.dedup import jaccard_pairs
+    df = spark.createDataFrame(
+        [(3, "a b c d e"), (7, "a b c d f")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    out = jaccard_pairs(df, "doc_id", "text", threshold=0.1,
+                        candidates=cand).collect()
+    assert len(out) == 1 and (out[0].doc_a, out[0].doc_b) == (3, 7)
+
+
+def test_band_params_validated_loudly(spark):
+    """bands x rows_per_band != num_hashes must raise, never silently
+    starve the trailing bands into quadratic one-bucket joins."""
+    import pytest
+    from janusgraph_clickhouse_spark.llm.dedup import (
+        check_band_params, minhash_dedup_pairs)
+    with pytest.raises(ValueError, match="must\\s+equal num_hashes"):
+        check_band_params(48, 16, 4)
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(df, "doc_id", "text", num_hashes=50, bands=16)
+
+
+def test_lsh_blocked_near_dup_empty_corpus(spark):
+    """An empty (or all-null-vector) corpus returns an empty pair set
+    with the right schema instead of a driver TypeError."""
+    from janusgraph_clickhouse_spark.llm.dedup import (
+        lsh_blocked_near_dup_pairs)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    out = lsh_blocked_near_dup_pairs(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert "id_a" in out.columns and "id_b" in out.columns
+
+
+def test_lsh_banding_audit_clean_sample_scores_ones(spark):
+    """A sample with zero true pairs and zero candidates must report
+    1.0/1.0/1.0, not NULL — an alerting consumer comparing recall<0.9
+    would otherwise never fire (r7 review fix, mirrored in the l46
+    oracle)."""
+    from janusgraph_clickhouse_spark.llm.dedup import lsh_banding_audit
+    # fully disjoint word sets: no shared shingle, no shared min-hash,
+    # hence zero candidates AND zero true pairs
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(8)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_banding_audit(df, "doc_id", "text", sample=6).collect()[0]
+    assert r.n_true == 0 and r.n_cand == 0
+    assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
