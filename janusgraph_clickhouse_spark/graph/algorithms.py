@@ -221,6 +221,10 @@ def bfs_distances(graph: PropertyGraph, source_ids: list[int],
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    # visited is built entirely from eager checkpoints, so the cached
+    # edge set can release NOW instead of leaking one copy per call
+    # (diameter_estimate alone runs two BFS sweeps per invocation)
+    edges.unpersist()
     return visited
 
 
@@ -362,6 +366,16 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
         if n_next == n_alive:
             break
         n_alive = n_next
+    else:
+        # loud-failure discipline (the SCC/MIS/diameter pattern): a
+        # deep peel (e.g. a long path sheds only its endpoints per
+        # round) that exhausts max_iter would otherwise return a
+        # NON-k-core with overstated core_degree, silently
+        edges.unpersist()
+        raise ValueError(
+            f"k_core: peeling did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds ({n_alive} vertices still "
+            f"shedding); raise max_iter")
     # converged: every survivor's degree over the survivor set is ≥ k,
     # so re-filtering deg gives (id, degree-inside-core) consistently.
     # Materialize BEFORE unpersist — the caller executes the returned
@@ -451,7 +465,11 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
     path is one shuffle of the distinct edges plus a ~3e9-FLOP local
     matmul (~2 s).  Scores are identical under the 6dp rounding (float64
     both ways); beyond the cap the salted join path runs unchanged."""
-    sym = graph.undirected_edges()
+    # undirected_edges ends in a dropDuplicates shuffle and is consumed
+    # by the bounds probe plus (on the join path) deg/left/right/
+    # existing — materialize once instead of re-running the dedup per
+    # consumer (the pagerank/triangle_count cache discipline)
+    sym = graph.undirected_edges().localCheckpoint(eager=True)
     bounds = sym.agg(F.least(F.min("src"), F.min("dst")).alias("lo"),
                      F.greatest(F.max("src"), F.max("dst")).alias("hi")
                      ).first()
@@ -741,6 +759,11 @@ def triangle_count_dense(edges: DataFrame, n_nodes: int) -> DataFrame:
     return partials.agg(F.sum("c").cast("long").alias("triangles"))
 
 
+# driver-side dense triangle count unpacks ~8·n² bytes (two float32
+# matrices) — 2 GB at this cap; beyond it use the edge self-join
+DENSE_TRI_MAX_NODES = 16384
+
+
 def co_occurrence_triangles(incidence: DataFrame, group_col: str,
                             node_col: str, n_nodes: int) -> DataFrame:
     """Triangles of the co-occurrence projection of a bipartite incidence
@@ -759,16 +782,24 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
         triangles as sum((B@B)*B) on the upper triangle via BLAS.
 
     Distributed work is one shuffle of the distinct incidence.  Memory
-    honestly: one matrix is n²/8 bytes — 125 KB at n=1000, ~0.5 GB at the
-    n≈64k cap.  The coalesce(4) bounds the partial count so neither the
-    reduce task (≤ 4 matrices resident) nor the driver (exactly 1) ever
-    holds #partitions × n²/8 — the unbounded form collected one partial
-    PER PARTITION to the driver, which at 200 partitions × n=64k is
-    ~100 GB of driver heap.
+    honestly: the PACKED matrix is n²/8 bytes, but the driver-side
+    triangle count unpacks to two float32 matrices (~8·n² bytes peak —
+    2 GB at n=16384), so the hard cap is n ≤ DENSE_TRI_MAX_NODES =
+    16384 and the function REFUSES loudly beyond it (use the
+    triangle_count edge self-join instead — loud beats a silent
+    driver OOM; the old docstring's "0.5 GB at n≈64k" counted only the
+    packed form).  The bounded partial/OR-reduce staging keeps every
+    executor and the driver at ≤1 packed matrix regardless.
     """
     import numpy as np
     import pandas as pd
 
+    if not 0 < n_nodes <= DENSE_TRI_MAX_NODES:
+        raise ValueError(
+            f"n_nodes={n_nodes} outside (0, {DENSE_TRI_MAX_NODES}]: the "
+            f"dense bit-matrix triangle count unpacks ~8*n^2 bytes on "
+            f"the driver; project the incidence and use triangle_count "
+            f"(edge self-join) for larger dimensions")
     n_bytes = (n_nodes + 7) // 8
     spark = incidence.sparkSession
 
@@ -831,7 +862,15 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
     bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_nodes]
     np.fill_diagonal(bits, 0)
     B = np.triu(bits, 1).astype(np.float32)
-    tri = int(np.sum((B @ B) * B))
+    del bits
+    # matmul ENTRIES are exact in float32 (common-neighbor counts ≤ n ≤
+    # 2^24), but the SUM is not — a dense projection can hold >2^24
+    # triangles, where float32 accumulation silently loses integers.
+    # Accumulate in float64 (exact < 2^53); C computed then reused
+    # in-place to keep the peak at ~2 float32 matrices.
+    C = B @ B
+    C *= B
+    tri = int(C.sum(dtype=np.float64))
     return spark.createDataFrame([(tri,)], "triangles long")
 
 
@@ -913,9 +952,16 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                  .localCheckpoint(eager=True))
     totals = state.agg(F.sum("hub").alias("ht"),
                        F.sum("authority").alias("at"))
+    # zero-total guard: an edgeless graph zeroes every score after one
+    # iteration; dividing would emit all-NULL (or raise under ANSI) —
+    # define the result as all-zero scores instead
+    norm_h = F.when(F.col("ht") > 0,
+                    F.col("hub") / F.col("ht")).otherwise(F.lit(0.0))
+    norm_a = F.when(F.col("at") > 0,
+                    F.col("authority") / F.col("at")).otherwise(F.lit(0.0))
     state = (state.crossJoin(F.broadcast(totals))
-             .select("id", (F.col("hub") / F.col("ht")).alias("hub"),
-                     (F.col("authority") / F.col("at")).alias("authority"))
+             .select("id", norm_h.alias("hub"),
+                     norm_a.alias("authority"))
              .localCheckpoint(eager=True))
     edges.unpersist()
     return state.select("id", "hub", "authority")
@@ -936,6 +982,13 @@ def personalized_pagerank(graph: PropertyGraph, source_ids: list[int],
     "related entities" primitive.  Same substrate discipline as
     `pagerank`; a FIXED superstep count keeps the recurrence
     SQL-oracle-able by unrolling (the g06 pattern)."""
+    # dedupe BEFORE computing p0: isin() dedupes implicitly, so a
+    # duplicated source id would silently scale total teleport mass to
+    # distinct/len and break the documented sum(rank) == 1 invariant.
+    # (A source id absent from graph.vertices still breaks it — that
+    # membership check costs a vertex-table pass, so it stays the
+    # caller's contract, stated here loudly.)
+    source_ids = sorted(set(source_ids))
     p0 = 1.0 / len(source_ids)
     v = graph.vertices.select("id")
     deg = graph.degrees("out").withColumnRenamed("degree", "out_deg")
@@ -1210,11 +1263,15 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     executors."""
     spark = edges.sparkSession
     width = spark.sparkContext.defaultParallelism
-    e_all = (edges.select("src", "dst")
-             .filter(F.col("src") != F.col("dst")).distinct()
+    # the vertex UNIVERSE comes from the raw edge endpoints (self-loops
+    # included) — a vertex whose only edge is (v, v) is a legitimate
+    # singleton SCC and must appear in the output; only the TRAVERSAL
+    # edge set drops self-loops (they never change reachability)
+    raw = edges.select("src", "dst")
+    e_all = (raw.filter(F.col("src") != F.col("dst")).distinct()
              .repartition(width, "src").cache())
-    remaining = (e_all.select(F.col("src").alias("id"))
-                 .unionAll(e_all.select(F.col("dst").alias("id")))
+    remaining = (raw.select(F.col("src").alias("id"))
+                 .unionAll(raw.select(F.col("dst").alias("id")))
                  .distinct().localCheckpoint(eager=True))
     e_cur = e_all
     done: list[DataFrame] = []
@@ -1414,9 +1471,14 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
       each endpoint.  Nothing is quadratic in any vertex's raw degree,
       so hubs cost O(m^1.5) total like everyone else."""
     sym = graph.undirected_edges().localCheckpoint(eager=True)
-    n_nodes = int(sym.agg(F.greatest(F.max("src"), F.max("dst"))
-                          .alias("m")).first()[0] or -1) + 1
-    if 0 < n_nodes <= DENSE_LCC_MAX_NODES:
+    b = sym.agg(F.min(F.least("src", "dst")).alias("mn"),
+                F.max(F.greatest("src", "dst")).alias("mx")).first()
+    n_nodes = int(b.mx) + 1 if b.mx is not None else 0
+    # the dense path requires the FULL id range [0, n): a negative id
+    # would wrap numpy fancy indexing into phantom adjacency bits (the
+    # adamic_adar guard, applied here too — previously only max was
+    # checked)
+    if b.mn is not None and b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES:
         per = _triangles_per_vertex_dense(sym, n_nodes)
     else:
         oriented = _degree_oriented_edges(graph).cache()
@@ -1801,6 +1863,18 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
                .localCheckpoint())
         if nxt.isEmpty():
             break
+        # loud overflow discipline: the docstring promises EXACT BIGINT
+        # path counts, and the backward phase multiplies sigma by
+        # (1e6 + delta) — refuse while the numbers are still honest
+        # instead of wrapping silently on high-multiplicity graphs.
+        # (cheap: nxt is already materialized by the checkpoint)
+        ms = nxt.agg(F.max("sigma")).first()[0] or 0
+        if ms > (1 << 55):
+            raise ValueError(
+                f"betweenness_approx: path multiplicity sigma={ms} at "
+                f"level {lvl} exceeds the exact-int64 budget "
+                f"(sigma*(1e6+delta) must stay under 2^63); use fewer/"
+                f"different pivots or a sparser graph")
         levels.append(nxt)
         visited = visited.union(nxt.select("s", "v")).localCheckpoint()
         cur = nxt
@@ -1822,8 +1896,21 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
     delta = levels[-1].select(
         "s", "v", F.lit(0).cast("long").alias("d"))
     acc = []
+    md = 0  # max |delta| of the level below (all zeros at the deepest)
     for lvl in range(len(levels) - 2, -1, -1):
         parents = levels[lvl]
+        # backward overflow tripwire, paired with the forward guard:
+        # the worst term is max(sigma)*(1e6 + max|d|); both operands
+        # come from ALREADY-materialized checkpoints, so the probe is
+        # one tiny aggregate per level.  (A wrapped SUM inside a
+        # delta would surface here as an absurd |d| on the next pass.)
+        ms = parents.agg(F.max("sigma")).first()[0] or 0
+        if ms * (1_000_000 + md) > (1 << 62):
+            raise ValueError(
+                f"betweenness_approx: dependency term sigma*(1e6+d) "
+                f"would exceed int64 at level {lvl} "
+                f"(sigma={ms}, max|d|={md}); the micro-unit exactness "
+                f"contract cannot hold — reduce pivots or depth")
         children = levels[lvl + 1].join(delta, ["s", "v"]) \
             .select("s", F.col("v").alias("w"),
                     F.col("sigma").alias("csigma"), "d")
@@ -1839,6 +1926,7 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
                  .select("s", "v",
                          F.coalesce("d", F.lit(0).cast("long")).alias("d"))
                  .localCheckpoint())
+        md = delta.agg(F.max(F.abs(F.col("d")))).first()[0] or 0
         acc.append(delta.join(pivots.withColumnRenamed("s", "__s"),
                               (F.col("s") == F.col("__s"))
                               & (F.col("v") == F.col("__s")), "left_anti")

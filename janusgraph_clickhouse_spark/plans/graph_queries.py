@@ -91,8 +91,28 @@ def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # throughput-bound.  The bit-matrix specialization does one shuffle of
     # the distinct incidence and finishes on kilobytes
     # (graph.algorithms.co_occurrence_triangles; measured 25s → ~2s).
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        DENSE_TRI_MAX_NODES)
     n_nodes = int(li.agg(F.max("l_suppkey")).first()[0] or 0) + 1
-    return co_occurrence_triangles(li, "l_partkey", "l_suppkey", n_nodes)
+    if n_nodes <= DENSE_TRI_MAX_NODES:
+        return co_occurrence_triangles(li, "l_partkey", "l_suppkey",
+                                       n_nodes)
+    # past the dense driver-memory cap (~sf10+ supplier counts): fall
+    # back to the fully-distributed projection + canonical 3-way join
+    sp = li.select(F.col("l_partkey").alias("p"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    pairs = (sp.alias("a").join(sp.alias("b"), "p")
+             .filter(F.col("a.s") < F.col("b.s"))
+             .select(F.col("a.s").alias("src"),
+                     F.col("b.s").alias("dst")).distinct()
+             .localCheckpoint(eager=True))
+    return (pairs.alias("e1")
+            .join(pairs.alias("e2"),
+                  F.col("e1.dst") == F.col("e2.src"))
+            .join(pairs.alias("e3"),
+                  (F.col("e3.src") == F.col("e1.src"))
+                  & (F.col("e3.dst") == F.col("e2.dst")))
+            .agg(F.count(F.lit(1)).cast("long").alias("triangles")))
 
 
 @query(

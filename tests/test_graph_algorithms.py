@@ -933,3 +933,73 @@ def test_betweenness_raises_on_truncated_bfs(spark):
     e = spark.createDataFrame(sym, "src long, dst long")
     with pytest.raises(ValueError, match="still expanding"):
         betweenness_approx(e, n_sources=1, max_levels=2)
+
+
+def test_k_core_raises_on_deep_peel(spark):
+    """A 12-vertex path at k=2 sheds only endpoints per round (peel
+    depth 6); with max_iter=3 the peel cannot reach its fixpoint and
+    must raise LOUDLY instead of returning a non-k-core (r7 review —
+    the true 2-core of a path is EMPTY)."""
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import k_core
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    edges = spark.createDataFrame(
+        [(i, i + 1, "e") for i in range(11)], "src long, dst long, label string")
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    g = PropertyGraph(vertices=verts, edges=edges)
+    with pytest.raises(ValueError, match="fixpoint"):
+        k_core(g, k=2, max_iter=3)
+    # and with enough rounds, the converged answer is the empty core
+    assert k_core(g, k=2, max_iter=10).count() == 0
+
+
+def test_scc_keeps_self_loop_singletons(spark):
+    """A vertex whose only edge is a self-loop is a legitimate
+    singleton SCC and must appear in the output (r7 review fix)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        strongly_connected_components)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (7, 7)], "src long, dst long")
+    out = {r.id: r.component for r in
+           strongly_connected_components(edges).collect()}
+    assert out[7] == 7
+    assert out[1] == out[2] == 2
+
+
+def test_ppr_duplicate_sources_keep_unit_mass(spark, sf_smoke):
+    """Duplicated source ids must not scale total rank mass below 1
+    (isin() dedupes; p0 must be computed over the distinct set)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        personalized_pagerank)
+    from janusgraph_clickhouse_spark.graph.model import interaction_graph
+    g = interaction_graph(spark, sf_smoke, "10 minutes")
+    src = int(g.vertices.agg(F.min("id")).first()[0])
+    dup = personalized_pagerank(g, [src, src], max_iter=2)
+    total = dup.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_hits_edgeless_graph_zero_scores(spark):
+    """Vertices with no edges: HITS returns defined 0.0 scores, never
+    NULL from a 0/0 normalization (r7 review fix)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import hits
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long, label string")
+    out = hits(PropertyGraph(vertices=verts, edges=edges),
+               max_iter=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.hub == 0.0 and r.authority == 0.0
+
+
+def test_dense_triangle_cap_raises_loudly(spark):
+    """Past DENSE_TRI_MAX_NODES the bit-matrix path refuses (driver
+    would unpack ~8*n^2 bytes) instead of OOMing."""
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        DENSE_TRI_MAX_NODES, co_occurrence_triangles)
+    inc = spark.createDataFrame([(1, 1)], "g long, n long")
+    with pytest.raises(ValueError, match="dense bit-matrix"):
+        co_occurrence_triangles(inc, "g", "n", DENSE_TRI_MAX_NODES + 1)
