@@ -101,9 +101,14 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
     Lloyd steps.  Assignment is distributed (argmin over broadcast
     centroids, pure column expressions); the centroid update is one
     groupBy-avg — per iteration cost is a scan plus a k×dim aggregate.
-    Seeding is deterministic: the first `n_cells` ids (or caller-given)."""
-    import numpy as np
+    Seeding is deterministic: the first `n_cells` ids (or caller-given).
 
+    Cross-engine determinism retrofit (the l40/_pq_r6 discipline,
+    previously only on the PQ path): every Lloyd AVERAGE is rounded
+    through _pq_r6 before becoming a plan literal, and every argmin
+    DISTANCE decision is micro-quantized (see _nearest_cell_expr) —
+    the l12 oracle mirrors both, so an ulp of cross-engine summation
+    noise can no longer flip a near-tie cell assignment."""
     if seed_ids is None:
         seeds = (df.select(F.col(id_col).alias("id"))
                  .orderBy("id").limit(n_cells).collect())
@@ -122,7 +127,7 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
         dim = len(cents[0])
         new = {c: [0.0] * dim for c in {r.cell for r in rows}}
         for r in rows:
-            new[r.cell][r.pos] = r.m
+            new[r.cell][r.pos] = _pq_r6(float(r.m))
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 
@@ -130,7 +135,9 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
 def _nearest_cell_expr(vec_col: str | Column,
                        centroids: list[list[float]]) -> Column:
     """argmin over centroids of squared L2 distance — an array of structs
-    (dist, idx) reduced with array_min; no UDF."""
+    (dist, idx) reduced with array_min; no UDF.  The distance DECISION
+    is micro-quantized (floor(d2·1e6 + 0.5) as BIGINT, the _pq_r6
+    class) so the argmin is tie-unambiguous across engines."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     cd = c.cast("array<double>")
     scored = []
@@ -138,7 +145,8 @@ def _nearest_cell_expr(vec_col: str | Column,
         lit = F.array(*[F.lit(float(x)) for x in cent])
         d2 = F.aggregate(F.zip_with(cd, lit, lambda a, b: (a - b) * (a - b)),
                          F.lit(0.0), lambda acc, x: acc + x)
-        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+        dq = F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+        scored.append(F.struct(dq.alias("d"), F.lit(i).alias("i")))
     return F.array_min(F.array(*scored))["i"]
 
 
@@ -152,13 +160,20 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     corpus no longer fits a brute-force scan per query — cells are the
     partition-pruning layer (write the corpus partitioned by cell and
     only n_probe/n_cells of the data is read)."""
-    import numpy as np
-
     if centroids is None:
         centroids = ivf_centroids(df, id_col, vec_col, n_cells)
-    q = np.asarray(query_vec, dtype=float)
+
+    def _dq(cent: list[float]) -> int:
+        # sequential left-fold + micro-quantized, matching the engine
+        # folds and the oracle's ORDER BY floor(d*1e6+0.5) — np.sum's
+        # pairwise summation could flip a probe-boundary near-tie
+        s = 0.0
+        for a, b in zip(query_vec, cent):
+            s += (a - b) * (a - b)
+        return math.floor(s * 1e6 + 0.5)
+
     order = sorted(range(len(centroids)),
-                   key=lambda i: float(np.sum((q - np.asarray(centroids[i])) ** 2)))
+                   key=lambda i: (_dq(centroids[i]), i))
     probe = order[:n_probe]
     cands = df.filter(_nearest_cell_expr(vec_col, centroids).isin(probe))
     return brute_force_topk(cands, id_col, vec_col, query_vec, k,
@@ -179,13 +194,19 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str,
     true near-dup search (cosine ≥ 0.9) raise n_planes (16+) so buckets
     shrink — recall stays high because the bits almost always agree.
     pytest checks recall ≥ 0.5 vs brute force on the fixture."""
-    qv = np.array(query_vec, dtype=float)
     cand_filter = None
     for t in range(n_tables):
         planes = hyperplanes(len(query_vec), n_planes, seed + 1000 * t)
         qbucket = 0
         for i, p in enumerate(planes):
-            if float(np.dot(qv, np.array(p))) >= 0:
+            # sequential left-fold, NOT np.dot: BLAS pairwise/FMA
+            # summation could flip the sign of a near-zero dot product
+            # relative to the engines' sequential folds — the bucket
+            # BIT is an unroundable decision
+            s = 0.0
+            for a, b in zip(query_vec, p):
+                s += a * b
+            if s >= 0:
                 qbucket |= (1 << i)
         cond = lsh_bucket_expr(vec_col, planes) == F.lit(qbucket)
         cand_filter = cond if cand_filter is None else (cand_filter | cond)
@@ -252,6 +273,9 @@ def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
     mn, s = sq8_params(df, vec_col)
     qrow = (df.filter(F.col(id_col) == query_id)
             .select(F.col(vec_col).cast("array<double>")).first())
+    if qrow is None or qrow[0] is None:
+        raise ValueError(f"query_id {query_id} not found (or has a "
+                         f"NULL vector)")
     qv = list(qrow[0])
     qnorm = math.sqrt(sum(x * x for x in qv))
     a_const = sum(m * x for m, x in zip(mn, qv))
@@ -338,6 +362,8 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
     step one scan + one (m·ks·d_sub)-cell aggregate; the only collects
     are the codebook itself."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        raise ValueError(f"pq_train: '{vec_col}' has no non-null rows")
     dim = dim_row["d"]
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -457,7 +483,11 @@ def _auto_planes(df: DataFrame, n_planes: int | str,
     Cost: one metadata-cheap count() job, only in auto mode."""
     if not isinstance(n_planes, str):
         return n_planes
-    import math
+    if n_planes != "auto":
+        raise ValueError(
+            f"n_planes must be an int or the sentinel 'auto', got "
+            f"{n_planes!r} (a typo'd string would silently take the "
+            f"corpus-derived path)")
     m = df.count()
     return min(24, max(4, math.ceil(
         math.log2(max(1.0, m / float(candidate_budget))))))
@@ -517,7 +547,33 @@ def _dim_of(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
     if dim is not None:
         return dim
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: '{vec_col}' has no non-null "
+            f"rows — pass dim= explicitly or fix the input")
     return int(row["d"])
+
+
+def _bucket_pair_candidates(a: DataFrame, b: DataFrame, n_tables: int,
+                            a_id: str, b_id: str, a_prefix: str = "b",
+                            b_prefix: str = "b") -> DataFrame:
+    """THE candidate machinery: per-table bucket EQUI-joins (never an
+    OR-join), unioned, deduplicated.  One definition shared by the
+    production path (_lsh_scored_pairs → knn_classify/hard_negatives)
+    and the recall eval (ann_recall_eval) — if the eval used its own
+    copy, a future fix here would silently leave it auditing a
+    DIFFERENT candidate path than production runs."""
+    legs = []
+    for t in range(n_tables):
+        legs.append(
+            a.select(F.col(a_id), F.col(f"{a_prefix}{t}").alias("bk"))
+            .join(b.select(F.col(b_id),
+                           F.col(f"{b_prefix}{t}").alias("bk")), "bk")
+            .filter(F.col(a_id) != F.col(b_id)).select(a_id, b_id))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out.distinct()
 
 
 def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -537,16 +593,11 @@ def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
         e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
-    legs = []
-    for t in range(n_tables):
-        a = e.select(F.col("id").alias("i"), F.col(f"b{t}").alias("bk"))
-        b = e.select(F.col("id").alias("j"), F.col(f"b{t}").alias("bk"))
-        legs.append(a.join(b, "bk").filter(F.col("i") != F.col("j"))
-                    .select("i", "j"))
-    pairs = legs[0]
-    for leg in legs[1:]:
-        pairs = pairs.union(leg)
-    pairs = pairs.distinct()
+    bcols = [F.col(f"b{t}") for t in range(n_tables)]
+    pairs = _bucket_pair_candidates(
+        e.select(F.col("id").alias("i"), *bcols),
+        e.select(F.col("id").alias("j"), *bcols),
+        n_tables, "i", "j")
     return (pairs
             .join(e.select(F.col("id").alias("i"),
                            F.col("v").alias("vi"),
@@ -622,16 +673,8 @@ def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
                                   "qid", "qv", "id", "v", k=k,
                                   exclude_self=True)
     extk = exact.select(F.col("query_id").alias("qid"), "id")
-    legs = []
-    for t in range(n_tables):
-        legs.append(
-            q.select("qid", F.col(f"qb{t}").alias("bk"))
-            .join(e.select("id", F.col(f"b{t}").alias("bk")), "bk")
-            .filter(F.col("id") != F.col("qid")).select("qid", "id"))
-    cands = legs[0]
-    for leg in legs[1:]:
-        cands = cands.union(leg)
-    cands = cands.distinct()
+    cands = _bucket_pair_candidates(q, e, n_tables, "qid", "id",
+                                    a_prefix="qb")
     scored = (cands.join(e.select("id", "v"), "id")
               .join(F.broadcast(q.select("qid", "qv")), "qid")
               .withColumn("cos", F.round(cosine_expr("v", "qv"), 6)))

@@ -348,7 +348,11 @@ def l11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _l12_oracle(n_cells: int = 16, n_probe: int = 4, n_iters: int = 2,
                 k: int = 10) -> str:
-    """Unroll ivf_topk's bounded Lloyd training as chained CTEs: seeds =
+    """Unroll ivf_topk's bounded Lloyd training as chained CTEs (every
+    DECISION mirrored with the Spark side's _pq_r6 quantization:
+    centroid averages floor(x*1e6+0.5)/1e6, argmin/probe orderings on
+    floor(d*1e6+0.5) BIGINTs — r7 retrofit of the l40 discipline so an
+    ulp of summation noise cannot flip a near-tie assignment): seeds =
     vectors of the n_cells smallest ids; per iteration assign = argmin
     over the previous centroids (row_number tie-broken by cell, matching
     _nearest_cell_expr's (d, i) struct-min), update = per-(cell, pos)
@@ -374,10 +378,12 @@ def _l12_oracle(n_cells: int = 16, n_probe: int = 4, n_iters: int = 2,
         parts.append(f"""a{it + 1} AS (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT), cell) AS rn
         FROM d{it + 1}) WHERE rn = 1)""")
         parts.append(f"""u{it + 1} AS (
-      SELECT a.cell, ex.pos, avg(ex.x) AS m
+      SELECT a.cell, ex.pos,
+             floor(avg(ex.x) * 1000000 + 0.5) / 1000000 AS m
       FROM a{it + 1} a JOIN ex ON ex.vec_id = a.vec_id
       GROUP BY a.cell, ex.pos)""")
         parts.append(f"""c{it + 1} AS (
@@ -389,13 +395,15 @@ def _l12_oracle(n_cells: int = 16, n_probe: int = 4, n_iters: int = 2,
         f"""qd AS (SELECT c.cell, sum((qx.x - c.m) * (qx.x - c.m)) AS d
       FROM (SELECT pos, x FROM ex WHERE vec_id = 0) qx
       JOIN {cf} c ON c.pos = qx.pos GROUP BY c.cell)""",
-        f"probe AS (SELECT cell FROM qd ORDER BY d, cell LIMIT {n_probe})",
+        f"probe AS (SELECT cell FROM qd ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT), cell LIMIT {n_probe})",
         f"""df AS (SELECT ex.vec_id, c.cell,
              sum((ex.x - c.m) * (ex.x - c.m)) AS d
       FROM ex JOIN {cf} c ON c.pos = ex.pos GROUP BY ex.vec_id, c.cell)""",
         """af AS (SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT),
+                          cell) AS rn
         FROM df) WHERE rn = 1)""",
         """cands AS (SELECT vec_id FROM af
       WHERE cell IN (SELECT cell FROM probe))""",
