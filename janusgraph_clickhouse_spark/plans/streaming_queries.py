@@ -288,8 +288,13 @@ def s09_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS MATERIALIZED (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(event_type) OVER w IS NULL
-                    OR lag(event_type) OVER w <> event_type
+             -- NULL-safe (IS DISTINCT FROM) with first-row detection
+             -- on the never-null event_id, mirroring scd2_versions'
+             -- r7 fix: a non-NULL->NULL state transition must open a
+             -- new version, not absorb into the previous run
+             CASE WHEN lag(event_id) OVER w IS NULL
+                    OR lag(event_type) OVER w
+                       IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -507,8 +512,13 @@ def s14_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type IN ('view', 'click', 'signup')),
     ordered AS MATERIALIZED (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(event_type) OVER w IS NULL
-                    OR lag(event_type) OVER w <> event_type
+             -- NULL-safe (IS DISTINCT FROM) with first-row detection
+             -- on the never-null event_id, mirroring scd2_versions'
+             -- r7 fix: a non-NULL->NULL state transition must open a
+             -- new version, not absorb into the previous run
+             CASE WHEN lag(event_id) OVER w IS NULL
+                    OR lag(event_type) OVER w
+                       IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
       FROM browse
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

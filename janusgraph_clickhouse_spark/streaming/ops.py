@@ -104,7 +104,8 @@ def encode_kafka_events(events: DataFrame,
 
 def events_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                         topic: str = "events.txlog",
-                        starting_offsets: str = "earliest") -> DataFrame:
+                        starting_offsets: str = "earliest",
+                        fail_on_data_loss: bool = True) -> DataFrame:
     """Kafka change-stream source — the analog of the reference's
     `txlog`/`systemlog` change-log stores (QueryHelper.java:101-102),
     which JanusGraph writes as an ordered mutation log.
@@ -120,6 +121,13 @@ def events_kafka_stream(spark: SparkSession, bootstrap_servers: str,
       transactional table format; at-least-once delivery + idempotent
       sink = effectively-once end-to-end.
 
+    `fail_on_data_loss` defaults to TRUE: if broker retention ages out
+    (or topic recreation removes) offsets the checkpoint still
+    references, the query fails loudly instead of silently skipping
+    the gap — a silent skip breaks the at-least-once leg the recipe
+    above depends on.  Opt into False only when gaps are an accepted
+    policy (e.g. a best-effort metrics topic).
+
     Contract-level in this environment (no broker): the option surface
     is the standard spark-sql-kafka source; `parse_kafka_events` (the
     part with logic in it) is unit-tested against the wire schema.
@@ -128,7 +136,8 @@ def events_kafka_stream(spark: SparkSession, bootstrap_servers: str,
            .option("kafka.bootstrap.servers", bootstrap_servers)
            .option("subscribe", topic)
            .option("startingOffsets", starting_offsets)
-           .option("failOnDataLoss", "false")
+           .option("failOnDataLoss",
+                   "true" if fail_on_data_loss else "false")
            .load())
     return parse_kafka_events(raw)
 
@@ -212,17 +221,24 @@ def foreach_batch_upsert(stream: DataFrame, target_path: str,
                         .filter(F.col("__rn") == 1).drop("__rn"))
         else:
             batch_df = batch_df.dropDuplicates(key_cols)
-        try:
-            current = spark.read.parquet(target_path)
-            exists = True
-        except Exception:
-            exists = False
+        # existence decided by an explicit filesystem probe, NEVER by a
+        # broad read-failure catch: a corrupt footer or transient FS
+        # error at read time must FAIL THE BATCH loudly — treating it
+        # as "table does not exist" would take the else branch and
+        # overwrite the accumulated table with this one batch's rows
+        # (unrecoverable data loss that replay cannot converge from)
+        import os
+        import shutil
+        exists = os.path.exists(target_path)
         if exists:
+            current = spark.read.parquet(target_path)
             merged = mutate(current, additions=batch_df, deletions=None,
                             key_cols=key_cols)
-            merged.write.mode("overwrite").parquet(target_path + "_stage")
-            staged = spark.read.parquet(target_path + "_stage")
+            stage = target_path + "_stage"
+            merged.write.mode("overwrite").parquet(stage)
+            staged = spark.read.parquet(stage)
             staged.write.mode("overwrite").parquet(target_path)
+            shutil.rmtree(stage, ignore_errors=True)
         else:
             batch_df.write.mode("overwrite").parquet(target_path)
 
@@ -298,7 +314,13 @@ def self_join_within(events: DataFrame, key: str, interval: str = "5 minutes",
 def run_to_memory(stream: DataFrame, mode: str = "complete",
                   name: str | None = None) -> DataFrame:
     """Run a streaming query to completion with availableNow into a memory
-    sink and return the result as a batch DataFrame (test/driver helper)."""
+    sink and return the result as a batch DataFrame (test/driver helper).
+
+    The memory-sink temp view is DROPPED before returning (the result
+    is materialized via an eager localCheckpoint first) — without the
+    drop every invocation pinned a full result copy in driver memory
+    for the session lifetime, one per parity-sweep/bench run of the
+    queries that stream inside their builders (s11/s12/s19)."""
     qname = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (stream.writeStream
          .format("memory")
@@ -307,7 +329,10 @@ def run_to_memory(stream: DataFrame, mode: str = "complete",
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return stream.sparkSession.table(qname)
+    spark = stream.sparkSession
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return out
 
 
 def trending_counts(events: DataFrame, width: str = "10 minutes",
@@ -410,11 +435,17 @@ def scd2_versions(df: DataFrame, key: str = "user_id",
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    # NULL-safe change detection: lag(state) != state evaluates NULL on
+    # a non-NULL→NULL transition and would silently absorb the cleared
+    # state into the previous run (r7 review; CDC state columns may
+    # legitimately carry NULL).  First-row detection uses the lag of
+    # the never-null tiebreak column, so a run STARTING at NULL still
+    # opens version 1.
+    chg = (F.lag(tiebreak).over(w).isNull()
+           | ~F.lag(state).over(w).eqNullSafe(F.col(state)))
     marked = df.select(
         key, state, ts, tiebreak,
-        F.when(F.lag(state).over(w).isNull()
-               | (F.lag(state).over(w) != F.col(state)), 1)
-        .otherwise(0).alias("_chg"))
+        F.when(chg, 1).otherwise(0).alias("_chg"))
     versioned = marked.withColumn(
         "version", F.sum("_chg").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -457,7 +488,33 @@ def incremental_rollup(spark: SparkSession, events_dir: str,
     previous intact version, and the replay simply rewrites `v<b>` from
     it.  Versions older than the previous one are garbage-collected
     after each flip.  Read the table through `read_rollup` (resolves
-    CURRENT)."""
+    CURRENT).
+
+    Batch ids are PER-CHECKPOINT, so a rollup_dir is bound to the
+    checkpoint that produced it: an identity stamp is written on first
+    use and verified on every later run — wiping/retargeting the
+    checkpoint while keeping the rollup would otherwise silently skip
+    the replayed low batch-ids (rollup frozen) or double-count events
+    already merged.  Mismatch raises loudly; recover by clearing BOTH
+    dirs together."""
+    import os
+    os.makedirs(rollup_dir, exist_ok=True)
+    stamp = os.path.join(rollup_dir, "CHECKPOINT_ID")
+    ident = os.path.abspath(checkpoint_dir)
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+        if have != ident:
+            raise ValueError(
+                f"rollup_dir {rollup_dir} was built by checkpoint "
+                f"{have!r} but this run uses {ident!r}; batch-id "
+                f"idempotency cannot hold across checkpoints — clear "
+                f"both dirs together to reprocess")
+    else:
+        tmp = stamp + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(ident)
+        os.replace(tmp, stamp)
     stream = events_stream(spark, events_dir,
                            max_files_per_trigger=max_files_per_trigger)
     q = (stream.writeStream
@@ -539,8 +596,12 @@ def decayed_score(events: DataFrame, key: str = "user_id",
     applied to decay): values quantize to integer cents —
     floor(v·100 + 0.5), identical on both engines — and the weights
     are powers of two over a HARD horizon of `horizon` ranks, so the
-    score is the exact BIGINT  Σ cents_k << (horizon − k)  (≤ 2^44 at
-    cents ≤ 10^6: no overflow, no float, no summation-order anywhere).
+    score is the exact BIGINT  Σ cents_k << (horizon − k); the worst
+    term is cents·2^horizon, so int64 exactness requires |cents| <
+    2^(62−horizon) — ~2^32 ($43M) at the default horizon 30 — and the
+    per-row guard below raises loudly past it instead of wrapping
+    (the DuckDB oracle's HUGEINT sum would raise on its own side,
+    turning a silent-wrong into a parity-visible loud-fail).
     Returns (key, n_scored, score_fixed); score_fixed / (100·2^horizon)
     is the decayed value in the original unit.  The horizon is honest,
     not a hack: rank-31+ terms are < 2^-30 of the newest — below any
@@ -555,7 +616,15 @@ def decayed_score(events: DataFrame, key: str = "user_id",
                          f"exact-int64 design bound")
     w = Window.partitionBy(key).orderBy(F.col(ts).desc(),
                                         F.col(tiebreak).desc())
-    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    cents_raw = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    bound = 1 << (62 - horizon)
+    cents = F.when(
+        F.abs(cents_raw) >= F.lit(bound),
+        F.raise_error(F.concat(
+            F.lit(f"decayed_score: |cents| >= 2^{62 - horizon} at "
+                  f"horizon={horizon} would overflow the exact-int64 "
+                  f"score; got "), cents_raw.cast("string")))
+        .cast("long")).otherwise(cents_raw)
     ranked = (events.select(key, cents.alias("_c"),
                             (F.row_number().over(w) - 1).alias("_k"))
               .filter(F.col("_k") <= horizon))

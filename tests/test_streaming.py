@@ -539,3 +539,61 @@ def test_lttb_downsample_closed_form(spark):
     assert out[0].cents == 100 and out[0].ts_sec == out[0].b
     assert out[1].cents == 900          # the spike wins the area vote
     assert out[2].cents == 200          # last point of the last bucket
+
+
+def test_scd2_null_state_transition_opens_version(spark):
+    """A non-NULL→NULL state change must open a NEW version (the old
+    null-unsafe != absorbed it into the previous run); NULL→NULL stays
+    one run; a key STARTING at NULL still opens version 1."""
+    from janusgraph_clickhouse_spark.streaming.ops import scd2_versions
+    rows = [(1, "A", 10, 1), (1, None, 20, 2), (1, None, 30, 3),
+            (1, "B", 40, 4),
+            (2, None, 10, 5), (2, None, 20, 6)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    out = scd2_versions(df)
+    k1 = {r.version: (r.state, r.n_events) for r in
+          out.filter(F.col("user_id") == 1).collect()}
+    assert k1 == {1: ("A", 1), 2: (None, 2), 3: ("B", 1)}
+    k2 = {r.version: (r.state, r.n_events) for r in
+          out.filter(F.col("user_id") == 2).collect()}
+    assert k2 == {1: (None, 2)}
+
+
+def test_decayed_score_overflow_raises_loudly(spark):
+    """A value whose cents exceed 2^(62-horizon) must raise, never wrap
+    silently into a wrong exact-int64 score."""
+    import pytest
+    from janusgraph_clickhouse_spark.streaming.ops import decayed_score
+    from pyspark.sql import functions as F
+    big = float((1 << 24))  # cents = 2^24 * 100 > 2^22 bound at h=40
+    df = (spark.createDataFrame([(1, big, 10, 1)],
+                                "user_id long, value double, ts long, "
+                                "event_id long")
+          .withColumn("ts", F.timestamp_seconds("ts")))
+    with pytest.raises(Exception, match="overflow the exact-int64"):
+        decayed_score(df, horizon=40).collect()
+
+
+def test_incremental_rollup_checkpoint_mismatch_raises(spark, tmp_path):
+    """Retargeting a rollup_dir to a different checkpoint must fail
+    loudly — batch-id idempotency cannot hold across checkpoints."""
+    import os
+    import shutil
+    import pytest
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        incremental_rollup)
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "events"
+    d.mkdir()
+    if os.path.isdir(src):
+        shutil.copytree(src, d / "events.parquet")
+    else:
+        shutil.copy(src, d)
+    roll = str(tmp_path / "rollup")
+    incremental_rollup(spark, str(d), roll, str(tmp_path / "ck1"),
+                       max_files_per_trigger=None)
+    with pytest.raises(ValueError, match="idempotency cannot hold"):
+        incremental_rollup(spark, str(d), roll, str(tmp_path / "ck2"))
