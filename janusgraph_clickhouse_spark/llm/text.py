@@ -27,8 +27,15 @@ EN_STOPWORDS = LANG_LEXICONS["en"]
 
 
 def tokens(text_col: str | Column) -> Column:
-    """Whitespace tokenization (the corpus is pre-normalized); swap in a
-    BPE-ish regex via F.regexp_extract_all for raw text."""
+    """Whitespace tokenization.  CONTRACT: the corpus is single-space
+    pre-normalized — split(' ') keeps EMPTY tokens for runs of
+    whitespace, so un-normalized text inflates token counts and
+    deflates ratio metrics (gopher_rules would reject a doc for a
+    double space).  Pre-clean raw text with
+    regexp_replace(trim(text), '\\\\s+', ' ') first, or swap in a
+    BPE-ish regexp_extract_all.  (The entropy/BPE paths filter empties
+    for their own math; a dozen SQL oracles replay this exact split,
+    which is why the definition stays minimal rather than filtering.)"""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.split(c, " ")
 
@@ -45,7 +52,10 @@ def distinct_token_ratio(text_col: str | Column) -> Column:
 def stopword_ratio(text_col: str | Column,
                    stopwords: list[str] | None = None) -> Column:
     t = tokens(text_col)
-    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    # `is not None`, not falsy-or: an explicitly EMPTY stopword list
+    # means "no stopwords" (ratio 0), never a silent English fallback
+    sw_list = stopwords if stopwords is not None else EN_STOPWORDS
+    sw = F.array(*[F.lit(w) for w in sw_list])
     inter = F.filter(t, lambda w: F.array_contains(sw, w))
     return F.size(inter) / F.size(t)
 
@@ -76,15 +86,15 @@ def language_id(text_col: str | Column,
     the token array per language, no shuffle, no UDF."""
     lex = lexicons or LANG_LEXICONS
     t = tokens(text_col)
-    scored = []  # (score, lang) structs → array_max picks argmax
-    for lang in sorted(lex, reverse=True):  # reverse so ties pick first alpha
+    scored = []
+    for lang in sorted(lex):
         words = F.array(*[F.lit(w) for w in lex[lang]])
         score = F.size(F.filter(t, lambda w: F.array_contains(words, w)))
         scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    # array_max on structs orders by (score, lang); with reverse-sorted
-    # langs at equal score the LAST struct field comparison still picks the
-    # lexicographically greatest lang — so invert: take max score, then min
-    # lang among maxima via a second pass.
+    # two-pass argmax: max score first, then MIN lang among the maxima
+    # (a single array_max over (score, lang) structs would break ties
+    # toward the alphabetically LAST language — the l08 oracle's tie
+    # rule is first-alpha)
     arr = F.array(*scored)
     best = F.array_max(F.transform(arr, lambda s: s["score"]))
     winners = F.filter(arr, lambda s: s["score"] == best)
@@ -105,22 +115,32 @@ def rolling_fingerprints(text_col: str | Column, k: int = 5,
     shingle hashes (array expressions only; dedup via array_distinct)."""
     t = tokens(text_col)
     n = F.size(t)
-    sh_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    shingles = F.transform(
-        sh_idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i + 1, k), " ")))
-    win_idx = F.sequence(F.lit(0), F.greatest(F.size(shingles) - window,
-                                              F.lit(-1)))
-    mins = F.transform(
-        win_idx, lambda i: F.array_min(F.slice(shingles, i + 1, window)))
+    empty = F.array().cast("array<bigint>")
+    # short-doc guards (the word_shingles F.when pattern): without
+    # them sequence(0, -1) yields [0, -1] (step defaults to -1 when
+    # start > stop) and slice(t, 0, k) raises INVALID_PARAMETER_VALUE
+    # at runtime — one sub-k-token document killed the whole job
+    shingles = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(F.array_join(F.slice(t, i + 1, k), " "))
+    )).otherwise(empty)
+    mins = F.when(F.size(shingles) >= window, F.transform(
+        F.sequence(F.lit(0), F.size(shingles) - window),
+        lambda i: F.array_min(F.slice(shingles, i + 1, window))
+    )).otherwise(F.when(F.size(shingles) > 0,
+                        F.array(F.array_min(shingles)))
+                 .otherwise(empty))
     return F.array_distinct(mins)
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats block (token count, diversity, stopword ratio,
-    avg token length, quality score)."""
+    avg token length, composite quality score).  THE implementation
+    behind l07 (which selects the oracle-checked subset) — one
+    definition so the stats and the registered query cannot drift."""
     return df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
+        token_count(text_col).cast("long").alias("n_tokens"),
         F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
         F.round(avg_token_length(text_col), 6).alias("avg_token_len"),
@@ -456,8 +476,13 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str,
     character, the standard fertility-style ratio (exact-integer
     inputs, one rounded division).
 
-    Scale shape: one explode of doc words + a broadcast-sized vocab
-    join (distinct words) + one per-doc aggregate."""
+    Scale shape: one explode of doc words + a vocab join (distinct
+    words) + one per-doc aggregate.  The join is NOT hint-forced to
+    broadcast: distinct whitespace tokens grow with the corpus (URLs,
+    numbers, hashes) and a forced broadcast of an unbounded vocabulary
+    overrides the size threshold straight into a driver OOM — AQE
+    picks broadcast when the vocab actually fits and a shuffle join
+    when it doesn't."""
     _, vocab = _bpe_train(df, id_col, text_col, n_merges=n_merges)
     sizes = vocab.select("word", F.size("syms").alias("n_syms"),
                          F.length("word").alias("w_chars"))
@@ -465,7 +490,7 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str,
                        F.explode(F.split(F.col(text_col), " "))
                        .alias("word"))
              .filter(F.length("word") > 0))
-    return (words.join(F.broadcast(sizes), "word")
+    return (words.join(sizes, "word")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_syms").alias("n_bpe_tokens"),
@@ -511,6 +536,15 @@ def entropy_stats(df: DataFrame, id_col: str, text_col: str,
         .alias("ch"))
     wh = _h(F.col("w"), words, "words")
     ch = _h(F.col("ch"), chars, "chars")
-    return (wh.join(ch, "id")
-            .select(F.col("id").alias(id_col), "n_words", "words_entropy",
-                    "n_chars", "chars_entropy"))
+    # FULL OUTER: a doc can have words but zero countable chars (or
+    # vice versa — e.g. text '\n\n' splits to one "word" but '[^\n]'
+    # matches nothing); an inner join silently DROPPED such docs from
+    # a per-document quality metric.  The missing side reports n=0
+    # with NULL entropy (entropy of zero units is undefined).
+    z = F.lit(0).cast("long")
+    return (wh.join(ch, "id", "full_outer")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_words", z).alias("n_words"),
+                    "words_entropy",
+                    F.coalesce("n_chars", z).alias("n_chars"),
+                    "chars_entropy"))

@@ -213,15 +213,11 @@ def l06_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l07_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality stats — all codegen'd column expressions."""
+    """Per-document quality stats — all codegen'd column expressions
+    (llm.text.text_stats; the composite `quality` column is dropped
+    here because its weighting is illustrative, not oracle-contracted)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count("text").cast("long").alias("n_tokens"),
-        F.round(X.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
-        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(X.avg_token_length("text"), 6).alias("avg_token_len"),
-    )
+    return X.text_stats(docs, "doc_id", "text").drop("quality")
 
 
 def _langid_oracle() -> str:
@@ -2009,11 +2005,12 @@ def l46_lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT))
                   AS BIGINT) AS s
       FROM cc GROUP BY doc_id)
-    SELECT w.doc_id, w.n AS n_words,
+    SELECT coalesce(w.doc_id, c.doc_id) AS doc_id,
+           CAST(coalesce(w.n, 0) AS BIGINT) AS n_words,
            round(ln(w.n) - (w.s / 1e6) / w.n, 6) AS words_entropy,
-           c.n AS n_chars,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_chars,
            round(ln(c.n) - (c.s / 1e6) / c.n, 6) AS chars_entropy
-    FROM wagg w JOIN cagg c USING (doc_id)
+    FROM wagg w FULL JOIN cagg c ON c.doc_id = w.doc_id
     """,
 )
 def l47_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

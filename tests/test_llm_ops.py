@@ -1382,3 +1382,44 @@ def test_lsh_banding_audit_clean_sample_scores_ones(spark):
     r = lsh_banding_audit(df, "doc_id", "text", sample=6).collect()[0]
     assert r.n_true == 0 and r.n_cand == 0
     assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+
+
+def test_rolling_fingerprints_short_docs_no_crash(spark):
+    """Docs shorter than k (or with fewer shingles than the window)
+    previously crashed the whole job via sequence(0,-1) -> slice start
+    0 (r7 review, reproduced); now: empty set for sub-k docs, one min
+    for sub-window shingle counts."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.text import rolling_fingerprints
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e"), (3, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.fp for r in
+           df.select("doc_id", rolling_fingerprints("text")
+                     .alias("fp")).collect()}
+    assert out[1] == []          # < k tokens: no shingles
+    assert len(out[2]) == 1      # exactly k tokens: 1 shingle, 1 min
+    assert len(out[3]) >= 1
+
+
+def test_entropy_stats_keeps_one_sided_docs(spark):
+    """A doc with words but zero countable chars (text '\\n\\n') must
+    still emit a row (n_chars=0, NULL char entropy) — the inner join
+    silently dropped it (r7 review, reproduced)."""
+    from janusgraph_clickhouse_spark.llm.text import entropy_stats
+    df = spark.createDataFrame([(1, "hello world hello"), (2, "\n\n")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           entropy_stats(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_chars == 0 and out[2].chars_entropy is None
+
+
+def test_stopword_ratio_empty_list_means_zero(spark):
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.text import stopword_ratio
+    df = spark.createDataFrame([("the cat",)], "text string")
+    r = df.select(stopword_ratio("text", stopwords=[]).alias("r"),
+                  stopword_ratio("text").alias("dflt")).collect()[0]
+    assert r.r == 0.0        # explicit [] = no stopwords, NOT EN fallback
+    assert r.dflt == 0.5
