@@ -34,6 +34,26 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts)]
     lcols = left.columns
+    # loud collision guard: a carried right column sharing a left name
+    # would emit two identical-named output columns and break every
+    # downstream reference with AMBIGUOUS_REFERENCE — at the first
+    # select, not here.  (Same-schema inputs hit this by DEFAULT via
+    # the all-but-key/ts right_cols default.)
+    clash = [c for c in right_cols if c in lcols]
+    if clash:
+        raise ValueError(
+            f"as_of_join: right_cols {clash} collide with left columns; "
+            f"alias the right side first (e.g. "
+            f"right.withColumnRenamed('{clash[0]}', 'right_{clash[0]}'))")
+    # NULL keys never match (SQL ASOF semantics, and the s05 oracle's
+    # ON equality): Window.partitionBy would otherwise group NULL-key
+    # left rows WITH NULL-key right rows and carry matches between
+    # them.  NULL-key left rows still emit — with NULL legs.
+    null_left = None
+    if any(f.name == key and f.nullable for f in left.schema.fields):
+        null_left = left.filter(F.col(key).isNull())
+        left = left.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull())
 
     # Carry ALL right columns + the right ts as ONE struct so every carried
     # value (and matched_ts) comes from the same right row — per-column
@@ -92,7 +112,11 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     out = (unioned.select(*lcols, F.col("__side"), carried)
            .filter(F.col("__side") == 1))
     if tolerance_seconds is not None:
-        in_tol = (F.unix_timestamp(ts) - F.unix_timestamp(F.col("__c.__mts"))
+        # sub-second exact: compare raw epoch DOUBLES — unix_timestamp
+        # truncates to whole seconds, which mis-decides any fractional
+        # tolerance in both directions on µs-precision event times
+        in_tol = (F.col(ts).cast("double")
+                  - F.col("__c.__mts").cast("double")
                   <= tolerance_seconds)
         out = out.select(
             *lcols,
@@ -102,6 +126,14 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     else:
         out = out.select(*lcols, F.col("__c.__mts").alias("matched_ts"),
                          *[F.col(f"__c.{c}").alias(c) for c in right_cols])
+    if null_left is not None:
+        nulls = null_left.select(
+            *lcols,
+            F.lit(None).cast(dict(out.dtypes)["matched_ts"])
+            .alias("matched_ts"),
+            *[F.lit(None).cast(rtypes[c].simpleString()).alias(c)
+              for c in right_cols])
+        out = out.unionByName(nulls)
     return out
 
 
@@ -111,7 +143,21 @@ def time_rollup(df: DataFrame, ts: str, grains: dict[str, str],
     hypertable shape): one pass producing every grain via grouping sets
     over precomputed bucket columns.  grains: output_col -> window width
     (e.g. {"h": "1 hour", "d": "1 day"}).  Coarser grains come from the
-    SAME scan — no per-grain re-read."""
+    SAME scan — no per-grain re-read.
+
+    Each grouping set is ONE grain column (+ extras): a grain-i row
+    aggregates at grain-i granularity with the other grain columns
+    NULL.  (The original cumulative-PREFIX sets were a bug this round's
+    review caught: grouping by (h, d) is still HOURLY — every aligned
+    hour determines its day — so the 'daily' rows were hourly
+    aggregates duplicated and the coarse grain never materialized; the
+    s06 oracle mirrored the same mistake, which is why parity hid it.)
+
+    The temp view is per-call unique and dropped after plan
+    construction, so concurrent rollups on one session can't resolve
+    against each other's input."""
+    import uuid
+
     out = df
     grain_cols = []
     for col_name, width in grains.items():
@@ -119,14 +165,17 @@ def time_rollup(df: DataFrame, ts: str, grains: dict[str, str],
             col_name, F.unix_timestamp(F.window(ts, width)["start"]))
         grain_cols.append(col_name)
     sets = ", ".join(
-        f"({', '.join(grain_cols[:i + 1] + group_extra)})"
-        for i in range(len(grain_cols)))
-    out.createOrReplaceTempView("__rollup_in")
+        f"({', '.join([g] + group_extra)})" for g in grain_cols)
+    view = f"__rollup_in_{uuid.uuid4().hex[:12]}"
+    out.createOrReplaceTempView(view)
     agg_sql = ", ".join(aggs)
     grain_sql = ", ".join(grain_cols + group_extra)
-    return out.sparkSession.sql(
-        f"SELECT {grain_sql}, {agg_sql} FROM __rollup_in "
-        f"GROUP BY GROUPING SETS ({sets})")
+    try:
+        return out.sparkSession.sql(
+            f"SELECT {grain_sql}, {agg_sql} FROM {view} "
+            f"GROUP BY GROUPING SETS ({sets})")
+    finally:
+        out.sparkSession.catalog.dropTempView(view)
 
 
 def delta_sum(df: DataFrame, key: str, ts: str, value: str,
@@ -142,7 +191,6 @@ def delta_sum(df: DataFrame, key: str, ts: str, value: str,
 
     Scale shape: one key shuffle + one window pass + one aggregate;
     no self-join."""
-    from pyspark.sql import Window
     order = [ts] + ([order_extra] if order_extra else [])
     w = Window.partitionBy(key).orderBy(*order)
     cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
@@ -171,8 +219,14 @@ def gap_fill_locf(df: DataFrame, key: str, ts: str, value: str,
     shuffles total; the dense axis is generated, not scanned.
 
     Sum is quantized to cents before LOCF so the carried value is an
-    exact integer on both engines."""
-    from pyspark.sql import Window
+    exact integer on both engines.
+
+    Contract note (r7 review): a bucket whose events ALL carry NULL
+    value has is_gap=false (events were observed) but its own
+    sum_cents is NULL, so filled_sum_cents still carries the previous
+    bucket's sum — is_gap marks MISSING BUCKETS, not missing values;
+    consumers needing 'this bucket's own sum' should read the raw
+    aggregate, not the LOCF column."""
     bucket = (F.unix_timestamp(ts) - F.unix_timestamp(ts) % width_sec)
     obs = (df.select(F.col(key).alias("k"), bucket.alias("b"),
                      F.floor(F.col(value) * 100 + F.lit(0.5))
@@ -214,7 +268,6 @@ def lttb_downsample(df: DataFrame, key: str, ts: str, value: str,
     id).  Scale shape: one (key,bucket) aggregate, one per-key window
     over BUCKETS (rows ∝ span/width), one join back to points, one
     per-bucket window."""
-    from pyspark.sql import Window
     half = width_sec // 2
     t = F.unix_timestamp(ts)
     pts = df.select(F.col(key).alias("k"), t.alias("t"),

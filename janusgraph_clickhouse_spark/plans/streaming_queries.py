@@ -135,14 +135,26 @@ def s04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT user_id, ts, value FROM events
                WHERE event_type = 'view'),
          p AS (SELECT user_id, ts, event_id, value FROM events
-               WHERE event_type = 'purchase')
+               WHERE event_type = 'purchase'),
+    -- explicit argmax, NOT native ASOF: DuckDB's ASOF JOIN picks an
+    -- ARBITRARY row among right rows tied on ts, while the Spark
+    -- operator deterministically carries the max (ts, value) struct —
+    -- the oracle must express the same tiebreak or a tied fixture
+    -- regen turns into a nondeterministic parity flake
+    best AS MATERIALIZED (
+      SELECT event_id, vts, vval FROM (
+        SELECT p.event_id, v.ts AS vts, v.value AS vval,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.value DESC)
+                 AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+      WHERE rn = 1)
     SELECT p.event_id,
            CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_sec,
            round(p.value, 2) AS purchase_value,
-           CAST(floor(epoch(v.ts)) AS BIGINT) AS matched_ts_sec,
-           round(v.value, 2) AS last_view_value
-    FROM p ASOF LEFT JOIN v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+           CAST(floor(epoch(b.vts)) AS BIGINT) AS matched_ts_sec,
+           round(b.vval, 2) AS last_view_value
+    FROM p LEFT JOIN best b ON b.event_id = p.event_id
     """,
 )
 def s05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,13 +187,17 @@ def s05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS cnt,
            round(sum(value), 2) AS sum_value
     FROM events
-    GROUP BY GROUPING SETS ((h, event_type), (h, d, event_type))
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
     """,
 )
 def s06_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style multi-granularity rollup: hour and hour+day
-    grains from one scan via grouping sets (operators.temporal
-    .time_rollup)."""
+    """Hypertable-style multi-granularity rollup: HOURLY rows (d NULL)
+    and DAILY rows (h NULL) from one scan via grouping sets
+    (operators.temporal.time_rollup).  r7 fix: the original cumulative
+    sets grouped the 'daily' rows by (h, d) — still hourly, since each
+    aligned hour determines its day — so the coarse grain never
+    actually materialized; the oracle mirrored the bug and parity hid
+    it.  Both sides now aggregate each grain alone."""
     from ..operators.temporal import time_rollup
     ev = load_table(spark, sf_dir, "events")
     return time_rollup(

@@ -597,3 +597,74 @@ def test_incremental_rollup_checkpoint_mismatch_raises(spark, tmp_path):
                        max_files_per_trigger=None)
     with pytest.raises(ValueError, match="idempotency cannot hold"):
         incremental_rollup(spark, str(d), roll, str(tmp_path / "ck2"))
+
+
+def test_time_rollup_daily_grain_actually_rolls_up(spark):
+    """Each grouping set aggregates ONE grain alone: the daily rows
+    (h NULL) must each equal the sum of their hourly rows — the old
+    cumulative-prefix sets produced hourly aggregates twice and no
+    daily rows at all (r7 review; both sides of s06 mirrored the bug
+    so parity hid it)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.operators.temporal import time_rollup
+    rows = [(i, i * 3600 // 4) for i in range(96)]   # 4 events/hour, 1 day+
+    df = (spark.createDataFrame(rows, "event_id long, sec long")
+          .withColumn("ts", F.timestamp_seconds("sec"))
+          .withColumn("t", F.lit("x")))
+    out = time_rollup(df, "ts", {"h": "1 hour", "d": "1 day"},
+                      group_extra=["t"], aggs=["count(*) AS cnt"])
+    hourly = out.filter(F.col("h").isNotNull())
+    daily = out.filter(F.col("d").isNotNull())
+    assert hourly.filter(F.col("d").isNotNull()).count() == 0
+    assert daily.filter(F.col("h").isNotNull()).count() == 0
+    assert daily.count() == 1
+    assert daily.collect()[0].cnt == 96           # the true daily total
+    assert hourly.agg(F.sum("cnt")).first()[0] == 96
+
+
+def test_as_of_join_null_keys_never_match(spark):
+    """NULL-key left rows emit with NULL legs; NULL-key right rows
+    match nothing (SQL ASOF semantics — Window.partitionBy would
+    otherwise pair the NULL groups; r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    left = (spark.createDataFrame(
+        [(1, 100, 10), (None, 100, 11)], "k long, sec long, lv long")
+        .withColumn("ts", F.timestamp_seconds("sec")).drop("sec"))
+    right = (spark.createDataFrame(
+        [(1, 50, 7), (None, 50, 9)], "k long, sec long, rv long")
+        .withColumn("ts", F.timestamp_seconds("sec")).drop("sec"))
+    out = {r.lv: r for r in
+           as_of_join(left, right, key="k", ts="ts",
+                      right_cols=["rv"]).collect()}
+    assert out[10].rv == 7
+    assert out[11].rv is None and out[11].matched_ts is None
+
+
+def test_as_of_join_column_collision_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    df = (spark.createDataFrame([(1, 1, 1.0)], "k long, sec long, value double")
+          .withColumn("ts", F.timestamp_seconds("sec")).drop("sec"))
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(df, df, key="k", ts="ts")
+
+
+def test_as_of_join_subsecond_tolerance(spark):
+    """Fractional tolerances compare raw epoch doubles, not truncated
+    whole seconds (r7 review: 0.9 s old was kept at tolerance 0.5, and
+    0.1 s old was nulled)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    left = (spark.createDataFrame([(1, 100.9, 10), (2, 101.0, 11)],
+                                  "k long, sec double, lv long")
+            .withColumn("ts", F.timestamp_seconds("sec")).drop("sec"))
+    right = (spark.createDataFrame([(1, 100.0, 7), (2, 100.9, 8)],
+                                   "k long, sec double, rv long")
+             .withColumn("ts", F.timestamp_seconds("sec")).drop("sec"))
+    out = {r.lv: r for r in
+           as_of_join(left, right, key="k", ts="ts", right_cols=["rv"],
+                      tolerance_seconds=0.5).collect()}
+    assert out[10].rv is None     # 0.9 s old: outside 0.5 s tolerance
+    assert out[11].rv == 8        # 0.1 s old: inside
