@@ -66,7 +66,8 @@ def slice_query(df: DataFrame, key_col: str, col_col: str, key,
 def multi_key_slice(df: DataFrame, key_col: str, col_col: str,
                     keys: "Sequence | DataFrame", col_start=None,
                     col_end=None, limit_per_key: int | None = None,
-                    projection: Sequence[str] | None = None) -> DataFrame:
+                    projection: Sequence[str] | None = None,
+                    order_extra: Sequence[str] = ()) -> DataFrame:
     """Multi-key slice in ONE pass.
 
     The reference loops keys sequentially (getSlice #2,
@@ -74,11 +75,20 @@ def multi_key_slice(df: DataFrame, key_col: str, col_col: str,
     Here: a single scan + per-key window row_number ≤ limit — one
     shuffle, fully parallel.  `keys` may be a Python sequence (compiles
     to an `isin` pushed into the scan) or a single-column DataFrame
-    (broadcast left-semi join — the form that scales to millions of keys
-    where an IN-list would blow up the plan)."""
+    (left-semi join — the form that scales to millions of keys where an
+    IN-list would blow up the plan; the join is NOT hint-forced to
+    broadcast, because a forced hint overrides the size threshold and a
+    large key set would then OOM the driver — AQE broadcasts when the
+    key side actually fits).  `order_extra` appends tiebreak columns to
+    the per-key window ordering so limit_per_key is deterministic when
+    col_col has ties."""
+    if isinstance(keys, str):
+        raise TypeError(
+            "keys must be a sequence of key VALUES or a DataFrame; a "
+            "plain string would be exploded into per-character keys")
     if isinstance(keys, DataFrame):
         key_df = keys.toDF(key_col).dropDuplicates()
-        out = df.join(F.broadcast(key_df), key_col, "left_semi")
+        out = df.join(key_df, key_col, "left_semi")
     else:
         out = df.filter(F.col(key_col).isin(list(keys)))
     if col_start is not None:
@@ -86,10 +96,12 @@ def multi_key_slice(df: DataFrame, key_col: str, col_col: str,
     if col_end is not None:
         out = out.filter(F.col(col_col) < F.lit(col_end))
     if limit_per_key is not None:
-        w = Window.partitionBy(key_col).orderBy(col_col)
-        out = (out.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= limit_per_key)
-                  .drop("__rn"))
+        import uuid
+        rn = f"__rn_{uuid.uuid4().hex[:8]}"  # never clobber a user column
+        w = Window.partitionBy(key_col).orderBy(col_col, *order_extra)
+        out = (out.withColumn(rn, F.row_number().over(w))
+                  .filter(F.col(rn) <= limit_per_key)
+                  .drop(rn))
     if projection is not None:
         out = out.select(*projection)
     return out
@@ -116,18 +128,30 @@ def unordered_scan(df: DataFrame,
                    projection: Sequence[str] | None = None) -> DataFrame:
     """Full unordered scan — UnsupportedOperationException in the reference
     (ClickhouseKeyColumnValueStore.java:213-215), trivial in Spark."""
-    return df.select(*projection) if projection else df
+    # `is not None`, matching the siblings: an explicitly EMPTY
+    # projection surfaces the caller's bug as a zero-column frame
+    # instead of silently returning the full schema
+    return df.select(*projection) if projection is not None else df
 
 
 def multi_range_scan(df: DataFrame, col_col: str,
                      ranges: Sequence[tuple]) -> DataFrame:
     """Multi-slice scan — unsupported in the reference
     (ClickhouseKeyColumnValueStore.java:218-220). One pass, OR'd half-open
-    range predicates; Catalyst pushes the disjunction to the scan."""
+    range predicates; Catalyst pushes the disjunction to the scan.
+    None bounds are UNBOUNDED on that side (the module-wide
+    convention); an empty ranges sequence is the union of zero slices
+    — an empty result, not a crash."""
     pred = None
     for start, end in ranges:
-        p = (F.col(col_col) >= F.lit(start)) & (F.col(col_col) < F.lit(end))
+        p = F.lit(True)
+        if start is not None:
+            p = p & (F.col(col_col) >= F.lit(start))
+        if end is not None:
+            p = p & (F.col(col_col) < F.lit(end))
         pred = p if pred is None else (pred | p)
+    if pred is None:
+        return df.filter(F.lit(False))
     return df.filter(pred)
 
 
@@ -150,8 +174,17 @@ def mutate(current: DataFrame, additions: DataFrame | None,
         doomed = add_keys if doomed is None else doomed.unionByName(add_keys)
     out = current
     if doomed is not None:
-        out = out.join(doomed.dropDuplicates(list(key_cols)), list(key_cols),
-                       "left_anti")
+        # NULL-SAFE anti join: with plain equality a NULL key component
+        # never matches, so a (NULL, ...)-keyed row could never be
+        # deleted or overwritten — the upsert would silently leave both
+        # the old and the new row (duplicate key in a key->row store)
+        d = doomed.dropDuplicates(list(key_cols))
+        d = d.toDF(*[f"__d_{c}" for c in key_cols])
+        cond = None
+        for c in key_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            cond = e if cond is None else (cond & e)
+        out = out.join(d, cond, "left_anti")
     if additions is not None:
         out = out.unionByName(additions.select(*current.columns))
     return out
@@ -163,7 +196,9 @@ def top_k(df: DataFrame, order_cols: Sequence, k: int,
     per-group top-K via window row_number."""
     if not partition_by:
         return df.orderBy(*order_cols).limit(k)
+    import uuid
+    rn = f"__rn_{uuid.uuid4().hex[:8]}"  # never clobber a user column
     w = Window.partitionBy(*partition_by).orderBy(*order_cols)
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= k)
-              .drop("__rn"))
+    return (df.withColumn(rn, F.row_number().over(w))
+              .filter(F.col(rn) <= k)
+              .drop(rn))

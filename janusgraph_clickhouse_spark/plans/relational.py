@@ -67,11 +67,14 @@ def q02_slice_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference loops keys sequentially (multiQuery=false); here one scan +
     per-key window top-K."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    return (li.filter(F.col("l_orderkey").isin([0, 1, 2, 3, 4]))
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= 2)
-              .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+    # THE operator COVERAGE.md maps this query to (was an inline fork
+    # until r7; order_extra carries the l_partkey tiebreak)
+    return kcvs.multi_key_slice(
+        li, key_col="l_orderkey", col_col="l_linenumber",
+        keys=[0, 1, 2, 3, 4], limit_per_key=2,
+        projection=["l_orderkey", "l_linenumber", "l_partkey",
+                    "l_quantity"],
+        order_extra=["l_partkey"])
 
 
 @query(

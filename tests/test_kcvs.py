@@ -247,3 +247,49 @@ def test_geo_predicates_closed_form(spark):
     assert df.filter(apply_predicate(
         "geoWithinCircle", "lat", "lon", 51.5074, -0.1278, 400.0)
     ).count() == 2
+
+
+def test_multi_range_scan_none_bounds_and_empty(spark, sf_smoke):
+    """None bounds mean UNBOUNDED (module convention); zero ranges mean
+    the union of zero slices — empty, not a crash (r7 review)."""
+    from janusgraph_clickhouse_spark.operators.kcvs import multi_range_scan
+    from janusgraph_clickhouse_spark.sources import load_table
+    li = load_table(spark, sf_smoke, "lineitem")
+    below = multi_range_scan(li, "l_quantity", [(None, 10)]).count()
+    want = li.filter("l_quantity < 10").count()
+    assert below == want and want > 0
+    assert multi_range_scan(li, "l_quantity", []).count() == 0
+    everything = multi_range_scan(li, "l_quantity", [(None, None)]).count()
+    assert everything == li.count()
+
+
+def test_multi_key_slice_rejects_plain_string(spark, sf_smoke):
+    import pytest
+    from janusgraph_clickhouse_spark.operators.kcvs import multi_key_slice
+    from janusgraph_clickhouse_spark.sources import load_table
+    li = load_table(spark, sf_smoke, "lineitem")
+    with pytest.raises(TypeError, match="per-character"):
+        multi_key_slice(li, "l_orderkey", "l_linenumber", keys="abc")
+
+
+def test_mutate_null_keys_upsert(spark):
+    """A NULL-keyed addition must REPLACE the NULL-keyed current row
+    (null-safe anti join) — plain equality left both rows (r7 review)."""
+    from janusgraph_clickhouse_spark.operators.kcvs import mutate
+    cur = spark.createDataFrame([(None, 1), (7, 1)], "k long, v long")
+    add = spark.createDataFrame([(None, 2)], "k long, v long")
+    out = sorted(((r.k, r.v) for r in
+                  mutate(cur, additions=add, deletions=None,
+                         key_cols=["k"]).collect()), key=repr)
+    assert out == sorted([(None, 2), (7, 1)], key=repr)
+
+
+def test_topk_preserves_user_rn_column(spark):
+    """A pre-existing '__rn' column survives per-group top-k (unique
+    temp names; the old fixed name clobbered and dropped it)."""
+    from janusgraph_clickhouse_spark.operators.kcvs import top_k
+    df = spark.createDataFrame([(1, 5, 100), (1, 3, 200), (2, 9, 300)],
+                               "g long, v long, __rn long")
+    out = top_k(df, ["v"], k=1, partition_by=["g"])
+    assert "__rn" in out.columns
+    assert sorted(r["__rn"] for r in out.collect()) == [200, 300]
