@@ -1383,7 +1383,12 @@ def q45_ttl_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="q45_ttl_")
     try:
         tbl = os.path.join(work, "events_by_day")
+        # NULL days never partake in TTL (apply_ttl retains the NULL
+        # partition by contract, but the oracle's d >= cutoff excludes
+        # NULLs) — drop them at write time so a fixture regen with NULL
+        # ts can't become a silent parity divergence
         (ev.select(day.alias("d"), cents.alias("cents"))
+         .filter(F.col("d").isNotNull())
          .write.partitionBy("d").parquet(tbl))
         b = (spark.read.parquet(tbl)
              .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))

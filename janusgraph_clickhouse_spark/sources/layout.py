@@ -50,10 +50,17 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
     """Plain-parquet variant when no catalog is available: repartition by
     the key (clusters equal keys into the same files) then sort within
     partitions so row-group min/max stats prune range scans."""
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files={num_files} must be >= 1")
     out = df
     if repartition_col is not None:
         out = (out.repartition(num_files, repartition_col)
-               if num_files else out.repartition(repartition_col))
+               if num_files is not None else out.repartition(repartition_col))
+    elif num_files is not None:
+        # honor the requested file count even without a clustering key
+        # (previously silently ignored: the output kept whatever
+        # incoming partitioning df had)
+        out = out.repartition(num_files)
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
@@ -72,13 +79,31 @@ def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
     Inputs must already be non-negative ints < 2^bits (pre-bucket with
     ntile/width_bucket/scaling); k·bits must fit a signed long.  Pure
     shift/mask expressions — whole-stage codegen, no UDF.
+
+    Domain is ENFORCED per row (raise_error branch, one comparison per
+    dimension): an out-of-range or negative value would silently
+    collide distant rows into one Z-key — min/max stats widen and
+    pruning quietly degrades, the worst kind of layout bug.  NULL in
+    any dimension nulls the whole key (those rows co-locate in one
+    range partition); pre-filter or fill if that matters.
     """
     k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1:
+        raise ValueError(f"bits={bits} must be >= 1")
     if k * bits > 63:
         raise ValueError(f"{k} cols × {bits} bits exceeds a signed long")
+    lim = 1 << bits
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        raw = (F.col(c) if isinstance(c, str) else c).cast("long")
+        col = F.when(
+            (raw < 0) | (raw >= lim),
+            F.raise_error(F.concat(
+                F.lit(f"zorder_key: value out of [0, {lim}) for "
+                      f"dimension {j}: "), raw.cast("string")))
+            .cast("long")).otherwise(raw)
         for i in range(bits):
             bit = F.shiftrightunsigned(col, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
@@ -92,10 +117,12 @@ def write_zordered_parquet(df: DataFrame, path: str,
     by the Morton key (files = contiguous key ranges) and sort within, so
     both file-level and row-group min/max stats are tight in every
     interleaved dimension."""
-    keyed = df.withColumn("__z", zorder_key(cols, bits))
-    (keyed.repartitionByRange(num_files, "__z")
-     .sortWithinPartitions("__z")
-     .drop("__z")
+    import uuid
+    zc = f"__z_{uuid.uuid4().hex[:8]}"  # never clobber a user column
+    keyed = df.withColumn(zc, zorder_key(cols, bits))
+    (keyed.repartitionByRange(num_files, zc)
+     .sortWithinPartitions(zc)
+     .drop(zc)
      .write.mode("overwrite").parquet(path))
 
 
@@ -109,7 +136,17 @@ def apply_ttl(path: str, partition_col: str, cutoff: int) -> int:
     a scan of that day.  Returns the number of partitions dropped.
 
     The expiry decision reads only the directory NAMES (one listing),
-    so cost is O(partitions), never O(rows)."""
+    so cost is O(partitions), never O(rows).
+
+    Two explicit contracts (r7 review): the NULL partition
+    (`__HIVE_DEFAULT_PARTITION__`) is always RETAINED — a NULL expiry
+    value has no position relative to the cutoff, and silently
+    deleting it would be worse than keeping it (filter NULLs out at
+    write time if they must expire); and the implementation walks the
+    DRIVER-LOCAL filesystem — for hdfs://-scheme tables route the
+    same drop-by-name loop through the Hadoop FileSystem API (the
+    operation shape is identical; only the listing/delete calls
+    change)."""
     import os
     import shutil
 
