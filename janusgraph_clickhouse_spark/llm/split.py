@@ -18,10 +18,20 @@ from ..functions.hashing import md5_long60
 def hash_bucket(key_col: str | Column, n_buckets: int = 100,
                 salt: str = "") -> Column:
     """Deterministic bucket in [0, n_buckets): md5 of the stringified key
-    (first 8 hex chars → int).  Stable across engines, runs, partitions."""
+    (first 8 hex chars → int).  Stable across engines, runs, partitions.
+
+    NULL keys RAISE (per-row guard): a NULL would hash to NULL, which
+    silently lands in 'test' in train_val_test_split but silently
+    DROPS in domain_sample — two different wrong behaviors for the
+    same caller bug.  Coalesce to a sentinel first if NULL keys are a
+    legitimate population."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
-                                          c.cast("string"))), 1, 8), 16, 10)
+    ck = F.when(c.isNull(),
+                F.raise_error(F.lit(
+                    "hash_bucket: NULL key — membership would be "
+                    "undefined; coalesce to a sentinel first"))
+                .cast("string")).otherwise(c.cast("string"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), ck)), 1, 8), 16, 10)
     return (h.cast("bigint") % n_buckets).cast("int")
 
 
@@ -38,8 +48,16 @@ def train_val_test_split(df: DataFrame, key_col: str,
 
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed: int = 42) -> DataFrame:
-    """Per-stratum sampling (class-balanced subsets) — deterministic for
-    a fixed seed and input."""
+    """Per-stratum sampling (class-balanced subsets) via Spark sampleBy.
+
+    DETERMINISM CAVEAT (r7 review): sampleBy draws rand(seed) seeded
+    PER PARTITION in row order, so the kept set is stable only for an
+    identical partitioning of identical input — re-sharding the same
+    data selects a DIFFERENT subset.  When membership must be a pure
+    function of the record (the module-header contract), use
+    domain_sample, whose keep decision is hash_bucket(key) — that is
+    also why domain_sample is the registered, oracle-checked form and
+    this wrapper is not."""
     return df.sampleBy(strata_col, fractions, seed)
 
 
@@ -61,7 +79,11 @@ def domain_sample(df: DataFrame, key_col: str, domain_col: str,
     for dom, r in sorted(rates.items()):
         expr = F.when(rate == dom, float(r)).otherwise(expr)
     b = hash_bucket(key_col, n_buckets, salt)
-    return df.filter(b < (expr * n_buckets).cast("int"))
+    # floor(x + 0.5), not cast-truncate: 0.3*10000 is 2999.999... in
+    # double, and truncation would undercut every non-dyadic rate by
+    # one bucket (the CLAUDE.md cast-rounding trap)
+    cut = F.floor(expr * n_buckets + F.lit(0.5)).cast("int")
+    return df.filter(b < cut)
 
 
 def pack_sequences(df: DataFrame, key_col: str, text_col: str,
@@ -93,6 +115,12 @@ def pack_sequences(df: DataFrame, key_col: str, text_col: str,
     base = df.select(F.col(key_col).alias("doc_id"), key.alias("k"),
                      shard.alias("shard"),
                      token_count(text_col).cast("long").alias("tok"))
+    # materialize the compact projection ONCE: it feeds both the
+    # per-shard window branch and the shard-total aggregate, whose
+    # pruned subplans differ enough that Catalyst reuses no exchange —
+    # without this the corpus scan + tokenization ran twice (the
+    # dsir_weights 3x-recompute lesson)
+    base = base.localCheckpoint(eager=True)
     w_local = (Window.partitionBy("shard").orderBy("k", "doc_id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     base = base.withColumn("local_cum", F.sum("tok").over(w_local))
@@ -173,7 +201,12 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     expensive pass is shared between numerator and denominator
     statistics."""
     from .dedup import word_shingles
-    grams = F.concat(F.split(F.col(text_col), " "),
+    # tokens() is THE tokenization (llm.text — single-space contract);
+    # NULL-text documents explode to zero gram rows and are DROPPED
+    # from the output by construction (documented contract: score only
+    # documents with text; coalesce to '' upstream to rank them lowest)
+    from .text import tokens
+    grams = F.concat(tokens(text_col),
                      word_shingles(text_col, 2))
     base = df.select(F.col(id_col).alias("id"),
                      is_target.alias("tgt"),
@@ -231,8 +264,16 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     no shuffle of the corpus."""
     u = (md5_long60(F.col(id_col).cast("string")) + 1) \
         / F.lit(float(1 << 60))
+    # clamp BEFORE the long cast: for tiny weights (< ~5e-9)
+    # ln(u)/w·1e9 exceeds the int64 range, where Spark's double→long
+    # cast silently CLAMPS (collapsing all such rows into an id-ordered
+    # tie) while a DuckDB replay raises out-of-range — the clamp makes
+    # the saturation explicit and identical on both engines, and is a
+    # no-op for any weight a quality pipeline actually emits
+    raw = F.log(u) / F.col(weight_col) * F.lit(1e9)
+    lim = float(1 << 62)
     key_nano = F.floor(
-        F.log(u) / F.col(weight_col) * F.lit(1e9) + F.lit(0.5)
+        F.greatest(F.least(raw, F.lit(lim)), F.lit(-lim)) + F.lit(0.5)
     ).cast("long")
     return (df.filter(F.col(weight_col) > 0)
             .select(F.col(id_col).alias("id"),
@@ -264,6 +305,10 @@ def exact_stratified_split(df: DataFrame, id_col: str, strata_col: str,
     deterministic shuffle-split."""
     from pyspark.sql import Window
 
+    if sum(pcts) != 100:
+        raise ValueError(f"pcts must sum to 100, got {pcts} "
+                         f"(sum {sum(pcts)}) — an overshoot silently "
+                         f"produces overlapping split boundaries")
     cnt = (df.groupBy(strata_col)
            .agg(F.count(F.lit(1)).alias("n")))
     parts = F.array(*[
@@ -298,6 +343,12 @@ def exact_stratified_split(df: DataFrame, id_col: str, strata_col: str,
     split = (F.when(F.col("rn") <= F.col("c0"), names[0])
              .when(F.col("rn") <= F.col("c1"), names[1])
              .otherwise(names[2]))
-    return (rows.join(F.broadcast(piv), strata_col)
+    # NULL-SAFE seat-table join: Window.partitionBy groups NULL strata
+    # (they get ranks and seats), but a plain equi-join would never
+    # match the NULL key and every NULL-stratum row would silently
+    # vanish from the split
+    pv = piv.withColumnRenamed(strata_col, "__strat")
+    return (rows.join(F.broadcast(pv),
+                      F.col(strata_col).eqNullSafe(F.col("__strat")))
             .withColumn("split", split)
-            .drop("rn", "c0", "c1"))
+            .drop("rn", "c0", "c1", "__strat"))

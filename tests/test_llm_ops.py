@@ -1423,3 +1423,51 @@ def test_stopword_ratio_empty_list_means_zero(spark):
                   stopword_ratio("text").alias("dflt")).collect()[0]
     assert r.r == 0.0        # explicit [] = no stopwords, NOT EN fallback
     assert r.dflt == 0.5
+
+
+def test_exact_stratified_split_keeps_null_strata(spark):
+    """NULL-stratum rows get seats and split labels like any stratum
+    (null-safe seat-table join; the plain equi-join silently dropped
+    them — r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.split import (
+        exact_stratified_split)
+    rows = [(i, None if i < 10 else "s") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = exact_stratified_split(df, "id", "src")
+    assert out.count() == 20
+    nulls = out.filter(F.col("src").isNull())
+    got = {r.split: r.c for r in
+           nulls.groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+           .collect()}
+    assert got == {"train": 8, "val": 1, "test": 1}
+
+
+def test_exact_stratified_split_validates_pcts(spark):
+    import pytest
+    from janusgraph_clickhouse_spark.llm.split import (
+        exact_stratified_split)
+    df = spark.createDataFrame([(1, "s")], "id long, src string")
+    with pytest.raises(ValueError, match="sum to 100"):
+        exact_stratified_split(df, "id", "src", pcts=(80, 20, 10))
+
+
+def test_hash_bucket_null_key_raises(spark):
+    import pytest
+    from janusgraph_clickhouse_spark.llm.split import train_val_test_split
+    df = spark.createDataFrame([(None,)], "id string")
+    with pytest.raises(Exception, match="NULL key"):
+        train_val_test_split(df, "id").collect()
+
+
+def test_domain_sample_non_dyadic_rate_exact(spark):
+    """rate 0.3 keeps buckets [0, 3000) exactly — the old cast-truncate
+    cut at 2999 (0.3*10000 is 2999.999... in double; r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.llm.split import (
+        domain_sample, hash_bucket)
+    df = (spark.range(20000)
+          .select(F.col("id"), F.lit("web").alias("dom")))
+    kept = domain_sample(df, "id", "dom", {"web": 0.3})
+    want = df.filter(hash_bucket("id", 10000, "mix") < 3000).count()
+    assert kept.count() == want
