@@ -47,25 +47,23 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     Scale shape: one scan + one 256-group aggregate + a 256-row final
     fold; the shuffle carries at most m register rows per partition
     (map-side partial max).  The exact count's count(DISTINCT) is the
-    expensive half — the sketch side is free."""
-    h = md5_long60(F.col(col).cast("string"))
-    rest = F.shiftright(h, 8)
-    rank = F.when(rest > 0,
-                  F.lit(53) - F.length(F.bin(rest))).otherwise(F.lit(53))
-    reg = (df.select((h % HLL_M).alias("bucket"), rank.alias("rank"))
-           .groupBy("bucket").agg(F.max("rank").alias("m")))
-    z = reg.agg(
-        (F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long"))
-         + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53))
-        .alias("z"),
-    )
+    expensive half — the sketch side is free.
+
+    Built ON the shared register machinery (hll_registers + _hll_z) so
+    q41 and the q46 state path can never drift; NULL inputs contribute
+    nothing (matching count(DISTINCT)) instead of forging a phantom
+    max-rank register; an empty input folds to the raw estimator over
+    all-missing registers (alpha·m ≈ 181 at m=256), never NULL."""
+    reg = hll_registers(df, col, [])
+    z = _hll_z(reg, [])
     exact = df.agg(F.countDistinct(F.col(col)).alias("n_exact"))
     est = F.lit(HLL_NUMER) / F.col("z")
+    rel = F.when(F.col("n_exact") > 0,
+                 F.round((est - F.col("n_exact")) / F.col("n_exact"), 6))
     return (exact.crossJoin(F.broadcast(z))
             .select("n_exact",
                     F.round(est, 4).alias("hll_estimate"),
-                    F.round((est - F.col("n_exact")) / F.col("n_exact"), 6)
-                    .alias("rel_error")))
+                    rel.alias("rel_error")))
 
 
 # Count-Min dimensions: d salted hash rows × w counters.  Error bound:
@@ -77,9 +75,15 @@ CMS_W = 256
 
 def _cms_bucket(row: Column, key: Column) -> Column:
     """Row-salted bucket: md5('cms<r>|<key>') mod w — engine-portable
-    like every hash DECISION in this repo."""
+    like every hash DECISION in this repo.  NULL keys coalesce to a
+    sentinel so the NULL group gets a REAL bucket: md5(NULL) is NULL,
+    which failed the counter probe join and silently dropped the NULL
+    key from the top-k even when it was the heaviest hitter (both the
+    build and probe sides route through this one function, so the
+    sentinel stays consistent)."""
+    k = F.coalesce(key, F.lit("\x00__cms_null__"))
     return md5_long60(F.concat(F.lit("cms"), row.cast("string"),
-                              F.lit("|"), key)) % CMS_W
+                              F.lit("|"), k)) % CMS_W
 
 
 # KMV hash-space size: md5_long60 is uniform on [0, 2^60)
@@ -87,8 +91,13 @@ KMV_M = float(1 << 60)
 
 
 def _kmv_hashes(df: DataFrame, col: str) -> DataFrame:
-    """Distinct md5_long60 hashes of a column — the KMV input stream."""
-    return (df.select(md5_long60(F.col(col).cast("string")).alias("h"))
+    """Distinct md5_long60 hashes of a column — the KMV input stream.
+    NULLs are filtered (count(DISTINCT) semantics): a NULL hash would
+    sort NULLS-FIRST in Spark but NULLS-LAST in DuckDB, stealing a
+    sketch slot on one engine only — a cross-engine divergence AND a
+    wasted minimum."""
+    return (df.filter(F.col(col).isNotNull())
+            .select(md5_long60(F.col(col).cast("string")).alias("h"))
             .distinct())
 
 
@@ -145,8 +154,13 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
              .crossJoin(_kmv_stats(su).select(F.col("n").alias("nu"),
                                               F.col("hk").alias("hu")))
              .crossJoin(rho))
-    da = a.select(F.col(col).alias("v")).distinct()
-    db = b.select(F.col(col).alias("v")).distinct()
+    # NULL-filtered like the sketches: count(DISTINCT) semantics — a
+    # NULL otherwise counted as one extra "value" on the exact side
+    # only, disagreeing with both the sketch and the oracle
+    da = (a.filter(F.col(col).isNotNull())
+          .select(F.col(col).alias("v")).distinct())
+    db = (b.filter(F.col(col).isNotNull())
+          .select(F.col(col).alias("v")).distinct())
     exact = (da.agg(F.count(F.lit(1)).alias("n_a"))
              .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
              .crossJoin(da.join(db, "v", "left_semi")
@@ -213,15 +227,39 @@ def hll_registers(df: DataFrame, col: str,
     Registers are the associative half of the sketch — states for any
     two groups merge by per-bucket MAX, so coarser rollups derive from
     finer ones WITHOUT rescanning the fact table (the
-    AggregatingMergeTree materialized-view idiom)."""
+    AggregatingMergeTree materialized-view idiom).
+
+    NULL values are FILTERED before hashing (md5(NULL) is NULL, which
+    would forge a phantom bucket=NULL register with max rank 53 that
+    then survives every per-bucket-MAX merge into every rollup,
+    inflating all of them); count(DISTINCT) semantics ignore NULLs,
+    so the sketch does too."""
+    for c in ("bucket", "rank", "m"):
+        if c in group_cols:
+            raise ValueError(f"group column {c!r} collides with the "
+                             f"register schema; alias it first")
     h = md5_long60(F.col(col).cast("string"))
     rest = F.shiftright(h, 8)
     rank = F.when(rest > 0,
                   F.lit(53) - F.length(F.bin(rest))).otherwise(F.lit(53))
-    return (df.select(*group_cols, (h % HLL_M).alias("bucket"),
-                      rank.alias("rank"))
+    return (df.filter(F.col(col).isNotNull())
+            .select(*group_cols, (h % HLL_M).alias("bucket"),
+                    rank.alias("rank"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rank").alias("m")))
+
+
+def _hll_z(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """THE exact-int64 register fold (shared by hll_distinct and
+    hll_estimate_from_registers so the two can never drift):
+    Z = Σ 2^(53-m) + (missing buckets)·2^53 per group; an empty
+    register set folds to the all-missing constant, never NULL."""
+    return (regs.groupBy(*group_cols).agg(
+        (F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")),
+            F.lit(0))
+         + (F.lit(HLL_M) - F.count(F.col("m"))) * F.lit(1 << 53))
+        .alias("z")))
 
 
 def hll_estimate_from_registers(regs: DataFrame,
@@ -230,9 +268,7 @@ def hll_estimate_from_registers(regs: DataFrame,
     Z = Σ 2^(53-m) + (missing buckets)·2^53 as an EXACT int64, then
     the Flajolet estimate — bit-identical across engines (the q41
     fold, applied to persisted state)."""
-    z = (regs.groupBy(*group_cols).agg(
-        (F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long"))
-         + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)).alias("z")))
+    z = _hll_z(regs, group_cols)
     return z.select(*group_cols,
                     F.round(F.lit(HLL_NUMER) / F.col("z"), 4)
                     .alias("uniq_estimate"))
@@ -247,10 +283,17 @@ def histogram_state(df: DataFrame, val_col: str, group_cols: list[str],
     order), so rollup hierarchies derive from fine states without
     rescanning facts; one hash aggregate with map-side combine, state
     size ≤ n_bins rows per group at any data scale."""
-    a = (F.col(val_col).cast("long") - F.lit(lo))
-    b = ((a - a % F.lit(width)) / F.lit(width)).cast("long")
+    for c in ("bin", "cnt"):
+        if c in group_cols:
+            raise ValueError(f"group column {c!r} collides with the "
+                             f"state schema; alias it first")
+    a = (F.col(val_col).cast("long") - F.lit(int(lo)).cast("long"))
+    # true integer DIV (the docstring's claim): the old float-division
+    # form lost exactness past 2^53 micro-units
+    b = F.expr(f"__hs_a DIV {int(width)}")
     bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
-    return (df.select(*group_cols, bin_.alias("bin"))
+    return (df.select(*group_cols, a.alias("__hs_a"))
+            .select(*group_cols, bin_.alias("bin"))
             .groupBy(*group_cols, "bin")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -266,6 +309,18 @@ def histogram_quantiles(state: DataFrame, group_cols: list[str],
     value until the caller's final display division."""
     from pyspark.sql import Window
 
+    reserved = {"bin", "cnt", "cum", "n", "pct", "num_r", "r",
+                "num_i", "den_i", "interp", "est_micro"}
+    bad = reserved.intersection(group_cols)
+    if bad:
+        raise ValueError(f"group columns {sorted(bad)} collide with the "
+                         f"fold's internal names; alias them first")
+    # defensive re-aggregate: a state produced by plain UNION of two
+    # states (instead of a per-bin SUM merge) holds duplicate bins,
+    # and the cumulative window's tie order would make the fold
+    # NONDETERMINISTIC — re-summing makes it total for any input
+    state = (state.groupBy(*group_cols, "bin")
+             .agg(F.sum("cnt").alias("cnt")))
     w = (Window.partitionBy(*group_cols).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (state.withColumn("cum", F.sum("cnt").over(w))
@@ -275,11 +330,28 @@ def histogram_quantiles(state: DataFrame, group_cols: list[str],
                    F.explode(F.array(*[F.lit(x) for x in percents]))
                    .alias("pct"))
     p = p.withColumn("num_r", F.col("n") * F.col("pct") + F.lit(99))
-    p = p.withColumn("r", F.expr("num_r DIV 100"))
+    # clamp the rank to >= 1: pct=0 would yield r=0, which no row
+    # covers — the (group, pct) row silently vanished
+    p = p.withColumn("r", F.greatest(F.lit(1).cast("long"),
+                                     F.expr("num_r DIV 100")))
     hit = p.filter((F.col("cum") >= F.col("r"))
                    & (F.col("cum") - F.col("cnt") < F.col("r")))
     micro = F.lit(int(width) * 1_000_000).cast("long")
-    hit = (hit.withColumn(
+    # loud int64 guard: num_i peaks at micro·2·cnt, so a covering bin
+    # holding more than 2^62/micro rows would WRAP silently in
+    # non-ANSI Spark while the oracle diverges — refuse instead
+    # (use more/narrower bins, which is the right fix at that scale)
+    cnt_cap = (1 << 62) // (int(width) * 1_000_000)
+    cnt_ok = F.when(
+        F.col("cnt") > F.lit(cnt_cap),
+        F.raise_error(F.concat(
+            F.lit(f"histogram_quantiles: covering bin holds more than "
+                  f"{cnt_cap} rows — the micro-unit interpolation "
+                  f"would overflow int64; use more bins; got "),
+            F.col("cnt").cast("string"))).cast("long")
+    ).otherwise(F.col("cnt"))
+    hit = (hit.withColumn("cnt", cnt_ok)
+        .withColumn(
         "num_i",
         micro * (F.lit(2) * (F.col("r") - (F.col("cum") - F.col("cnt")))
                  - F.lit(1)))
@@ -308,6 +380,11 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
     (group, pct) out."""
     from pyspark.sql import Window
 
+    reserved = {"w", "cum", "tot", "pct", "num_r", "r", "q_value"}
+    bad = reserved.intersection([*group_cols, val_col])
+    if bad:
+        raise ValueError(f"columns {sorted(bad)} collide with the "
+                         f"fold's internal names; alias them first")
     g = (df.groupBy(*group_cols, val_col)
          .agg(F.sum(weight_col).alias("w")))
     wc = (Window.partitionBy(*group_cols).orderBy(val_col)
@@ -319,7 +396,8 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
                  F.explode(F.array(*[F.lit(x) for x in percents]))
                  .alias("pct"))
     p = (p.withColumn("num_r", F.col("tot") * F.col("pct") + F.lit(99))
-         .withColumn("r", F.expr("num_r DIV 100")))
+         .withColumn("r", F.greatest(F.lit(1).cast("long"),
+                                     F.expr("num_r DIV 100"))))
     hit = p.filter((F.col("cum") >= F.col("r"))
                    & (F.col("cum") - F.col("w") < F.col("r")))
     return hit.select(*group_cols, "pct",

@@ -541,3 +541,57 @@ def test_ann_recall_plan_equi_join_candidates(spark, sf_smoke):
     plan = _physical(QUERIES["l55_ann_recall_eval"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_and_kmv_ignore_null_inputs(spark):
+    """NULL values contribute NOTHING to either sketch (count(DISTINCT)
+    semantics): a NULL previously forged a phantom max-rank HLL
+    register (inflating every rollup it merged into) and stole a KMV
+    sketch slot NULLS-FIRST in Spark only (r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        hll_distinct, kmv_set_ops)
+    base = spark.range(500).select(F.col("id").alias("k"))
+    with_nulls = base.union(spark.createDataFrame(
+        [(None,)] * 10, "k long"))
+    a = hll_distinct(base, "k").collect()[0]
+    b = hll_distinct(with_nulls, "k").collect()[0]
+    assert a.hll_estimate == b.hll_estimate
+    assert b.n_exact == 500
+    ka = kmv_set_ops(base, base, "k").collect()[0]
+    kb = kmv_set_ops(with_nulls, with_nulls, "k").collect()[0]
+    assert ka.est_a == kb.est_a and kb.n_a == 500
+
+
+def test_cms_null_key_is_a_real_hitter(spark):
+    """A NULL key that IS the heaviest hitter must appear in the top-k
+    (sentinel-coalesced bucket; the NULL probe join silently dropped
+    it before — r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        cms_heavy_hitters)
+    df = (spark.range(300).select(
+        F.when(F.col("id") < 200, None).otherwise(F.col("id") % 7)
+        .alias("k")))
+    top = cms_heavy_hitters(df, "k", k=3).collect()
+    assert top[0].key is None and top[0].exact_cnt == 200
+
+
+def test_histogram_quantiles_union_merged_state_deterministic(spark):
+    """A state merged by plain UNION (duplicate bins) folds identically
+    to the properly summed merge — the defensive re-aggregate makes
+    the cumulative fold total (r7 review)."""
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        histogram_quantiles, histogram_state)
+    df = spark.range(1000).select(F.lit("g").alias("g"),
+                                  (F.col("id") % 640).alias("c"))
+    st = histogram_state(df, "c", ["g"], lo=0, width=10, n_bins=64)
+    unioned = st.union(st)   # duplicate bins, doubled counts
+    summed = (unioned.groupBy("g", "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    qa = {r.pct: r.est_micro for r in histogram_quantiles(
+        unioned, ["g"], lo=0, width=10, percents=[50, 99]).collect()}
+    qb = {r.pct: r.est_micro for r in histogram_quantiles(
+        summed, ["g"], lo=0, width=10, percents=[50, 99]).collect()}
+    assert qa == qb
