@@ -83,20 +83,24 @@ _SOURCE_TABLES = ("customer", "nation", "region", "orders", "lineitem",
                   "supplier", "part")
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Cheap stat-based identity of the source parquet: (size, mtime) per
-    file.  If the fixture directory is regenerated — same path, new
-    content — the fingerprint changes and the cache rebuilds instead of
-    silently serving a stale graph."""
+def _stat_fingerprint(roots: list[str]) -> str:
+    """THE stat-based content identity (shared by the star-schema and
+    interaction caches so their staleness behavior cannot drift):
+    (path, size, ns-mtime) of every LEAF file, walked recursively — a
+    one-level listing would fingerprint nested/partitioned layouts by
+    directory stat, which an in-place leaf rewrite can leave unchanged
+    (the silent-stale failure this fingerprint exists to prevent)."""
     parts = []
-    for t in _SOURCE_TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        paths = [p]
-        if os.path.isdir(p):
-            paths = sorted(
-                os.path.join(p, f) for f in os.listdir(p)
-                if not f.startswith("_") and not f.startswith("."))
-        for f in paths:
+    for root in roots:
+        files = [root]
+        if os.path.isdir(root):
+            files = []
+            for d, dirs, names in os.walk(root):
+                dirs[:] = sorted(x for x in dirs
+                                 if not x.startswith(("_", ".")))
+                files.extend(os.path.join(d, n) for n in sorted(names)
+                             if not n.startswith(("_", ".")))
+        for f in files:
             try:
                 st = os.stat(f)
                 # ns mtime: a fixture regenerated in-place within the same
@@ -105,6 +109,48 @@ def _source_fingerprint(sf_dir: str) -> str:
             except OSError:
                 parts.append(f"{f}:absent")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    return _stat_fingerprint(
+        [os.path.join(sf_dir, f"{t}.parquet") for t in _SOURCE_TABLES])
+
+
+def _build_token() -> str:
+    """Uniqueness token for temp dirs and build tables: pid alone is NOT
+    unique inside one driver — two threads building concurrently would
+    share a temp dir and a catalog table name and corrupt each other."""
+    import uuid
+    return f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+
+def _sweep_stale_tmp(path: str) -> None:
+    """Best-effort reclaim of crash-leftover build temp dirs for this
+    cache key (age-gated so a LIVE concurrent builder's tmp survives)."""
+    import glob
+    import time
+    for d in glob.glob(f"{path}.tmp*"):
+        try:
+            if time.time() - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _publish(tmp: str, path: str) -> None:
+    """Atomic publish: rename tmp into place.  On failure, discard tmp
+    ONLY if a finished winner exists at the destination — any other
+    rename error (permissions, missing parent) re-raises instead of
+    deleting the only good copy and returning a path that doesn't
+    exist."""
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_BUILT")):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
 
 
 def clustered_graph_path(sf_dir: str, base_dir: str | None = None) -> str:
@@ -121,16 +167,20 @@ def ensure_clustered_graph(spark: SparkSession, sf_dir: str,
                            num_files: int = 8) -> str:
     """Build the clustered adjacency for `sf_dir` if absent; return path.
 
-    Concurrent builders race safely: each writes to a pid-suffixed temp
-    dir and atomically renames into place; the loser discards its copy.
-    """
+    Concurrent builders (threads OR processes) race safely: each writes
+    to a (pid, uuid)-suffixed temp dir and atomically renames into
+    place; the loser discards its copy.  `num_files` applies at BUILD
+    time only — a warm cache serves whatever granularity its builder
+    chose (it is deliberately not part of the cache key: content is
+    identical either way)."""
     path = clustered_graph_path(sf_dir, base_dir)
     marker = os.path.join(path, "_BUILT")
     if os.path.exists(marker):
         return path
 
+    _sweep_stale_tmp(path)
     g = derive_star_graph(spark, sf_dir, None, with_etype=True)
-    tmp = f"{path}.tmp{os.getpid()}"
+    tmp = f"{path}.tmp{_build_token()}"
     (g.edges.repartition(num_files, "src")
      .sortWithinPartitions("etype", "src", "dst")
      .write.mode("overwrite").partitionBy("etype")
@@ -139,12 +189,13 @@ def ensure_clustered_graph(spark: SparkSession, sf_dir: str,
      .sortWithinPartitions("label", "id")
      .write.mode("overwrite").partitionBy("label")
      .parquet(os.path.join(tmp, "vertices")))
-    _write_bucketed_edges(spark, g.edges, tmp)
+    # bucketed table fed from the JUST-WRITTEN partitioned edges, not a
+    # third re-derivation of the star-schema lineage — cheaper AND
+    # guarantees the two layouts are bit-identical
+    written = spark.read.parquet(os.path.join(tmp, "edges"))
+    _write_bucketed_edges(spark, written, tmp)
     open(os.path.join(tmp, "_BUILT"), "w").close()
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; reuse winner
+    _publish(tmp, path)
     return path
 
 
@@ -168,7 +219,7 @@ def _write_bucketed_edges(spark: SparkSession, edges: DataFrame,
     loc = os.path.join(tmp_dir, f"edges_bucketed{EDGE_BUCKETS}")
     os.makedirs(loc, exist_ok=True)  # CREATE TABLE…LOCATION stats the dir
     e = edges.select("src", "dst", "label", "weight")
-    tname = f"jcs_build_{os.getpid()}"
+    tname = f"jcs_build_{_build_token()}"
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
     spark.sql(
         f"CREATE TABLE {tname} ({_edge_cols_ddl(e)}) USING parquet "
@@ -187,7 +238,12 @@ def bucketed_edges(spark: SparkSession, sf_dir: str,
     already-built bucket files."""
     path = ensure_clustered_graph(spark, sf_dir, base_dir)
     loc = os.path.join(path, f"edges_bucketed{EDGE_BUCKETS}")
-    table = f"jcs_edges_{os.path.basename(path)}"
+    # the table name keys on the FULL location (not just the basename):
+    # the same sf_dir cached under two base_dirs shares a basename key,
+    # and the first registration would otherwise serve its location to
+    # every later caller
+    table = ("jcs_edges_"
+             + hashlib.md5(os.path.abspath(loc).encode()).hexdigest()[:12])
     if not spark.catalog.tableExists(table):
         cols = _edge_cols_ddl(spark.read.parquet(loc))
         spark.sql(
@@ -228,20 +284,7 @@ def clustered_star_graph(spark: SparkSession, sf_dir: str,
 # -- clustered interaction graph (events-derived; build once per window) ----
 
 def _events_fingerprint(sf_dir: str) -> str:
-    p = os.path.join(sf_dir, "events.parquet")
-    paths = [p]
-    if os.path.isdir(p):
-        paths = sorted(
-            os.path.join(p, f) for f in os.listdir(p)
-            if not f.startswith("_") and not f.startswith("."))
-    parts = []
-    for f in paths:
-        try:
-            st = os.stat(f)
-            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            parts.append(f"{f}:absent")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return _stat_fingerprint([os.path.join(sf_dir, "events.parquet")])
 
 
 def interaction_graph_path(sf_dir: str, window: str,
@@ -270,14 +313,12 @@ def ensure_interaction_graph(spark: SparkSession, sf_dir: str,
     if os.path.exists(marker):
         return path
     from .model import derive_interaction_graph
+    _sweep_stale_tmp(path)
     g = derive_interaction_graph(spark, sf_dir, window)
-    tmp = f"{path}.tmp{os.getpid()}"
+    tmp = f"{path}.tmp{_build_token()}"
     save_graph(g, tmp, num_files=num_files)
     open(os.path.join(tmp, "_BUILT"), "w").close()
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    _publish(tmp, path)
     return path
 
 
