@@ -94,7 +94,15 @@ def fingerprint_tables(df: DataFrame, id_col: str, text_col: str,
     buckets = sig.select(
         "id", band_bucket_expr("sig", bands, rows_per_band)
         .alias("band", "bucket"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # EVERY batch doc gets a sizes row, sz=0 for docs too short to
+    # shingle — sizes is the novelty sentinel, and without a row such
+    # docs stayed "novel" on every at-least-once replay, appending
+    # empty part files forever and never becoming known
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    agg = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = (ids.join(agg, "id", "left")
+             .select("id", F.coalesce("sz", F.lit(0).cast("long"))
+                     .alias("sz")))
     return {"buckets": buckets, "shingles": sh, "sizes": sizes}
 
 
@@ -113,19 +121,26 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     the batch itself nothing is compared (old side only; batch-internal
     dups are the caller's composition with minhash_dedup_pairs).
 
-    Robust to a torn/replayed index: self-pairs (a replayed doc meeting
-    its own absorbed fingerprint) are filtered, and the index side is
+    Robust to a torn/replayed index: the old side excludes EVERY id in
+    the current batch (not just self-pairs) — a crash between the index
+    append and the caller's marker write means a replay sees the
+    batch's own docs in the index, and without this exclusion two
+    novel near-dups in one batch would suddenly emit verdicts against
+    each other on replay only, diverging from the first run (the
+    module's replay-converges contract).  The index side is also
     deduplicated AFTER the candidate restriction — duplicated index
-    rows (a crash between appends, see module docstring) cannot inflate
-    the intersection count or double-emit verdicts, and the distincts
-    cost O(candidate docs), not O(index)."""
-    fp = fingerprint_tables(new_df, id_col, text_col, n, num_hashes, bands)
+    rows (a crash between appends) cannot inflate the intersection
+    count or double-emit verdicts, and the distincts cost
+    O(candidate docs), not O(index)."""
+    fp = fingerprint_tables(new_df, id_col, text_col, n, num_hashes,
+                            bands, materialize=True)
+    batch_ids = fp["sizes"].select(F.col("id").alias("dup_of")).distinct()
     cand = (fp["buckets"].select(F.col("id").alias("doc_id"),
                                  "band", "bucket")
             .join(index["buckets"].select(F.col("id").alias("dup_of"),
                                           "band", "bucket"),
                   ["band", "bucket"])
-            .filter(F.col("doc_id") != F.col("dup_of"))
+            .join(batch_ids, "dup_of", "left_anti")
             .select("doc_id", "dup_of").distinct())
     cand_old = cand.select(F.col("dup_of").alias("id")).distinct()
     old_sh = (index["shingles"]
@@ -136,7 +151,10 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
               .join(cand_old, "id", "left_semi")
               .select(F.col("id").alias("dup_of"), F.col("sz"))
               .distinct())
-    inter = (fp["shingles"].select(F.col("id").alias("doc_id"), "shingle")
+    cand_new = cand.select(F.col("doc_id").alias("id")).distinct()
+    new_sh = (fp["shingles"].join(cand_new, "id", "left_semi")
+              .select(F.col("id").alias("doc_id"), "shingle"))
+    inter = (new_sh
              .join(old_sh, "shingle")
              .join(cand, ["doc_id", "dup_of"], "left_semi")
              .groupBy("doc_id", "dup_of")
@@ -171,12 +189,52 @@ def write_index(tables: dict[str, DataFrame], path: str,
         tables[t].write.mode(mode).parquet(os.path.join(path, t))
 
 
+_META_FILE = "_FP_PARAMS"
+
+
+def _write_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+    import json
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
+    os.replace(tmp, os.path.join(path, _META_FILE))
+
+
+def _check_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+    """Fingerprint parameters are part of the index's identity: an
+    absorb with different (n, num_hashes, bands) would hash into a
+    DISJOINT bucket space — every duplicate silently declared novel
+    and the index permanently poisoned with two incompatible schemes.
+    The persisted meta makes that a loud error instead."""
+    import json
+    mp = os.path.join(path, _META_FILE)
+    if not os.path.exists(mp):   # pre-meta index: adopt current params
+        _write_meta(path, n, num_hashes, bands)
+        return
+    with open(mp) as f:
+        have = json.load(f)
+    want = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    if have != want:
+        raise ValueError(
+            f"fingerprint-parameter mismatch: index at {path} was built "
+            f"with {have}, this call uses {want}; rebuild the index or "
+            f"match its parameters")
+
+
 def bootstrap_index(df: DataFrame, id_col: str, text_col: str, path: str,
                     n: int = 3, num_hashes: int = 48,
                     bands: int = 16) -> None:
+    """Overwrite-build the index.  Clears any `_absorbed` batch markers
+    from a previous stream: batch ids are only meaningful within one
+    checkpoint lineage, and stale markers would silently skip the new
+    stream's first batches (their docs never deduped, never absorbed)."""
+    import shutil
+    shutil.rmtree(os.path.join(path, "_absorbed"), ignore_errors=True)
     write_index(fingerprint_tables(df, id_col, text_col, n, num_hashes,
                                    bands, materialize=True),
                 path, mode="overwrite")
+    _write_meta(path, n, num_hashes, bands)
 
 
 def absorb_batch(new_df: DataFrame, id_col: str, text_col: str,
@@ -194,6 +252,7 @@ def absorb_batch(new_df: DataFrame, id_col: str, text_col: str,
     appends nothing; the novel set is checkpointed so the three table
     writes fingerprint the batch exactly once."""
     spark = new_df.sparkSession
+    _check_meta(index_path, n, num_hashes, bands)
     index = read_index(spark, index_path)
     verdicts = incremental_dedup_pairs(
         new_df, id_col, text_col, index, threshold, n, num_hashes,
@@ -231,6 +290,11 @@ def incremental_dedup_stream(stream_df: DataFrame, id_col: str,
     the marker replays the batch; every step is individually idempotent
     (overwrite partition / sizes-probed append), so the replay
     converges to the same index and verdict state."""
+    # NOTE: markers use driver-local filesystem APIs — for an index on
+    # distributed storage (s3a://, hdfs://) route marker existence
+    # through the Hadoop FileSystem API; on a replaced driver, local
+    # markers vanish and every batch replays (each step is idempotent,
+    # so that is a cost, not a correctness loss)
     marker_dir = os.path.join(index_path, "_absorbed")
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -261,22 +325,33 @@ def compact_index(spark: SparkSession, path: str,
     Not concurrency-safe with a live absorb (the swap is
     rewrite-then-rename): run it as the ingest pipeline's scheduled
     maintenance window, the same operational slot as the reference's
-    OPTIMIZE TABLE.  For the always-on form use compact_index_catalog,
-    whose bucketed output absorb can adopt without a swap."""
+    OPTIMIZE TABLE.  (compact_index_catalog builds bucketed CATALOG
+    copies for plan-shape wins in read-side jobs; absorb itself always
+    reads/appends the parquet directories.)
+
+    Crash recovery (r7 review): entry first HEALS a previous crash —
+    a live dir missing with its `_<t>.old` present (killed between the
+    two renames) is restored by renaming the old back; a leftover
+    `.old` beside an intact live dir (killed before the cleanup) is
+    swept, so scheduled maintenance can never wedge on ENOTEMPTY."""
     import shutil
 
     for t in INDEX_TABLES:
         keys = INDEX_KEYS[t]
         src = os.path.join(path, t)
+        old = os.path.join(path, f"_{t}.old")
+        if os.path.exists(old) and not os.path.exists(src):
+            os.rename(old, src)           # heal: crash between renames
+        elif os.path.exists(old):
+            shutil.rmtree(old)            # sweep: crash before cleanup
         tmp = os.path.join(path, f"_{t}.compacting")
         (spark.read.parquet(src).distinct()
          .repartition(num_files, *[F.col(k) for k in keys])
          .sortWithinPartitions(*keys)
          .write.mode("overwrite").parquet(tmp))
-        old = os.path.join(path, f"_{t}.old")
         os.rename(src, old)
         os.rename(tmp, src)
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def compact_index_catalog(spark: SparkSession, path: str,
@@ -286,7 +361,10 @@ def compact_index_catalog(spark: SparkSession, path: str,
     fingerprint table, bucketed+sorted by its join key — the
     write_clustered_table layout, graph/persistence.py discipline) and
     return handles usable as the `index` argument of
-    incremental_dedup_pairs.  With the session's shuffle width equal to
+    incremental_dedup_pairs (a READ-SIDE copy: absorb_batch always
+    reads and appends the parquet directories, so re-run this after
+    absorbing to refresh the catalog copy — it does not track the live
+    index).  With the session's shuffle width equal to
     `num_buckets`, the per-batch candidate join then shuffles ONLY the
     batch side: the bucketed index scan already satisfies the join's
     hash-partitioning requirement, so the 100 TB-side Exchange

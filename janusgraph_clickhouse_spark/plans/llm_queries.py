@@ -2553,12 +2553,17 @@ def l57_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
       FROM documents WHERE doc_id % 11 = 0),
     j AS MATERIALIZED (
+      -- presence via join-side MARKERS and IS DISTINCT FROM, mirroring
+      -- snapshot_diff's r7 hardening: md5(NULL text) is NULL, so hash
+      -- nullity would misclassify present-but-null-text documents
       SELECT coalesce(o.doc_id, n.doc_id) AS id,
-             md5(o.text) AS ho, md5(n.text) AS hn
+             md5(o.text) AS ho, md5(n.text) AS hn,
+             o.doc_id IS NOT NULL AS in_old,
+             n.doc_id IS NOT NULL AS in_new
       FROM oldt o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id)
-    SELECT CASE WHEN ho IS NULL THEN 'added'
-                WHEN hn IS NULL THEN 'removed'
-                WHEN ho <> hn THEN 'changed'
+    SELECT CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN ho IS DISTINCT FROM hn THEN 'changed'
                 ELSE 'unchanged' END AS status,
            count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids
     FROM j GROUP BY 1

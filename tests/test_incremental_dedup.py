@@ -257,3 +257,85 @@ def test_compact_index_catalog_bucketed_join_plan(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_replay_emits_no_batch_internal_pairs(spark, tmp_path):
+    """Two novel near-identical docs in ONE batch: the first run emits
+    no verdicts; a replay (docs now in the index from the first
+    absorb) must STILL emit none — the old side excludes the current
+    batch's ids (r7 review: the replay previously matched the two
+    against each other's absorbed fingerprints, and a consumer
+    dropping every verdict-carrying doc would delete BOTH copies)."""
+    from janusgraph_clickhouse_spark.llm.incremental import (
+        absorb_batch, bootstrap_index)
+    idx = str(tmp_path / "fpidx")
+    seed = spark.createDataFrame(
+        [(1, "completely unrelated seed text about mountains and rivers")],
+        "doc_id long, text string")
+    bootstrap_index(seed, "doc_id", "text", idx)
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    batch = spark.createDataFrame(
+        [(11, txt), (12, txt + " extra")], "doc_id long, text string")
+    first = absorb_batch(batch, "doc_id", "text", idx)
+    assert first.count() == 0
+    replay = absorb_batch(batch, "doc_id", "text", idx)
+    assert replay.count() == 0
+
+
+def test_absorb_rejects_mismatched_fingerprint_params(spark, tmp_path):
+    """Different (bands, num_hashes) on absorb vs bootstrap hash into a
+    disjoint bucket space - every dup silently declared novel; the
+    persisted meta makes it a loud error (r7 review)."""
+    import pytest
+    from janusgraph_clickhouse_spark.llm.incremental import (
+        absorb_batch, bootstrap_index)
+    idx = str(tmp_path / "fpidx")
+    df = spark.createDataFrame([(1, "a b c d e f g")],
+                               "doc_id long, text string")
+    bootstrap_index(df, "doc_id", "text", idx, bands=16)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        absorb_batch(df, "doc_id", "text", idx, bands=12)
+
+
+def test_shingle_less_docs_become_known(spark, tmp_path):
+    """A doc too short to shingle gets a sizes row (sz=0), so a replay
+    appends nothing instead of re-absorbing it forever (r7 review)."""
+    import os
+    from janusgraph_clickhouse_spark.llm.incremental import (
+        absorb_batch, bootstrap_index)
+    idx = str(tmp_path / "fpidx")
+    seed = spark.createDataFrame([(1, "long enough seed text here ok")],
+                                 "doc_id long, text string")
+    bootstrap_index(seed, "doc_id", "text", idx)
+    short = spark.createDataFrame([(5, "hi")], "doc_id long, text string")
+    absorb_batch(short, "doc_id", "text", idx)
+    files_after_first = sorted(
+        os.listdir(os.path.join(idx, "sizes")))
+    absorb_batch(short, "doc_id", "text", idx)   # replay
+    files_after_replay = sorted(
+        os.listdir(os.path.join(idx, "sizes")))
+    assert files_after_first == files_after_replay
+
+
+def test_compact_index_heals_crash_leftovers(spark, tmp_path):
+    """A leftover _<t>.old (crash before cleanup) is swept, and a
+    missing live dir with .old present (crash between renames) is
+    restored - compaction can never wedge on ENOTEMPTY (r7 review)."""
+    import os
+    import shutil
+    from janusgraph_clickhouse_spark.llm.incremental import (
+        bootstrap_index, compact_index, read_index)
+    idx = str(tmp_path / "fpidx")
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with words {i % 3} {i % 5} etc")
+         for i in range(20)], "doc_id long, text string")
+    bootstrap_index(df, "doc_id", "text", idx)
+    # simulate crash-between-renames: live dir moved to .old
+    os.rename(os.path.join(idx, "sizes"), os.path.join(idx, "_sizes.old"))
+    # and a stale .old beside an intact live dir
+    shutil.copytree(os.path.join(idx, "buckets"),
+                    os.path.join(idx, "_buckets.old"))
+    compact_index(spark, idx)
+    assert read_index(spark, idx)["sizes"].count() == 20
+    assert not os.path.exists(os.path.join(idx, "_sizes.old"))
+    assert not os.path.exists(os.path.join(idx, "_buckets.old"))
