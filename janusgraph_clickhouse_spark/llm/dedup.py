@@ -1065,3 +1065,48 @@ def source_overlap_matrix(df: DataFrame, group_col: str, text_col: str,
                     F.round(ni / (F.col("n_shingles_a")
                                   + F.col("n_shingles_b") - ni), 6)
                     .alias("exact_jaccard")))
+
+
+def priority_dedup(df: DataFrame, id_col: str, text_col: str,
+                   source_col: str, priority: list[str],
+                   prefix_words: int = 0) -> DataFrame:
+    """Cross-source dedup that keeps the HIGHEST-PRIORITY copy — the
+    curation idiom where a document found in both a curated source and
+    a crawl keeps the curated copy (plain min-id dedup would keep
+    whichever source happened to ingest first).
+
+    ``priority`` lists sources best-first; listed source i gets rank i,
+    every unlisted source ranks len(priority), ties break on the unique
+    id.  With ``prefix_words`` > 0 the dedup key is the first k words
+    (the boilerplate-prefix near-exact key); 0 keys on the whole text.
+    Either way the shuffle key is the 16-byte md5 of the key text.
+
+    Returns one row per kept document: (id, source, src_rank, n_copies,
+    n_sources).  One hash aggregate — the kept row rides along as
+    min(struct(rank, id, source)), so there is no second pass or
+    self-join."""
+    if prefix_words > 0:
+        key_text = F.array_join(
+            F.slice(F.filter(F.split(F.col(text_col), " "),
+                             lambda x: x != ""),
+                    1, prefix_words), " ")
+    else:
+        key_text = F.col(text_col)
+    rank = F.lit(len(priority))
+    for i in range(len(priority) - 1, -1, -1):
+        rank = F.when(F.col(source_col) == priority[i],
+                      F.lit(i)).otherwise(rank)
+    base = df.select(
+        F.md5(key_text).alias("h"),
+        rank.cast("int").alias("prio"),
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"))
+    g = (base.groupBy("h")
+         .agg(F.count(F.lit(1)).alias("n_copies"),
+              F.countDistinct("src").alias("n_sources"),
+              F.min(F.struct("prio", "id", "src")).alias("keep")))
+    return g.select(
+        F.col("keep.id").alias(id_col),
+        F.col("keep.src").alias("source"),
+        F.col("keep.prio").alias("src_rank"),
+        "n_copies", "n_sources")

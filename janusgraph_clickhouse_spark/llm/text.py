@@ -548,3 +548,123 @@ def entropy_stats(df: DataFrame, id_col: str, text_col: str,
                     "words_entropy",
                     F.coalesce("n_chars", z).alias("n_chars"),
                     "chars_entropy"))
+
+
+def vocab_js_drift(df: DataFrame, id_col: str, text_col: str,
+                   source_col: str, round_dp: int = 6) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    word distributions — the corpus-drift / source-mixture diagnostic
+    (high JS ⇒ the two sources speak different vocabularies; JS is
+    symmetric and bounded by ln 2, unlike raw KL which is infinite on
+    disjoint support).
+
+    Decomposition that keeps the vocab scan SHARED-WORDS-ONLY: with
+    p_w = c_aw/N_a, q_w = c_bw/N_b and m_w = (p_w+q_w)/2,
+
+        2·JS = Σ_shared [p·ln(p/m) + q·ln(q/m)]
+             + ln2 · (2 − Σ_shared p − Σ_shared q)
+
+    because every word exclusive to one source contributes exactly
+    p·ln 2 (its mixture weight is p/2).  The exclusive mass therefore
+    never needs a full-outer join — it falls out of the shared-count
+    sums, which are exact integers.
+
+    Cross-engine float discipline (the l47 structure): each shared-word
+    term is quantized to an exact integer (floor(·1e9 + 0.5)) before
+    the per-pair sum, so no float summation order exists; the final JS
+    is one deterministic expression of exact integers, rounded at the
+    edge.
+
+    Scale shape: word counts shuffle on (source, word) once; the
+    shared-word join shuffles on the word, where each word carries at
+    most |sources| rows per side; totals are |sources| rows, broadcast.
+    Output is the |sources|² pair matrix (zero-shared pairs kept, at
+    JS = ln 2 exactly)."""
+    w = (df.select(F.col(source_col).alias("src"),
+                   F.explode(F.split(F.col(text_col), " ")).alias("w"))
+         .filter(F.col("w") != ""))
+    counts = w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    a = counts.select(F.col("src").alias("source_a"), "w",
+                      F.col("c").alias("ca"))
+    b = counts.select(F.col("src").alias("source_b"), "w",
+                      F.col("c").alias("cb"))
+    ta = totals.select(F.col("src").alias("source_a"),
+                       F.col("n").alias("na"))
+    tb = totals.select(F.col("src").alias("source_b"),
+                       F.col("n").alias("nb"))
+    shared = (a.join(b, "w")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .join(F.broadcast(ta), "source_a")
+              .join(F.broadcast(tb), "source_b"))
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / F.lit(2.0)
+    term = p * F.log(p / m) + q * F.log(q / m)
+    micro = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = (shared.groupBy("source_a", "source_b")
+           .agg(F.count(F.lit(1)).alias("shared_vocab"),
+                F.sum(micro).alias("s_micro"),
+                F.sum("ca").alias("sh_a"),
+                F.sum("cb").alias("sh_b")))
+    pairs = (ta.crossJoin(F.broadcast(tb))
+             .filter(F.col("source_a") < F.col("source_b"))
+             .join(F.broadcast(agg), ["source_a", "source_b"], "left"))
+    z = F.lit(0).cast("long")
+    sm = F.coalesce("s_micro", z)
+    sa = F.coalesce("sh_a", z)
+    sb = F.coalesce("sh_b", z)
+    js = F.lit(0.5) * (sm / F.lit(1e9)
+                       + F.log(F.lit(2.0))
+                       * (F.lit(2.0) - sa / F.col("na")
+                          - sb / F.col("nb")))
+    return pairs.select(
+        "source_a", "source_b",
+        F.coalesce("shared_vocab", z).alias("shared_vocab"),
+        F.round(js, round_dp).alias("js_divergence"))
+
+
+def overlap_chunks(df: DataFrame, id_col: str, text_col: str,
+                   chunk_words: int = 64,
+                   stride: int = 48) -> DataFrame:
+    """Overlapping sliding-window chunking — the context-window
+    segmentation step RAG indexing and fixed-window pretraining both
+    need: every document becomes ceil(n_words/stride) chunks of up to
+    ``chunk_words`` words, consecutive chunks overlapping by
+    (chunk_words − stride) words so no span is ever split across a
+    chunk boundary without also appearing whole in a neighbor.
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_words, so
+    the final chunk may be short (it is still emitted — dropping it
+    would silently lose the document tail).  Documents with zero words
+    emit zero chunks.
+
+    Scale shape: pure scan-side codegen — split/filter/sequence/
+    posexplode/slice, zero shuffles, zero UDFs; output rows are
+    ∝ n_words/stride.  Requires stride ≥ 1 and chunk_words ≥ stride
+    (a stride larger than the window would DROP words between chunks
+    — loud error, not silent data loss)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if chunk_words < stride:
+        raise ValueError(
+            f"chunk_words ({chunk_words}) < stride ({stride}) would drop "
+            f"the words between consecutive windows")
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda x: x != "")
+    base = (df.select(F.col(id_col).alias("id"), words.alias("ws"))
+            .withColumn("n", F.size("ws"))
+            .filter(F.col("n") > 0))
+    ex = base.select(
+        "id", "n", "ws",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1,
+                                F.lit(stride))).alias("chunk_id", "start"))
+    chunk = F.array_join(
+        F.slice(F.col("ws"), F.col("start") + 1, chunk_words), " ")
+    n_in = F.least(F.lit(chunk_words), F.col("n") - F.col("start"))
+    return ex.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_word"),
+        n_in.cast("long").alias("chunk_len"),
+        chunk.alias("chunk_text"))

@@ -2594,3 +2594,118 @@ def l58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (diff.groupBy("status")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("id").alias("sum_ids")))
+
+
+@query(
+    "l59_vocab_js_drift",
+    oracle="""
+    WITH wx AS MATERIALIZED (
+      SELECT source AS src, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    c AS MATERIALIZED (
+      SELECT src, w, count(*) AS c FROM wx WHERE w <> '' GROUP BY 1, 2),
+    t AS MATERIALIZED (
+      SELECT src, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY src),
+    sh AS MATERIALIZED (
+      SELECT a.src AS source_a, b.src AS source_b,
+             count(*) AS shared_vocab,
+             CAST(sum(CAST(floor(
+               ((a.c / ta.n) * ln((a.c / ta.n)
+                  / (((a.c / ta.n) + (b.c / tb.n)) / 2))
+                + (b.c / tb.n) * ln((b.c / tb.n)
+                  / (((a.c / ta.n) + (b.c / tb.n)) / 2))) * 1e9 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s_micro,
+             CAST(sum(a.c) AS BIGINT) AS sh_a,
+             CAST(sum(b.c) AS BIGINT) AS sh_b
+      FROM c a JOIN c b ON a.w = b.w AND a.src < b.src
+      JOIN t ta ON ta.src = a.src
+      JOIN t tb ON tb.src = b.src
+      GROUP BY 1, 2)
+    SELECT ta.src AS source_a, tb.src AS source_b,
+           CAST(coalesce(sh.shared_vocab, 0) AS BIGINT) AS shared_vocab,
+           round(0.5 * (coalesce(sh.s_micro, 0) / 1e9
+                 + ln(2.0) * (2.0 - coalesce(sh.sh_a, 0) / ta.n
+                              - coalesce(sh.sh_b, 0) / tb.n)),
+                 6) AS js_divergence
+    FROM t ta JOIN t tb ON ta.src < tb.src
+    LEFT JOIN sh ON sh.source_a = ta.src AND sh.source_b = tb.src
+    """,
+)
+def l59_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-drift diagnostic a mixture-weighted
+    training pipeline runs before re-balancing sources.  Exclusive
+    vocabulary mass falls out of exact shared-count integers (never a
+    full-outer join); per-term contributions are micro-quantized to
+    exact integers before summing (the l47 float discipline), so the
+    190-pair matrix hashes identically across engines
+    (llm.text.vocab_js_drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_js_drift(docs, "doc_id", "text", "source")
+
+
+@query(
+    "l60_priority_dedup",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               1, 8), ' ')) AS h,
+             CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1
+                         WHEN 'src11' THEN 2 ELSE 3 END AS prio
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT h, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+      FROM r GROUP BY h),
+    k AS MATERIALIZED (
+      SELECT h, doc_id, source, prio,
+             row_number() OVER (PARTITION BY h ORDER BY prio, doc_id) AS rn
+      FROM r)
+    SELECT k.doc_id, k.source, CAST(k.prio AS INT) AS src_rank,
+           g.n_copies, g.n_sources
+    FROM k JOIN g USING (h) WHERE rn = 1
+    """,
+)
+def l60_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-keep cross-source dedup on the 8-word boilerplate
+    prefix: documents sharing a lead-in keep the copy from the most
+    trusted source (src7 ≻ src3 ≻ src11 ≻ everything else), not
+    whichever id is smallest — the curated-beats-crawl rule.  One hash
+    aggregate on the 16-byte md5 prefix key; the kept row rides along
+    as min(struct(rank, id, source)) (llm.dedup.priority_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.priority_dedup(docs, "doc_id", "text", "source",
+                            priority=["src7", "src3", "src11"],
+                            prefix_words=8)
+
+
+@query(
+    "l61_overlap_chunks",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    n AS MATERIALIZED (
+      SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+    s AS MATERIALIZED (
+      SELECT doc_id, ws, n, unnest(range(0, n, 24)) AS start FROM n)
+    SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_word,
+           CAST(least(32, n - start) AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(ws, start + 1, start + 32), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def l61_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (32-word windows, stride
+    24) — the RAG-index / fixed-context segmentation step.  Pure
+    scan-side codegen: split → sequence → posexplode → slice, zero
+    shuffles, zero UDFs; rows ∝ n_words/stride; the short document
+    tail is emitted, never silently dropped
+    (llm.text.overlap_chunks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.overlap_chunks(docs, "doc_id", "text",
+                            chunk_words=32, stride=24)

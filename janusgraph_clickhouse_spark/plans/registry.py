@@ -159,6 +159,9 @@ REGISTERED_ROUND: dict[str, int] = {
     "s18_sequence_count": 7, "l57_audio_rms": 7,
     "q50_range_frame_windows": 7, "l58_snapshot_diff": 7,
     "s19_stream_enrich": 7,
+    "q51_bitmap_segments": 7, "q52_grouping_sets": 7,
+    "l59_vocab_js_drift": 7, "l60_priority_dedup": 7,
+    "l61_overlap_chunks": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

@@ -1660,3 +1660,71 @@ def q50_range_frame_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.sum("cents").over(w).alias("sum_cents_1h"),
         F.max("cents").over(w).alias("max_cents_1h"))
+
+
+@query(
+    "q51_bitmap_segments",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT event_type AS seg, user_id AS mid
+      FROM events GROUP BY 1, 2 HAVING count(*) >= 14),
+    s AS MATERIALIZED (SELECT seg, count(*) AS n FROM m GROUP BY seg),
+    i AS MATERIALIZED (
+      SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_inter
+      FROM m a JOIN m b ON a.mid = b.mid AND a.seg < b.seg
+      GROUP BY 1, 2)
+    SELECT sa.seg AS seg_a, sb.seg AS seg_b, sa.n AS n_a, sb.n AS n_b,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM s sa JOIN s sb ON sa.seg < sb.seg
+    LEFT JOIN i ON i.seg_a = sa.seg AND i.seg_b = sb.seg
+    """,
+)
+def q51_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-overlap matrix — the ClickHouse groupBitmap /
+    bitmapAndCardinality idiom (audience-overlap analytics) without the
+    bitmap type: a user belongs to a behavior segment iff they have
+    ≥14 events of that type, and every unordered segment pair reports
+    exact intersection/union cardinalities + Jaccard
+    (functions.bitmaps.segment_overlap_matrix).  Membership is one
+    hash aggregate; the pair join shuffles on user_id with fan-out
+    bounded by |segments|², never corpus size; the segment-level
+    matrices are broadcast algebra."""
+    from ..functions.bitmaps import segment_overlap_matrix
+    ev = load_table(spark, sf_dir, "events")
+    return segment_overlap_matrix(ev, member_col="user_id",
+                                  segment_col="event_type", min_rows=14)
+
+
+@query(
+    "q52_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit irregular GROUPING SETS — the surface CUBE (q36) and
+    ROLLUP (q26) can't express: exactly the (priority, status),
+    (priority), () sets WITHOUT the (status)-only set a CUBE would
+    add.  Still one hash aggregate (the grouping-set id expands before
+    the shuffle, so partial aggregation applies per set); the GROUPING
+    bitmask disambiguates aggregate NULLs; cents quantization keeps
+    the sum integer-exact across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (o.withColumn("cents", cents)
+            .groupingSets([["o_orderpriority", "o_orderstatus"],
+                           ["o_orderpriority"], []],
+                          "o_orderpriority", "o_orderstatus")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("total_cents")))

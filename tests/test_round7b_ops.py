@@ -1,0 +1,156 @@
+"""Closed-form unit tests for the late round-7 operators: exact bitmap
+segment overlap, grouping sets, vocab JS drift, priority dedup,
+overlapping chunking."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_segment_overlap_matrix_closed_form(spark):
+    from janusgraph_clickhouse_spark.functions.bitmaps import (
+        segment_overlap_matrix)
+    # A={1,2,3}, B={2,3,4}, C={9} (disjoint from both)
+    rows = [("A", 1), ("A", 2), ("A", 3), ("A", 3),   # dup row collapses
+            ("B", 2), ("B", 3), ("B", 4), ("C", 9)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = {(r.seg_a, r.seg_b): r for r in
+           segment_overlap_matrix(df, "uid", "seg").collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_inter, ab.n_union) == (3, 3, 2, 4)
+    assert ab.jaccard == 0.5
+    # zero-intersection pairs are KEPT with jaccard 0
+    ac = out[("A", "C")]
+    assert (ac.n_inter, ac.n_union, ac.jaccard) == (0, 4, 0.0)
+    assert len(out) == 3
+
+
+def test_segment_overlap_min_rows_threshold(spark):
+    from janusgraph_clickhouse_spark.functions.bitmaps import (
+        segment_members)
+    rows = [("A", 1)] * 3 + [("A", 2)] * 1 + [("B", 1)] * 2
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    m = {(r.seg, r.mid) for r in
+         segment_members(df, "uid", "seg", min_rows=2).collect()}
+    assert m == {("A", 1), ("B", 1)}   # (A,2) below threshold
+
+
+def test_vocab_js_drift_identical_and_disjoint(spark):
+    from janusgraph_clickhouse_spark.llm.text import vocab_js_drift
+    rows = [(0, "a b c", "s1"), (1, "a b c", "s2"),   # identical dists
+            (2, "x y z", "s3")]                        # disjoint vocab
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {(r.source_a, r.source_b): r for r in
+           vocab_js_drift(df, "doc_id", "text", "src").collect()}
+    assert out[("s1", "s2")].js_divergence == 0.0
+    assert out[("s1", "s2")].shared_vocab == 3
+    # disjoint support → JS = ln 2 exactly
+    assert out[("s1", "s3")].shared_vocab == 0
+    assert out[("s1", "s3")].js_divergence == round(math.log(2.0), 6)
+    assert len(out) == 3
+
+
+def test_vocab_js_drift_hand_computed(spark):
+    from janusgraph_clickhouse_spark.llm.text import vocab_js_drift
+    # P: a,a,b → p(a)=2/3, p(b)=1/3 ; Q: a,b,b → mirror
+    df = spark.createDataFrame(
+        [(0, "a a b", "p"), (1, "a b b", "q")],
+        "doc_id long, text string, src string")
+    r = vocab_js_drift(df, "doc_id", "text", "src").collect()[0]
+    p, q, m = 2 / 3, 1 / 3, 1 / 2
+    expected = 0.5 * (p * math.log(p / m) + q * math.log(q / m)
+                      + q * math.log(q / m) + p * math.log(p / m))
+    assert r.js_divergence == pytest.approx(expected, abs=2e-6)
+    assert r.shared_vocab == 2
+
+
+def test_priority_dedup_keep_order(spark):
+    from janusgraph_clickhouse_spark.llm.dedup import priority_dedup
+    rows = [(1, "same text", "crawl"), (2, "same text", "wiki"),
+            (3, "same text", "forum"), (4, "only once", "crawl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r.doc_id: r for r in
+           priority_dedup(df, "doc_id", "text", "src",
+                          priority=["wiki", "forum"]).collect()}
+    # wiki (rank 0) beats forum (1) beats unlisted crawl (2)
+    assert set(out) == {2, 4}
+    assert out[2].source == "wiki" and out[2].src_rank == 0
+    assert out[2].n_copies == 3 and out[2].n_sources == 3
+    assert out[4].src_rank == 2 and out[4].n_copies == 1
+
+
+def test_priority_dedup_prefix_key_and_id_tiebreak(spark):
+    from janusgraph_clickhouse_spark.llm.dedup import priority_dedup
+    rows = [(5, "a b c tail-one", "crawl"),
+            (2, "a b c tail-two", "crawl"),   # same 3-word prefix
+            (9, "x y z other", "crawl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r.doc_id: r for r in
+           priority_dedup(df, "doc_id", "text", "src", priority=[],
+                          prefix_words=3).collect()}
+    # equal rank → min id wins the prefix group
+    assert set(out) == {2, 9}
+    assert out[2].n_copies == 2
+
+
+def test_overlap_chunks_closed_form(spark):
+    from janusgraph_clickhouse_spark.llm.text import overlap_chunks
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, ""), (3, "solo")],
+        "doc_id long, text string")
+    out = overlap_chunks(df, "doc_id", "text",
+                         chunk_words=3, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,2,4 → "w1 w2 w3", "w3 w4 w5", "w5"
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.start_word, r.chunk_len, r.chunk_text)
+            for r in c1] == [(0, 0, 3, "w1 w2 w3"),
+                             (1, 2, 3, "w3 w4 w5"),
+                             (2, 4, 1, "w5")]
+    assert 2 not in by_doc               # zero-word doc → zero chunks
+    assert [(r.chunk_id, r.chunk_len, r.chunk_text)
+            for r in by_doc[3]] == [(0, 1, "solo")]
+
+
+def test_overlap_chunks_rejects_lossy_stride(spark):
+    from janusgraph_clickhouse_spark.llm.text import overlap_chunks
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="would drop"):
+        overlap_chunks(df, "doc_id", "text", chunk_words=2, stride=3)
+    with pytest.raises(ValueError, match="stride"):
+        overlap_chunks(df, "doc_id", "text", chunk_words=2, stride=0)
+
+
+def test_overlap_chunks_coverage_invariant(spark):
+    """Every word index of every doc is covered by ≥1 chunk, and
+    consecutive chunks overlap by exactly chunk_words - stride."""
+    from janusgraph_clickhouse_spark.llm.text import overlap_chunks
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate([1, 7, 8, 9, 24, 25])],
+        "doc_id long, text string")
+    out = overlap_chunks(df, "doc_id", "text", chunk_words=8, stride=5)
+    rows = out.collect()
+    covered = {}
+    for r in rows:
+        covered.setdefault(r.doc_id, set()).update(
+            range(r.start_word, r.start_word + r.chunk_len))
+    for i, n in enumerate([1, 7, 8, 9, 24, 25]):
+        assert covered[i] == set(range(n)), f"doc {i} coverage hole"
+
+
+def test_grouping_sets_plan_single_aggregate(spark, sf_smoke):
+    """q52 stays ONE hash-aggregate pass (Expand before the shuffle),
+    and its set list is exactly the three declared sets."""
+    import __spark_entry__ as entry_mod
+    df = entry_mod.queries()["q52_grouping_sets"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    rows = df.collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 3}   # (pri,status)=0, (pri)=1, ()=3
