@@ -179,13 +179,20 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
         "n_a", "n_b", "n_intersect"))
 
 
-def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20,
+                      weight_col: str | None = None) -> DataFrame:
     """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
     2005 — ClickHouse's topK/approx frequency idiom): d=4 salted hash
     rows × w=256 counters built in ONE aggregate pass; each candidate
     key's estimate is the MIN of its d counters (never an
     underestimate); returns the top-`k` keys by estimate (desc, key
     asc) with the exact count and realized overcount beside it.
+
+    ``weight_col`` switches to the topKWeighted form: counters and
+    exact counts sum that column's exact-integer weights (cents-
+    quantize floats first — the q44 discipline) instead of row counts;
+    the CMS min-over-rows guarantee holds for any non-negative
+    additive weight exactly as it does for counts.
 
     Every counter and estimate is an exact integer from md5-derived
     buckets — bit-identical across engines (the q41 discipline; no
@@ -200,12 +207,15 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     1024-row counter table."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r")
     key = F.col(col).cast("string")
-    counters = (df.select(key.alias("k")).select("k", rows)
-                .select("r", _cms_bucket(F.col("r"), F.col("k"))
+    w = (F.lit(1).cast("long") if weight_col is None
+         else F.col(weight_col).cast("long"))
+    counters = (df.select(key.alias("k"), w.alias("w")).select("k", "w", rows)
+                .select("w", "r", _cms_bucket(F.col("r"), F.col("k"))
                         .alias("bucket"))
-                .groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c")))
-    exact = (df.groupBy(F.col(col).alias("key"))
-             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+                .groupBy("r", "bucket").agg(F.sum("w").alias("c")))
+    exact = (df.select(F.col(col).alias("key"), w.alias("w"))
+             .groupBy("key")
+             .agg(F.sum("w").alias("exact_cnt")))
     probes = (exact.select("key", "exact_cnt", rows)
               .select("key", "exact_cnt", "r",
                       _cms_bucket(F.col("r"),

@@ -1940,3 +1940,68 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
             .select("id", F.lit(n_sources).alias("n_sources"),
                     "bc_micro",
                     F.round(F.col("bc_micro") / F.lit(1e6), 6).alias("bc")))
+
+
+def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
+                  weight_col: str = "weight", max_iter: int = 20,
+                  directed: bool = True,
+                  broadcast_threshold: int = BFS_BROADCAST_MAX) -> DataFrame:
+    """Weighted single-source shortest paths — Bellman-Ford in the
+    sparse frontier ("SPFA") form: each round relaxes only the edges
+    out of vertices whose tentative distance IMPROVED last round, not
+    the whole vertex set, so settled regions of the graph cost nothing
+    after they settle.  Returns (id, dist) for every reached vertex
+    (dist is an exact integer — weights are cast to long; fractional
+    weights should be pre-quantized by the caller, the cents
+    discipline).
+
+    Each round is one frontier⋈edges join (broadcast while the
+    frontier is small — the count falls out of the exit probe, no
+    extra job), one min-aggregate keyed on dst, and one full-outer
+    merge into the reached-state; localCheckpoint per round keeps
+    lineage flat.  Terminates when no distance improves; loudly raises
+    on max_iter exhaustion (the k_core precedent — a truncated result
+    would silently overstate distances; negative-weight cycles can
+    never converge and surface the same way)."""
+    edges = graph.edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        edges = edges.unionAll(edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    edges = edges.cache()  # re-joined every round
+    spark = graph.vertices.sparkSession
+    state = spark.createDataFrame(
+        [(int(s), 0) for s in source_ids], "id long, dist long")
+    state = state.localCheckpoint(eager=True)
+    frontier, frontier_n = state, len(source_ids)
+    for _ in range(max_iter):
+        f = (F.broadcast(frontier) if frontier_n <= broadcast_threshold
+             else frontier)
+        cand = (edges.join(f.select(F.col("id").alias("src"), "dist"),
+                           "src")
+                .groupBy("dst")
+                .agg(F.min(F.col("dist") + F.col("w")).alias("cand")))
+        merged = (state.join(cand.select(F.col("dst").alias("id"), "cand"),
+                             "id", "full_outer")
+                  .select("id", F.col("dist").alias("old_dist"),
+                          # least() skips NULLs: new vertices take cand,
+                          # unimproved vertices keep dist
+                          F.least("dist", "cand").alias("dist")))
+        merged = merged.localCheckpoint(eager=True)
+        frontier = (merged
+                    .filter(F.col("old_dist").isNull()
+                            | (F.col("dist") < F.col("old_dist")))
+                    .select("id", "dist"))
+        frontier_n = frontier.count()  # exit probe doubles as size probe
+        state = merged.select("id", "dist")
+        if frontier_n == 0:
+            break
+    else:
+        edges.unpersist()
+        raise ValueError(
+            f"sssp_weighted did not converge within max_iter={max_iter} "
+            f"rounds ({frontier_n} vertices still improving); raise "
+            f"max_iter (a negative-weight cycle can never converge and "
+            f"surfaces here too)")
+    edges.unpersist()
+    return state

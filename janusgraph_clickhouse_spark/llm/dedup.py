@@ -1110,3 +1110,68 @@ def priority_dedup(df: DataFrame, id_col: str, text_col: str,
         F.col("keep.src").alias("source"),
         F.col("keep.prio").alias("src_rank"),
         "n_copies", "n_sources")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting scheme): hash every k-word
+    shingle, slide a window of `window` consecutive shingle hashes,
+    keep each window's MINIMUM hash; the distinct kept hashes are the
+    document's fingerprint set.  Guarantee: any shared run of at least
+    k + window − 1 words contributes at least one shared fingerprint,
+    while the kept set is ~2/(window+1) of all shingles — local
+    fingerprinting with a coverage proof, unlike the global mod-p
+    selection CDC chunking uses (cdc_chunks).
+
+    Ties inside a window break on hash VALUE; the fingerprint set is
+    position-free, so the classic rightmost-tie rule cannot change the
+    output.  Documents shorter than k + window − 1 words emit no
+    fingerprints (no full window exists — documented MOSS behavior).
+
+    Scale shape: shingle hashing is scan-side codegen over the word
+    array; the window min is ONE ordered window pass keyed on the
+    document (rows ∝ words); output is the distinct (id, fp) set."""
+    from pyspark.sql import Window as W
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+            .withColumn("n", F.size("ws"))
+            .filter(F.col("n") >= k + window - 1))
+    grams = base.select(
+        "id", "n",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.col("n") - k),
+            lambda i: F.md5(F.array_join(
+                F.slice(F.col("ws"), i + 1, F.lit(k)), " "))))
+        .alias("pos", "h"))
+    wspec = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (grams.withColumn("fp", F.min("h").over(wspec))
+            # keep only FULL windows: the trailing partial frames would
+            # select tail hashes a true winnower never considers
+            .filter(F.col("pos") <= F.col("n") - k - (window - 1))
+            .select("id", "fp").distinct())
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 5, window: int = 4, min_shared: int = 2,
+                 max_fp_df: int = 50) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing ≥ `min_shared` kept
+    fingerprints.  A shared fingerprint implies a shared k-gram, so
+    n_shared lower-bounds the shared-passage evidence.
+
+    `max_fp_df` drops fingerprints appearing in more than that many
+    documents before pairing (the l32 hot-shingle discipline):
+    boilerplate that would otherwise pair everything with everything
+    contributes quadratic candidates and no dedup signal."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
+           .filter(F.col("dfc") > max_fp_df).select("fp"))
+    kept = fps.join(hot, "fp", "left_anti")
+    a = kept.select(F.col("id").alias("doc_a"), "fp")
+    b = kept.select(F.col("id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -142,6 +142,15 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
                   ["band", "bucket"])
             .join(batch_ids, "dup_of", "left_anti")
             .select("doc_id", "dup_of").distinct())
+    # The candidate pair list is referenced FOUR times downstream
+    # (old/new semi-join keys, the pair confirm); without truncation
+    # each reference re-derives the whole batch-signature + LSH join
+    # subtree — including a repeated scan of the index BUCKETS table,
+    # which at corpus scale is the expensive side.  The pair list is
+    # O(candidates), so materializing it once is cheap and makes the
+    # final plan provably signature-free: everything below here is
+    # equi-joins against the checkpointed pairs.
+    cand = cand.localCheckpoint(eager=True)
     cand_old = cand.select(F.col("dup_of").alias("id")).distinct()
     old_sh = (index["shingles"]
               .join(cand_old, "id", "left_semi")

@@ -1390,3 +1390,68 @@ def g31_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("src").alias("dst")))
     return betweenness_approx(sym, n_sources=4,
                               max_levels=_G31_MAX_LEVELS)
+
+
+@query(
+    "g32_weighted_sssp",
+    oracle=f"""
+    WITH co AS MATERIALIZED (
+      SELECT o_orderkey + {_O} AS id,
+             (42 + {_C} + o_orderkey + {_O}) % 7 + 1 AS d
+      FROM orders WHERE o_custkey = 42),
+    cn AS MATERIALIZED (
+      SELECT c_nationkey + {_N} AS id,
+             (42 + {_C} + c_nationkey + {_N}) % 7 + 1 AS d
+      FROM customer WHERE c_custkey = 42),
+    pp AS MATERIALIZED (
+      SELECT l_partkey + {_P} AS id,
+             min(co.d + (l_orderkey + {_O} + l_partkey + {_P}) % 7 + 1) AS d
+      FROM lineitem JOIN co ON co.id = l_orderkey + {_O}
+      GROUP BY l_partkey),
+    ss AS MATERIALIZED (
+      SELECT ps.sid AS id, min(pp.d + (ps.pid + ps.sid) % 7 + 1) AS d
+      FROM (SELECT DISTINCT l_partkey + {_P} AS pid,
+                   l_suppkey + {_S} AS sid FROM lineitem) ps
+      JOIN pp ON pp.id = ps.pid
+      GROUP BY ps.sid),
+    nn AS MATERIALIZED (
+      SELECT id, min(d) AS d FROM (
+        SELECT id, d FROM cn
+        UNION ALL
+        SELECT s_nationkey + {_N} AS id,
+               ss.d + (ss.id + s_nationkey + {_N}) % 7 + 1 AS d
+        FROM supplier JOIN ss ON ss.id = s_suppkey + {_S}
+      ) GROUP BY id),
+    rr AS MATERIALIZED (
+      SELECT n_regionkey + {_R} AS id,
+             min(nn.d + (n_nationkey + {_N} + n_regionkey + {_R}) % 7 + 1)
+               AS d
+      FROM nation JOIN nn ON nn.id = n_nationkey + {_N}
+      GROUP BY n_regionkey)
+    SELECT CAST(42 + {_C} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    UNION ALL SELECT id, CAST(d AS BIGINT) FROM co
+    UNION ALL SELECT id, CAST(d AS BIGINT) FROM pp
+    UNION ALL SELECT id, CAST(d AS BIGINT) FROM ss
+    UNION ALL SELECT id, CAST(d AS BIGINT) FROM nn
+    UNION ALL SELECT id, CAST(d AS BIGINT) FROM rr
+    """,
+)
+def g32_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from customer 42 over the
+    FULL directed star graph with deterministic integer edge weights
+    w(u,v) = (u+v) mod 7 + 1 — the true-min semantics BFS (g05) can't
+    express: a nation can be cheaper via the 4-hop
+    order→part→supplier→nation path than via its direct edge, and the
+    algorithm must find that.  Runs the general frontier Bellman-Ford
+    (graph.algorithms.sssp_weighted — only improved vertices relax
+    their out-edges each round); the star DAG settles in ≤5 rounds.
+    The oracle exploits the DAG's topological order: one chained
+    min-aggregation per layer, nations min-merged across the direct
+    and via-supplier paths."""
+    from ..graph.algorithms import sssp_weighted
+    from ..graph.model import PropertyGraph
+    g = star_schema_graph(spark, sf_dir)
+    weighted = PropertyGraph(g.vertices, g.edges.withColumn(
+        "mw", ((F.col("src") + F.col("dst")) % 7 + 1).cast("long")))
+    return sssp_weighted(weighted, [42 + _C], weight_col="mw",
+                         max_iter=10)

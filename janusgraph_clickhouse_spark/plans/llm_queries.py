@@ -2709,3 +2709,45 @@ def l61_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.overlap_chunks(docs, "doc_id", "text",
                             chunk_words=32, stride=24)
+
+
+@query(
+    "l62_winnow_pairs",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    nn AS MATERIALIZED (
+      SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 8),
+    g AS MATERIALIZED (
+      SELECT doc_id, n, p.pos AS pos,
+             md5(array_to_string(list_slice(ws, p.pos + 1, p.pos + 5),
+                                 ' ')) AS h
+      FROM nn, LATERAL unnest(range(0, n - 4)) AS p(pos)),
+    f AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                 AS fp
+        FROM g) WHERE pos <= n - 8),
+    cnt AS MATERIALIZED (SELECT fp, count(*) AS dfc FROM f GROUP BY fp),
+    kept AS MATERIALIZED (
+      SELECT f.doc_id, f.fp FROM f JOIN cnt USING (fp) WHERE dfc <= 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def l62_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (MOSS, Schleimer et al. 2003): 5-word
+    shingle hashes, window-4 local minima as fingerprints, pairs
+    sharing ≥2 kept fingerprints — the local fingerprinting guarantee
+    (any shared run of ≥8 words leaves a shared fingerprint) that
+    global mod-p selection can't give.  One ordered window pass per
+    document + one fingerprint equi-join with the hot-fingerprint cap
+    (llm.dedup.winnow_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnow_pairs(docs, "doc_id", "text", k=5, window=4,
+                          min_shared=2, max_fp_df=50)

@@ -162,6 +162,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "q51_bitmap_segments": 7, "q52_grouping_sets": 7,
     "l59_vocab_js_drift": 7, "l60_priority_dedup": 7,
     "l61_overlap_chunks": 7,
+    "g32_weighted_sssp": 7, "q53_topk_weighted": 7,
+    "l62_winnow_pairs": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

@@ -1728,3 +1728,51 @@ def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.grouping_id().cast("int").alias("gid"),
                  F.count(F.lit(1)).alias("n_orders"),
                  F.sum("cents").alias("total_cents")))
+
+
+@query(
+    "q53_topk_weighted",
+    oracle="""
+    WITH ec AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    keys AS MATERIALIZED (
+      SELECT user_id AS key, CAST(sum(cents) AS BIGINT) AS exact_cnt
+      FROM ec GROUP BY user_id),
+    inst AS MATERIALIZED (
+      SELECT r.r AS r, cents,
+             ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                 || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 256 AS bucket
+      FROM ec, LATERAL unnest([0, 1, 2, 3]) AS r(r)),
+    counters AS MATERIALIZED (
+      SELECT r, bucket, CAST(sum(cents) AS BIGINT) AS c
+      FROM inst GROUP BY r, bucket),
+    probes AS MATERIALIZED (
+      SELECT k.key, k.exact_cnt, r.r AS r,
+             ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                 || CAST(k.key AS VARCHAR)), 1, 15))
+               ::BIGINT % 256 AS bucket
+      FROM keys k, LATERAL unnest([0, 1, 2, 3]) AS r(r)),
+    est AS MATERIALIZED (
+      SELECT p.key, p.exact_cnt, CAST(min(c.c) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY p.key, p.exact_cnt)
+    SELECT key, cms_estimate, exact_cnt,
+           cms_estimate - exact_cnt AS overcount
+    FROM est ORDER BY cms_estimate DESC, key LIMIT 20
+    """,
+)
+def q53_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse topKWeighted analog: top-20 users by Count-Min
+    WEIGHTED frequency estimate — the counters sum exact integer cents
+    of the event value instead of row counts (q42's sketch with the
+    q44 cents discipline; the min-over-rows never-underestimate
+    guarantee holds for any non-negative additive weight).  Same
+    bounded 1024-group build + broadcast probe shape as q42."""
+    from ..functions.sketches import cms_heavy_hitters
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+    return cms_heavy_hitters(e, "user_id", k=20, weight_col="cents")

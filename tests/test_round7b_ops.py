@@ -154,3 +154,100 @@ def test_grouping_sets_plan_single_aggregate(spark, sf_smoke):
     rows = df.collect()
     gids = {r.gid for r in rows}
     assert gids == {0, 1, 3}   # (pri,status)=0, (pri)=1, ()=3
+
+
+def test_sssp_weighted_prefers_cheap_long_path(spark):
+    """Diamond: 1→4 direct costs 10; 1→2→3→4 costs 3 — the weighted
+    min must take the 3-hop path (BFS semantics would answer 1 hop)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import sssp_weighted
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 2)],
+        "src long, dst long, w long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    g = PropertyGraph(verts, edges)
+    d = {r.id: r.dist for r in
+         sssp_weighted(g, [1], weight_col="w", max_iter=10).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3, 5: 5}
+
+
+def test_sssp_weighted_undirected_and_unreached(spark):
+    from janusgraph_clickhouse_spark.graph.algorithms import sssp_weighted
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    edges = spark.createDataFrame([(2, 1, 4), (9, 10, 1)],
+                                  "src long, dst long, w long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 9, 10)], "id long")
+    g = PropertyGraph(verts, edges)
+    # directed: edge points INTO the source's component only
+    d = {r.id: r.dist for r in
+         sssp_weighted(g, [1], "w", max_iter=5).collect()}
+    assert d == {1: 0}           # unreached vertices are absent, not inf
+    d = {r.id: r.dist for r in
+         sssp_weighted(g, [1], "w", max_iter=5,
+                       directed=False).collect()}
+    assert d == {1: 0, 2: 4}
+
+
+def test_sssp_weighted_loud_nonconvergence(spark):
+    """A negative-weight cycle keeps improving forever — the operator
+    must raise, never return silently-truncated distances."""
+    from janusgraph_clickhouse_spark.graph.algorithms import sssp_weighted
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    edges = spark.createDataFrame([(1, 2, -1), (2, 1, -1)],
+                                  "src long, dst long, w long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    g = PropertyGraph(verts, edges)
+    with pytest.raises(ValueError, match="did not converge"):
+        sssp_weighted(g, [1], "w", max_iter=4)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """MOSS guarantee: a shared run of ≥ k + window − 1 words leaves at
+    least one shared fingerprint — for ANY surrounding text."""
+    from janusgraph_clickhouse_spark.llm.dedup import (winnow_fingerprints,
+                                                       winnow_pairs)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 5+4-1
+    rows = [(1, "p1 p2 p3 " + shared + " s1 s2"),
+            (2, "q1 " + shared + " t1 t2 t3 t4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    s1 = {r.fp for r in fps.filter("id = 1").collect()}
+    s2 = {r.fp for r in fps.filter("id = 2").collect()}
+    assert s1 & s2, "shared 8-word run left no shared fingerprint"
+    pairs = winnow_pairs(df, "doc_id", "text", k=5, window=4,
+                         min_shared=1).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_short_doc_and_hot_cap(spark):
+    from janusgraph_clickhouse_spark.llm.dedup import (winnow_fingerprints,
+                                                       winnow_pairs)
+    # 7 words < k + window - 1 = 8 → no full window → no fingerprints
+    df = spark.createDataFrame([(1, "a b c d e f g")],
+                               "doc_id long, text string")
+    assert winnow_fingerprints(df, "doc_id", "text", 5, 4).count() == 0
+    # a fingerprint present in EVERY doc is dropped by the df cap
+    boiler = "x1 x2 x3 x4 x5 x6 x7 x8"
+    many = [(i, boiler) for i in range(5)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert winnow_pairs(df2, "doc_id", "text", 5, 4, min_shared=1,
+                        max_fp_df=4).count() == 0   # df=5 > cap 4
+    assert winnow_pairs(df2, "doc_id", "text", 5, 4, min_shared=1,
+                        max_fp_df=5).count() == 10  # all C(5,2) pairs
+
+
+def test_cms_weighted_equals_exact_on_sparse_keys(spark):
+    """With few keys and weighted counters, every estimate is still
+    ≥ the exact weighted sum, and equals it when no bucket collides."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        cms_heavy_hitters)
+    rows = [("a", 5), ("a", 7), ("b", 100), ("c", 1)]
+    df = spark.createDataFrame(rows, "k string, wgt long")
+    out = {r.key: r for r in
+           cms_heavy_hitters(df, "k", k=10, weight_col="wgt").collect()}
+    assert out["a"].exact_cnt == 12
+    assert out["b"].exact_cnt == 100
+    for r in out.values():
+        assert r.cms_estimate >= r.exact_cnt
+        assert r.overcount == r.cms_estimate - r.exact_cnt
