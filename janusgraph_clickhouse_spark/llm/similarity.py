@@ -692,3 +692,51 @@ def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
                     F.coalesce("n_hit", z).alias("n_hit"),
                     F.round(F.coalesce("n_hit", z) / F.col("n_exact"), 4)
                     .alias("recall")))
+
+
+def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
+                       label_col: str, top: int = 5,
+                       scale: float = 1e6) -> DataFrame:
+    """Per-label semantic outliers: the `top` vectors farthest (squared
+    L2) from their label's centroid — the mislabeled-example /
+    off-topic-document screen a curation pipeline runs per source or
+    per cluster.
+
+    Integer-exactness discipline (the l41/l47 structure): components
+    quantize to exact micro-integers floor(x·1e6 + 0.5) BEFORE any
+    aggregation; the centroid is the ROUNDED integer mean per
+    dimension (floor(S/n + 0.5) — one deterministic double expression
+    of two exact integers); the distance is Σ(v−c)² in micro² units,
+    a pure int64 that involves no float at all, so the ranking and the
+    output hash bit-identically across engines.  |v−c| ≤ ~2·10⁶ per
+    dimension keeps the sum far inside int64 at any corpus size.
+
+    Scale shape: the dimension explode is rows × dim (the standard
+    price of exact per-dimension aggregation); the centroid table is
+    |labels|·dim rows, broadcast back; one window per label for the
+    top-k.  NULL vectors contribute no rows (posexplode of NULL) and
+    therefore never rank."""
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("long"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(label_col).alias("label"), micro.alias("vm"))
+    ex = base.select("id", "label",
+                     F.posexplode("vm").alias("i", "v"))
+    cen = (ex.groupBy("label", "i")
+           .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+           .withColumn("c", F.floor(F.col("s") / F.col("n") + F.lit(0.5))
+                       .cast("long"))
+           .select("label", "i", "c"))
+    d = (ex.join(F.broadcast(cen), ["label", "i"])
+         .withColumn("dd", (F.col("v") - F.col("c"))
+                     * (F.col("v") - F.col("c")))
+         .groupBy("label", "id")
+         .agg(F.sum("dd").alias("dist2_micro2")))
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("label")
+         .orderBy(F.col("dist2_micro2").desc(), F.col("id")))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top)
+            .select("label", F.col("id").alias(id_col), "dist2_micro2"))

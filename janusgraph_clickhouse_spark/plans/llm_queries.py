@@ -2751,3 +2751,41 @@ def l62_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.winnow_pairs(docs, "doc_id", "text", k=5, window=4,
                           min_shared=2, max_fp_df=50)
+
+
+@query(
+    "l63_embedding_outliers",
+    oracle="""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings),
+    cen AS MATERIALIZED (
+      SELECT label, i,
+             CAST(floor(sum(v) / count(*) + 0.5) AS BIGINT) AS c
+      FROM ex GROUP BY label, i),
+    d AS MATERIALIZED (
+      SELECT ex.label, ex.vec_id,
+             CAST(sum((ex.v - cen.c) * (ex.v - cen.c)) AS BIGINT)
+               AS dist2_micro2
+      FROM ex JOIN cen ON cen.label = ex.label AND cen.i = ex.i
+      GROUP BY 1, 2)
+    SELECT label, vec_id, dist2_micro2 FROM (
+      SELECT label, vec_id, dist2_micro2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2_micro2 DESC, vec_id)
+               AS rn
+      FROM d) WHERE rn <= 5
+    """,
+)
+def l63_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label semantic outliers: top-5 vectors farthest (squared L2)
+    from their label centroid — the mislabeled-example screen.  Fully
+    integer: micro-quantized components, rounded integer centroid,
+    int64 distance — no float anywhere in the ranking or the output
+    (llm.similarity.embedding_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_outliers(emb, "vec_id", "embedding", "label",
+                                top=5)

@@ -164,6 +164,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "l61_overlap_chunks": 7,
     "g32_weighted_sssp": 7, "q53_topk_weighted": 7,
     "l62_winnow_pairs": 7,
+    "s20_incremental_hll": 7, "l63_embedding_outliers": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

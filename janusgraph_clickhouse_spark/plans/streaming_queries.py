@@ -782,3 +782,70 @@ def s19_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
                        .cast("long")).alias("sum_cents")))
+
+
+@query(
+    "s20_incremental_hll",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))
+                  AS BIGINT) AS h,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hh,
+             user_id
+      FROM events),
+    b AS MATERIALIZED (
+      SELECT h, hh % 256 AS bucket,
+             CASE WHEN (hh >> 8) > 0 THEN 53 - length(bin(hh >> 8))
+                  ELSE 53 END AS rank
+      FROM r),
+    reg AS MATERIALIZED (
+      SELECT h, bucket, max(rank) AS m FROM b GROUP BY h, bucket),
+    z AS MATERIALIZED (
+      SELECT h,
+             CAST(sum(CAST(2.0 ** (53 - m) AS BIGINT)) AS BIGINT)
+             + (256 - count(*)) * 9007199254740992 AS z
+      FROM reg GROUP BY h),
+    ex AS MATERIALIZED (
+      SELECT h, count(DISTINCT user_id) AS n_exact FROM r GROUP BY h)
+    SELECT z.h, round(4.2399330249068963e+20 / z.z, 4) AS uniq_estimate,
+           ex.n_exact
+    FROM z JOIN ex ON ex.h = z.h
+    """,
+)
+def s20_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming uniqState maintenance, driver-checked end to end (the
+    s12 discipline applied to SKETCH state): the events log streams as
+    3 real micro-batches (availableNow, maxFilesPerTrigger=1), each
+    foreachBatch sketches only its batch into per-hour HLL registers
+    and merges by per-bucket MAX into the persisted state
+    (streaming.ops.incremental_hll_rollup).  The folded estimates must
+    equal the oracle's one-shot register rederivation — register merge
+    is associative AND idempotent, so the chunking (and any
+    at-least-once replay) cannot change a single register.  State per
+    hour is ≤256 rows forever: the distinct-count rollup whose state
+    does NOT grow with cardinality."""
+    import os
+    import shutil
+    import tempfile
+    from ..functions.sketches import hll_estimate_from_registers
+    from ..streaming.ops import incremental_hll_rollup, read_rollup
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="s20_hll_")
+    try:
+        chunks = os.path.join(work, "chunks")
+        ev.repartition(3).write.parquet(chunks)
+        state = os.path.join(work, "state")
+        incremental_hll_rollup(spark, chunks, state,
+                               os.path.join(work, "ckpt"),
+                               max_files_per_trigger=1)
+        est = hll_estimate_from_registers(
+            read_rollup(spark, state), ["h"])
+        ex = (ev.withColumn(
+            "h", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+            .groupBy("h")
+            .agg(F.countDistinct("user_id").alias("n_exact")))
+        out = est.join(ex, "h").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

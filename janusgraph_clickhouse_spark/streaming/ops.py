@@ -497,24 +497,7 @@ def incremental_rollup(spark: SparkSession, events_dir: str,
     the replayed low batch-ids (rollup frozen) or double-count events
     already merged.  Mismatch raises loudly; recover by clearing BOTH
     dirs together."""
-    import os
-    os.makedirs(rollup_dir, exist_ok=True)
-    stamp = os.path.join(rollup_dir, "CHECKPOINT_ID")
-    ident = os.path.abspath(checkpoint_dir)
-    if os.path.exists(stamp):
-        with open(stamp) as f:
-            have = f.read().strip()
-        if have != ident:
-            raise ValueError(
-                f"rollup_dir {rollup_dir} was built by checkpoint "
-                f"{have!r} but this run uses {ident!r}; batch-id "
-                f"idempotency cannot hold across checkpoints — clear "
-                f"both dirs together to reprocess")
-    else:
-        tmp = stamp + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(ident)
-        os.replace(tmp, stamp)
+    _bind_state_to_checkpoint(rollup_dir, checkpoint_dir)
     stream = events_stream(spark, events_dir,
                            max_files_per_trigger=max_files_per_trigger)
     q = (stream.writeStream
@@ -524,6 +507,30 @@ def incremental_rollup(spark: SparkSession, events_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def _bind_state_to_checkpoint(state_dir: str, checkpoint_dir: str) -> None:
+    """Batch ids are PER-CHECKPOINT: stamp the state dir with the
+    checkpoint that owns it on first use, verify on every later run
+    (see incremental_rollup's idempotency contract)."""
+    import os
+    os.makedirs(state_dir, exist_ok=True)
+    stamp = os.path.join(state_dir, "CHECKPOINT_ID")
+    ident = os.path.abspath(checkpoint_dir)
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+        if have != ident:
+            raise ValueError(
+                f"state dir {state_dir} was built by checkpoint "
+                f"{have!r} but this run uses {ident!r}; batch-id "
+                f"idempotency cannot hold across checkpoints — clear "
+                f"both dirs together to reprocess")
+    else:
+        tmp = stamp + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(ident)
+        os.replace(tmp, stamp)
 
 
 def _rollup_current(rollup_dir: str) -> int | None:
@@ -637,3 +644,71 @@ def decayed_score(events: DataFrame, key: str = "user_id",
     return (ranked.groupBy(key)
             .agg(F.count(F.lit(1)).alias("n_scored"),
                  F.sum(F.col("_c") * weight).alias("score_fixed")))
+
+
+def _merge_hll_batch(spark: SparkSession, batch_df: DataFrame,
+                     batch_id: int, state_dir: str) -> None:
+    """One idempotent HLL-state merge step (see incremental_hll_rollup):
+    same version-dir + CURRENT-pointer protocol as _merge_rollup_batch,
+    but the persisted state is the per-hour REGISTER table and the
+    merge is per-bucket MAX — the uniqMerge half of the sketch."""
+    import os
+    import shutil
+
+    from ..functions.sketches import hll_registers
+
+    os.makedirs(state_dir, exist_ok=True)
+    cur = _rollup_current(state_dir)
+    if cur is not None and batch_id <= cur:
+        return  # at-least-once replay of an already-committed batch
+    hours = batch_df.withColumn(
+        "h", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    regs = hll_registers(hours, "user_id", ["h"])
+    if cur is not None:
+        current = spark.read.parquet(os.path.join(state_dir, f"v{cur}"))
+        regs = (current.unionByName(regs)
+                .groupBy("h", "bucket")
+                .agg(F.max("m").alias("m")))
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    regs.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+    for name in os.listdir(state_dir):
+        if (name.startswith("v") and name[1:].isdigit()
+                and int(name[1:]) not in (batch_id, cur)):
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)
+
+
+def incremental_hll_rollup(spark: SparkSession, events_dir: str,
+                           state_dir: str, checkpoint_dir: str,
+                           max_files_per_trigger: int = 1) -> None:
+    """ClickHouse uniqState materialized view maintained INCREMENTALLY
+    over a change stream: each micro-batch sketches only itself (per
+    hour-bucket, m=256 HLL registers for distinct user_id) and merges
+    into the persisted state by per-bucket MAX — the uniqState/
+    uniqMerge AggregatingMergeTree idiom, streaming.  Per-batch cost is
+    O(batch + state); state is ≤ 256 rows per hour bucket FOREVER, so
+    unlike the count/sum rollup the distinct-count state never grows
+    with cardinality.  Register merge is associative, commutative and
+    IDEMPOTENT (max), so the final state is independent of how the log
+    was chunked — and a replayed batch merged twice would not even
+    need the version protocol to stay correct (it keeps the state's
+    crash story identical to incremental_rollup's anyway).
+
+    Same crash-safety protocol as incremental_rollup: immutable
+    v<batch_id> dirs, atomic CURRENT pointer, replayed-batch skip,
+    checkpoint-identity stamp.  Read via read_rollup(state_dir) and
+    fold with hll_estimate_from_registers."""
+    _bind_state_to_checkpoint(state_dir, checkpoint_dir)
+    stream = events_stream(spark, events_dir,
+                           max_files_per_trigger=max_files_per_trigger)
+    q = (stream.writeStream
+         .foreachBatch(lambda batch_df, batch_id:
+                       _merge_hll_batch(spark, batch_df, batch_id,
+                                        state_dir))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -251,3 +251,78 @@ def test_cms_weighted_equals_exact_on_sparse_keys(spark):
     for r in out.values():
         assert r.cms_estimate >= r.exact_cnt
         assert r.overcount == r.cms_estimate - r.exact_cnt
+
+
+def test_incremental_hll_state_equals_direct(spark, tmp_path):
+    """Chunked incremental register maintenance must equal the one-shot
+    sketch (merge associativity), and a replayed batch id is a no-op
+    (version protocol) — merge idempotence also holds by max()."""
+    import os
+
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        hll_registers)
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        _merge_hll_batch, read_rollup)
+    ev = spark.createDataFrame(
+        [(i, i % 37, "2024-01-01 %02d:10:00" % (i % 4)) for i in range(200)],
+        "event_id long, user_id long, s string").withColumn(
+            "ts", F.to_timestamp("s")).drop("s")
+    state = str(tmp_path / "state")
+    # three manual micro-batches through the SAME merge step the
+    # streaming query uses
+    for bid, pred in enumerate(["event_id % 3 = 0", "event_id % 3 = 1",
+                                "event_id % 3 = 2"]):
+        _merge_hll_batch(spark, ev.filter(pred), bid, state)
+    direct = hll_registers(
+        ev.withColumn("h", F.unix_timestamp(
+            F.date_trunc("hour", F.col("ts")))), "user_id", ["h"])
+    got = {(r.h, r.bucket): r.m for r in read_rollup(spark, state).collect()}
+    want = {(r.h, r.bucket): r.m for r in direct.collect()}
+    assert got == want
+    # replay of an already-committed batch id leaves CURRENT untouched
+    before = open(os.path.join(state, "CURRENT")).read()
+    _merge_hll_batch(spark, ev.limit(5), 1, state)
+    assert open(os.path.join(state, "CURRENT")).read() == before
+    assert {(r.h, r.bucket): r.m
+            for r in read_rollup(spark, state).collect()} == want
+
+
+def test_state_dir_bound_to_checkpoint(tmp_path):
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        _bind_state_to_checkpoint)
+    state = str(tmp_path / "s")
+    _bind_state_to_checkpoint(state, str(tmp_path / "ckpt_a"))
+    _bind_state_to_checkpoint(state, str(tmp_path / "ckpt_a"))  # same: ok
+    with pytest.raises(ValueError, match="cannot hold across checkpoints"):
+        _bind_state_to_checkpoint(state, str(tmp_path / "ckpt_b"))
+
+
+def test_embedding_outliers_closed_form(spark):
+    """Label A: three vectors at (0,0), (0,0), (0,9) — the (0,9) point
+    is the unique farthest from the rounded centroid (0,3)."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        embedding_outliers)
+    rows = [(1, [0.0, 0.0], "A"), (2, [0.0, 0.0], "A"),
+            (3, [0.0, 9.0], "A"), (4, [1.0, 1.0], "B")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = {(r.label, r.vec_id): r.dist2_micro2 for r in
+           embedding_outliers(df, "vec_id", "embedding", "label",
+                              top=1).collect()}
+    # centroid A = (0, 3e6) exactly; dist²(3) = (9e6-3e6)² = 3.6e13
+    assert out == {("A", 3): 36_000_000_000_000, ("B", 4): 0}
+
+
+def test_embedding_outliers_integer_rank_ties(spark):
+    """Equidistant vectors tie on the EXACT integer distance and break
+    on id — no float ulp can reorder them."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        embedding_outliers)
+    rows = [(10, [1.0], "g"), (11, [-1.0], "g"), (12, [0.0], "g")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = embedding_outliers(df, "vec_id", "embedding", "label",
+                             top=2).collect()
+    assert [(r.vec_id, r.dist2_micro2) for r in
+            sorted(out, key=lambda r: r.vec_id)] == [
+        (10, 1_000_000_000_000), (11, 1_000_000_000_000)]
