@@ -668,3 +668,40 @@ def overlap_chunks(df: DataFrame, id_col: str, text_col: str,
         F.col("start").cast("long").alias("start_word"),
         n_in.cast("long").alias("chunk_len"),
         chunk.alias("chunk_text"))
+
+
+def source_keyness(df: DataFrame, id_col: str, text_col: str,
+                   source_col: str, min_count: int = 5, top: int = 5,
+                   round_dp: int = 6) -> DataFrame:
+    """Per-source DISTINCTIVE terms by pointwise mutual information:
+    pmi(t, s) = ln( (c_ts/N_s) / (c_t/N) ) — how over-represented a
+    term is in a source vs the whole corpus (the keyness analysis that
+    explains WHAT a high l59 JS-drift pair differs on).  Terms below
+    ``min_count`` occurrences in the source are dropped (rare-term PMI
+    explodes); top-`top` per source by (rounded pmi desc, term asc).
+
+    Every pmi is one deterministic double expression of four exact
+    integers — no summation exists, so rounding at the edge is the
+    whole cross-engine discipline.  One (source, word) hash aggregate
+    (the global term counts derive from it, never a second corpus
+    pass); totals broadcast; one window per source."""
+    w = (df.select(F.col(source_col).alias("src"),
+                   F.explode(F.split(F.col(text_col), " ")).alias("w"))
+         .filter(F.col("w") != ""))
+    c_ts = w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c_ts"))
+    c_t = c_ts.groupBy("w").agg(F.sum("c_ts").alias("c_t"))
+    n_s = c_ts.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
+    n = n_s.agg(F.sum("n_s").alias("n"))
+    scored = (c_ts.filter(F.col("c_ts") >= min_count)
+              .join(c_t, "w")
+              .join(F.broadcast(n_s), "src")
+              .crossJoin(F.broadcast(n))
+              .withColumn("pmi", F.round(
+                  F.log((F.col("c_ts") / F.col("n_s"))
+                        / (F.col("c_t") / F.col("n"))), round_dp)))
+    from pyspark.sql import Window as W
+    win = W.partitionBy("src").orderBy(F.col("pmi").desc(), F.col("w"))
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= top)
+            .select(F.col("src").alias("source"), F.col("w").alias("term"),
+                    "c_ts", "pmi"))

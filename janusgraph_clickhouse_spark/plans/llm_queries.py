@@ -2789,3 +2789,41 @@ def l63_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_outliers(emb, "vec_id", "embedding", "label",
                                 top=5)
+
+
+@query(
+    "l64_source_keyness",
+    oracle="""
+    WITH wx AS MATERIALIZED (
+      SELECT source AS src, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    cts AS MATERIALIZED (
+      SELECT src, w, count(*) AS c_ts FROM wx WHERE w <> ''
+      GROUP BY 1, 2),
+    ct AS MATERIALIZED (
+      SELECT w, CAST(sum(c_ts) AS BIGINT) AS c_t FROM cts GROUP BY w),
+    ns AS MATERIALIZED (
+      SELECT src, CAST(sum(c_ts) AS BIGINT) AS n_s FROM cts GROUP BY src),
+    n AS MATERIALIZED (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+    s AS MATERIALIZED (
+      SELECT cts.src, cts.w, cts.c_ts,
+             round(ln((cts.c_ts / ns.n_s) / (ct.c_t / n.n)), 6) AS pmi
+      FROM cts JOIN ct USING (w) JOIN ns USING (src), n
+      WHERE cts.c_ts >= 5)
+    SELECT src AS source, w AS term, c_ts, pmi FROM (
+      SELECT src, w, c_ts, pmi,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY pmi DESC, w) AS rn
+      FROM s) WHERE rn <= 5
+    """,
+)
+def l64_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by PMI — the keyness analysis
+    that explains what l59's JS-drift pairs actually differ on.  One
+    (source, word) hash aggregate feeds everything; pmi is one
+    deterministic expression of four exact integers, rounded at the
+    edge; top-5 per source with the term tiebreak
+    (llm.text.source_keyness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.source_keyness(docs, "doc_id", "text", "source",
+                            min_count=5, top=5)

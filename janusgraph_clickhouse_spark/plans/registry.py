@@ -165,6 +165,8 @@ REGISTERED_ROUND: dict[str, int] = {
     "g32_weighted_sssp": 7, "q53_topk_weighted": 7,
     "l62_winnow_pairs": 7,
     "s20_incremental_hll": 7, "l63_embedding_outliers": 7,
+    "q54_top_event_paths": 7, "q55_conditional_aggregates": 7,
+    "l64_source_keyness": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

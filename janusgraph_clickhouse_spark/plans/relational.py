@@ -1776,3 +1776,90 @@ def q53_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.withColumn(
         "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
     return cms_heavy_hitters(e, "user_id", k=20, weight_col="cents")
+
+
+@query(
+    "q54_top_event_paths",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS MATERIALIZED (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY user_id)
+    SELECT path, count(*) AS n_users FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 15
+    """,
+)
+def q54_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-flow path analysis (the ClickHouse groupArray funnel-path
+    idiom): each user's first 8 event types in event order collapse to
+    a '>'-joined path string, top-15 paths by user count.  One ordered
+    window (rn), one per-user aggregate assembling the path via
+    array_sort(struct(rn, type)) — deterministic without relying on
+    collect_list order — and one path-keyed count; the (ts, event_id)
+    tiebreak makes the path unique at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (ev.withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= 8))
+    paths = (r.groupBy("user_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rn", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy(F.col("n_users").desc(), "path").limit(15))
+
+
+@query(
+    "q55_conditional_aggregates",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_f,
+           CAST(coalesce(sum(cents) FILTER (WHERE o_orderstatus = 'F'),
+                         0) AS BIGINT) AS cents_f,
+           CAST(min(cents) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS min_cents_f,
+           CAST(max(cents) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS max_cents_f,
+           round(CASE WHEN count(*) FILTER (WHERE o_orderstatus = 'F') > 0
+                 THEN CAST(sum(cents) FILTER (WHERE o_orderstatus = 'F')
+                           AS DOUBLE)
+                      / count(*) FILTER (WHERE o_orderstatus = 'F')
+                 END, 6) AS avg_cents_f
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def q55_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse -If aggregate combinators (countIf/sumIf/minIf/maxIf/
+    avgIf) — conditional aggregation WITHOUT pre-filtering the scan, so
+    one pass serves every condition.  All are when()-guarded built-ins
+    inside ONE hash aggregate; empty-condition groups yield 0 for the
+    count, 0 for the sum and NULL for min/max/avg (the SQL FILTER
+    semantics both engines share); avgIf derives from the exact cents
+    sum and count in one rounded division."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cond = F.col("o_orderstatus") == "F"
+    cf = F.when(cond, cents)
+    n_f = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    sum_f = F.coalesce(F.sum(cf), F.lit(0)).cast("long")
+    return (o.groupBy("o_orderpriority")
+            .agg(n_f.alias("n_f"),
+                 sum_f.alias("cents_f"),
+                 F.min(cf).cast("long").alias("min_cents_f"),
+                 F.max(cf).cast("long").alias("max_cents_f"),
+                 F.round(F.when(n_f > 0,
+                                sum_f.cast("double") / n_f), 6)
+                 .alias("avg_cents_f")))

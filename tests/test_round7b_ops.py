@@ -326,3 +326,56 @@ def test_embedding_outliers_integer_rank_ties(spark):
     assert [(r.vec_id, r.dist2_micro2) for r in
             sorted(out, key=lambda r: r.vec_id)] == [
         (10, 1_000_000_000_000), (11, 1_000_000_000_000)]
+
+
+def test_top_event_paths_deterministic_assembly(spark, sf_smoke):
+    """The path string must follow (ts, event_id) order, not
+    collect_list arrival order — rerun must agree exactly."""
+    import __spark_entry__ as entry_mod
+    fn = entry_mod.queries()["q54_top_event_paths"]
+    a = [(r.path, r.n_users) for r in fn(spark, sf_smoke).collect()]
+    b = [(r.path, r.n_users) for r in fn(spark, sf_smoke).collect()]
+    assert a == b and len(a) > 0
+    for path, _ in a:
+        assert 1 <= len(path.split(">")) <= 8
+
+
+def test_conditional_aggregates_empty_group_semantics(spark):
+    """A group with no matching rows yields count 0, sum 0, NULL
+    min/max/avg — the FILTER semantics the oracle shares."""
+    from pyspark.sql import functions as F
+    rows = [("g1", "F", 10.0), ("g1", "O", 99.0), ("g2", "O", 5.0)]
+    df = spark.createDataFrame(rows, "g string, st string, v double")
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    cond = F.col("st") == "F"
+    cf = F.when(cond, cents)
+    n_f = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    sum_f = F.coalesce(F.sum(cf), F.lit(0)).cast("long")
+    out = {r.g: r for r in
+           df.groupBy("g").agg(
+               n_f.alias("n_f"), sum_f.alias("cents_f"),
+               F.min(cf).cast("long").alias("min_f"),
+               F.round(F.when(n_f > 0, sum_f.cast("double") / n_f), 6)
+               .alias("avg_f")).collect()}
+    assert (out["g1"].n_f, out["g1"].cents_f, out["g1"].min_f) == (1, 1000, 1000)
+    assert (out["g2"].n_f, out["g2"].cents_f) == (0, 0)
+    assert out["g2"].min_f is None and out["g2"].avg_f is None
+
+
+def test_source_keyness_closed_form(spark):
+    """Source A says 'x' 6 times of 12 words; corpus-wide 'x' is 6 of
+    24 → pmi(x, A) = ln((6/12)/(6/24)) = ln 2."""
+    import math
+    from janusgraph_clickhouse_spark.llm.text import source_keyness
+    a_text = "x x x x x x f f f f f f"          # 12 words
+    b_text = "y y y y y y f f f f f f"          # 12 words
+    df = spark.createDataFrame(
+        [(1, a_text, "A"), (2, b_text, "B")],
+        "doc_id long, text string, src string")
+    out = {(r.source, r.term): r.pmi for r in
+           source_keyness(df, "doc_id", "text", "src",
+                          min_count=5, top=5).collect()}
+    assert out[("A", "x")] == round(math.log(2.0), 6)
+    assert out[("B", "y")] == round(math.log(2.0), 6)
+    assert out[("A", "f")] == 0.0                # evenly spread term
+    assert ("A", "y") not in out                 # below min_count in A
