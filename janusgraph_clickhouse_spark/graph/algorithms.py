@@ -1942,6 +1942,47 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
                     F.round(F.col("bc_micro") / F.lit(1e6), 6).alias("bc")))
 
 
+def _frontier_min_fixpoint(edges, state, make_candidates,
+                           max_iter: int, broadcast_threshold: int,
+                           op_name: str):
+    """Shared monotone-minimum frontier fixpoint (the sparse "SPFA"
+    skeleton of sssp_weighted and temporal_reachability): each round,
+    only vertices whose value IMPROVED last round generate candidates
+    via `make_candidates(frontier) -> DF(id, cand)`; candidates merge
+    into the reached-state by least(); terminates when nothing
+    improves, raises loudly on max_iter exhaustion.  The frontier is
+    broadcast while its known row count (free from the exit probe) is
+    under the threshold; localCheckpoint per round keeps lineage
+    flat."""
+    state = state.localCheckpoint(eager=True)
+    frontier = state
+    frontier_n = state.count()
+    for _ in range(max_iter):
+        f = (F.broadcast(frontier) if frontier_n <= broadcast_threshold
+             else frontier)
+        cand = make_candidates(f)
+        merged = (state.join(cand, "id", "full_outer")
+                  .select("id", F.col("val").alias("old_val"),
+                          # least() skips NULLs: new vertices take cand,
+                          # unimproved vertices keep their value
+                          F.least("val", "cand").alias("val")))
+        merged = merged.localCheckpoint(eager=True)
+        frontier = (merged
+                    .filter(F.col("old_val").isNull()
+                            | (F.col("val") < F.col("old_val")))
+                    .select("id", "val"))
+        frontier_n = frontier.count()  # exit probe doubles as size probe
+        state = merged.select("id", "val")
+        if frontier_n == 0:
+            break
+    else:
+        raise ValueError(
+            f"{op_name} did not converge within max_iter={max_iter} "
+            f"rounds ({frontier_n} vertices still improving); raise "
+            f"max_iter")
+    return state
+
+
 def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
                   weight_col: str = "weight", max_iter: int = 20,
                   directed: bool = True,
@@ -1955,14 +1996,12 @@ def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
     weights should be pre-quantized by the caller, the cents
     discipline).
 
-    Each round is one frontier⋈edges join (broadcast while the
-    frontier is small — the count falls out of the exit probe, no
-    extra job), one min-aggregate keyed on dst, and one full-outer
-    merge into the reached-state; localCheckpoint per round keeps
-    lineage flat.  Terminates when no distance improves; loudly raises
-    on max_iter exhaustion (the k_core precedent — a truncated result
-    would silently overstate distances; negative-weight cycles can
-    never converge and surface the same way)."""
+    Each round is one frontier-edges join (broadcast while the
+    frontier is small), one min-aggregate keyed on dst, and one
+    full-outer merge into the reached-state (_frontier_min_fixpoint).
+    Loudly raises on max_iter exhaustion (the k_core precedent — a
+    truncated result would silently overstate distances; negative-
+    weight cycles can never converge and surface the same way)."""
     edges = graph.edges.select(
         "src", "dst", F.col(weight_col).cast("long").alias("w"))
     if not directed:
@@ -1971,37 +2010,56 @@ def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
     edges = edges.cache()  # re-joined every round
     spark = graph.vertices.sparkSession
     state = spark.createDataFrame(
-        [(int(s), 0) for s in source_ids], "id long, dist long")
-    state = state.localCheckpoint(eager=True)
-    frontier, frontier_n = state, len(source_ids)
-    for _ in range(max_iter):
-        f = (F.broadcast(frontier) if frontier_n <= broadcast_threshold
-             else frontier)
-        cand = (edges.join(f.select(F.col("id").alias("src"), "dist"),
+        [(int(s), 0) for s in source_ids], "id long, val long")
+
+    def make_candidates(f):
+        return (edges.join(f.select(F.col("id").alias("src"), "val"),
                            "src")
-                .groupBy("dst")
-                .agg(F.min(F.col("dist") + F.col("w")).alias("cand")))
-        merged = (state.join(cand.select(F.col("dst").alias("id"), "cand"),
-                             "id", "full_outer")
-                  .select("id", F.col("dist").alias("old_dist"),
-                          # least() skips NULLs: new vertices take cand,
-                          # unimproved vertices keep dist
-                          F.least("dist", "cand").alias("dist")))
-        merged = merged.localCheckpoint(eager=True)
-        frontier = (merged
-                    .filter(F.col("old_dist").isNull()
-                            | (F.col("dist") < F.col("old_dist")))
-                    .select("id", "dist"))
-        frontier_n = frontier.count()  # exit probe doubles as size probe
-        state = merged.select("id", "dist")
-        if frontier_n == 0:
-            break
-    else:
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("val") + F.col("w")).alias("cand")))
+
+    try:
+        out = _frontier_min_fixpoint(edges, state, make_candidates,
+                                     max_iter, broadcast_threshold,
+                                     "sssp_weighted")
+    finally:
         edges.unpersist()
-        raise ValueError(
-            f"sssp_weighted did not converge within max_iter={max_iter} "
-            f"rounds ({frontier_n} vertices still improving); raise "
-            f"max_iter (a negative-weight cycle can never converge and "
-            f"surfaces here too)")
-    edges.unpersist()
-    return state
+    return out.select("id", F.col("val").alias("dist"))
+
+
+def temporal_reachability(edges: DataFrame, source_ids: list[int],
+                          start_ts: int = 0, max_iter: int = 20,
+                          broadcast_threshold: int = BFS_BROADCAST_MAX
+                          ) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability over a temporal
+    edge list (src, dst, ts): a vertex v is reached at time t iff some
+    edge (u, v, t) has t >= the time u was reached — information flow,
+    contagion and provenance queries that static reachability (BFS)
+    answers WRONG whenever an edge into v fired before v's source was
+    itself reached.  Returns (id, arrival) with arrival = the earliest
+    epoch at which each reached vertex can know; the source set starts
+    at `start_ts`.
+
+    Earliest-arrival is a monotone minimum, so the same sparse
+    frontier fixpoint as sssp_weighted applies
+    (_frontier_min_fixpoint) with the relax condition e.ts >= arr(u)
+    inside the frontier join; same loud max_iter contract."""
+    e = edges.select("src", "dst", F.col("ts").cast("long").alias("t"))
+    e = e.cache()
+    spark = edges.sparkSession
+    state = spark.createDataFrame(
+        [(int(s), int(start_ts)) for s in source_ids], "id long, val long")
+
+    def make_candidates(f):
+        return (e.join(f.select(F.col("id").alias("src"), "val"), "src")
+                .filter(F.col("t") >= F.col("val"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("t").alias("cand")))
+
+    try:
+        out = _frontier_min_fixpoint(e, state, make_candidates,
+                                     max_iter, broadcast_threshold,
+                                     "temporal_reachability")
+    finally:
+        e.unpersist()
+    return out.select("id", F.col("val").alias("arrival"))

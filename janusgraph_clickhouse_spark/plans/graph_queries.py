@@ -1455,3 +1455,63 @@ def g32_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mw", ((F.col("src") + F.col("dst")) % 7 + 1).cast("long")))
     return sssp_weighted(weighted, [42 + _C], weight_col="mw",
                          max_iter=10)
+
+
+# ONE constant for Spark max_iter AND oracle unroll depth (the g31
+# lesson: a mismatch turns deep graphs into silent divergence instead
+# of the operator's loud ValueError).
+_G33_LEVELS = 8
+
+
+def _g33_oracle(levels: int = _G33_LEVELS) -> str:
+    """Unrolled earliest-arrival min-merge: level l's state references
+    level l-1 twice (carry + relax), so every level is MATERIALIZED
+    (the g25 DuckDB CTE-inlining lesson)."""
+    parts = [
+        """b AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts)))
+                  AS BIGINT) AS w
+      FROM events)""",
+        """e AS MATERIALIZED (
+      SELECT a.user_id AS src, c.user_id AS dst, a.w AS t
+      FROM b a JOIN b c ON a.w = c.w AND a.user_id <> c.user_id)""",
+        """a0 AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS arr)""",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(f"""a{l} AS MATERIALIZED (
+      SELECT id, min(arr) AS arr FROM (
+        SELECT id, arr FROM a{l - 1}
+        UNION ALL
+        SELECT e.dst AS id, e.t AS arr
+        FROM e JOIN a{l - 1} p ON e.src = p.id AND e.t >= p.arr
+      ) GROUP BY id)""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT id, arr AS arrival FROM a{levels}")
+
+
+@query("g33_temporal_reachability", oracle=_g33_oracle())
+def g33_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability from user 0 over
+    the temporal co-occurrence edge list (users sharing a 10-minute
+    activity window, edge timestamped with the window start): the
+    information-flow question static reachability answers WRONG
+    whenever an edge fired before its source was itself reached.
+    Runs the shared sparse frontier fixpoint with the e.ts >= arr(u)
+    relax condition (graph.algorithms.temporal_reachability); the
+    oracle unrolls the identical min-merge recurrence to the SAME
+    level bound the operator runs (one shared constant — Spark raises
+    loudly past it, the oracle never silently truncates below it)."""
+    from ..graph.algorithms import temporal_reachability
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.select("user_id", F.window("ts", "10 minutes").alias("w"))
+         .select("user_id", F.unix_timestamp(F.col("w.start")).alias("w"))
+         .distinct())
+    c = b.select(F.col("user_id").alias("u2"), "w")
+    e = (b.join(c, "w")
+         .filter(F.col("user_id") != F.col("u2"))
+         .select(F.col("user_id").alias("src"),
+                 F.col("u2").alias("dst"), F.col("w").alias("ts")))
+    return temporal_reachability(e, [0], start_ts=0,
+                                 max_iter=_G33_LEVELS)

@@ -166,7 +166,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "l62_winnow_pairs": 7,
     "s20_incremental_hll": 7, "l63_embedding_outliers": 7,
     "q54_top_event_paths": 7, "q55_conditional_aggregates": 7,
-    "l64_source_keyness": 7,
+    "l64_source_keyness": 7, "g33_temporal_reachability": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

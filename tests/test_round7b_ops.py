@@ -379,3 +379,30 @@ def test_source_keyness_closed_form(spark):
     assert out[("B", "y")] == round(math.log(2.0), 6)
     assert out[("A", "f")] == 0.0                # evenly spread term
     assert ("A", "y") not in out                 # below min_count in A
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    """1→2 at t=5, 2→3 at t=3: vertex 3 is STATICALLY reachable but not
+    time-respecting (its edge fired before 2 was reached); 2→4 at t=5
+    (same instant as arrival) IS allowed."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        temporal_reachability)
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 5)], "src long, dst long, ts long")
+    out = {r.id: r.arrival for r in
+           temporal_reachability(edges, [1], start_ts=0,
+                                 max_iter=8).collect()}
+    assert out == {1: 0, 2: 5, 4: 5}
+
+
+def test_temporal_reachability_earliest_of_many(spark):
+    """Two time-respecting routes to 4 — arrival is the EARLIEST."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        temporal_reachability)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, 9), (1, 3, 2), (3, 4, 4)],
+        "src long, dst long, ts long")
+    out = {r.id: r.arrival for r in
+           temporal_reachability(edges, [1], start_ts=0,
+                                 max_iter=8).collect()}
+    assert out[4] == 4
