@@ -2827,3 +2827,46 @@ def l64_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.source_keyness(docs, "doc_id", "text", "source",
                             min_count=5, top=5)
+
+
+def _l65_oracle() -> str:
+    """Confusion cells of the l08 language-id heuristic vs the labeled
+    lang column — the oracle re-derives the identical lexicon argmax
+    (shared lexicons, alphabetical tiebreak) and joins the labels."""
+    parts = []
+    for lang, words in sorted(X.LANG_LEXICONS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(w, x -> list_contains([{lst}], x))) AS score "
+            f"FROM toks")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scores AS MATERIALIZED ({union}),
+    best AS MATERIALIZED (
+      SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id),
+    pred AS MATERIALIZED (
+      SELECT s.doc_id, min(s.lang) AS pred_lang
+      FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.score = b.ms
+      GROUP BY s.doc_id)
+    SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("l65_langid_confusion", oracle=_l65_oracle())
+def l65_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation surface (the l55 discipline applied to
+    language-ID): confusion matrix of the l08 lexicon-argmax heuristic
+    against the fixture's labeled lang column — per-(true, predicted)
+    cell counts, from which accuracy/precision/recall all derive.  One
+    extra broadcast-scale join over l08's plan; the oracle re-derives
+    the identical argmax from the shared lexicons."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("doc_id", F.col("lang").alias("true_lang"),
+                       X.language_id("text").alias("pred_lang"))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))

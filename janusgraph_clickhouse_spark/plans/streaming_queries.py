@@ -849,3 +849,33 @@ def s20_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "s21_interval_full_join",
+    oracle="""
+    SELECT a.event_id AS id_a,
+           coalesce(a.user_id, b.user_id) AS user_id,
+           CAST(floor(epoch(a.ts)) AS BIGINT) AS ts_a_sec,
+           b.event_id AS id_b,
+           CAST(floor(epoch(b.ts)) AS BIGINT) AS ts_b_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON b.user_id = a.user_id AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL '5 minutes'
+    """,
+)
+def s21_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution RECONCILIATION: clicks FULL OUTER joined to
+    same-user purchases in the following 5 minutes — unconverted
+    clicks AND unattributable purchases both keep null legs
+    (streaming.ops.full_join_within; the streaming form evicts each
+    side at its own watermark horizon).  Completes the stream-stream
+    join matrix beside s07 (inner) and s09 (left outer)."""
+    from ..streaming.ops import full_join_within
+    ev = load_table(spark, sf_dir, "events")
+    out = full_join_within(ev)
+    return out.select(
+        "id_a", F.col("k").alias("user_id"),
+        F.unix_timestamp("ts_a").alias("ts_a_sec"),
+        "id_b", F.unix_timestamp("ts_b").alias("ts_b_sec"))

@@ -712,3 +712,34 @@ def incremental_hll_rollup(spark: SparkSession, events_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def full_join_within(events: DataFrame, left_type: str = "click",
+                     right_type: str = "purchase", key: str = "user_id",
+                     interval: str = "5 minutes",
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer
+    matrix beside `self_join_within` (inner) and `left_join_within`:
+    unmatched events on BOTH sides emit null legs, the reconciliation
+    shape (which clicks never converted AND which purchases have no
+    attributable click).  In streaming, each side's null rows emit once
+    the watermark passes that side's join horizon; both legs carry
+    watermarks and the condition bounds event-time distance, so state
+    is provably evictable.  Batch runs the identical plan.  The join
+    key surfaces as one `k` column (coalesced across legs — either
+    side may be the null one)."""
+    a = (events.filter(F.col("event_type") == left_type)
+         .withWatermark("ts", watermark)
+         .select(F.col(key).alias("k"), F.col("ts").alias("ts_a"),
+                 F.col("event_id").alias("id_a")))
+    b = (events.filter(F.col("event_type") == right_type)
+         .withWatermark("ts", watermark)
+         .select(F.col(key).alias("k2"), F.col("ts").alias("ts_b"),
+                 F.col("event_id").alias("id_b")))
+    j = a.join(
+        b,
+        (a.k == b.k2)
+        & (b.ts_b >= a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")),
+        "full_outer")
+    return (j.withColumn("k", F.coalesce("k", "k2")).drop("k2"))

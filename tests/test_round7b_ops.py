@@ -406,3 +406,43 @@ def test_temporal_reachability_earliest_of_many(spark):
            temporal_reachability(edges, [1], start_ts=0,
                                  max_iter=8).collect()}
     assert out[4] == 4
+
+
+def test_full_join_within_batch_semantics(spark):
+    """Converted pair matches; unconverted click keeps a null right
+    leg; a purchase with no in-window click keeps a null LEFT leg —
+    the reconciliation rows a left join drops."""
+    from janusgraph_clickhouse_spark.streaming.ops import full_join_within
+    from tests.test_streaming import _attr_events
+    ev = _attr_events(spark, [
+        (1, 0, 7, "click"), (2, 120, 7, "purchase"),      # converts
+        (3, 0, 8, "click"),                               # no purchase
+        (4, 0, 9, "purchase"),                            # no click before
+    ])
+    got = sorted(((r.id_a, r.id_b, r.k)
+                  for r in full_join_within(ev).collect()),
+                 key=lambda t: (t[0] is None, t))
+    assert got == [(1, 2, 7), (3, None, 8), (None, 4, 9)]
+
+
+def test_streaming_full_join_emits_both_null_sides(spark, tmp_path):
+    """True streaming: both unmatched sides emit once the watermark
+    passes their horizons (dummy far-future events on both legs)."""
+    from janusgraph_clickhouse_spark.streaming.ops import full_join_within
+    from janusgraph_clickhouse_spark.streaming.ops import events_stream
+    from tests.test_streaming import _attr_events, run_to_memory
+    real = [
+        (1, 0, 7, "click"), (2, 120, 7, "purchase"),
+        (3, 0, 8, "click"),                   # unconverted → null right
+        (4, 0, 9, "purchase"),                # unattributable → null left
+    ]
+    dummies = [(98, 86400, 998, "purchase"), (99, 86400, 999, "click")]
+    ev = _attr_events(spark, real + dummies)
+    d = str(tmp_path / "full_attr_events")
+    ev.write.parquet(d)
+    got = run_to_memory(full_join_within(events_stream(spark, d)),
+                        mode="append")
+    got_rows = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (1, 2) in got_rows
+    assert (3, None) in got_rows       # null right leg emitted
+    assert (None, 4) in got_rows       # null LEFT leg emitted
