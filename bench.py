@@ -106,6 +106,17 @@ HEADLINE = [
     "l57_audio_rms",            # real WAV encode->decode RMS
     "q50_range_frame_windows",  # RANGE-frame moving window aggs
     "l58_snapshot_diff",        # corpus version diff
+    # late-round-7 additions (PERF.md tracks the headline-total
+    # discontinuity per usual)
+    "q51_bitmap_segments",      # exact segment-overlap matrix
+    "q54_top_event_paths",      # user-flow path analysis
+    "l59_vocab_js_drift",       # source unigram JS divergence
+    "l62_winnow_pairs",         # winnowing/MOSS fingerprint pairs
+    "l63_embedding_outliers",   # integer-exact centroid outliers
+    "g32_weighted_sssp",        # frontier Bellman-Ford (SPFA)
+    "g33_temporal_reachability",  # time-respecting earliest arrival
+    "s20_incremental_hll",      # streaming uniqState maintenance
+    "s21_interval_full_join",   # stream-stream full-outer interval
 ]
 
 
