@@ -446,3 +446,30 @@ def test_streaming_full_join_emits_both_null_sides(spark, tmp_path):
     assert (1, 2) in got_rows
     assert (3, None) in got_rows       # null right leg emitted
     assert (None, 4) in got_rows       # null LEFT leg emitted
+
+
+def test_late_r7_plan_shapes(spark, sf_smoke):
+    """Scale-shape pins for the late-r7 operators: the only
+    nested-loop joins are the documented tiny-matrix ones (segment /
+    source totals frames); candidate machinery never goes Cartesian;
+    l63's centroid table comes back via a broadcast hash join."""
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    p = qs["q51_bitmap_segments"](spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p   # |segments|² frame is broadcast NLJ
+
+    p = qs["l62_winnow_pairs"](spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # pairing is a pure equi-join
+
+    p = qs["l63_embedding_outliers"](spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p      # centroid join must broadcast
+    assert "CartesianProduct" not in p
+
+    p = qs["g33_temporal_reachability"](spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
