@@ -879,3 +879,49 @@ def s21_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", F.col("k").alias("user_id"),
         F.unix_timestamp("ts_a").alias("ts_a_sec"),
         "id_b", F.unix_timestamp("ts_b").alias("ts_b_sec"))
+
+
+@query(
+    "s22_incremental_scd1",
+    oracle="""
+    SELECT user_id, event_type AS last_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def s22_incremental_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 current-state dimension maintained over 3 real
+    micro-batches (streaming.ops.incremental_scd1; the s12/s20
+    discipline): each foreachBatch reduces its batch to one
+    argMax-(ts, event_id) row per user and struct-MAX-merges into the
+    persisted state — which must equal the oracle's one-shot window
+    argMax no matter how the log was chunked (merge associative +
+    idempotent).  The keep-only-latest counterpart of s10's SCD2
+    version build."""
+    import os
+    import shutil
+    import tempfile
+    from ..streaming.ops import incremental_scd1, read_rollup
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="s22_scd1_")
+    try:
+        chunks = os.path.join(work, "chunks")
+        ev.repartition(3).write.parquet(chunks)
+        state = os.path.join(work, "state")
+        incremental_scd1(spark, chunks, state,
+                         os.path.join(work, "ckpt"),
+                         max_files_per_trigger=1)
+        out = (read_rollup(spark, state)
+               .select("user_id",
+                       F.col("event_type").alias("last_type"),
+                       F.col("cents").alias("last_cents"),
+                       F.unix_timestamp("ts").alias("ts_sec"),
+                       "event_id")
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -743,3 +743,70 @@ def full_join_within(events: DataFrame, left_type: str = "click",
         & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {interval}")),
         "full_outer")
     return (j.withColumn("k", F.coalesce("k", "k2")).drop("k2"))
+
+
+def _merge_scd1_batch(spark: SparkSession, batch_df: DataFrame,
+                      batch_id: int, state_dir: str) -> None:
+    """One idempotent SCD1 merge step (see incremental_scd1): state is
+    one row per key — the argMax-(ts, event_id) latest event — merged
+    by per-key struct MAX (associative AND idempotent, like the HLL
+    register merge); same version-dir protocol."""
+    import os
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    cur = _rollup_current(state_dir)
+    if cur is not None and batch_id <= cur:
+        return  # at-least-once replay of an already-committed batch
+    latest = (batch_df
+              .withColumn("cents",
+                          F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long"))
+              .groupBy("user_id")
+              .agg(F.max(F.struct("ts", "event_id", "event_type",
+                                  "cents")).alias("s")))
+    if cur is not None:
+        current = spark.read.parquet(os.path.join(state_dir, f"v{cur}"))
+        latest = (current.select("user_id",
+                                 F.struct("ts", "event_id", "event_type",
+                                          "cents").alias("s"))
+                  .unionByName(latest)
+                  .groupBy("user_id")
+                  .agg(F.max("s").alias("s")))
+    flat = latest.select("user_id", "s.ts", "s.event_id",
+                         "s.event_type", "s.cents")
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    flat.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+    for name in os.listdir(state_dir):
+        if (name.startswith("v") and name[1:].isdigit()
+                and int(name[1:]) not in (batch_id, cur)):
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)
+
+
+def incremental_scd1(spark: SparkSession, events_dir: str,
+                     state_dir: str, checkpoint_dir: str,
+                     max_files_per_trigger: int = 1) -> None:
+    """SCD TYPE-1 dimension maintenance over a change stream — the
+    keep-only-latest counterpart of the SCD2 version build (s10): each
+    micro-batch reduces to one argMax-(ts, event_id) row per key and
+    merges into the persisted current-state table by per-key struct
+    MAX.  The merge is associative and IDEMPOTENT, so the final state
+    is independent of chunking and replay; state size is O(distinct
+    keys), per-batch cost O(batch + state).  Same crash protocol as
+    incremental_rollup (version dirs, atomic CURRENT, checkpoint
+    stamp); read via read_rollup(state_dir)."""
+    _bind_state_to_checkpoint(state_dir, checkpoint_dir)
+    stream = events_stream(spark, events_dir,
+                           max_files_per_trigger=max_files_per_trigger)
+    q = (stream.writeStream
+         .foreachBatch(lambda batch_df, batch_id:
+                       _merge_scd1_batch(spark, batch_df, batch_id,
+                                         state_dir))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -473,3 +473,32 @@ def test_late_r7_plan_shapes(spark, sf_smoke):
     p = qs["g33_temporal_reachability"](spark, sf_smoke) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
+
+
+def test_incremental_scd1_equals_direct_and_replay_noop(spark, tmp_path):
+    import os
+
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        _merge_scd1_batch, read_rollup)
+    ev = spark.createDataFrame(
+        [(i, i % 5, "t%d" % (i % 3), float(i),
+          "2024-01-01 00:%02d:00" % (i % 60)) for i in range(40)],
+        "event_id long, user_id long, event_type string, value double, "
+        "s string").withColumn("ts", F.to_timestamp("s")).drop("s")
+    state = str(tmp_path / "scd1")
+    for bid, pred in enumerate(["event_id % 3 = 0", "event_id % 3 = 1",
+                                "event_id % 3 = 2"]):
+        _merge_scd1_batch(spark, ev.filter(pred), bid, state)
+    got = {(r.user_id): (r.ts, r.event_id, r.event_type) for r in
+           read_rollup(spark, state).collect()}
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    want = {r.user_id: (r.ts, r.event_id, r.event_type) for r in
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").collect()}
+    assert got == want
+    # replaying an old batch id is a no-op
+    before = open(os.path.join(state, "CURRENT")).read()
+    _merge_scd1_batch(spark, ev.limit(3), 0, state)
+    assert open(os.path.join(state, "CURRENT")).read() == before
