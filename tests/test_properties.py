@@ -495,3 +495,83 @@ def test_paragraph_dedup_conservation(spark, paras):
                   F.sum("n_kept").alias("nk")).collect()[0]
     assert agg.np == len(paras)
     assert agg.nk == len({p for _, _, p in paras})
+
+
+@SPARK_FAST
+@given(n_words=st.integers(0, 40), chunk=st.integers(1, 10),
+       stride_off=st.integers(0, 5))
+def test_overlap_chunks_reassembly_property(spark, n_words, chunk,
+                                            stride_off):
+    """For ANY (n_words, chunk_words ≥ stride): concatenating each
+    chunk's NEW words (the last `stride` of each window, all of the
+    first) reproduces the document exactly — no loss, no duplication
+    beyond the declared overlap."""
+    stride = max(1, chunk - stride_off)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(X.overlap_chunks(df, "doc_id", "text",
+                                   chunk_words=chunk,
+                                   stride=stride).collect(),
+                  key=lambda r: r.chunk_id)
+    if n_words == 0:
+        assert rows == []
+        return
+    rebuilt = []
+    for r in rows:
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(toks) == r.chunk_len
+        new = toks if r.chunk_id == 0 else toks[chunk - stride:]
+        rebuilt.extend(new)
+    assert rebuilt == words
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 99))
+def test_priority_dedup_partition_property(spark, seed):
+    """Kept rows are exactly one per distinct text; every kept row has
+    the minimal (rank, id) of its group; copies sum to the corpus."""
+    rng = np.random.RandomState(seed)
+    srcs = ["a", "b", "c"]
+    rows = [(i, "t%d" % rng.randint(0, 6), srcs[rng.randint(0, 3)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = D.priority_dedup(df, "doc_id", "text", "src",
+                           priority=["b", "c"]).collect()
+    rank = {"b": 0, "c": 1, "a": 2}
+    groups = {}
+    for i, t, s in rows:
+        groups.setdefault(t, []).append((rank[s], i, s))
+    assert len(out) == len(groups)
+    assert sum(r.n_copies for r in out) == len(rows)
+    by_id = {r.doc_id: r for r in out}
+    for t, members in groups.items():
+        rk, i, s = min(members)
+        assert i in by_id
+        assert by_id[i].source == s and by_id[i].src_rank == rk
+        assert by_id[i].n_copies == len(members)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 99))
+def test_segment_overlap_inclusion_exclusion(spark, seed):
+    """For ANY membership table: n_union = n_a + n_b − n_inter and both
+    n_inter ≤ min(n_a, n_b) and jaccard ∈ [0, 1] hold for every pair."""
+    from janusgraph_clickhouse_spark.functions.bitmaps import (
+        segment_overlap_matrix)
+    rng = np.random.RandomState(seed)
+    rows = [("s%d" % rng.randint(0, 4), int(rng.randint(0, 15)))
+            for _ in range(40)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    sets = {}
+    for s, u in rows:
+        sets.setdefault(s, set()).add(u)
+    out = segment_overlap_matrix(df, "uid", "seg").collect()
+    segs = sorted(sets)
+    assert len(out) == len(segs) * (len(segs) - 1) // 2
+    for r in out:
+        a, b = sets[r.seg_a], sets[r.seg_b]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.n_inter == len(a & b)
+        assert r.n_union == len(a | b) == r.n_a + r.n_b - r.n_inter
+        assert 0.0 <= r.jaccard <= 1.0
