@@ -412,3 +412,30 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
                    & (F.col("cum") - F.col("w") < F.col("r")))
     return hit.select(*group_cols, "pct",
                       F.col(val_col).alias("q_value"))
+
+
+def hll_sliding_estimate(regs: DataFrame, time_col: str = "h",
+                         step: int = 3600, window: int = 3) -> DataFrame:
+    """Sliding distinct-count from MERGEABLE register states (the
+    ClickHouse uniqMerge-over-a-window idiom): given per-bucket states
+    keyed by a time bucket (`hll_registers(df, col, [time_col])`),
+    the trailing-`window`-bucket estimate at each bucket is one
+    per-bucket MAX merge of the last `window` states — the fact table
+    is never rescanned, and each output hour touches exactly
+    `window`·256 state rows regardless of cardinality.
+
+    The shift-and-union form keeps it one plan: state at time t
+    contributes to outputs t, t+step, …, t+(window−1)·step; a semi-join
+    restricts outputs to buckets that actually exist (no phantom
+    trailing hours after the last data)."""
+    shifted = regs.select((F.col(time_col) + 0 * step).alias(time_col),
+                          "bucket", "m")
+    for k in range(1, window):
+        shifted = shifted.unionByName(
+            regs.select((F.col(time_col) + k * step).alias(time_col),
+                        "bucket", "m"))
+    hours = regs.select(time_col).distinct()
+    merged = (shifted.join(hours, time_col, "left_semi")
+              .groupBy(time_col, "bucket")
+              .agg(F.max("m").alias("m")))
+    return hll_estimate_from_registers(merged, [time_col])

@@ -1863,3 +1863,66 @@ def q55_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.when(n_f > 0,
                                 sum_f.cast("double") / n_f), 6)
                  .alias("avg_cents_f")))
+
+
+@query(
+    "q56_sliding_hll",
+    oracle="""
+    WITH r AS MATERIALIZED (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))
+                  AS BIGINT) AS h,
+             user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hh
+      FROM events),
+    b AS MATERIALIZED (
+      SELECT h, hh % 256 AS bucket,
+             CASE WHEN (hh >> 8) > 0 THEN 53 - length(bin(hh >> 8))
+                  ELSE 53 END AS rank
+      FROM r),
+    reg AS MATERIALIZED (
+      SELECT h, bucket, max(rank) AS m FROM b GROUP BY h, bucket),
+    hrs AS MATERIALIZED (SELECT DISTINCT h FROM reg),
+    mg AS MATERIALIZED (
+      SELECT hrs.h, rg.bucket, max(rg.m) AS m
+      FROM hrs JOIN reg rg
+        ON rg.h IN (hrs.h, hrs.h - 3600, hrs.h - 7200)
+      GROUP BY hrs.h, rg.bucket),
+    z AS MATERIALIZED (
+      SELECT h,
+             CAST(sum(CAST(2.0 ** (53 - m) AS BIGINT)) AS BIGINT)
+             + (256 - count(*)) * 9007199254740992 AS z
+      FROM mg GROUP BY h),
+    ex AS MATERIALIZED (
+      SELECT hrs.h, count(DISTINCT e.user_id) AS n_exact
+      FROM hrs JOIN r e ON e.h IN (hrs.h, hrs.h - 3600, hrs.h - 7200)
+      GROUP BY hrs.h)
+    SELECT z.h, round(4.2399330249068963e+20 / z.z, 4) AS uniq_estimate,
+           ex.n_exact
+    FROM z JOIN ex ON ex.h = z.h
+    """,
+)
+def q56_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-hour distinct users per hour, computed ENTIRELY from
+    hourly mergeable HLL states (functions.sketches.hll_sliding_estimate
+    — the uniqMerge-over-window idiom): each output hour merges 3×256
+    state rows by per-bucket MAX; the fact table is scanned once to
+    build the hourly states and never again.  The hash-match against
+    the oracle's full rederivation proves the window merge is exactly
+    a direct trailing-window sketch; exact distinct rides beside it."""
+    from ..functions.sketches import (hll_registers,
+                                      hll_sliding_estimate)
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.withColumn(
+        "h", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    regs = hll_registers(hours, "user_id", ["h"])
+    est = hll_sliding_estimate(regs, "h", step=3600, window=3)
+    hrs = regs.select("h").distinct()
+    ex = (hours.select("h", "user_id").alias("e")
+          .join(F.broadcast(hrs).alias("w"),
+                (F.col("e.h") == F.col("w.h"))
+                | (F.col("e.h") == F.col("w.h") - 3600)
+                | (F.col("e.h") == F.col("w.h") - 7200))
+          .groupBy(F.col("w.h").alias("h"))
+          .agg(F.countDistinct("e.user_id").alias("n_exact")))
+    return est.join(ex, "h")

@@ -502,3 +502,27 @@ def test_incremental_scd1_equals_direct_and_replay_noop(spark, tmp_path):
     before = open(os.path.join(state, "CURRENT")).read()
     _merge_scd1_batch(spark, ev.limit(3), 0, state)
     assert open(os.path.join(state, "CURRENT")).read() == before
+
+
+def test_hll_sliding_equals_direct_window_sketch(spark):
+    """The shift-union-merge of hourly states must equal sketching each
+    trailing window directly from the facts (merge associativity over
+    the window — the q56 claim)."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        hll_registers, hll_sliding_estimate)
+    ev = spark.createDataFrame(
+        [(i, i % 29, 3600 * (i % 5)) for i in range(300)],
+        "event_id long, user_id long, h long")
+    regs = hll_registers(ev, "user_id", ["h"])
+    got = {r.h: r.uniq_estimate for r in
+           hll_sliding_estimate(regs, "h", step=3600,
+                                window=3).collect()}
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        hll_estimate_from_registers)
+    hours = [r.h for r in regs.select("h").distinct().collect()]
+    for h in hours:
+        win = ev.filter(F.col("h").isin([h, h - 3600, h - 7200]))
+        direct = hll_registers(win, "user_id", []) \
+            .withColumn("h", F.lit(h))
+        want = hll_estimate_from_registers(direct, ["h"]).collect()[0]
+        assert got[h] == want.uniq_estimate, h
