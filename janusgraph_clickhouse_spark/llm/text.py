@@ -705,3 +705,58 @@ def source_keyness(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("rn") <= top)
             .select(F.col("src").alias("source"), F.col("w").alias("term"),
                     "c_ts", "pmi"))
+
+
+def length_ks_drift(df: DataFrame, id_col: str, text_col: str,
+                    source_col: str, round_dp: int = 6) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov statistic between
+    per-source DOCUMENT-LENGTH (word count) distributions — the
+    distribution-shift monitor that catches a source whose documents
+    got systematically shorter/longer even when vocabulary (l59) and
+    keyness (l64) look stable.
+
+    Exactness: KS = max |F_a(x) − F_b(x)| is evaluated by integer
+    cross-multiplication — d(x) = |cum_a(x)·n_b − cum_b(x)·n_a| is an
+    exact int64 (cumulative counts are windowed integer sums over a
+    unique axis), and KS = max d / (n_a·n_b) is one rounded division
+    at the edge.  No float participates in the max.
+
+    Scale shape: per-source length histograms are one hash aggregate
+    (length cardinality-bounded); the evaluation grid is
+    |source pairs| × |distinct lengths| rows assembled from broadcast
+    frames; one window pass per pair.  Returns (source_a, source_b,
+    n_a, n_b, d_max, ks)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(source_col).alias("src"),
+                     F.size(words).alias("len"))
+    counts = base.groupBy("src", "len").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    lens = counts.select("len").distinct()
+    ta = totals.select(F.col("src").alias("source_a"),
+                       F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"),
+                       F.col("n").alias("n_b"))
+    axis = (ta.crossJoin(F.broadcast(tb))
+            .filter(F.col("source_a") < F.col("source_b"))
+            .crossJoin(F.broadcast(lens)))
+    ca = counts.select(F.col("src").alias("source_a"), "len",
+                       F.col("c").alias("ca"))
+    cb = counts.select(F.col("src").alias("source_b"), "len",
+                       F.col("c").alias("cb"))
+    z = F.lit(0).cast("long")
+    g = (axis.join(ca, ["source_a", "len"], "left")
+         .join(cb, ["source_b", "len"], "left")
+         .select("source_a", "source_b", "n_a", "n_b", "len",
+                 F.coalesce("ca", z).alias("ca"),
+                 F.coalesce("cb", z).alias("cb")))
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("source_a", "source_b").orderBy("len")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    d = F.abs(F.sum("ca").over(w) * F.col("n_b")
+              - F.sum("cb").over(w) * F.col("n_a"))
+    return (g.withColumn("d", d)
+            .groupBy("source_a", "source_b", "n_a", "n_b")
+            .agg(F.max("d").alias("d_max"))
+            .withColumn("ks", F.round(
+                F.col("d_max") / (F.col("n_a") * F.col("n_b")),
+                round_dp)))

@@ -2870,3 +2870,50 @@ def l65_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                        X.language_id("text").alias("pred_lang"))
     return (pred.groupBy("true_lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "l66_length_ks_drift",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT source AS src,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS l
+      FROM documents),
+    c AS MATERIALIZED (
+      SELECT src, l, count(*) AS c FROM base GROUP BY 1, 2),
+    t AS MATERIALIZED (
+      SELECT src, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY src),
+    lens AS MATERIALIZED (SELECT DISTINCT l FROM c),
+    axis AS MATERIALIZED (
+      SELECT ta.src AS source_a, tb.src AS source_b,
+             ta.n AS n_a, tb.n AS n_b, lens.l AS l
+      FROM t ta JOIN t tb ON ta.src < tb.src, lens),
+    g AS MATERIALIZED (
+      SELECT a.source_a, a.source_b, a.n_a, a.n_b, a.l,
+             coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+      FROM axis a
+      LEFT JOIN c ca ON ca.src = a.source_a AND ca.l = a.l
+      LEFT JOIN c cb ON cb.src = a.source_b AND cb.l = a.l),
+    cum AS MATERIALIZED (
+      SELECT source_a, source_b, n_a, n_b,
+             CAST(abs(sum(ca) OVER w * n_b - sum(cb) OVER w * n_a)
+                  AS BIGINT) AS d
+      FROM g
+      WINDOW w AS (PARTITION BY source_a, source_b ORDER BY l
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT source_a, source_b, n_a, n_b,
+           CAST(max(d) AS BIGINT) AS d_max,
+           round(CAST(max(d) AS BIGINT)
+                 / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks
+    FROM cum GROUP BY 1, 2, 3, 4
+    """,
+)
+def l66_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS statistic between per-source document-
+    length distributions — the distribution-shift monitor beside l59's
+    vocabulary drift.  The max runs over exact integers (cumulative
+    count cross-multiplication), with one rounded division at the edge
+    (llm.text.length_ks_drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.length_ks_drift(docs, "doc_id", "text", "source")

@@ -526,3 +526,27 @@ def test_hll_sliding_equals_direct_window_sketch(spark):
             .withColumn("h", F.lit(h))
         want = hll_estimate_from_registers(direct, ["h"]).collect()[0]
         assert got[h] == want.uniq_estimate, h
+
+
+def test_length_ks_closed_form(spark):
+    """A: lengths {1,1,2,2} vs B: {2,2,3,3} → CDFs step at 1 (.5 vs 0),
+    2 (1 vs .5), 3 (1 vs 1) → KS = 0.5 at both x=1 and x=2."""
+    from janusgraph_clickhouse_spark.llm.text import length_ks_drift
+    def doc(n):
+        return " ".join(["w"] * n)
+    rows = ([(i, doc(1), "A") for i in range(2)]
+            + [(10 + i, doc(2), "A") for i in range(2)]
+            + [(20 + i, doc(2), "B") for i in range(2)]
+            + [(30 + i, doc(3), "B") for i in range(2)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    r = length_ks_drift(df, "doc_id", "text", "src").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.d_max == 8           # |2*4 - 0*4| at x=1
+    assert r.ks == 0.5
+    # identical distributions → KS = 0
+    df2 = spark.createDataFrame(
+        [(1, doc(3), "X"), (2, doc(5), "X"),
+         (3, doc(3), "Y"), (4, doc(5), "Y")],
+        "doc_id long, text string, src string")
+    r2 = length_ks_drift(df2, "doc_id", "text", "src").collect()[0]
+    assert r2.ks == 0.0 and r2.d_max == 0
