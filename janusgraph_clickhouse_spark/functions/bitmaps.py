@@ -29,8 +29,15 @@ def segment_members(df: DataFrame, member_col: str, segment_col: str,
     segment iff it has at least ``min_rows`` underlying rows there
     (min_rows=1 is plain DISTINCT; higher thresholds express
     "active-in-segment" membership).  One hash aggregate either way."""
-    pairs = df.select(F.col(segment_col).alias("seg"),
-                      F.col(member_col).alias("mid"))
+    # NULL members/segments are dropped BEFORE anything counts them:
+    # a NULL member would inflate n_a/n_b (distinct keeps the NULL row)
+    # while the intersection equi-join can never match it — the matrix
+    # would violate n_union = n_a + n_b − n_inter.  count(DISTINCT)
+    # semantics (NULL is not a member) keep the algebra exact.
+    pairs = (df.filter(F.col(segment_col).isNotNull()
+                       & F.col(member_col).isNotNull())
+             .select(F.col(segment_col).alias("seg"),
+                     F.col(member_col).alias("mid")))
     if min_rows <= 1:
         return pairs.distinct()
     return (pairs.groupBy("seg", "mid")

@@ -2001,7 +2001,12 @@ def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
     full-outer merge into the reached-state (_frontier_min_fixpoint).
     Loudly raises on max_iter exhaustion (the k_core precedent — a
     truncated result would silently overstate distances; negative-
-    weight cycles can never converge and surface the same way)."""
+    weight cycles can never converge and surface the same way).
+
+    NULL weights make dist + w NULL and min() skips NULLs — a
+    NULL-weight edge therefore never relaxes anything (it is
+    effectively absent); coalesce or filter upstream if edges with
+    unknown weight should mean something else."""
     edges = graph.edges.select(
         "src", "dst", F.col(weight_col).cast("long").alias("w"))
     if not directed:

@@ -550,3 +550,18 @@ def test_length_ks_closed_form(spark):
         "doc_id long, text string, src string")
     r2 = length_ks_drift(df2, "doc_id", "text", "src").collect()[0]
     assert r2.ks == 0.0 and r2.d_max == 0
+
+
+def test_segment_overlap_null_members_not_counted(spark):
+    """NULL members/segments are excluded on BOTH sides of the
+    algebra: sizes and intersections agree (count(DISTINCT)
+    semantics), so n_union = n_a + n_b − n_inter always holds."""
+    from janusgraph_clickhouse_spark.functions.bitmaps import (
+        segment_overlap_matrix)
+    rows = [("A", 1), ("A", None), ("B", 1), ("B", None), (None, 2)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = segment_overlap_matrix(df, "uid", "seg").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b, r.n_inter, r.n_union) == (1, 1, 1, 1)
+    assert r.jaccard == 1.0
