@@ -810,3 +810,66 @@ def incremental_scd1(spark: SparkSession, events_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def foreach_batch_jdbc_apply(spark: SparkSession, batch_df: DataFrame,
+                             batch_id: int, url: str, table: str,
+                             **jdbc_options) -> bool:
+    """One effectively-once micro-batch apply into a JDBC sink — the
+    reference's txlog→JDBC write path (QueryHelper.java:224-317 batched
+    inserts) with the exactly-once recipe the Kafka source docstring
+    promises, executed for real:
+
+    - an append-only LEDGER table (`<table>_ledger`, one row per
+      applied batch id) is consulted first: a replayed batch id ≤ the
+      ledger max is SKIPPED — foreachBatch is at-least-once, and
+      without the guard a replay double-appends;
+    - the batch's rows append with their batch_id (audit lineage);
+      read-side, the current state is the argMax-(ts, event_id) row
+      per key (read_jdbc_current_state) — append-only writes +
+      latest-wins reads make the sink idempotent without needing JDBC
+      DELETE support, the same immutable-versions idea as the parquet
+      rollups.
+
+    The ledger append commits AFTER the data append: a crash between
+    the two replays the batch, the guard misses (ledger has no row),
+    the data appends AGAIN — and latest-wins reads still return the
+    same state because the duplicate rows tie on (batch_id, ts,
+    event_id) and carry identical payloads.  Returns True if the batch
+    was applied, False if skipped (so tests can pin the guard)."""
+    from ..sources.formats import read_jdbc, write_jdbc
+    ledger = f"{table}_ledger"
+    try:
+        cur = (read_jdbc(spark, url, ledger, **jdbc_options)
+               .agg(F.max("batch_id").alias("b")).collect()[0]["b"])
+    except Exception:
+        cur = None  # first batch: ledger doesn't exist yet
+    if cur is not None and batch_id <= cur:
+        return False
+    rows = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+    write_jdbc(rows, url, table, mode="append", **jdbc_options)
+    one = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+    write_jdbc(one, url, ledger, mode="append", **jdbc_options)
+    return True
+
+
+def read_jdbc_current_state(spark: SparkSession, url: str, table: str,
+                            key: str = "user_id",
+                            **jdbc_options) -> DataFrame:
+    """Latest-wins read over the append-only JDBC apply log: one row
+    per key, the argMax-(ts, event_id) version.  EVENT time, not batch
+    id, decides the winner — micro-batches are not guaranteed to be
+    time-ordered across the log (a file source chunks arbitrarily; a
+    Kafka source orders only within a partition), so ranking by
+    batch_id first would resurrect an old state whenever an older
+    event arrived in a later batch.  Duplicate appends from a
+    crash-replay collapse here too (identical rows; dropDuplicates
+    removes the copies)."""
+    from pyspark.sql import Window
+
+    from ..sources.formats import read_jdbc
+    df = read_jdbc(spark, url, table, **jdbc_options).dropDuplicates()
+    w = Window.partitionBy(key).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
