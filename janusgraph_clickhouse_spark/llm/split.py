@@ -352,3 +352,42 @@ def exact_stratified_split(df: DataFrame, id_col: str, strata_col: str,
                       F.col(strata_col).eqNullSafe(F.col("__strat")))
             .withColumn("split", split)
             .drop("rn", "c0", "c1", "__strat"))
+
+
+def leakage_free_split(df: DataFrame, id_col: str, text_col: str,
+                       train_pct: int = 85, n: int = 5,
+                       salt: str = "lfs") -> DataFrame:
+    """Leakage-free train/test split: deterministic hash-bucket
+    membership FIRST (pure function of the id — the module contract),
+    then every train doc sharing a word n-gram with ANY test doc is
+    QUARANTINED — the composition every pretraining pipeline actually
+    needs, because a plain split leaves eval-set n-grams in the
+    training corpus and a plain decontamination has no split to
+    protect.  Returns (id, split) with split ∈ {train, test,
+    quarantined}; test membership is never affected (the held-out set
+    stays exactly the hash bucket — only the TRAIN side shrinks).
+
+    Scale shape: one shingle pass; the leak check is a distinct on the
+    test side's hashed shingles plus one semi-join — 8-byte shuffle
+    keys, fan-out only on genuinely shared shingles (the l21
+    economics).  Docs too short to shingle cannot leak and stay
+    train."""
+    from .dedup import shingle_sets
+    b = hash_bucket(id_col, 100, salt)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(b < train_pct, F.lit("train")).otherwise("test")
+        .alias("split0"))
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    test_ids = base.filter(F.col("split0") == "test").select("id")
+    test_shingles = (sh.join(test_ids, "id", "left_semi")
+                     .select("shingle").distinct())
+    leaked = (sh.join(test_ids, "id", "left_anti")
+              .join(test_shingles, "shingle", "left_semi")
+              .select("id").distinct()
+              .withColumn("leak", F.lit(True)))
+    return (base.join(leaked, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.when(F.col("split0") == "test", "test")
+                    .when(F.col("leak"), "quarantined")
+                    .otherwise("train").alias("split")))

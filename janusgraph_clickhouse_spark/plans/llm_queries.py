@@ -2917,3 +2917,53 @@ def l66_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm.text.length_ks_drift)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.length_ks_drift(docs, "doc_id", "text", "source")
+
+
+@query(
+    "l67_leakage_free_split",
+    oracle="""
+    WITH b AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('lfs' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 100 < 85
+                  THEN 'train' ELSE 'test' END AS split0
+      FROM documents),
+    toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+      FROM toks),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word
+             || ' ' || e.word AS s
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+      JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+    tset AS MATERIALIZED (
+      SELECT DISTINCT s FROM sh JOIN b USING (doc_id)
+      WHERE b.split0 = 'test'),
+    leaked AS MATERIALIZED (
+      SELECT DISTINCT sh.doc_id FROM sh
+      JOIN b ON b.doc_id = sh.doc_id AND b.split0 = 'train'
+      WHERE sh.s IN (SELECT s FROM tset))
+    SELECT b.doc_id,
+           CASE WHEN b.split0 = 'test' THEN 'test'
+                WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+                ELSE 'train' END AS split
+    FROM b LEFT JOIN leaked l ON l.doc_id = b.doc_id
+    """,
+)
+def l67_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: 85/15 hash-bucket membership, then every
+    train doc sharing a word 5-gram with any test doc is quarantined —
+    the split + decontamination composition a pretraining pipeline
+    runs as ONE operator so the two stages can't drift
+    (llm.split.leakage_free_split; the test side is untouched, only
+    train shrinks)."""
+    from ..llm.split import leakage_free_split
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_free_split(docs, "doc_id", "text",
+                              train_pct=85, n=5)

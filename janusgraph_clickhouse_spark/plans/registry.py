@@ -83,6 +83,12 @@ def query(name: str, oracle: str | None = None):
 # guard, g31 shared max_levels — both no-ops on this fixture) and the
 # l51 (identical changed machinery to the windowed l50) stay in the
 # tail under the local parity sweep; l51 is due a real row by r8.
+# LATE-r7 rule-2 candidates that arrived after this window was frozen
+# (q42/q53 weight_col param, l30 candidate checkpoint, s12 stamp
+# refactor, g32/g05-adjacent fixpoint extraction): result-identical
+# changes, each re-verified green at both scales in fresh driver-sims
+# the day they landed, all covered by the full local parity sweep —
+# they queue behind the r8 pre-derivation like any other tail name.
 DRIVER_PRIORITY: list[str] = [
     # rule 1: the 46 names whose newest real driver row is r3
     "q02_slice_multikey", "q04_multi_range_scan",
@@ -169,7 +175,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "l64_source_keyness": 7, "g33_temporal_reachability": 7,
     "s21_interval_full_join": 7, "l65_langid_confusion": 7,
     "s22_incremental_scd1": 7, "q56_sliding_hll": 7,
-    "l66_length_ks_drift": 7,
+    "l66_length_ks_drift": 7, "l67_leakage_free_split": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

@@ -565,3 +565,40 @@ def test_segment_overlap_null_members_not_counted(spark):
     r = out[0]
     assert (r.n_a, r.n_b, r.n_inter, r.n_union) == (1, 1, 1, 1)
     assert r.jaccard == 1.0
+
+
+def test_leakage_free_split_quarantines_only_leaky_train(spark):
+    """A train doc sharing a 3-gram with a test doc is quarantined; a
+    clean train doc and every test doc keep their hash-bucket split;
+    too-short docs cannot leak."""
+    from janusgraph_clickhouse_spark.llm.split import (hash_bucket,
+                                                       leakage_free_split)
+    from pyspark.sql import functions as F
+    rows = [(i, t) for i, t in [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # shares 'alpha beta gamma'
+        (3, "zeta eta theta iota"),        # clean
+        (4, "xy"),                         # too short to shingle
+    ]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.split for r in
+           leakage_free_split(df, "doc_id", "text", train_pct=85,
+                              n=3, salt="lfs").collect()}
+    buckets = {r.doc_id: r.b for r in
+               df.select("doc_id", hash_bucket("doc_id", 100, "lfs")
+                         .alias("b")).collect()}
+    test_ids = {i for i, b in buckets.items() if b >= 85}
+    for i in out:
+        if i in test_ids:
+            assert out[i] == "test"
+    train_ids = set(out) - test_ids
+    # doc 4 can never be quarantined (no 3-grams)
+    if 4 in train_ids:
+        assert out[4] == "train"
+    # if exactly one of doc1/doc2 is test, the other must be quarantined
+    pair = {1, 2}
+    if len(pair & test_ids) == 1:
+        (tr,) = pair - test_ids
+        assert out[tr] == "quarantined"
+    elif not (pair & test_ids):
+        assert out[1] == "train" and out[2] == "train"
