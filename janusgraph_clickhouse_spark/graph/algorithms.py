@@ -922,6 +922,14 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     if not _edges_aligned(graph):
         edges = edges.repartition(width, "src")
     edges = edges.cache()
+    # second cached orientation, partitioned on dst: the hub half-step
+    # joins on dst, and without this the whole edge set re-shuffles
+    # EVERY iteration (8× at the default) — the classic CSR/CSC dual
+    # adjacency, paid once in cache memory instead of per-iteration
+    # network.  Same-box A/B at sf0.1: ~5% on local[32] (shuffle is
+    # in-memory there); on a real cluster the saved exchanges are
+    # cross-node network, which is the point.
+    edges_by_dst = edges.repartition(width, "dst").cache()
     state = graph.vertices.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     for t in range(max_iter):
@@ -941,8 +949,9 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                       F.coalesce("a_raw", F.lit(0.0)).alias("authority"))
               .localCheckpoint(eager=True))
         # hubs from authorities: messages flow dst→src, keyed on dst
-        h_msgs = (edges.join(st.select(F.col("id").alias("dst"),
-                                       "authority"), "dst")
+        h_msgs = (edges_by_dst
+                  .join(st.select(F.col("id").alias("dst"),
+                                  "authority"), "dst")
                   .groupBy(F.col("src").alias("id"))
                   .agg(F.sum("authority").alias("h_raw")))
         state = (st.join(h_msgs, "id", "left")
@@ -964,6 +973,7 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
                      norm_a.alias("authority"))
              .localCheckpoint(eager=True))
     edges.unpersist()
+    edges_by_dst.unpersist()
     return state.select("id", "hub", "authority")
 
 
