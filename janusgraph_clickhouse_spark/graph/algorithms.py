@@ -2022,7 +2022,13 @@ def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
     if not directed:
         edges = edges.unionAll(edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
-    edges = edges.cache()  # re-joined every round
+    # pre-partition on the join key (the pagerank/hits discipline):
+    # while the frontier is small it broadcasts and the cache is
+    # scanned in place, but once a frontier crosses the broadcast
+    # threshold the join shuffles — and an unaligned edge cache would
+    # re-shuffle the WHOLE edge set every such round
+    width = graph.vertices.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(width, "src").cache()
     spark = graph.vertices.sparkSession
     state = spark.createDataFrame(
         [(int(s), 0) for s in source_ids], "id long, val long")
@@ -2060,7 +2066,10 @@ def temporal_reachability(edges: DataFrame, source_ids: list[int],
     (_frontier_min_fixpoint) with the relax condition e.ts >= arr(u)
     inside the frontier join; same loud max_iter contract."""
     e = edges.select("src", "dst", F.col("ts").cast("long").alias("t"))
-    e = e.cache()
+    # aligned cache for the same reason as sssp_weighted: shuffle-join
+    # rounds (large frontiers) must not re-shuffle the edge set
+    width = edges.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(width, "src").cache()
     spark = edges.sparkSession
     state = spark.createDataFrame(
         [(int(s), int(start_ts)) for s in source_ids], "id long, val long")
