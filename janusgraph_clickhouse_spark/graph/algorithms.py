@@ -1952,7 +1952,7 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
                     F.round(F.col("bc_micro") / F.lit(1e6), 6).alias("bc")))
 
 
-def _frontier_min_fixpoint(edges, state, make_candidates,
+def _frontier_min_fixpoint(state, make_candidates,
                            max_iter: int, broadcast_threshold: int,
                            op_name: str):
     """Shared monotone-minimum frontier fixpoint (the sparse "SPFA"
@@ -2040,7 +2040,7 @@ def sssp_weighted(graph: PropertyGraph, source_ids: list[int],
                 .agg(F.min(F.col("val") + F.col("w")).alias("cand")))
 
     try:
-        out = _frontier_min_fixpoint(edges, state, make_candidates,
+        out = _frontier_min_fixpoint(state, make_candidates,
                                      max_iter, broadcast_threshold,
                                      "sssp_weighted")
     finally:
@@ -2081,7 +2081,7 @@ def temporal_reachability(edges: DataFrame, source_ids: list[int],
                 .agg(F.min("t").alias("cand")))
 
     try:
-        out = _frontier_min_fixpoint(e, state, make_candidates,
+        out = _frontier_min_fixpoint(state, make_candidates,
                                      max_iter, broadcast_threshold,
                                      "temporal_reachability")
     finally:

@@ -1129,6 +1129,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     output.  Documents shorter than k + window − 1 words emit no
     fingerprints (no full window exists — documented MOSS behavior).
 
+    SPLIT with text.rolling_fingerprints — the same scheme as a
+    per-document column expression (xxhash64 array ops, zero shuffles,
+    no SQL oracle possible); THIS form uses engine-portable md5 and a
+    window pass so the cross-document pair join is hash-checkable
+    (l62).  Keep tie/selection rules in sync if either changes.
+
     Scale shape: shingle hashing is scan-side codegen over the word
     array; the window min is ONE ordered window pass keyed on the
     document (rows ∝ words); output is the distinct (id, fp) set."""

@@ -112,7 +112,16 @@ def rolling_fingerprints(text_col: str | Column, k: int = 5,
                          window: int = 4) -> Column:
     """Winnowing-style fingerprint set: xxhash64 over word k-shingles,
     then the min hash of each sliding window of `window` consecutive
-    shingle hashes (array expressions only; dedup via array_distinct)."""
+    shingle hashes (array expressions only; dedup via array_distinct).
+
+    SPLIT with dedup.winnow_fingerprints — two deliberate variants of
+    the same scheme: this one is a scan-side COLUMN expression
+    (xxhash64, array ops — zero shuffles, used per-doc in l09-style
+    projections, not SQL-rederivable since DuckDB lacks xxhash64); the
+    dedup module's is a DataFrame operator (engine-portable md5, one
+    window pass) whose fingerprints feed a cross-document pair join
+    and a hash-checked oracle (l62).  Keep tie/selection rules in sync
+    if either changes."""
     t = tokens(text_col)
     n = F.size(t)
     empty = F.array().cast("array<bigint>")
@@ -550,7 +559,7 @@ def entropy_stats(df: DataFrame, id_col: str, text_col: str,
                     "chars_entropy"))
 
 
-def vocab_js_drift(df: DataFrame, id_col: str, text_col: str,
+def vocab_js_drift(df: DataFrame, text_col: str,
                    source_col: str, round_dp: int = 6) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between per-source unigram
     word distributions — the corpus-drift / source-mixture diagnostic
@@ -670,7 +679,7 @@ def overlap_chunks(df: DataFrame, id_col: str, text_col: str,
         chunk.alias("chunk_text"))
 
 
-def source_keyness(df: DataFrame, id_col: str, text_col: str,
+def source_keyness(df: DataFrame, text_col: str,
                    source_col: str, min_count: int = 5, top: int = 5,
                    round_dp: int = 6) -> DataFrame:
     """Per-source DISTINCTIVE terms by pointwise mutual information:
@@ -707,7 +716,7 @@ def source_keyness(df: DataFrame, id_col: str, text_col: str,
                     "c_ts", "pmi"))
 
 
-def length_ks_drift(df: DataFrame, id_col: str, text_col: str,
+def length_ks_drift(df: DataFrame, text_col: str,
                     source_col: str, round_dp: int = 6) -> DataFrame:
     """Pairwise two-sample Kolmogorov-Smirnov statistic between
     per-source DOCUMENT-LENGTH (word count) distributions — the

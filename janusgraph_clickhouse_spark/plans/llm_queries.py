@@ -2641,7 +2641,7 @@ def l59_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     190-pair matrix hashes identically across engines
     (llm.text.vocab_js_drift)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.vocab_js_drift(docs, "doc_id", "text", "source")
+    return X.vocab_js_drift(docs, "text", "source")
 
 
 @query(
@@ -2825,7 +2825,7 @@ def l64_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge; top-5 per source with the term tiebreak
     (llm.text.source_keyness)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.source_keyness(docs, "doc_id", "text", "source",
+    return X.source_keyness(docs, "text", "source",
                             min_count=5, top=5)
 
 
@@ -2916,7 +2916,7 @@ def l66_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count cross-multiplication), with one rounded division at the edge
     (llm.text.length_ks_drift)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.length_ks_drift(docs, "doc_id", "text", "source")
+    return X.length_ks_drift(docs, "text", "source")
 
 
 @query(

@@ -196,15 +196,18 @@ REGISTERED_ROUND: dict[str, int] = {
 #    rows leave the horizon at r9): q43 q44 q45, s14 s16,
 #    g29 g30 g31, l48 l49 l50 l51 l52.
 # 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
-# rule-4 (new in r8) names, else to the 29 round-7 registrations not
-# yet windowed (q47-q55, s17-s21, l53-l65, g32 g33 — virtual r6 rows,
-# due r9; q46 and l50 were windowed in r7 itself).  At N=174 the lag
-# stays ceil(174/50)=4 files, but the 29 r7 names CANNOT all fit in
-# r8's 4 spare slots — r9's window must lead with whatever subset of
-# them r8 leaves unwindowed (they are all dual-scale parity-green
-# locally, which is what makes the r9 due date safe).  Re-derive
-# every cohort from REGISTERED_ROUND ∪ the correctness files at r8 —
-# do not trust this enumeration any more than r7 could trust r6's.
+# rule-4 (new in r8) names, else to the round-7 registrations.  NONE
+# of the 34 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
+# registration under rule 2 — displaced even q46): the unwindowed r7
+# cohort is q46-q56, s17-s22, l53-l67, g32, g33, all carrying virtual
+# r6 rows and due r9.  At N=178 the lag is ceil(178/50)=4 files; the
+# 34 names cannot fit in r8's ~4 spare slots, so r9's window must
+# lead with whatever subset r8 leaves unwindowed (every one is
+# dual-scale parity-green locally, which is what makes the r9 due
+# date safe).  Re-derive every cohort from REGISTERED_ROUND ∪ the
+# correctness files at r8 — do not trust this enumeration any more
+# than r7 could trust r6's (this very comment misstated the cohort as
+# 29 until a review pass recounted it).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

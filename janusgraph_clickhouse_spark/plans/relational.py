@@ -1667,7 +1667,9 @@ def q50_range_frame_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS MATERIALIZED (
       SELECT event_type AS seg, user_id AS mid
-      FROM events GROUP BY 1, 2 HAVING count(*) >= 14),
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) >= 14),
     s AS MATERIALIZED (SELECT seg, count(*) AS n FROM m GROUP BY seg),
     i AS MATERIALIZED (
       SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_inter
@@ -1917,12 +1919,17 @@ def q56_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
     regs = hll_registers(hours, "user_id", ["h"])
     est = hll_sliding_estimate(regs, "h", step=3600, window=3)
-    hrs = regs.select("h").distinct()
-    ex = (hours.select("h", "user_id").alias("e")
-          .join(F.broadcast(hrs).alias("w"),
-                (F.col("e.h") == F.col("w.h"))
-                | (F.col("e.h") == F.col("w.h") - 3600)
-                | (F.col("e.h") == F.col("w.h") - 7200))
-          .groupBy(F.col("w.h").alias("h"))
-          .agg(F.countDistinct("e.user_id").alias("n_exact")))
+    # exact side: explode the 3 window offsets on the BROADCAST hour
+    # frame and equi-join — an OR-of-equalities condition cannot
+    # hash-join and would run a BroadcastNestedLoopJoin over the whole
+    # fact table (the g17-class join-shape pathology)
+    wexp = (regs.select("h").distinct()
+            .select(F.col("h").alias("wh"),
+                    F.explode(F.array(F.lit(0), F.lit(3600),
+                                      F.lit(7200))).alias("off"))
+            .select("wh", (F.col("wh") - F.col("off")).alias("h")))
+    ex = (hours.select("h", "user_id")
+          .join(F.broadcast(wexp), "h")
+          .groupBy(F.col("wh").alias("h"))
+          .agg(F.countDistinct("user_id").alias("n_exact")))
     return est.join(ex, "h")

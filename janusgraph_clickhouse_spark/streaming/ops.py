@@ -543,11 +543,33 @@ def _rollup_current(rollup_dir: str) -> int | None:
         return int(f.read().strip()[1:])
 
 
+def _commit_state_version(state_dir: str, batch_id: int,
+                          cur: int | None, df: DataFrame) -> None:
+    """THE version-commit protocol every incremental state merge
+    shares (count/sum rollup, HLL registers, SCD1): write the
+    immutable v<batch_id> dir, flip the CURRENT pointer atomically
+    (temp-write + os.replace), then GC everything but the new and
+    previous versions.  One copy — a future fix to the pointer or GC
+    logic cannot silently diverge the three merges' crash stories."""
+    import os
+    import shutil
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+    for name in os.listdir(state_dir):
+        if (name.startswith("v") and name[1:].isdigit()
+                and int(name[1:]) not in (batch_id, cur)):
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)
+
+
 def _merge_rollup_batch(spark: SparkSession, batch_df: DataFrame,
                         batch_id: int, rollup_dir: str) -> None:
     """One idempotent merge step (see incremental_rollup)."""
     import os
-    import shutil
 
     os.makedirs(rollup_dir, exist_ok=True)
     cur = _rollup_current(rollup_dir)
@@ -564,18 +586,7 @@ def _merge_rollup_batch(spark: SparkSession, batch_df: DataFrame,
                .groupBy("h", "event_type")
                .agg(F.sum("cnt").alias("cnt"),
                     F.sum("sum_raw").alias("sum_raw")))
-    vdir = os.path.join(rollup_dir, f"v{batch_id}")
-    agg.write.mode("overwrite").parquet(vdir)
-    tmp = os.path.join(rollup_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{batch_id}")
-    os.replace(tmp, os.path.join(rollup_dir, "CURRENT"))
-    # GC: keep the new and the previous version only
-    for name in os.listdir(rollup_dir):
-        if (name.startswith("v") and name[1:].isdigit()
-                and int(name[1:]) not in (batch_id, cur)):
-            shutil.rmtree(os.path.join(rollup_dir, name),
-                          ignore_errors=True)
+    _commit_state_version(rollup_dir, batch_id, cur, agg)
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
@@ -653,7 +664,6 @@ def _merge_hll_batch(spark: SparkSession, batch_df: DataFrame,
     but the persisted state is the per-hour REGISTER table and the
     merge is per-bucket MAX — the uniqMerge half of the sketch."""
     import os
-    import shutil
 
     from ..functions.sketches import hll_registers
 
@@ -669,17 +679,7 @@ def _merge_hll_batch(spark: SparkSession, batch_df: DataFrame,
         regs = (current.unionByName(regs)
                 .groupBy("h", "bucket")
                 .agg(F.max("m").alias("m")))
-    vdir = os.path.join(state_dir, f"v{batch_id}")
-    regs.write.mode("overwrite").parquet(vdir)
-    tmp = os.path.join(state_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{batch_id}")
-    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-    for name in os.listdir(state_dir):
-        if (name.startswith("v") and name[1:].isdigit()
-                and int(name[1:]) not in (batch_id, cur)):
-            shutil.rmtree(os.path.join(state_dir, name),
-                          ignore_errors=True)
+    _commit_state_version(state_dir, batch_id, cur, regs)
 
 
 def incremental_hll_rollup(spark: SparkSession, events_dir: str,
@@ -752,7 +752,6 @@ def _merge_scd1_batch(spark: SparkSession, batch_df: DataFrame,
     by per-key struct MAX (associative AND idempotent, like the HLL
     register merge); same version-dir protocol."""
     import os
-    import shutil
 
     os.makedirs(state_dir, exist_ok=True)
     cur = _rollup_current(state_dir)
@@ -775,17 +774,7 @@ def _merge_scd1_batch(spark: SparkSession, batch_df: DataFrame,
                   .agg(F.max("s").alias("s")))
     flat = latest.select("user_id", "s.ts", "s.event_id",
                          "s.event_type", "s.cents")
-    vdir = os.path.join(state_dir, f"v{batch_id}")
-    flat.write.mode("overwrite").parquet(vdir)
-    tmp = os.path.join(state_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{batch_id}")
-    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-    for name in os.listdir(state_dir):
-        if (name.startswith("v") and name[1:].isdigit()
-                and int(name[1:]) not in (batch_id, cur)):
-            shutil.rmtree(os.path.join(state_dir, name),
-                          ignore_errors=True)
+    _commit_state_version(state_dir, batch_id, cur, flat)
 
 
 def incremental_scd1(spark: SparkSession, events_dir: str,
@@ -842,7 +831,17 @@ def foreach_batch_jdbc_apply(spark: SparkSession, batch_df: DataFrame,
     try:
         cur = (read_jdbc(spark, url, ledger, **jdbc_options)
                .agg(F.max("batch_id").alias("b")).collect()[0]["b"])
-    except Exception:
+    except Exception as exc:
+        # ONLY table-absence means "first batch".  A blanket catch
+        # would treat a transient read failure (lock timeout, network
+        # blip, bad option) during a REPLAY as first-batch too,
+        # silently disabling the replay guard and double-appending —
+        # any other failure must surface.
+        msg = str(exc).lower()
+        if not any(p in msg for p in
+                   ("does not exist", "not found", "table_or_view",
+                    "42x05")):  # Derby's missing-table SQLState
+            raise
         cur = None  # first batch: ledger doesn't exist yet
     if cur is not None and batch_id <= cur:
         return False

@@ -44,7 +44,7 @@ def test_vocab_js_drift_identical_and_disjoint(spark):
             (2, "x y z", "s3")]                        # disjoint vocab
     df = spark.createDataFrame(rows, "doc_id long, text string, src string")
     out = {(r.source_a, r.source_b): r for r in
-           vocab_js_drift(df, "doc_id", "text", "src").collect()}
+           vocab_js_drift(df, "text", "src").collect()}
     assert out[("s1", "s2")].js_divergence == 0.0
     assert out[("s1", "s2")].shared_vocab == 3
     # disjoint support → JS = ln 2 exactly
@@ -59,7 +59,7 @@ def test_vocab_js_drift_hand_computed(spark):
     df = spark.createDataFrame(
         [(0, "a a b", "p"), (1, "a b b", "q")],
         "doc_id long, text string, src string")
-    r = vocab_js_drift(df, "doc_id", "text", "src").collect()[0]
+    r = vocab_js_drift(df, "text", "src").collect()[0]
     p, q, m = 2 / 3, 1 / 3, 1 / 2
     expected = 0.5 * (p * math.log(p / m) + q * math.log(q / m)
                       + q * math.log(q / m) + p * math.log(p / m))
@@ -373,7 +373,7 @@ def test_source_keyness_closed_form(spark):
         [(1, a_text, "A"), (2, b_text, "B")],
         "doc_id long, text string, src string")
     out = {(r.source, r.term): r.pmi for r in
-           source_keyness(df, "doc_id", "text", "src",
+           source_keyness(df, "text", "src",
                           min_count=5, top=5).collect()}
     assert out[("A", "x")] == round(math.log(2.0), 6)
     assert out[("B", "y")] == round(math.log(2.0), 6)
@@ -474,6 +474,14 @@ def test_late_r7_plan_shapes(spark, sf_smoke):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
 
+    # q56's exact side must stay the exploded-offset EQUI-join — the
+    # OR-of-equalities form ran a BroadcastNestedLoopJoin over the
+    # whole fact table (review finding)
+    p = qs["q56_sliding_hll"](spark, sf_smoke) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
 
 def test_incremental_scd1_equals_direct_and_replay_noop(spark, tmp_path):
     import os
@@ -539,7 +547,7 @@ def test_length_ks_closed_form(spark):
             + [(20 + i, doc(2), "B") for i in range(2)]
             + [(30 + i, doc(3), "B") for i in range(2)])
     df = spark.createDataFrame(rows, "doc_id long, text string, src string")
-    r = length_ks_drift(df, "doc_id", "text", "src").collect()[0]
+    r = length_ks_drift(df, "text", "src").collect()[0]
     assert (r.n_a, r.n_b) == (4, 4)
     assert r.d_max == 8           # |2*4 - 0*4| at x=1
     assert r.ks == 0.5
@@ -548,7 +556,7 @@ def test_length_ks_closed_form(spark):
         [(1, doc(3), "X"), (2, doc(5), "X"),
          (3, doc(3), "Y"), (4, doc(5), "Y")],
         "doc_id long, text string, src string")
-    r2 = length_ks_drift(df2, "doc_id", "text", "src").collect()[0]
+    r2 = length_ks_drift(df2, "text", "src").collect()[0]
     assert r2.ks == 0.0 and r2.d_max == 0
 
 
