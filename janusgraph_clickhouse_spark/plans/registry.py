@@ -176,6 +176,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "s21_interval_full_join": 7, "l65_langid_confusion": 7,
     "s22_incremental_scd1": 7, "q56_sliding_hll": 7,
     "l66_length_ks_drift": 7, "l67_leakage_free_split": 7,
+    "q57_jsonl_roundtrip": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the

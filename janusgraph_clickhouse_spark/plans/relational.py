@@ -1933,3 +1933,74 @@ def q56_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy(F.col("wh").alias("h"))
           .agg(F.countDistinct("user_id").alias("n_exact")))
     return est.join(ex, "h")
+
+
+@query(
+    "q57_jsonl_roundtrip",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))
+                AS BIGINT) AS h,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM events GROUP BY h, event_type
+    """,
+)
+def q57_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round trip, driver-checked end to end: the
+    events table is serialized to JSON-lines (timestamps as integer
+    epoch-micros — JSON has no timestamp type and string formats are
+    round-trip bait), read back through the corpus reader's PERMISSIVE
+    quarantine path with an explicit schema, and rolled up hourly.
+    The rollup must hash-match the oracle computed on the ORIGINAL
+    parquet — proving the sink+source pair is lossless — and the
+    corrupt-line count (0 on a clean write) rides in the result so a
+    lossy serialization could not silently drop rows and still pass
+    the count check (sources.formats.read_jsonl_corpus /
+    write_jsonl_corpus)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.formats import read_jsonl_corpus, write_jsonl_corpus
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q57_jsonl_")
+    try:
+        out = os.path.join(work, "events.jsonl")
+        write_jsonl_corpus(
+            ev.select("event_id", "user_id", "event_type", "value",
+                      "props",
+                      F.unix_micros(F.col("ts")).alias("ts_us")), out)
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ])
+        # Spark refuses to query the internal corrupt-record column
+        # straight off a raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_
+        # CORRUPT_RECORD_COLUMN); the documented pattern is to cache
+        # the parsed frame first — fine here, the audit + rollup both
+        # consume it and it unpersists before return
+        back = read_jsonl_corpus(spark, out, schema).cache()
+        audit = (back.agg(
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+            .alias("n_corrupt")))
+        res = (back
+               .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+               .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                        .alias("h"), "event_type")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long")).alias("sum_cents"))
+               .crossJoin(F.broadcast(audit))
+               .localCheckpoint())
+        back.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return res

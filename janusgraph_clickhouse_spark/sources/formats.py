@@ -91,3 +91,49 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: T.StructType, mode: str = "PERMISSIVE",
+                      corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSONL corpus reader with an EXPLICIT malformed-line policy —
+    the LLM-corpus interchange format (one JSON document per line).
+    Crawl dumps always contain torn/truncated/invalid lines, and the
+    three ways to handle them are three different pipelines:
+
+    - PERMISSIVE (default here): bad lines become rows whose typed
+      columns are NULL and whose raw text lands in `corrupt_col` — the
+      quarantine you can COUNT and AUDIT instead of silently losing;
+    - DROPMALFORMED: bad lines vanish (biases the corpus — only for
+      flows that audited first);
+    - FAILFAST: the batch refuses (ingest gates).
+
+    The corrupt column must be part of the declared schema for Spark
+    to populate it, so PERMISSIVE appends it; explicit schema always
+    (no inference pass over a 100 TB dump)."""
+    s = schema
+    if mode == "PERMISSIVE" and corrupt_col:
+        if corrupt_col in schema.fieldNames():
+            raise ValueError(
+                f"corrupt_col {corrupt_col!r} collides with a schema "
+                f"field; rename one")
+        s = T.StructType(list(schema.fields)
+                         + [T.StructField(corrupt_col, T.StringType())])
+    return (spark.read.schema(s)
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
+def write_jsonl_corpus(df: DataFrame, path: str,
+                       compression: str | None = None) -> None:
+    """JSONL corpus writer (one JSON document per line, optional
+    gzip/zstd per-file compression — the interchange format every
+    LLM-data tool reads).  Serialize timestamps to integer epoch
+    columns BEFORE writing when the round trip must be exact: JSON
+    has no timestamp type and string round-trips are locale/format
+    bait (the q57 discipline)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

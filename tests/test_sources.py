@@ -341,3 +341,47 @@ def test_zorder_key_rejects_out_of_domain(spark):
     ok = spark.createDataFrame([(3, 1)], "x long, y long")
     assert ok.select(zorder_key(["x", "y"], bits=8).alias("z")) \
              .collect()[0].z == 0b111
+
+
+def test_jsonl_corpus_corrupt_record_policies(spark, tmp_path):
+    """The three malformed-line policies behave as declared: PERMISSIVE
+    quarantines the bad line in _corrupt_record, DROPMALFORMED drops
+    it, FAILFAST raises; the corrupt-column collision guard fires."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.sources.formats import (
+        read_jsonl_corpus)
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": 3, "text": "torn line...\n'       # invalid JSON
+        'not json at all\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    perm = read_jsonl_corpus(spark, str(p), schema).cache()
+    rows = perm.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2 and all(r.doc_id is None for r in bad)
+    good = {r.doc_id for r in rows if r._corrupt_record is None}
+    assert good == {1, 2}
+    perm.unpersist()
+
+    dropped = read_jsonl_corpus(spark, str(p), schema,
+                                mode="DROPMALFORMED")
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
+
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_jsonl_corpus(spark, str(p), schema,
+                          mode="FAILFAST").collect()
+
+    clash = T.StructType([T.StructField("_corrupt_record",
+                                        T.StringType())])
+    with pytest.raises(ValueError, match="collides"):
+        read_jsonl_corpus(spark, str(p), clash)
