@@ -385,3 +385,24 @@ def test_jsonl_corpus_corrupt_record_policies(spark, tmp_path):
                                         T.StringType())])
     with pytest.raises(ValueError, match="collides"):
         read_jsonl_corpus(spark, str(p), clash)
+
+
+def test_jsonl_corpus_gzip_roundtrip(spark, tmp_path):
+    """Compressed JSONL (the on-the-wire corpus format) round-trips
+    exactly through the corpus writer/reader pair."""
+    from pyspark.sql import types as T
+
+    from janusgraph_clickhouse_spark.sources.formats import (
+        read_jsonl_corpus, write_jsonl_corpus)
+    rows = [(i, f"doc {i} body") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "gz")
+    write_jsonl_corpus(df, out, compression="gzip")
+    import glob
+    assert glob.glob(out + "/*.gz"), "no gzip part files written"
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    back = read_jsonl_corpus(spark, out, schema)
+    got = sorted((r.doc_id, r.text) for r in back.collect()
+                 if r._corrupt_record is None)
+    assert got == sorted(rows)
