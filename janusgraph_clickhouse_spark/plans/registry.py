@@ -198,11 +198,11 @@ REGISTERED_ROUND: dict[str, int] = {
 #    g29 g30 g31, l48 l49 l50 l51 l52.
 # 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
 # rule-4 (new in r8) names, else to the round-7 registrations.  NONE
-# of the 34 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
+# of the 35 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
 # registration under rule 2 — displaced even q46): the unwindowed r7
-# cohort is q46-q56, s17-s22, l53-l67, g32, g33, all carrying virtual
-# r6 rows and due r9.  At N=178 the lag is ceil(178/50)=4 files; the
-# 34 names cannot fit in r8's ~4 spare slots, so r9's window must
+# cohort is q46-q57, s17-s22, l53-l67, g32, g33, all carrying virtual
+# r6 rows and due r9.  At N=179 the lag is ceil(179/50)=4 files; the
+# 35 names cannot fit in r8's ~4 spare slots, so r9's window must
 # lead with whatever subset r8 leaves unwindowed (every one is
 # dual-scale parity-green locally, which is what makes the r9 due
 # date safe).  Re-derive every cohort from REGISTERED_ROUND ∪ the

@@ -34,8 +34,12 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
-def write_json(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").json(path)
+def write_json(df: DataFrame, path: str,
+               compression: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def read_orc(spark: SparkSession, path: str,
@@ -110,7 +114,13 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
 
     The corrupt column must be part of the declared schema for Spark
     to populate it, so PERMISSIVE appends it; explicit schema always
-    (no inference pass over a 100 TB dump)."""
+    (no inference pass over a 100 TB dump).  `mode` is normalized —
+    Spark treats the option case-insensitively, and a lowercase
+    'permissive' that skipped the column injection would silently
+    disable the exact quarantine this function exists to provide."""
+    mode = mode.upper()
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown malformed-line mode {mode!r}")
     s = schema
     if mode == "PERMISSIVE" and corrupt_col:
         if corrupt_col in schema.fieldNames():
@@ -132,8 +142,6 @@ def write_jsonl_corpus(df: DataFrame, path: str,
     LLM-data tool reads).  Serialize timestamps to integer epoch
     columns BEFORE writing when the round trip must be exact: JSON
     has no timestamp type and string round-trips are locale/format
-    bait (the q57 discipline)."""
-    w = df.write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    w.json(path)
+    bait (the q57 discipline).  Delegates to write_json — one JSON
+    writer, no second copy to drift."""
+    write_json(df, path, compression=compression)

@@ -838,9 +838,16 @@ def foreach_batch_jdbc_apply(spark: SparkSession, batch_df: DataFrame,
         # silently disabling the replay guard and double-appending —
         # any other failure must surface.
         msg = str(exc).lower()
+        # match backend missing-table signals tightly: SQLStates
+        # (Derby 42X05, MySQL 42S02, Postgres 42P01), Spark's error
+        # class, and the common phrasings INCLUDING the contracted
+        # one MySQL uses — a generic 'not found' alone matched any
+        # stack trace containing those words
         if not any(p in msg for p in
-                   ("does not exist", "not found", "table_or_view",
-                    "42x05")):  # Derby's missing-table SQLState
+                   ("42x05", "42s02", "42p01",
+                    "table_or_view_not_found",
+                    "does not exist", "doesn't exist",
+                    "table or view not found")):
             raise
         cur = None  # first batch: ledger doesn't exist yet
     if cur is not None and batch_id <= cur:

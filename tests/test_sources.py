@@ -349,7 +349,6 @@ def test_jsonl_corpus_corrupt_record_policies(spark, tmp_path):
     it, FAILFAST raises; the corrupt-column collision guard fires."""
     import pytest
     from pyspark.sql import types as T
-    from pyspark.sql import functions as F
 
     from janusgraph_clickhouse_spark.sources.formats import (
         read_jsonl_corpus)
