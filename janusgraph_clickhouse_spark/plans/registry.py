@@ -176,7 +176,7 @@ REGISTERED_ROUND: dict[str, int] = {
     "s21_interval_full_join": 7, "l65_langid_confusion": 7,
     "s22_incremental_scd1": 7, "q56_sliding_hll": 7,
     "l66_length_ks_drift": 7, "l67_leakage_free_split": 7,
-    "q57_jsonl_roundtrip": 7,
+    "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
 # ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the
@@ -198,11 +198,11 @@ REGISTERED_ROUND: dict[str, int] = {
 #    g29 g30 g31, l48 l49 l50 l51 l52.
 # 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
 # rule-4 (new in r8) names, else to the round-7 registrations.  NONE
-# of the 35 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
+# of the 36 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
 # registration under rule 2 — displaced even q46): the unwindowed r7
-# cohort is q46-q57, s17-s22, l53-l67, g32, g33, all carrying virtual
-# r6 rows and due r9.  At N=179 the lag is ceil(179/50)=4 files; the
-# 35 names cannot fit in r8's ~4 spare slots, so r9's window must
+# cohort is q46-q58, s17-s22, l53-l67, g32, g33, all carrying virtual
+# r6 rows and due r9.  At N=180 the lag is ceil(180/50)=4 files; the
+# 36 names cannot fit in r8's ~4 spare slots, so r9's window must
 # lead with whatever subset r8 leaves unwindowed (every one is
 # dual-scale parity-green locally, which is what makes the r9 due
 # date safe).  Re-derive every cohort from REGISTERED_ROUND ∪ the

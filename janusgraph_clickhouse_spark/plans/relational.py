@@ -2004,3 +2004,43 @@ def q57_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+@query(
+    "q58_unpivot_measures",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+      FROM lineitem),
+    long AS MATERIALIZED (
+      SELECT 'l_quantity' AS measure, qty_c AS cents FROM c
+      UNION ALL SELECT 'l_extendedprice', price_c FROM c
+      UNION ALL SELECT 'l_discount', disc_c FROM c
+      UNION ALL SELECT 'l_tax', tax_c FROM c)
+    SELECT measure, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           count(*) AS n
+    FROM long GROUP BY measure
+    """,
+)
+def q58_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q29's pivot surface: the four
+    lineitem measures turn into (measure, value) long form via the
+    DataFrame unpivot operator (ONE Expand node before the aggregate —
+    the same single-pass plan shape as grouping sets, never four
+    scans), then a per-measure cents-exact rollup.  The oracle states
+    the portable UNION ALL equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+    wide = li.select(cents("l_quantity").alias("l_quantity"),
+                     cents("l_extendedprice").alias("l_extendedprice"),
+                     cents("l_discount").alias("l_discount"),
+                     cents("l_tax").alias("l_tax"))
+    long = wide.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "cents")
+    return (long.groupBy("measure")
+            .agg(F.sum("cents").alias("sum_cents"),
+                 F.count(F.lit(1)).alias("n")))

@@ -610,3 +610,18 @@ def test_leakage_free_split_quarantines_only_leaky_train(spark):
         assert out[tr] == "quarantined"
     elif not (pair & test_ids):
         assert out[1] == "train" and out[2] == "train"
+
+
+def test_unpivot_single_expand_plan(spark, sf_smoke):
+    """q58's melt must stay ONE Expand before the aggregate — never
+    four scans of the fact table."""
+    import __spark_entry__ as entry_mod
+    df = entry_mod.queries()["q58_unpivot_measures"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+    rows = {r.measure: r for r in df.collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice",
+                         "l_discount", "l_tax"}
+    ns = {r.n for r in rows.values()}
+    assert len(ns) == 1            # every measure sees every row
