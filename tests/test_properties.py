@@ -575,3 +575,27 @@ def test_segment_overlap_inclusion_exclusion(spark, seed):
         assert r.n_inter == len(a & b)
         assert r.n_union == len(a | b) == r.n_a + r.n_b - r.n_inter
         assert 0.0 <= r.jaccard <= 1.0
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 999), run_len=st.integers(8, 14),
+       pre_a=st.integers(0, 10), pre_b=st.integers(0, 10))
+def test_winnow_planted_run_property(spark, seed, run_len, pre_a, pre_b):
+    """MOSS guarantee, randomized: ANY planted shared run of
+    ≥ k + window − 1 words (k=5, w=4 → 8) yields a shared winnowing
+    fingerprint regardless of the random surrounding text or the
+    run's offset in either document."""
+    rng = np.random.RandomState(seed)
+    def rand_words(n, tag):
+        return [f"{tag}{rng.randint(0, 1_000_000)}" for _ in range(n)]
+    shared = [f"run{seed}_{i}" for i in range(run_len)]
+    doc_a = rand_words(pre_a, "a") + shared + rand_words(3, "x")
+    doc_b = rand_words(pre_b, "b") + shared + rand_words(5, "y")
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))],
+        "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    rows = fps.collect()
+    s1 = {r.fp for r in rows if r.id == 1}
+    s2 = {r.fp for r in rows if r.id == 2}
+    assert s1 & s2, (seed, run_len, pre_a, pre_b)
