@@ -58,7 +58,12 @@ def segment_overlap_matrix(df: DataFrame, member_col: str,
     with an empty intersection are kept (n_inter=0) so the matrix is
     complete.  jaccard is rounded at the edge from two exact integers.
     """
-    m = segment_members(df, member_col, segment_col, min_rows=min_rows)
+    # three consumers (sizes + both join sides) read the membership set:
+    # materialize it once or the full fact scan + distinct re-runs per
+    # consumer (the re-derived-lineage pathology; source_overlap_matrix
+    # checkpoints for the same reason)
+    m = segment_members(df, member_col, segment_col,
+                        min_rows=min_rows).localCheckpoint(eager=True)
     sizes = m.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     a = m.select(F.col("seg").alias("seg_a"), "mid")
     b = m.select(F.col("seg").alias("seg_b"), "mid")

@@ -192,7 +192,12 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20,
     exact counts sum that column's exact-integer weights (cents-
     quantize floats first — the q44 discipline) instead of row counts;
     the CMS min-over-rows guarantee holds for any non-negative
-    additive weight exactly as it does for counts.
+    additive weight exactly as it does for counts.  Both preconditions
+    are ENFORCED per row (raise_error branch, the zorder_key idiom): a
+    fractional weight would silently truncate under a bare long cast
+    and diverge from a floor(x·100+0.5) oracle, and a negative weight
+    silently voids the never-underestimate guarantee — pre-quantize
+    with cents (q53 does) rather than passing raw floats.
 
     Every counter and estimate is an exact integer from md5-derived
     buckets — bit-identical across engines (the q41 discipline; no
@@ -207,8 +212,19 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20,
     1024-row counter table."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r")
     key = F.col(col).cast("string")
-    w = (F.lit(1).cast("long") if weight_col is None
-         else F.col(weight_col).cast("long"))
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        wraw = F.col(weight_col)
+        w = F.when(
+            (wraw < 0) | (wraw != F.floor(wraw)),
+            F.raise_error(F.concat(
+                F.lit("cms_heavy_hitters: weight_col must be a "
+                      "non-negative integer (quantize floats to cents "
+                      "first — a bare cast would truncate and a "
+                      "negative weight voids the CMS min-over-rows "
+                      "guarantee); got "), wraw.cast("string")))
+            .cast("long")).otherwise(wraw.cast("long"))
     counters = (df.select(key.alias("k"), w.alias("w")).select("k", "w", rows)
                 .select("w", "r", _cms_bucket(F.col("r"), F.col("k"))
                         .alias("bucket"))
@@ -384,6 +400,14 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
     arithmetic is (W·p + 99) DIV 100 — no float anywhere, both
     engines agree exactly.
 
+    NULL values are FILTERED before ranking (count(DISTINCT)-style,
+    the _kmv_hashes discipline): Spark windows sort NULLS FIRST but
+    DuckDB sorts NULLS LAST, so a NULL value row would shift every
+    cumulative weight differently per engine.  Negative weights are
+    REJECTED per row (raise_error branch): they break cum-weight
+    monotonicity, silently making the "smallest value reaching rank r"
+    ill-defined.
+
     Scale shape: one pre-aggregate on (group, value) collapses
     duplicate values (bounded by value cardinality per group), then a
     cumulative-weight window over that collapsed set; one row per
@@ -395,8 +419,17 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
     if bad:
         raise ValueError(f"columns {sorted(bad)} collide with the "
                          f"fold's internal names; alias them first")
-    g = (df.groupBy(*group_cols, val_col)
-         .agg(F.sum(weight_col).alias("w")))
+    wraw = F.col(weight_col)
+    wok = F.when(
+        wraw < 0,
+        F.raise_error(F.concat(
+            F.lit("weighted_quantiles: negative weight breaks "
+                  "cumulative-weight monotonicity; got "),
+            wraw.cast("string"))).cast(df.schema[weight_col].dataType)
+    ).otherwise(wraw)
+    g = (df.filter(F.col(val_col).isNotNull())
+         .groupBy(*group_cols, val_col)
+         .agg(F.sum(wok).alias("w")))
     wc = (Window.partitionBy(*group_cols).orderBy(val_col)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = (g.withColumn("cum", F.sum("w").over(wc))

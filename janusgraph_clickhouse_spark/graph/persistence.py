@@ -149,7 +149,9 @@ def _publish(tmp: str, path: str) -> None:
         if os.path.exists(os.path.join(path, "_BUILT")):
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         else:
-            shutil.rmtree(tmp, ignore_errors=True)
+            # non-race failure (permissions, missing parent): leave tmp
+            # on disk — it is the only good copy and _sweep_stale_tmp
+            # age-gates its reclaim — and propagate the error
             raise
 
 

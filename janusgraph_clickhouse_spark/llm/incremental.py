@@ -210,20 +210,55 @@ def _write_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
     os.replace(tmp, os.path.join(path, _META_FILE))
 
 
+_FP_DEFAULTS = {"n": 3, "num_hashes": 48, "bands": 16}
+
+
+def stamp_index_params(path: str, n: int, num_hashes: int,
+                       bands: int) -> None:
+    """EXPLICIT migration step for a pre-meta index: the operator who
+    knows what parameters built the index stamps them once, after
+    which every absorb is checked against the stamp.  Refuses to
+    restamp an index that already carries meta (that would be the
+    exact poisoning _check_meta exists to prevent)."""
+    if os.path.exists(os.path.join(path, _META_FILE)):
+        raise ValueError(
+            f"index at {path} already carries fingerprint parameters; "
+            f"refusing to restamp — rebuild with bootstrap_index to "
+            f"change schemes")
+    _write_meta(path, n, num_hashes, bands)
+
+
 def _check_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
     """Fingerprint parameters are part of the index's identity: an
     absorb with different (n, num_hashes, bands) would hash into a
     DISJOINT bucket space — every duplicate silently declared novel
     and the index permanently poisoned with two incompatible schemes.
-    The persisted meta makes that a loud error instead."""
+    The persisted meta makes that a loud error instead.
+
+    A PRE-meta index (built before the stamp existed) adopts the
+    caller's params only when they are the library defaults — any
+    pre-meta index built through the public signatures without
+    explicit overrides used exactly those.  A non-default call cannot
+    prove it matches the index, so it must go through
+    stamp_index_params (the explicit migrate step) first: silently
+    trusting the first caller would stamp the wrong params, poison the
+    index with a disjoint bucket space, and make every LATER
+    correct-param absorb raise against the wrong baseline."""
     import json
     mp = os.path.join(path, _META_FILE)
-    if not os.path.exists(mp):   # pre-meta index: adopt current params
+    want = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    if not os.path.exists(mp):
+        if want != _FP_DEFAULTS:
+            raise ValueError(
+                f"index at {path} predates parameter stamping and this "
+                f"call uses non-default params {want}; run "
+                f"stamp_index_params(path, ...) with the params the "
+                f"index was actually built with, or rebuild with "
+                f"bootstrap_index")
         _write_meta(path, n, num_hashes, bands)
         return
     with open(mp) as f:
         have = json.load(f)
-    want = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if have != want:
         raise ValueError(
             f"fingerprint-parameter mismatch: index at {path} was built "

@@ -89,35 +89,50 @@ def query(name: str, oracle: str | None = None):
 # changes, each re-verified green at both scales in fresh driver-sims
 # the day they landed, all covered by the full local parity sweep —
 # they queue behind the r8 pre-derivation like any other tail name.
+# ROUND-8 WINDOW (derived fresh from the correctness files this round,
+# per the standing rule — the r7 pre-derivation's "13 unwindowed r6
+# names" was wrong by one: l50 IS in CORRECTNESS_r07 (green), so the
+# real unwindowed-r6 cohort is 12.  Re-verified by script over
+# CORRECTNESS_r0{1,2,3,4,6,7}.json: newest-row histogram is 50×r7 +
+# 49×r6 + 33×r4 = 132 with real rows; 48 registered names have none).
+# Window, in order:
+# 1. the 33 names whose newest real row is r4 — they leave the
+#    4-file horizon when r9's file lands; windowing them now keeps
+#    actual staleness minimal (stalest-first rule);
+# 2. the 12 REGISTERED_ROUND=6 names never windowed (virtual r5 rows,
+#    zero real driver evidence, also horizon-critical at r9);
+# 3. five spares to REGISTERED_ROUND=7 names (rule 4; no rule-2
+#    traffic this round — every r8 code change is result-identical on
+#    the fixtures: guard-only/latent fixes to weighted_quantiles,
+#    cms_heavy_hitters, segment_overlap_matrix, _check_meta and the
+#    g18 substrate/perf change, all re-verified by the full local
+#    parity sweep).  Chosen for most-novel machinery per the r7
+#    verdict: s20 incremental HLL, l62 winnowing, g32 weighted SSSP,
+#    then q46 (displaced from r7 by l50) and g33 temporal
+#    reachability (the two remaining iterative/stateful shapes).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 46 names whose newest real driver row is r3
-    "q02_slice_multikey", "q04_multi_range_scan",
-    "q05_unordered_scan_topk", "q07_group_count",
-    "q09_semi_join", "q10_anti_join", "q11_shipping_priority",
-    "q12_region_revenue", "q14_union_dedup", "q15_per_group_topk",
-    "q16_distinct_pairs", "q22_left_outer_distribution", "q23_having",
-    "q24_correlated_min", "q25_count_distinct", "q27_set_operations",
-    "q28_sql_surface", "q31_statistics", "q32_cross_nation_volume",
-    "q33_large_order_customers", "q34_window_analytics",
-    "q36_cube_grouping",
-    "g04_connected_components", "g06_pagerank", "g14_repeat_until",
-    "g15_kcore", "g16_label_propagation", "g18_hits",
-    "g19_personalized_pagerank",
-    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup",
-    "l18_dedup_clusters", "l19_knn_join", "l20_vocab_topk",
-    "l21_decontaminate", "l22_domain_mixture", "l23_repetition_stats",
-    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
-    "l27_semantic_dedup_clusters", "l28_user_event_sequences",
-    "l29_length_band_filter",
-    "s01_tumbling_window", "s05_asof_join",
-    # rule 3 (red last round) + rule 2 (oracle cast fix)
-    "s10_scd2_versions",
-    # rule 2: oracles/impl changed this round.  l50 carries the
-    # n_planes="auto" default change (rule 2 outranks rule 4, so it
-    # takes the slot a new registration would otherwise get; l51
-    # shares the identical changed machinery and q46 + the other r7
-    # registrations are parity-swept at two scales, due r9).
-    "s15_pit_enrich", "l47_entropy_quality", "l50_knn_classify",
+    # rule 1: the 33 names whose newest real driver row is r4
+    "q03_key_range_scan", "q08_customer_top_parts",
+    "q13_predicate_library", "q18_json_extract", "q20_group_collect",
+    "q21_array_functions", "q26_rollup", "q29_pivot",
+    "q30_percentiles", "q35_range_step", "q37_geo_within",
+    "g01_out_degree", "g02_two_hop_parts", "g07_traversal_semi_anti",
+    "g08_path_query", "g09_in_traversal", "g10_weighted_sssp",
+    "g11_interaction_degree", "g12_motif_count", "g13_topo_levels",
+    "l02_jaccard_pairs", "l05_cosine_topk", "l06_cosine_near_dup",
+    "l07_text_stats", "l08_language_id", "l09_fingerprint",
+    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
+    "l16_pipeline_composed",
+    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
+    # rule 1: the 12 REGISTERED_ROUND=6 names with no real row yet
+    "q43_kmv_set_ops", "q44_delta_sum", "q45_ttl_partition_prune",
+    "s14_gap_fill", "s16_lttb_downsample",
+    "g29_copurchase_lift", "g30_modularity", "g31_betweenness",
+    "l48_url_canonical_dedup", "l49_fuzzy_linkage",
+    "l51_hard_negatives", "l52_source_report",
+    # rule 4: five REGISTERED_ROUND=7 spares (rationale above)
+    "s20_incremental_hll", "l62_winnow_pairs", "g32_weighted_sssp",
+    "q46_hll_mergeable_rollup", "g33_temporal_reachability",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -179,37 +194,34 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-8 ROTATION, pre-derived (assuming CORRECTNESS_r07 lands; the
-# r5 file never appeared and is now irrelevant — everything it would
-# have covered was re-windowed in r6/r7).  NOTE: the registry crossed
-# 150 in round 7, so lag = ceil(N/50) = 4 CORRECTNESS files — at r8
-# the horizon is {r4,r6,r7,r8} and nothing is formally stale.  The
-# stalest-first RULE still orders the window; the bound is only the
-# tripwire.  Window, in order:
-# 1. the 33 names whose newest real row is r4 (they leave the horizon
-#    when r9's file lands — windowing them at r8 keeps actual
-#    staleness minimal):
-#      q03 q08 q13 q18 q20 q21 q26 q29 q30 q35 q37,
-#      g01 g02 g07 g08 g09 g10 g11 g12 g13,
-#      l02 l05 l06 l07 l08 l09 l13 l14 l15 l16,
-#      s02 s03 s04
-# 2. the 13 REGISTERED_ROUND=6 names not windowed in r7 (virtual r5
-#    rows leave the horizon at r9): q43 q44 q45, s14 s16,
-#    g29 g30 g31, l48 l49 l50 l51 l52.
-# 33 + 13 = 46; the 4 spare slots go to rule-2 (changed in r8) and
-# rule-4 (new in r8) names, else to the round-7 registrations.  NONE
-# of the 36 REGISTERED_ROUND=7 names is in the r7 window (l50 — a r6
-# registration under rule 2 — displaced even q46): the unwindowed r7
-# cohort is q46-q58, s17-s22, l53-l67, g32, g33, all carrying virtual
-# r6 rows and due r9.  At N=180 the lag is ceil(180/50)=4 files; the
-# 36 names cannot fit in r8's ~4 spare slots, so r9's window must
-# lead with whatever subset r8 leaves unwindowed (every one is
-# dual-scale parity-green locally, which is what makes the r9 due
-# date safe).  Re-derive every cohort from REGISTERED_ROUND ∪ the
-# correctness files at r8 — do not trust this enumeration any more
-# than r7 could trust r6's (this very comment misstated the cohort as
-# 29 until a review pass recounted it).
+# ROUND-9 ROTATION, pre-derived (assuming CORRECTNESS_r08 lands with
+# the window above; REGISTERED_ROUND=8 is empty — round 8 was an
+# evidence round, zero new registrations, N stays 180 and the lag
+# stays ceil(180/50) = 4 files).  At r9 the horizon is {r6,r7,r8,r9}.
+# Window, in order:
+# 1. HORIZON-CRITICAL: the 31 REGISTERED_ROUND=7 names NOT in the r8
+#    window above (their virtual r6 rows leave the horizon when r9's
+#    file lands — this cohort cannot slip):
+#      q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 q57 q58,
+#      s17 s18 s19 s21 s22,
+#      l53 l54 l55 l56 l57 l58 l59 l60 l61 l63 l64 l65 l66 l67
+#    (31 = 36 r7 registrations − the 5 windowed at r8: s20 l62 g32
+#    q46 g33).
+# 2. rule-2/rule-3 traffic from r8's file (any red, any r9 change).
+# 3. the remaining ~19 slots start on the 49 names whose newest real
+#    row is r6 (they fall out of the horizon at r10): stalest-first,
+#    ≥2 sentinels per family.  The ~30 r6-rows r9 leaves unwindowed
+#    are then r10's lead cohort, alongside nothing else mandatory —
+#    the 45 rule-1 names windowed at r8 are safe through r12.
+# The math only works if r9 lands its file (an r5-class driver hiccup
+# would push the 31-name cohort past the bound — if CORRECTNESS_r08
+# is missing at r9, window the same list above unchanged and escalate
+# in PROGRESS.jsonl).  As always: re-derive every cohort from
+# REGISTERED_ROUND ∪ the correctness files at r9 — do not trust this
+# enumeration (r7's and r8's pre-derivations were each wrong by one
+# name until recounted against the files).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
+assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 
 
 def _ordered(d: dict) -> dict:

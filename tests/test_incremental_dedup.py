@@ -297,6 +297,38 @@ def test_absorb_rejects_mismatched_fingerprint_params(spark, tmp_path):
         absorb_batch(df, "doc_id", "text", idx, bands=12)
 
 
+def test_premeta_index_requires_explicit_stamp(spark, tmp_path):
+    """A pre-meta index (no _FP_PARAMS file) must NOT adopt the first
+    caller's non-default params: that absorb would stamp the wrong
+    scheme, silently poison the bucket space, and make later
+    correct-param absorbs raise against the wrong baseline (r8 review).
+    Default-param calls may adopt (any pre-meta index built through the
+    public signatures without overrides used exactly those); non-default
+    calls must go through stamp_index_params, which itself refuses to
+    restamp an already-stamped index."""
+    import os
+    import pytest
+    from janusgraph_clickhouse_spark.llm.incremental import (
+        _META_FILE, absorb_batch, bootstrap_index, stamp_index_params)
+    idx = str(tmp_path / "fpidx")
+    df = spark.createDataFrame([(1, "a b c d e f g h i j k")],
+                               "doc_id long, text string")
+    bootstrap_index(df, "doc_id", "text", idx, bands=12)
+    os.remove(os.path.join(idx, _META_FILE))   # simulate pre-meta index
+    with pytest.raises(ValueError, match="predates parameter stamping"):
+        absorb_batch(df, "doc_id", "text", idx, bands=12)
+    stamp_index_params(idx, n=3, num_hashes=48, bands=12)
+    assert absorb_batch(df, "doc_id", "text", idx, bands=12).count() == 0
+    with pytest.raises(ValueError, match="refusing to restamp"):
+        stamp_index_params(idx, n=3, num_hashes=48, bands=16)
+    # a DEFAULT-param call on a pre-meta index adopts silently
+    idx2 = str(tmp_path / "fpidx2")
+    bootstrap_index(df, "doc_id", "text", idx2)
+    os.remove(os.path.join(idx2, _META_FILE))
+    assert absorb_batch(df, "doc_id", "text", idx2).count() == 0
+    assert os.path.exists(os.path.join(idx2, _META_FILE))
+
+
 def test_shingle_less_docs_become_known(spark, tmp_path):
     """A doc too short to shingle gets a sizes row (sz=0), so a replay
     appends nothing instead of re-absorbing it forever (r7 review)."""

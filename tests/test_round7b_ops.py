@@ -253,6 +253,47 @@ def test_cms_weighted_equals_exact_on_sparse_keys(spark):
         assert r.overcount == r.cms_estimate - r.exact_cnt
 
 
+def test_cms_weighted_rejects_fractional_and_negative(spark):
+    """A fractional weight would silently truncate under a bare long
+    cast (diverging from a floor(x*100+0.5) oracle); a negative weight
+    silently voids the CMS never-underestimate guarantee.  Both raise
+    per row instead (r8 review)."""
+    import pytest
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        cms_heavy_hitters)
+    frac = spark.createDataFrame([("a", 1.5)], "k string, wgt double")
+    with pytest.raises(Exception, match="non-negative integer"):
+        cms_heavy_hitters(frac, "k", k=5, weight_col="wgt").collect()
+    neg = spark.createDataFrame([("a", -2)], "k string, wgt long")
+    with pytest.raises(Exception, match="non-negative integer"):
+        cms_heavy_hitters(neg, "k", k=5, weight_col="wgt").collect()
+    # integral doubles are fine (the quantize-to-cents output shape)
+    ok = spark.createDataFrame([("a", 3.0), ("a", 2.0)],
+                               "k string, wgt double")
+    row = cms_heavy_hitters(ok, "k", k=5, weight_col="wgt").collect()[0]
+    assert row.exact_cnt == 5
+
+
+def test_weighted_quantiles_null_values_and_negative_weights(spark):
+    """NULL values are filtered (Spark windows sort NULLS FIRST, DuckDB
+    NULLS LAST — a NULL row would shift every cumulative weight
+    differently per engine); negative weights raise per row (r8
+    review)."""
+    import pytest
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        weighted_quantiles)
+    df = spark.createDataFrame(
+        [("g", None, 100), ("g", 10, 1), ("g", 20, 1), ("g", 30, 2)],
+        "g string, c int, w long")
+    out = {r.pct: r.q_value for r in
+           weighted_quantiles(df, "c", "w", ["g"], [50, 99]).collect()}
+    # NULL row ignored entirely: W=4, p50 rank=2 -> 20, p99 rank=4 -> 30
+    assert out == {50: 20, 99: 30}
+    neg = spark.createDataFrame([("g", 10, -1)], "g string, c int, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_quantiles(neg, "c", "w", ["g"], [50]).collect()
+
+
 def test_incremental_hll_state_equals_direct(spark, tmp_path):
     """Chunked incremental register maintenance must equal the one-shot
     sketch (merge associativity), and a replayed batch id is a no-op
