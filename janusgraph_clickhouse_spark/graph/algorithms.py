@@ -925,40 +925,51 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     # second cached orientation, partitioned on dst: the hub half-step
     # joins on dst, and without this the whole edge set re-shuffles
     # EVERY iteration (8× at the default) — the classic CSR/CSC dual
-    # adjacency, paid once in cache memory instead of per-iteration
-    # network.  Same-box A/B at sf0.1: ~5% on local[32] (shuffle is
-    # in-memory there); on a real cluster the saved exchanges are
-    # cross-node network, which is the point.
-    edges_by_dst = edges.repartition(width, "dst").cache()
-    state = graph.vertices.select(
-        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+    # adjacency, paid once instead of per-iteration network.  When the
+    # clustered substrate ships its persisted dst-bucketed table
+    # (persistence v4) at the session's width, serve it from DISK
+    # layout — zero Exchange even on the first materialization;
+    # otherwise fall back to one in-memory repartition.
+    ebd = getattr(graph, "edges_by_dst", None)
+    if ebd is not None and _edges_aligned(graph):
+        edges_by_dst = ebd.select("src", "dst").cache()
+    else:
+        edges_by_dst = edges.repartition(width, "dst").cache()
+    # The loop carries only the MESSAGE AGGREGATES, never the joined-in
+    # full vertex state: a vertex absent from `h` has hub 0 and
+    # contributes nothing through the inner message join, so joining
+    # zeros back into a |V|-row state every half-step (the old form)
+    # bought nothing and cost 2·max_iter join-backs + 2·max_iter eager
+    # checkpoint barriers.  In THIS form each intermediate is consumed
+    # exactly once (a_t feeds only h_t, h_t feeds only a_{t+1}) — a
+    # single linear chain Spark executes as ONE job of 2·max_iter
+    # pipelined shuffle stages, so no recompute cascade exists and no
+    # per-step materialization is needed (the old per-half-step
+    # checkpoint was guarding the state's double consumption, which
+    # this shape eliminates; measured 16.5 s → ~7 s warm at sf0.1).
+    # Only the LAST a is consumed twice (inside h_T's lineage and by
+    # the final join-back), so exactly that one is checkpointed.
+    v = graph.vertices.select("id")
+    h = v.select("id", F.lit(1.0).alias("hub"))
+    a = v.select("id", F.lit(1.0).alias("authority"))
     for t in range(max_iter):
         # authority from hubs: messages flow src→dst, keyed on src
-        a_msgs = (edges.join(state.select(F.col("id").alias("src"), "hub"),
-                             "src")
-                  .groupBy(F.col("dst").alias("id"))
-                  .agg(F.sum("hub").alias("a_raw")))
-        # per-half-step eager checkpoint: the updated state is consumed
-        # TWICE (as the next message source and as the join-back left
-        # side) — without materialization each consumer re-executes the
-        # half-step's join+agg and the recompute cascades across
-        # iterations (measured: 13.9 s → 130 s cold when this was
-        # relaxed to per-iteration)
-        st = (state.join(a_msgs, "id", "left")
-              .select("id", "hub",
-                      F.coalesce("a_raw", F.lit(0.0)).alias("authority"))
-              .localCheckpoint(eager=True))
+        a = (edges.join(h.select(F.col("id").alias("src"), "hub"), "src")
+             .groupBy(F.col("dst").alias("id"))
+             .agg(F.sum("hub").alias("authority")))
+        if t == max_iter - 1:
+            a = a.localCheckpoint(eager=True)
         # hubs from authorities: messages flow dst→src, keyed on dst
-        h_msgs = (edges_by_dst
-                  .join(st.select(F.col("id").alias("dst"),
-                                  "authority"), "dst")
-                  .groupBy(F.col("src").alias("id"))
-                  .agg(F.sum("authority").alias("h_raw")))
-        state = (st.join(h_msgs, "id", "left")
-                 .select("id",
-                         F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
-                         "authority")
-                 .localCheckpoint(eager=True))
+        h = (edges_by_dst
+             .join(a.select(F.col("id").alias("dst"), "authority"), "dst")
+             .groupBy(F.col("src").alias("id"))
+             .agg(F.sum("authority").alias("hub")))
+    state = (v.join(a, "id", "left").join(h, "id", "left")
+             .select("id",
+                     F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                     F.coalesce("authority", F.lit(0.0))
+                     .alias("authority"))
+             .localCheckpoint(eager=True))
     totals = state.agg(F.sum("hub").alias("ht"),
                        F.sum("authority").alias("at"))
     # zero-total guard: an edgeless graph zeroes every score after one

@@ -49,6 +49,11 @@ class PropertyGraph:
         # (pagerank, sssp) then skip their own repartition(src) — the
         # edge side of every message join runs Exchange-free
         self.src_partitioned = src_partitioned
+        # optionally set by clustered_star_graph: the SAME edge set
+        # served through the dst-bucketed orientation (CSC to edges'
+        # CSR), for algorithms whose half-steps join on dst (hits).
+        # None means no persisted dst layout — consumers repartition.
+        self.edges_by_dst: DataFrame | None = None
 
     def degrees(self, direction: str = "out") -> DataFrame:
         """Per-vertex degree (Gremlin out()/in()/both().count())."""

@@ -62,10 +62,15 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
 # -- clustered star-schema adjacency (build once per sf_dir) ----------------
 
 # bump when the persisted layout/schema changes so stale caches rebuild
-LAYOUT_VERSION = 3  # v3: unit-adaptive events.ts read (caches built by the
-# hard-coded ns loader against the µs fixture derived a 1000×-compressed
-# timeline — the source fingerprint alone can't see a LOADER bug, so the
-# version bump orphans them)
+LAYOUT_VERSION = 4  # v4: dual-orientation bucketed edges — a second
+# bucketed table CLUSTERED BY (dst) SORTED BY (dst, src) beside the src
+# one, so dst-keyed message joins (the HITS hub half-step, reverse-edge
+# fixpoints) also run Exchange-free off disk layout instead of paying an
+# in-memory repartition per algorithm invocation (the CSR + CSC dual).
+# (v3: unit-adaptive events.ts read — caches built by the hard-coded ns
+# loader against the µs fixture derived a 1000×-compressed timeline; the
+# source fingerprint alone can't see a LOADER bug, so the version bump
+# orphans them.)
 
 # bucket count for the bucketed edge table.  MUST equal the session's
 # shuffle width (session.py sets spark.sql.shuffle.partitions = cpus=32):
@@ -207,39 +212,46 @@ def _edge_cols_ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
 
 
+# the two persisted bucket orientations (the CSR/CSC dual): src-keyed
+# joins (pregel message sends) and dst-keyed joins (HITS hub half-step,
+# reverse-edge fixpoints) each read their own Exchange-free layout
+_BUCKET_ORIENTATIONS = {"src": ("", "src", "src, dst"),
+                        "dst": ("_dst", "dst", "dst, src")}
+
+
 def _write_bucketed_edges(spark: SparkSession, edges: DataFrame,
                           tmp_dir: str) -> None:
-    """Write the edge set as a BUCKETED external table inside the build's
-    temp dir (it rides ensure_clustered_graph's atomic rename — one
+    """Write the edge set as BUCKETED external tables inside the build's
+    temp dir (they ride ensure_clustered_graph's atomic rename — one
     builder, one race mechanism).  Bucketing on src is the full analog of
     the reference's MergeTree `ORDER BY (k,c)` primary index
     (QueryHelper.java:57): every pregel/frontier join on src reads
     co-partitioned buckets with NO Exchange on the edge side, vs the
     sorted-parquet layout which gives pruning + row-group skipping only.
-    The catalog entry is session-scoped metadata (re-registered by
-    bucketed_edges per session); the bucket FILES are what persist."""
-    loc = os.path.join(tmp_dir, f"edges_bucketed{EDGE_BUCKETS}")
-    os.makedirs(loc, exist_ok=True)  # CREATE TABLE…LOCATION stats the dir
+    The dst orientation is the same index for the reverse direction —
+    2× the (small, fixed-width) edge footprint buys every dst-keyed
+    half-step the same Exchange-free read.  The catalog entries are
+    session-scoped metadata (re-registered per session); the bucket
+    FILES are what persist."""
     e = edges.select("src", "dst", "label", "weight")
-    tname = f"jcs_build_{_build_token()}"
-    spark.sql(f"DROP TABLE IF EXISTS {tname}")
-    spark.sql(
-        f"CREATE TABLE {tname} ({_edge_cols_ddl(e)}) USING parquet "
-        f"CLUSTERED BY (src) SORTED BY (src, dst) "
-        f"INTO {EDGE_BUCKETS} BUCKETS LOCATION '{loc}'")
-    e.write.mode("overwrite").insertInto(tname)
-    spark.sql(f"DROP TABLE {tname}")  # metadata only; bucket files stay
+    for suffix, key, sort in _BUCKET_ORIENTATIONS.values():
+        loc = os.path.join(tmp_dir, f"edges_bucketed{EDGE_BUCKETS}{suffix}")
+        os.makedirs(loc, exist_ok=True)  # CREATE TABLE…LOCATION stats it
+        tname = f"jcs_build_{_build_token()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(
+            f"CREATE TABLE {tname} ({_edge_cols_ddl(e)}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({sort}) "
+            f"INTO {EDGE_BUCKETS} BUCKETS LOCATION '{loc}'")
+        e.write.mode("overwrite").insertInto(tname)
+        spark.sql(f"DROP TABLE {tname}")  # metadata only; files stay
 
 
-def bucketed_edges(spark: SparkSession, sf_dir: str,
-                   base_dir: str | None = None) -> DataFrame:
-    """The clustered edge set served through its BUCKETED catalog table:
-    joins/aggregations keyed on src skip the edge-side Exchange entirely
-    (tests/test_plans.py pins the plan shape).  Registers the external
-    table in this session's catalog if absent — a pure-DDL step over the
-    already-built bucket files."""
+def _bucketed_table(spark: SparkSession, sf_dir: str, orientation: str,
+                    base_dir: str | None) -> DataFrame:
     path = ensure_clustered_graph(spark, sf_dir, base_dir)
-    loc = os.path.join(path, f"edges_bucketed{EDGE_BUCKETS}")
+    suffix, key, sort = _BUCKET_ORIENTATIONS[orientation]
+    loc = os.path.join(path, f"edges_bucketed{EDGE_BUCKETS}{suffix}")
     # the table name keys on the FULL location (not just the basename):
     # the same sf_dir cached under two base_dirs shares a basename key,
     # and the first registration would otherwise serve its location to
@@ -250,9 +262,29 @@ def bucketed_edges(spark: SparkSession, sf_dir: str,
         cols = _edge_cols_ddl(spark.read.parquet(loc))
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet "
-            f"CLUSTERED BY (src) SORTED BY (src, dst) "
+            f"CLUSTERED BY ({key}) SORTED BY ({sort}) "
             f"INTO {EDGE_BUCKETS} BUCKETS LOCATION '{loc}'")
     return spark.table(table)
+
+
+def bucketed_edges(spark: SparkSession, sf_dir: str,
+                   base_dir: str | None = None) -> DataFrame:
+    """The clustered edge set served through its src-BUCKETED catalog
+    table: joins/aggregations keyed on src skip the edge-side Exchange
+    entirely (tests/test_plans.py pins the plan shape).  Registers the
+    external table in this session's catalog if absent — a pure-DDL step
+    over the already-built bucket files."""
+    return _bucketed_table(spark, sf_dir, "src", base_dir)
+
+
+def bucketed_edges_by_dst(spark: SparkSession, sf_dir: str,
+                          base_dir: str | None = None) -> DataFrame:
+    """The same edge set served through the dst-BUCKETED orientation:
+    joins/aggregations keyed on dst (the HITS hub half-step, in-degree
+    style folds inside iterative loops) skip the edge-side Exchange —
+    previously those consumers paid an in-memory repartition(dst) per
+    algorithm invocation."""
+    return _bucketed_table(spark, sf_dir, "dst", base_dir)
 
 
 def clustered_star_graph(spark: SparkSession, sf_dir: str,
@@ -267,11 +299,16 @@ def clustered_star_graph(spark: SparkSession, sf_dir: str,
     verts = spark.read.parquet(os.path.join(path, "vertices"))
     if edge_labels is None:
         # full-graph reads (pagerank/bfs/sssp) serve edges from the
-        # BUCKETED table: message joins on src run Exchange-free
-        return PropertyGraph(verts.select("id", "label", "name"),
-                             bucketed_edges(spark, sf_dir, base_dir)
-                             .select("src", "dst", "label", "weight"),
-                             src_partitioned=True)
+        # BUCKETED table: message joins on src run Exchange-free.  The
+        # dst orientation rides along for algorithms with dst-keyed
+        # half-steps (hits) — registration is pure DDL, the scan is lazy
+        g = PropertyGraph(verts.select("id", "label", "name"),
+                          bucketed_edges(spark, sf_dir, base_dir)
+                          .select("src", "dst", "label", "weight"),
+                          src_partitioned=True)
+        g.edges_by_dst = (bucketed_edges_by_dst(spark, sf_dir, base_dir)
+                          .select("src", "dst", "label", "weight"))
+        return g
     edges = spark.read.parquet(os.path.join(path, "edges"))
     want = edge_labels & _KNOWN_EDGE_SETS
     edges = edges.filter(F.col("etype").isin(sorted(want)))

@@ -121,6 +121,43 @@ def test_bucketed_pregel_join_has_no_edge_exchange(spark, sf_smoke):
     assert "Exchange" not in edge_branch, plan
 
 
+def test_dual_orientation_half_steps_have_no_edge_exchange(spark, sf_smoke):
+    """HITS alternates a src-keyed and a dst-keyed message join; the v4
+    substrate persists BOTH bucket orientations (CSR + CSC), so each
+    half-step must read its own bucketed layout with NO Exchange on the
+    edge side — previously the dst half-step paid an in-memory
+    repartition(dst) per invocation."""
+    from pyspark.sql import functions as F
+
+    from janusgraph_clickhouse_spark.graph.algorithms import _edges_aligned
+    from janusgraph_clickhouse_spark.graph.model import star_schema_graph
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        g = star_schema_graph(spark, sf_smoke, clustered=True)
+        assert g.src_partitioned and _edges_aligned(g)
+        assert g.edges_by_dst is not None
+        state = (g.vertices.select("id").repartition(32, "id")
+                 .select("id", F.lit(1.0).alias("score")))
+        halves = {
+            "src": g.edges.select("src", "dst").join(
+                state.select(F.col("id").alias("src"), "score"), "src"),
+            "dst": g.edges_by_dst.select("src", "dst").join(
+                state.select(F.col("id").alias("dst"), "score"), "dst"),
+        }
+        for key, df in halves.items():
+            plan = _plan(df)
+            assert "Bucketed: true" in plan, (key, plan)
+            edge_branch = plan.split(":- ")[1].split("+- Sort")[0]
+            assert "Exchange" not in edge_branch, (key, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
 def test_clustered_restriction_matches_derivation(spark, sf_smoke):
     """The clustered read restricted by edge_labels must reproduce the
     in-plan derivation exactly — including NOT leaking supplier→nation

@@ -431,6 +431,64 @@ def test_rollup_merge_is_idempotent_and_crash_safe(spark, tmp_path,
     assert merged.agg(F.sum("cnt")).collect()[0][0] == ev.count() + 10
 
 
+def test_rollup_stream_crash_mid_merge_converges_on_restart(
+        spark, tmp_path, sf_smoke, monkeypatch):
+    """END-TO-END failure injection for the shared crash protocol
+    (s12/s20/s22 all ride _commit_state_version + the CURRENT pointer):
+    the foreachBatch merge DIES mid-merge on batch 2 of 3 — after the
+    immutable v<batch> dir is written but BEFORE the pointer flip (the
+    torn-write window) — through the REAL Structured Streaming restart
+    machinery, not a hand-replayed merge call.  The restart must replay
+    batch 1 from the intact v0, rebuild v1, and finish batch 2; the
+    final rollup must equal the one-shot aggregate (r7 verdict task:
+    replay-noop was tested, the torn-write path itself was not)."""
+    import os
+
+    import janusgraph_clickhouse_spark.streaming.ops as ops
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        incremental_rollup, read_rollup)
+
+    ev = load_table(spark, sf_smoke, "events")
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_commit = ops._commit_state_version
+    crashed = {"yet": False}
+
+    def torn_commit(state_dir, batch_id, cur, df):
+        if batch_id == 1 and not crashed["yet"]:
+            crashed["yet"] = True
+            df.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}"))
+            raise RuntimeError("injected crash: v1 written, pointer "
+                               "NOT flipped")
+        real_commit(state_dir, batch_id, cur, df)
+
+    monkeypatch.setattr(ops, "_commit_state_version", torn_commit)
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_rollup(spark, chunks, rollup, ckpt,
+                           max_files_per_trigger=1)
+    # torn state on disk: v1 exists, CURRENT still names v0
+    assert os.path.isdir(os.path.join(rollup, "v1"))
+    with open(os.path.join(rollup, "CURRENT")) as f:
+        assert f.read().strip() == "v0"
+    # restart the SAME stream/checkpoint: batch 1 replays and heals
+    incremental_rollup(spark, chunks, rollup, ckpt,
+                       max_files_per_trigger=1)
+    assert crashed["yet"]  # the injection really fired
+    got = _rows(read_rollup(spark, rollup)
+                .select("h", "event_type", "cnt",
+                        F.round("sum_raw", 2).alias("sum_value")))
+    want = _rows(ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+    assert got == want
+
+
 def test_decayed_score_closed_form_and_horizon(spark):
     """s13: 3 events valued 1.00/2.00/4.00 oldest→newest score
     4·2^30 + 2·2^29 + 1·2^28 cents-fixed; events past the horizon
