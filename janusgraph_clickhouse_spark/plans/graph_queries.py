@@ -177,18 +177,25 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
     A bounded iteration is perfectly SQL-expressible as chained CTEs —
     "iterative ⇒ no oracle" was wrong for a fixed superstep count.
     Float literals use Python repr so both engines parse the identical
-    double (1-0.85 is NOT 0.15 in binary)."""
+    double (1-0.85 is NOT 0.15 in binary).
+
+    Every CTE is AS MATERIALIZED — the g25 lesson, rediscovered here
+    in r8: each r{t} is referenced TWICE per level (the dangling-mass
+    probe and the message join), so plain CTEs let DuckDB inline the
+    whole chain exponentially.  It happened to plan acceptably until
+    the r8 fixture regen nudged the optimizer: 200 s at sf0.01,
+    0.26 s once materialized."""
     one_minus_d = repr(1.0 - damping)
     d = repr(damping)
     parts = [
-        f"""verts AS (
+        f"""verts AS MATERIALIZED (
       SELECT c_custkey + {_C} AS id FROM customer
       UNION ALL SELECT n_nationkey + {_N} FROM nation
       UNION ALL SELECT r_regionkey + {_R} FROM region
       UNION ALL SELECT o_orderkey + {_O} FROM orders
       UNION ALL SELECT p_partkey + {_P} FROM part
       UNION ALL SELECT s_suppkey + {_S} FROM supplier)""",
-        f"""edges AS (
+        f"""edges AS MATERIALIZED (
       SELECT c_custkey + {_C} AS src, c_nationkey + {_N} AS dst FROM customer
       UNION ALL SELECT n_nationkey + {_N}, n_regionkey + {_R} FROM nation
       UNION ALL SELECT o_custkey + {_C}, o_orderkey + {_O} FROM orders
@@ -196,15 +203,16 @@ def _pagerank_oracle(iters: int = 8, damping: float = 0.85) -> str:
       UNION ALL SELECT DISTINCT l_partkey + {_P}, l_suppkey + {_S}
                 FROM lineitem
       UNION ALL SELECT s_suppkey + {_S}, s_nationkey + {_N} FROM supplier)""",
-        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
-        "nv AS (SELECT count(*)::DOUBLE AS n FROM verts)",
-        "r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM verts)",
+        "deg AS MATERIALIZED "
+        "(SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM verts)",
     ]
     for t in range(iters):
-        parts.append(f"""dang{t} AS (
+        parts.append(f"""dang{t} AS MATERIALIZED (
       SELECT coalesce(sum(r.rank), 0) AS dm FROM r{t} r
       WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))""")
-        parts.append(f"""r{t + 1} AS (
+        parts.append(f"""r{t + 1} AS MATERIALIZED (
       SELECT v.id,
              {one_minus_d} + {d} * (SELECT dm FROM dang{t}) / (SELECT n FROM nv)
              + {d} * coalesce(m.s, 0) AS rank
@@ -474,13 +482,24 @@ def g11_interaction_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g12_motif_count",
+    # closed-form pair count, NOT the literal 4-way join: the motif
+    # matches are ordered pairs of lineitem rows sharing a part whose
+    # orders belong to different customers, so with N_{p,c} = lineitem
+    # rows of part p under customer c and T_p = Σ_c N_{p,c},
+    # matches = Σ_p [T_p² − Σ_c N_{p,c}²] = Σ_{p,c} n·(T_p − n).
+    # The literal self-join oracle planned quadratically in DuckDB
+    # after the r8 fixture regen (177 s at sf0.01); the aggregate form
+    # is exact, 50 ms, and scale-stable.  The Spark side still runs
+    # the real motif join tree — the oracle only changed shape.
     oracle="""
-    SELECT count(*) AS matches
-    FROM orders o
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN lineitem l2 ON l2.l_partkey = l.l_partkey
-    JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
-    WHERE o.o_custkey <> o2.o_custkey
+    WITH pc AS MATERIALIZED (
+      SELECT l.l_partkey AS p, o.o_custkey AS c, count(*) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    pt AS MATERIALIZED (SELECT p, sum(n) AS t FROM pc GROUP BY p)
+    SELECT CAST(coalesce(sum(pc.n * (pt.t - pc.n)), 0) AS BIGINT)
+           AS matches
+    FROM pc JOIN pt ON pt.p = pc.p
     """,
 )
 def g12_motif_count(spark: SparkSession, sf_dir: str) -> DataFrame:

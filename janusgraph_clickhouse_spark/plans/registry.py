@@ -101,15 +101,20 @@ def query(name: str, oracle: str | None = None):
 #    actual staleness minimal (stalest-first rule);
 # 2. the 12 REGISTERED_ROUND=6 names never windowed (virtual r5 rows,
 #    zero real driver evidence, also horizon-critical at r9);
-# 3. five spares to REGISTERED_ROUND=7 names (rule 4; no rule-2
-#    traffic this round — every r8 code change is result-identical on
-#    the fixtures: guard-only/latent fixes to weighted_quantiles,
-#    cms_heavy_hitters, segment_overlap_matrix, _check_meta and the
-#    g18 substrate/perf change, all re-verified by the full local
-#    parity sweep).  Chosen for most-novel machinery per the r7
-#    verdict: s20 incremental HLL, l62 winnowing, g32 weighted SSSP,
-#    then q46 (displaced from r7 by l50) and g33 temporal
-#    reachability (the two remaining iterative/stateful shapes).
+# 3. rule 2: g06_pagerank — its ORACLE changed this round (every CTE
+#    marked AS MATERIALIZED after the r8 fixture regen sent DuckDB's
+#    inlined plan to 200 s; g12's oracle also changed — closed-form
+#    pair count — but g12 is already in cohort 1).  The other r8 code
+#    changes are result-identical on the fixtures (guard-only/latent
+#    fixes to weighted_quantiles, cms_heavy_hitters,
+#    segment_overlap_matrix, _check_meta; the g18 substrate/loop
+#    restructure), re-verified by the full local parity sweep — they
+#    stay in the tail per the r7 precedent.
+# 4. four rule-4 spares to REGISTERED_ROUND=7 names, chosen for
+#    most-novel machinery per the r7 verdict: s20 incremental HLL,
+#    l62 winnowing, g32 weighted SSSP, q46 (displaced from r7 by
+#    l50).  g33 lost its slot to the rule-2 g06 and is due r9 with
+#    the rest of its cohort.
 DRIVER_PRIORITY: list[str] = [
     # rule 1: the 33 names whose newest real driver row is r4
     "q03_key_range_scan", "q08_customer_top_parts",
@@ -130,9 +135,11 @@ DRIVER_PRIORITY: list[str] = [
     "g29_copurchase_lift", "g30_modularity", "g31_betweenness",
     "l48_url_canonical_dedup", "l49_fuzzy_linkage",
     "l51_hard_negatives", "l52_source_report",
-    # rule 4: five REGISTERED_ROUND=7 spares (rationale above)
+    # rule 2: oracle changed this round (MATERIALIZED rewrite)
+    "g06_pagerank",
+    # rule 4: four REGISTERED_ROUND=7 spares (rationale above)
     "s20_incremental_hll", "l62_winnow_pairs", "g32_weighted_sssp",
-    "q46_hll_mergeable_rollup", "g33_temporal_reachability",
+    "q46_hll_mergeable_rollup",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -199,20 +206,23 @@ REGISTERED_ROUND: dict[str, int] = {
 # evidence round, zero new registrations, N stays 180 and the lag
 # stays ceil(180/50) = 4 files).  At r9 the horizon is {r6,r7,r8,r9}.
 # Window, in order:
-# 1. HORIZON-CRITICAL: the 31 REGISTERED_ROUND=7 names NOT in the r8
+# 1. HORIZON-CRITICAL: the 32 REGISTERED_ROUND=7 names NOT in the r8
 #    window above (their virtual r6 rows leave the horizon when r9's
 #    file lands — this cohort cannot slip):
 #      q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 q57 q58,
 #      s17 s18 s19 s21 s22,
-#      l53 l54 l55 l56 l57 l58 l59 l60 l61 l63 l64 l65 l66 l67
-#    (31 = 36 r7 registrations − the 5 windowed at r8: s20 l62 g32
-#    q46 g33).
+#      l53 l54 l55 l56 l57 l58 l59 l60 l61 l63 l64 l65 l66 l67,
+#      g33
+#    (32 = 36 r7 registrations − the 4 windowed at r8: s20 l62 g32
+#    q46).
 # 2. rule-2/rule-3 traffic from r8's file (any red, any r9 change).
-# 3. the remaining ~19 slots start on the 49 names whose newest real
-#    row is r6 (they fall out of the horizon at r10): stalest-first,
-#    ≥2 sentinels per family.  The ~30 r6-rows r9 leaves unwindowed
-#    are then r10's lead cohort, alongside nothing else mandatory —
-#    the 45 rule-1 names windowed at r8 are safe through r12.
+# 3. the remaining ~18 slots start on the 49 names whose newest real
+#    row is r6 (they fall out of the horizon at r10; verified by
+#    script: g06 is NOT among them — its newest row is r7, so the
+#    rule-2 re-window costs r9 nothing): stalest-first, ≥2 sentinels
+#    per family.  The ~31 r6-rows r9 leaves unwindowed are then r10's
+#    lead cohort, alongside nothing else mandatory — the 46 rule-1/2
+#    names windowed at r8 are safe through r12.
 # The math only works if r9 lands its file (an r5-class driver hiccup
 # would push the 31-name cohort past the bound — if CORRECTNESS_r08
 # is missing at r9, window the same list above unchanged and escalate
