@@ -69,8 +69,8 @@ def g02_two_hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g03_supplier_triangles",
     oracle="""
-    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    pairs AS (
+    WITH sp AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.s AS src, b.s AS dst
       FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
     )
@@ -118,7 +118,7 @@ def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g04_connected_components",
     oracle=f"""
-    WITH vs AS (
+    WITH vs AS MATERIALIZED (
       SELECT c_custkey + {_C} AS id, n_regionkey AS rk
       FROM customer JOIN nation ON n_nationkey = c_nationkey
       UNION ALL
@@ -142,12 +142,12 @@ def g04_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g05_bfs_distances",
     oracle=f"""
-    WITH h1o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 42),
-    h1n AS (SELECT c_nationkey FROM customer WHERE c_custkey = 42),
-    h2p AS (SELECT DISTINCT l_partkey FROM lineitem
+    WITH h1o AS MATERIALIZED (SELECT o_orderkey FROM orders WHERE o_custkey = 42),
+    h1n AS MATERIALIZED (SELECT c_nationkey FROM customer WHERE c_custkey = 42),
+    h2p AS MATERIALIZED (SELECT DISTINCT l_partkey FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM h1o)),
-    sp  AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    h3s AS (SELECT DISTINCT l_suppkey FROM sp
+    sp  AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    h3s AS MATERIALIZED (SELECT DISTINCT l_suppkey FROM sp
             WHERE l_partkey IN (SELECT l_partkey FROM h2p))
     SELECT 42 + {_C} AS id, 0 AS distance
     UNION ALL SELECT o_orderkey + {_O}, 1 FROM h1o
@@ -247,12 +247,12 @@ def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g14_repeat_until",
     oracle=f"""
-    WITH o42 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 42),
-    p2 AS (SELECT DISTINCT l_partkey FROM lineitem
+    WITH o42 AS MATERIALIZED (SELECT o_orderkey FROM orders WHERE o_custkey = 42),
+    p2 AS MATERIALIZED (SELECT DISTINCT l_partkey FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM o42)),
-    s3 AS (SELECT DISTINCT l_suppkey FROM lineitem
+    s3 AS MATERIALIZED (SELECT DISTINCT l_suppkey FROM lineitem
            WHERE l_partkey IN (SELECT l_partkey FROM p2)),
-    n4 AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey = 42
+    n4 AS MATERIALIZED (SELECT c_nationkey AS nk FROM customer WHERE c_custkey = 42
            UNION
            SELECT s_nationkey FROM supplier
            WHERE s_suppkey IN (SELECT l_suppkey FROM s3))
@@ -435,7 +435,7 @@ def g09_in_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g10_weighted_sssp",
     oracle=f"""
-    WITH o42 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 42)
+    WITH o42 AS MATERIALIZED (SELECT o_orderkey FROM orders WHERE o_custkey = 42)
     SELECT 42 + {_C} AS id, 0.0 AS dist
     UNION ALL
     SELECT o_orderkey + {_O}, 1.0 FROM o42
@@ -460,10 +460,10 @@ def g10_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g11_interaction_degree",
     oracle="""
-    WITH b AS (SELECT DISTINCT user_id,
+    WITH b AS MATERIALIZED (SELECT DISTINCT user_id,
                       time_bucket(INTERVAL '10 minutes', ts) AS w
                FROM events),
-    e AS (SELECT DISTINCT a.user_id AS u1, c.user_id AS u2
+    e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u1, c.user_id AS u2
           FROM b a JOIN b c ON a.w = c.w AND a.user_id < c.user_id)
     SELECT id, count(*) AS degree FROM (
       SELECT u1 AS id FROM e UNION ALL SELECT u2 AS id FROM e
@@ -779,7 +779,7 @@ def g20_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 AS MATERIALIZED (
       SELECT DISTINCT p2.source, sp.l_suppkey FROM p2
       JOIN sp ON sp.l_partkey = p2.l_partkey),
-    dists AS (
+    dists AS MATERIALIZED (
       SELECT source, 1.0 AS invd FROM o1
       UNION ALL SELECT source, 1.0 FROM n1
       UNION ALL SELECT source, 0.5 FROM p2
@@ -875,25 +875,25 @@ def g22_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g23_scc",
     oracle="""
-    WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
-    mx AS (SELECT max(user_id) AS m FROM ev),
-    seq AS (
+    WITH ev AS MATERIALIZED (SELECT * FROM events WHERE event_id % 7 = 0),
+    mx AS MATERIALIZED (SELECT max(user_id) AS m FROM ev),
+    seq AS MATERIALIZED (
       SELECT user_id,
              lead(user_id) OVER (PARTITION BY event_type
                                  ORDER BY event_id) AS nxt
       FROM ev),
-    e AS (SELECT DISTINCT user_id AS u, nxt AS v FROM seq, mx
+    e AS MATERIALIZED (SELECT DISTINCT user_id AS u, nxt AS v FROM seq, mx
           WHERE nxt IS NOT NULL AND nxt <> user_id
             AND ((user_id * 5) // (m + 1) = (nxt * 5) // (m + 1)
                  OR user_id < nxt)),
-    nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
-    reach AS (
+    nodes AS MATERIALIZED (SELECT u AS id FROM e UNION SELECT v FROM e),
+    reach AS MATERIALIZED (
       WITH RECURSIVE r(s, d) AS (
         SELECT u, v FROM e
         UNION
         SELECT r.s, e.v FROM r JOIN e ON e.u = r.d)
       SELECT * FROM r),
-    mutual AS (
+    mutual AS MATERIALIZED (
       SELECT a.s AS v, a.d AS w
       FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s)
     SELECT n.id, greatest(n.id, coalesce(max(m2.w), n.id)) AS component
@@ -933,20 +933,20 @@ def g23_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g24_local_clustering",
     oracle="""
-    WITH b AS (SELECT DISTINCT user_id,
+    WITH b AS MATERIALIZED (SELECT DISTINCT user_id,
                       time_bucket(INTERVAL '10 minutes', ts) AS w
                FROM events),
-    e AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+    e AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, c.user_id AS v
           FROM b a JOIN b c ON a.w = c.w AND a.user_id < c.user_id),
-    deg AS (SELECT id, count(*) AS degree FROM (
+    deg AS MATERIALIZED (SELECT id, count(*) AS degree FROM (
               SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
             GROUP BY id),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.u AS a, e1.v AS b2, e2.v AS c
       FROM e e1
       JOIN e e2 ON e2.u = e1.v
       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-    pertri AS (SELECT id, count(*) AS t FROM (
+    pertri AS MATERIALIZED (SELECT id, count(*) AS t FROM (
                  SELECT a AS id FROM tri
                  UNION ALL SELECT b2 FROM tri
                  UNION ALL SELECT c FROM tri)
@@ -1210,7 +1210,7 @@ def g28_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH op AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+    n AS MATERIALIZED (SELECT count(DISTINCT o) AS n_orders FROM op),
     deg AS MATERIALIZED (SELECT p, count(*) AS s FROM op GROUP BY p),
     pr AS MATERIALIZED (
       SELECT a.p AS part_a, b.p AS part_b, count(*) AS pair_orders
@@ -1289,7 +1289,7 @@ def _g30_oracle(iters: int = 4) -> str:
       SELECT ls.community AS cs, ld.community AS cd
       FROM e JOIN lab ls ON ls.id = e.src
              JOIN lab ld ON ld.id = e.dst),
-    mm AS (SELECT count(*) AS m FROM e2),
+    mm AS MATERIALIZED (SELECT count(*) AS m FROM e2),
     w AS MATERIALIZED (
       SELECT cs AS c, count(*) AS ec FROM e2 WHERE cs = cd GROUP BY cs),
     od AS MATERIALIZED (SELECT cs AS c, count(*) AS dout FROM e2 GROUP BY cs),
@@ -1301,7 +1301,7 @@ def _g30_oracle(iters: int = 4) -> str:
              coalesce(idg.din, 0) AS din
       FROM od FULL JOIN idg ON idg.c = od.c
       LEFT JOIN w ON w.c = coalesce(od.c, idg.c)),
-    t AS (
+    t AS MATERIALIZED (
       SELECT CAST(floor((ec / mm.m - (din / mm.m) * (dout / mm.m)) * 1e9
                         + 0.5) AS BIGINT) AS t
       FROM per, mm)

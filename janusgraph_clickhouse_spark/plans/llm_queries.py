@@ -45,16 +45,16 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact baseline (l02) and the LSH path (l03): LSH changes how
 # candidates are found, not what the output is.
 _JACCARD_ORACLE = """
-    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-    words AS (SELECT doc_id, generate_subscripts(w,1) AS i, unnest(w) AS word
+    WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    words AS MATERIALIZED (SELECT doc_id, generate_subscripts(w,1) AS i, unnest(w) AS word
               FROM toks),
-    sh AS (SELECT DISTINCT a.doc_id,
+    sh AS MATERIALIZED (SELECT DISTINCT a.doc_id,
                   a.word || ' ' || b.word || ' ' || c.word AS s
            FROM words a
            JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
            JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS m
               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
               GROUP BY 1, 2)
     SELECT doc_a, doc_b,
@@ -103,17 +103,17 @@ def l03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l04_simhash_pairs",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
                   FROM documents),
-    words AS (SELECT doc_id, unnest(w) AS word FROM toks),
-    hashes AS (SELECT doc_id,
+    words AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM toks),
+    hashes AS MATERIALIZED (SELECT doc_id,
                       ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
                FROM words),
-    bits AS (SELECT unnest(range(64)) AS b),
-    votes AS (SELECT doc_id, b,
+    bits AS MATERIALIZED (SELECT unnest(range(64)) AS b),
+    votes AS MATERIALIZED (SELECT doc_id, b,
                      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
               FROM hashes, bits GROUP BY doc_id, b),
-    sig AS (SELECT doc_id,
+    sig AS MATERIALIZED (SELECT doc_id,
                    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
                             ELSE 0::UBIGINT END)::UBIGINT AS s
             FROM votes GROUP BY doc_id)
@@ -149,7 +149,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
 @query(
     "l05_cosine_topk",
     oracle="""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+    WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id AS id,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
@@ -199,7 +199,7 @@ def l06_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l07_text_stats",
     oracle="""
-    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+    WITH toks AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS w
                   FROM documents)
     SELECT doc_id,
            len(w) AS n_tokens,
@@ -230,9 +230,9 @@ def _langid_oracle() -> str:
             f"FROM toks")
     union = " UNION ALL ".join(parts)
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-    scores AS ({union}),
-    best AS (SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id)
+    WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    scores AS MATERIALIZED ({union}),
+    best AS MATERIALIZED (SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id)
     SELECT s.doc_id, min(s.lang) AS pred_lang
     FROM scores s JOIN best b ON b.doc_id = s.doc_id AND s.score = b.ms
     GROUP BY s.doc_id
@@ -316,10 +316,10 @@ def _l11_oracle(k: int = 10, n_planes: int = 4, n_tables: int = 8,
         sel.append(f"{_bucket_sql('q.qv', planes)} AS qb{t}")
     cond = " OR ".join(f"b{t} = qb{t}" for t in range(n_tables))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    b AS (SELECT e.vec_id, e.v, {", ".join(sel)} FROM e, q)
+    q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS MATERIALIZED (SELECT e.vec_id, e.v, {", ".join(sel)} FROM e, q)
     SELECT vec_id AS id,
            round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
     FROM b
@@ -356,52 +356,52 @@ def _l12_oracle(n_cells: int = 16, n_probe: int = 4, n_iters: int = 2,
     ivf_centroids' new.get(i, cents[i])).  Then probe the n_probe cells
     nearest the query and exact-rerank inside them."""
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings)",
-        "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,"
+        "ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,"
         " unnest(v) AS x FROM e)",
-        f"""seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+        f"""seeds AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
           AS cell FROM (SELECT vec_id FROM e ORDER BY vec_id
                         LIMIT {n_cells}))""",
-        "c0 AS (SELECT s.cell, ex.pos, ex.x AS m FROM seeds s"
+        "c0 AS MATERIALIZED (SELECT s.cell, ex.pos, ex.x AS m FROM seeds s"
         " JOIN ex ON ex.vec_id = s.vec_id)",
     ]
     for it in range(n_iters):
-        parts.append(f"""d{it + 1} AS (
+        parts.append(f"""d{it + 1} AS MATERIALIZED (
       SELECT ex.vec_id, c.cell, sum((ex.x - c.m) * (ex.x - c.m)) AS d
       FROM ex JOIN c{it} c ON c.pos = ex.pos
       GROUP BY ex.vec_id, c.cell)""")
-        parts.append(f"""a{it + 1} AS (
+        parts.append(f"""a{it + 1} AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT), cell) AS rn
         FROM d{it + 1}) WHERE rn = 1)""")
-        parts.append(f"""u{it + 1} AS (
+        parts.append(f"""u{it + 1} AS MATERIALIZED (
       SELECT a.cell, ex.pos,
              floor(avg(ex.x) * 1000000 + 0.5) / 1000000 AS m
       FROM a{it + 1} a JOIN ex ON ex.vec_id = a.vec_id
       GROUP BY a.cell, ex.pos)""")
-        parts.append(f"""c{it + 1} AS (
+        parts.append(f"""c{it + 1} AS MATERIALIZED (
       SELECT c.cell, c.pos, coalesce(u.m, c.m) AS m
       FROM c{it} c LEFT JOIN u{it + 1} u
         ON u.cell = c.cell AND u.pos = c.pos)""")
     cf = f"c{n_iters}"
     parts += [
-        f"""qd AS (SELECT c.cell, sum((qx.x - c.m) * (qx.x - c.m)) AS d
+        f"""qd AS MATERIALIZED (SELECT c.cell, sum((qx.x - c.m) * (qx.x - c.m)) AS d
       FROM (SELECT pos, x FROM ex WHERE vec_id = 0) qx
       JOIN {cf} c ON c.pos = qx.pos GROUP BY c.cell)""",
-        f"probe AS (SELECT cell FROM qd ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT), cell LIMIT {n_probe})",
-        f"""df AS (SELECT ex.vec_id, c.cell,
+        f"probe AS MATERIALIZED (SELECT cell FROM qd ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT), cell LIMIT {n_probe})",
+        f"""df AS MATERIALIZED (SELECT ex.vec_id, c.cell,
              sum((ex.x - c.m) * (ex.x - c.m)) AS d
       FROM ex JOIN {cf} c ON c.pos = ex.pos GROUP BY ex.vec_id, c.cell)""",
-        """af AS (SELECT vec_id, cell FROM (
+        """af AS MATERIALIZED (SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY CAST(floor(d * 1000000 + 0.5) AS BIGINT),
                           cell) AS rn
         FROM df) WHERE rn = 1)""",
-        """cands AS (SELECT vec_id FROM af
+        """cands AS MATERIALIZED (SELECT vec_id FROM af
       WHERE cell IN (SELECT cell FROM probe))""",
     ]
     return ("WITH " + ",\n".join(parts) + f"""
@@ -438,9 +438,9 @@ def _l17_oracle(threshold: float = 0.35, n_planes: int = 8,
         bcols.append(f"{_bucket_sql('v', planes)} AS b{t}")
     cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    b AS (SELECT vec_id, v, {", ".join(bcols)} FROM e)
+    b AS MATERIALIZED (SELECT vec_id, v, {", ".join(bcols)} FROM e)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            round(list_cosine_similarity(a.v, c.v), 6) AS cosine
     FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({cond})
@@ -544,16 +544,16 @@ def l15_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l16_pipeline_composed",
     oracle="""
-    WITH deduped AS (
+    WITH deduped AS MATERIALIZED (
       SELECT * FROM documents d
       WHERE doc_id = (SELECT min(doc_id) FROM documents d2
                       WHERE d2.text = d.text)
     ),
-    filtered AS (
+    filtered AS MATERIALIZED (
       SELECT * FROM deduped
       WHERE len(string_split(text, ' ')) >= 40
     ),
-    split AS (
+    split AS MATERIALIZED (
       SELECT lang,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        ::BIGINT % 100 AS INT) < 80 THEN 'train'
@@ -863,7 +863,7 @@ def l24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, token, count(*) AS tf FROM words GROUP BY 1, 2),
     dfq AS MATERIALIZED (
       SELECT token, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM documents),
     scored AS MATERIALIZED (
       SELECT tf.doc_id, tf.token,
              round(tf.tf * ln((SELECT n FROM n) / dfq.df), 6) AS tfidf
@@ -1025,7 +1025,7 @@ def l28_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l29_length_band_filter",
     oracle="""
-    WITH q AS (
+    WITH q AS MATERIALIZED (
       SELECT quantile_cont(len(string_split(text, ' ')), 0.25) AS lo,
              quantile_cont(len(string_split(text, ' ')), 0.75) AS hi
       FROM documents)
@@ -1317,9 +1317,9 @@ def l34_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
              unnest(CAST(embedding AS DOUBLE[])) AS v
       FROM embeddings),
-    dims AS (
+    dims AS MATERIALIZED (
       SELECT i, min(v) AS mn, max(v) AS mx FROM vecs GROUP BY i),
-    p AS (
+    p AS MATERIALIZED (
       SELECT i, mn, mx,
              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS s
       FROM dims),
@@ -1330,17 +1330,17 @@ def l34_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       0), 255)
                   ELSE 0 END AS c
       FROM vecs v JOIN p USING (i)),
-    qfull AS (SELECT i, v AS q FROM vecs WHERE vec_id = 0),
-    qn AS (SELECT sqrt(sum(q * q)) AS qnorm FROM qfull),
-    scored AS (
+    qfull AS MATERIALIZED (SELECT i, v AS q FROM vecs WHERE vec_id = 0),
+    qn AS MATERIALIZED (SELECT sqrt(sum(q * q)) AS qnorm FROM qfull),
+    scored AS MATERIALIZED (
       SELECT c.vec_id AS id,
              round(sum((c.mn + c.s * c.c) * qf.q)
                    / (sqrt(sum((c.mn + c.s * c.c) * (c.mn + c.s * c.c)))
                       * min(qn.qnorm)), 6) AS qcos
       FROM codes c JOIN qfull qf USING (i), qn
       WHERE c.vec_id <> 0 GROUP BY c.vec_id),
-    short AS (SELECT * FROM scored ORDER BY qcos DESC, id LIMIT 50),
-    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+    short AS MATERIALIZED (SELECT * FROM scored ORDER BY qcos DESC, id LIMIT 50),
+    qv AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id = 0)
     SELECT s.id, s.qcos,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -1414,7 +1414,7 @@ def l36_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos AS pos_a, a.pos - b.pos AS d
       FROM valid a JOIN valid b ON a.s = b.s AND a.doc_id < b.doc_id),
-    grp AS (SELECT *, pos_a - row_number() OVER (
+    grp AS MATERIALIZED (SELECT *, pos_a - row_number() OVER (
               PARTITION BY doc_a, doc_b, d ORDER BY pos_a) AS g FROM m)
     SELECT doc_a, doc_b, min(pos_a) AS start_a,
            min(pos_a) - d AS start_b,
@@ -1666,7 +1666,7 @@ def l40_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(cnt) FILTER (tgt) AS BIGINT) AS ct,
              CAST(sum(cnt) FILTER (NOT tgt) AS BIGINT) AS cr
       FROM per_doc GROUP BY bucket),
-    tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+    tot AS MATERIALIZED (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
                    CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM marg),
     ratio AS MATERIALIZED (
       SELECT bucket,
@@ -1952,7 +1952,7 @@ def _lsh_audit_oracle(num_hashes: int = 12, bands: int = 6,
     hit AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b FROM cand c
       JOIN tp t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
-    m AS (SELECT (SELECT count(*) FROM tp) AS n_true,
+    m AS MATERIALIZED (SELECT (SELECT count(*) FROM tp) AS n_true,
                  (SELECT count(*) FROM cand) AS n_cand,
                  (SELECT count(*) FROM hit) AS n_hit)
     SELECT n_true, n_cand, n_hit,
@@ -2126,7 +2126,7 @@ def _l50_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 4,
         bs.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
     cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                FROM embeddings),
     b AS MATERIALIZED (
       SELECT e.vec_id, e.v, e.label, {", ".join(bs)} FROM e),
@@ -2141,11 +2141,11 @@ def _l50_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 4,
                row_number() OVER (PARTITION BY i
                                   ORDER BY cos DESC, j) AS rn
         FROM pr) WHERE rn <= {k}),
-    cand AS (SELECT i, count(*) AS n_candidates FROM pr GROUP BY i),
-    votes AS (SELECT i, lj, min(true_label) AS true_label,
+    cand AS MATERIALIZED (SELECT i, count(*) AS n_candidates FROM pr GROUP BY i),
+    votes AS MATERIALIZED (SELECT i, lj, min(true_label) AS true_label,
                      count(*) AS c
               FROM top GROUP BY i, lj),
-    winner AS (
+    winner AS MATERIALIZED (
       SELECT i, true_label, lj, c,
              row_number() OVER (PARTITION BY i ORDER BY c DESC, lj) AS rn
       FROM votes)
@@ -2184,7 +2184,7 @@ def _l51_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 4,
         bs.append(f"{_bucket_sql('e.v', planes)} AS b{t}")
     cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                FROM embeddings),
     b AS MATERIALIZED (
       SELECT e.vec_id, e.v, e.label, {", ".join(bs)} FROM e),
@@ -2385,7 +2385,7 @@ def _l55_oracle(query_mod: int = 97, k: int = 10, n_planes: int = 4,
            " / (sqrt(list_inner_product({a}, {a}))"
            " * sqrt(list_inner_product({b}, {b}))), 6)")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     b AS MATERIALIZED (
       SELECT e.vec_id, e.v, {", ".join(bs)} FROM e),
@@ -2413,9 +2413,9 @@ def _l55_oracle(query_mod: int = 97, k: int = 10, n_planes: int = 4,
         SELECT qid, id, row_number() OVER (PARTITION BY qid
                  ORDER BY cos DESC, id) AS rn FROM sc)
       WHERE rn <= {k}),
-    nex AS (SELECT qid, count(*) AS n_exact FROM extk GROUP BY qid),
-    nsl AS (SELECT qid, count(*) AS n_shortlist FROM cand GROUP BY qid),
-    hit AS (SELECT x.qid, count(*) AS n_hit
+    nex AS MATERIALIZED (SELECT qid, count(*) AS n_exact FROM extk GROUP BY qid),
+    nsl AS MATERIALIZED (SELECT qid, count(*) AS n_shortlist FROM cand GROUP BY qid),
+    hit AS MATERIALIZED (SELECT x.qid, count(*) AS n_hit
             FROM extk x JOIN annt a ON a.qid = x.qid AND a.id = x.id
             GROUP BY x.qid)
     SELECT nex.qid AS query_id, nex.n_exact,

@@ -468,19 +468,19 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_mutate_upsert",
     oracle="""
-    WITH additions AS (
+    WITH additions AS MATERIALIZED (
       SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
              round(o_totalprice * 1.1, 2) AS o_totalprice,
              o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey < 100
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT * FROM orders
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
                                WHERE o_orderkey >= 100 AND o_orderkey < 200)
         AND o_orderkey NOT IN (SELECT o_orderkey FROM additions)
     ),
-    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM additions)
+    merged AS MATERIALIZED (SELECT * FROM kept UNION ALL SELECT * FROM additions)
     SELECT count(*) AS n_rows,
            round(sum(o_totalprice), 2) AS total,
            count(*) FILTER (o_orderstatus = 'X') AS n_upserted
@@ -535,7 +535,7 @@ def q20_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q21_array_functions",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     SELECT doc_id,
            len(w) AS n_tokens,
            len(list_distinct(w)) AS n_distinct,
@@ -968,12 +968,12 @@ def q36_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q37_geo_within",
     oracle="""
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT c_custkey, c_nationkey,
              -90.0 + ((c_custkey * 7919) % 18000) / 100.0 AS lat,
              -180.0 + ((c_custkey * 104729) % 36000) / 100.0 AS lon
       FROM customer),
-    d AS (
+    d AS MATERIALIZED (
       SELECT c_nationkey,
              round(2 * 6371.0 * asin(sqrt(
                power(sin((radians(25.0) - radians(lat)) / 2), 2)
@@ -1180,11 +1180,11 @@ def q40_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders)),
     reg AS MATERIALIZED (
       SELECT bucket, max(rank) AS m FROM r GROUP BY bucket),
-    z AS (
+    z AS MATERIALIZED (
       SELECT CAST(sum(CAST(2.0 ** (53 - m) AS BIGINT)) AS BIGINT)
              + (256 - count(*)) * 9007199254740992 AS z
       FROM reg),
-    ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+    ex AS MATERIALIZED (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
     SELECT n_exact,
            round(4.2399330249068963e+20 / z, 4) AS hll_estimate,
            round((4.2399330249068963e+20 / z - n_exact) / n_exact, 6)
@@ -1263,7 +1263,7 @@ def q42_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     su AS MATERIALIZED (
       SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
       ORDER BY h LIMIT 32),
-    st AS (
+    st AS MATERIALIZED (
       SELECT (SELECT count(*) FROM sa) AS na,
              (SELECT max(h) FROM sa) AS hak,
              (SELECT count(*) FROM sb) AS nb,
@@ -1273,7 +1273,7 @@ def q42_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT count(*) FROM su
               WHERE h IN (SELECT h FROM sa)
                 AND h IN (SELECT h FROM sb)) AS rho),
-    ex AS (
+    ex AS MATERIALIZED (
       SELECT (SELECT count(DISTINCT user_id) FROM events
               WHERE event_type = 'view') AS n_a,
              (SELECT count(DISTINCT user_id) FROM events
@@ -1354,7 +1354,7 @@ def q44_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events),
-    c AS (SELECT mn + CAST(floor((mx - mn) / 2) AS BIGINT) AS cutoff
+    c AS MATERIALIZED (SELECT mn + CAST(floor((mx - mn) / 2) AS BIGINT) AS cutoff
           FROM (SELECT min(d) AS mn, max(d) AS mx FROM days))
     SELECT d, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
            (SELECT CAST(count(DISTINCT d) AS BIGINT)

@@ -70,14 +70,14 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s03_session_window",
     oracle="""
-    WITH d AS (
+    WITH d AS MATERIALIZED (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
+    ), s AS MATERIALIZED (
       SELECT user_id, ts, value,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS UNBOUNDED PRECEDING) AS sid
@@ -132,9 +132,9 @@ def s04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s05_asof_join",
     oracle="""
-    WITH v AS (SELECT user_id, ts, value FROM events
+    WITH v AS MATERIALIZED (SELECT user_id, ts, value FROM events
                WHERE event_type = 'view'),
-         p AS (SELECT user_id, ts, event_id, value FROM events
+         p AS MATERIALIZED (SELECT user_id, ts, event_id, value FROM events
                WHERE event_type = 'purchase'),
     -- explicit argmax, NOT native ASOF: DuckDB's ASOF JOIN picks an
     -- ARBITRARY row among right rows tied on ts, while the Spark

@@ -86,6 +86,33 @@ def test_driver_window_rotation_policy():
         f"(rotate them into DRIVER_PRIORITY): {stale}")
 
 
+def test_no_unmaterialized_oracle_ctes():
+    """Every CTE in every oracle must be AS MATERIALIZED.  DuckDB
+    inlines plain CTEs at every reference site, and the optimizer's
+    plan choice RE-ROLLS against regenerated fixtures each round: g25's
+    oracle hung outright, and g06's survived five rounds before the r8
+    fixture regen sent it to 200 s at sf0.01 (g12's flat self-join hit
+    177 s the same day).  Materialization is result-identical and
+    costless at oracle scale (all 180 oracles together: 12 s), so the
+    invariant is blanket — new oracles comply or this test names them.
+    WINDOW clauses (``WINDOW w AS (...)``) are not CTEs and are
+    exempt."""
+    import re
+    offenders = {}
+    for name, sql in ORACLES.items():
+        bad = []
+        for line in sql.splitlines():
+            if "WINDOW" in line:
+                continue
+            # a MATERIALIZED def reads "x AS MATERIALIZED (" and cannot
+            # match this pattern (the paren must follow AS directly)
+            bad += re.findall(r"(\w+)[ \t]+AS[ \t]+\(", line)
+        if bad:
+            offenders[name] = sorted(set(bad))
+    assert not offenders, (
+        f"oracles with plain (un-MATERIALIZED) CTEs: {offenders}")
+
+
 def test_no_hugeint_oracle_outputs(sf_oracle):
     """DuckDB silently widens integer sums (sum(INT/BIGINT) and windowed
     sums -> HUGEINT); a HUGEINT reaching an ORACLE OUTPUT column breaks
