@@ -994,6 +994,23 @@ def test_hits_edgeless_graph_zero_scores(spark):
         assert r.hub == 0.0 and r.authority == 0.0
 
 
+def test_hits_zero_iterations_is_uniform(spark):
+    """max_iter=0 must return the normalized initial vector (1/n each)
+    — pins the loop-boundary semantics of the r8 aggregate-only
+    restructure (the last-step checkpoint branch never fires)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import hits
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(1, 2, "e")],
+                                  "src long, dst long, label string")
+    out = hits(PropertyGraph(vertices=verts, edges=edges),
+               max_iter=0).collect()
+    assert len(out) == 4
+    for r in out:
+        assert abs(r.hub - 0.25) < 1e-12
+        assert abs(r.authority - 0.25) < 1e-12
+
+
 def test_dense_triangle_cap_raises_loudly(spark):
     """Past DENSE_TRI_MAX_NODES the bit-matrix path refuses (driver
     would unpack ~8*n^2 bytes) instead of OOMing."""
