@@ -223,8 +223,18 @@ REGISTERED_ROUND: dict[str, int] = {
 #    per family.  The ~31 r6-rows r9 leaves unwindowed are then r10's
 #    lead cohort, alongside nothing else mandatory — the 46 rule-1/2
 #    names windowed at r8 are safe through r12.
+# Suggested 18 spares (verified against the files this round; the 32
+# mandatory names carry only ONE g — g33 — so the g-sentinel rule
+# needs ≥1 g from here anyway): all 12 r6-row g names (g03 g05 g17
+# g20 g21 g22 g23 g24 g25 g26 g27 g28 — the iterative family where
+# fresh evidence is worth most), q41 q42 (sketches.py carried the r8
+# cms weight-guard change; rule 2 promotes q42 at r9 since the change
+# postdates its newest row), s11 s12 (s12's shared crash protocol got
+# the r8 failure-injection test), l30 (r8 _check_meta change), and
+# l04 (the documented variance query — a fresh driver row helps
+# adjudication).  That leaves 31 r6-rows as r10's lead cohort.
 # The math only works if r9 lands its file (an r5-class driver hiccup
-# would push the 31-name cohort past the bound — if CORRECTNESS_r08
+# would push the 32-name cohort past the bound — if CORRECTNESS_r08
 # is missing at r9, window the same list above unchanged and escalate
 # in PROGRESS.jsonl).  As always: re-derive every cohort from
 # REGISTERED_ROUND ∪ the correctness files at r9 — do not trust this
