@@ -902,10 +902,14 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
         finally  a ← a / Σ a,  h ← h / Σ h
 
     Same substrate discipline as pagerank: edges cached pre-partitioned
-    on the join key (or served by the bucketed layout when aligned),
-    localCheckpoint once per iteration to keep lineage flat.  A FIXED
-    iteration count makes the recurrence bounded — SQL-oracle-able by
-    unrolling (the g06 pattern).
+    on the join key (or served by the bucketed layout when aligned).
+    Unlike pagerank there is NO per-iteration checkpoint: the loop is a
+    single linear chain (each intermediate consumed exactly once), so
+    only the final ``a`` (consumed twice) is checkpointed — plus a
+    lineage-truncation checkpoint every 10 iterations so a large
+    caller-supplied ``max_iter`` can't grow the Catalyst plan without
+    bound.  A FIXED iteration count makes the recurrence bounded —
+    SQL-oracle-able by unrolling (the g06 pattern).
 
     Normalization is applied ONCE at the end, not per half-step: the
     HITS recurrence is LINEAR, so each per-step L1 normalization is a
@@ -964,6 +968,13 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
              .join(a.select(F.col("id").alias("dst"), "authority"), "dst")
              .groupBy(F.col("src").alias("id"))
              .agg(F.sum("authority").alias("hub")))
+        # plan-size bound for large caller-supplied max_iter: the
+        # linear chain needs no correctness checkpoint, but Catalyst
+        # plan/lineage depth grows with every iteration — truncate
+        # every 10 so max_iter=100 stays analyzable (no-op at the
+        # default 8; the barrier cost only triggers when depth would)
+        if (t + 1) % 10 == 0 and t != max_iter - 1:
+            h = h.localCheckpoint(eager=True)
     state = (v.join(a, "id", "left").join(h, "id", "left")
              .select("id",
                      F.coalesce("hub", F.lit(0.0)).alias("hub"),

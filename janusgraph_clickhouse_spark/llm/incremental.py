@@ -235,28 +235,27 @@ def _check_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
     and the index permanently poisoned with two incompatible schemes.
     The persisted meta makes that a loud error instead.
 
-    A PRE-meta index (built before the stamp existed) adopts the
-    caller's params only when they are the library defaults — any
-    pre-meta index built through the public signatures without
-    explicit overrides used exactly those.  A non-default call cannot
-    prove it matches the index, so it must go through
-    stamp_index_params (the explicit migrate step) first: silently
-    trusting the first caller would stamp the wrong params, poison the
-    index with a disjoint bucket space, and make every LATER
-    correct-param absorb raise against the wrong baseline."""
+    A PRE-meta index (built before the stamp existed) must ALWAYS go
+    through stamp_index_params (the explicit migrate step) first —
+    even when the absorb call uses the library defaults.  NO call can
+    prove it matches the index: an earlier revision let default-param
+    calls adopt silently, but that left one poisoning path open — a
+    pre-meta index actually built with non-default params, first
+    absorbed post-upgrade by a default-param caller, would get stamped
+    with the wrong (default) scheme, the exact disjoint-bucket-space
+    poisoning this guard exists to prevent, just inverted.  Only the
+    operator who knows the build params can stamp; the one-time
+    loudness for default-built indexes is the price of closing it."""
     import json
     mp = os.path.join(path, _META_FILE)
     want = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if not os.path.exists(mp):
-        if want != _FP_DEFAULTS:
-            raise ValueError(
-                f"index at {path} predates parameter stamping and this "
-                f"call uses non-default params {want}; run "
-                f"stamp_index_params(path, ...) with the params the "
-                f"index was actually built with, or rebuild with "
-                f"bootstrap_index")
-        _write_meta(path, n, num_hashes, bands)
-        return
+        raise ValueError(
+            f"index at {path} predates parameter stamping; run "
+            f"stamp_index_params(path, n=..., num_hashes=..., "
+            f"bands=...) ONCE with the params the index was actually "
+            f"built with (defaults were {_FP_DEFAULTS}), or rebuild "
+            f"with bootstrap_index")
     with open(mp) as f:
         have = json.load(f)
     if have != want:

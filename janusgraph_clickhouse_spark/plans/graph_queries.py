@@ -7,9 +7,12 @@ same answers relationally — e.g. connected components of the
 customer→nation→region forest are provably "min vertex id in the region
 subtree", which one window function computes.
 
-PageRank keeps no SQL oracle (iterative fixpoint — driver records a
-rows-only check); its invariants are pytest-verified on closed-form
-graphs instead (tests/test_graph_algorithms.py).
+Every registered query here carries a full SQL oracle — including the
+iterative ones: PageRank (g06) is oracled by an unrolled 8-step chain of
+``AS MATERIALIZED`` CTEs (one per power iteration), the same pattern the
+fixpoint queries g13/g25 use.  The registry has a zero-rows-only
+invariant for this module; iterative invariants are additionally
+pytest-verified on closed-form graphs (tests/test_graph_algorithms.py).
 """
 
 from __future__ import annotations

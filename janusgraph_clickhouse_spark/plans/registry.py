@@ -115,31 +115,58 @@ def query(name: str, oracle: str | None = None):
 #    l62 winnowing, g32 weighted SSSP, q46 (displaced from r7 by
 #    l50).  g33 lost its slot to the rule-2 g06 and is due r9 with
 #    the rest of its cohort.
+# (The r8 list itself is preserved in git history at tag-commit
+# f44123b; replaced below by the ROUND-9 window.)
+#
+# ROUND-9 WINDOW (derived fresh from the correctness files this
+# round, per the standing rule; the re-derivation MATCHED the r9
+# pre-derivation below exactly — first round that happened).
+# Verified by script over CORRECTNESS_r0{1,2,3,4,6,7,8}.json:
+# newest-real-green-row histogram is 50×r8 + 49×r7 + 49×r6 + 32
+# with no real row; CORRECTNESS_r08 is 50/50 green (no rule-3
+# traffic).  Window, in order:
+# 1. HORIZON-CRITICAL: the 32 REGISTERED_ROUND=7 names with no real
+#    driver row (36 r7 registrations − the 4 windowed at r8: s20 l62
+#    g32 q46).  Their virtual r6 rows leave the 4-file horizon
+#    {r6,r7,r8,r9} the moment CORRECTNESS_r09 lands — cannot slip.
+# 2. rule 2: no oracle changes this round; g23_scc's implementation
+#    was touched this round (dst-orientation substrate attempt) and
+#    it is already in the spare list below, so rule 2 costs nothing.
+# 3. 18 spares from the 49 r6-row names (stalest cohort; they fall
+#    out of the horizon at r10), per the r8 pre-derivation's
+#    suggestion, re-verified against the files: all 12 r6-row g
+#    names (the iterative family where fresh evidence is worth
+#    most), q41 q42 (sketches.py carried the r8 cms weight-guard
+#    change postdating their newest rows), s11 s12 (s12's shared
+#    crash protocol got the r8 failure-injection test), l30 (r8
+#    _check_meta change), l04 (the documented variance query — a
+#    fresh driver row aids adjudication).
+# Family sentinels in-window: 14 q, 13 g, 16 l, 7 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 33 names whose newest real driver row is r4
-    "q03_key_range_scan", "q08_customer_top_parts",
-    "q13_predicate_library", "q18_json_extract", "q20_group_collect",
-    "q21_array_functions", "q26_rollup", "q29_pivot",
-    "q30_percentiles", "q35_range_step", "q37_geo_within",
-    "g01_out_degree", "g02_two_hop_parts", "g07_traversal_semi_anti",
-    "g08_path_query", "g09_in_traversal", "g10_weighted_sssp",
-    "g11_interaction_degree", "g12_motif_count", "g13_topo_levels",
-    "l02_jaccard_pairs", "l05_cosine_topk", "l06_cosine_near_dup",
-    "l07_text_stats", "l08_language_id", "l09_fingerprint",
-    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
-    "l16_pipeline_composed",
-    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
-    # rule 1: the 12 REGISTERED_ROUND=6 names with no real row yet
-    "q43_kmv_set_ops", "q44_delta_sum", "q45_ttl_partition_prune",
-    "s14_gap_fill", "s16_lttb_downsample",
-    "g29_copurchase_lift", "g30_modularity", "g31_betweenness",
-    "l48_url_canonical_dedup", "l49_fuzzy_linkage",
-    "l51_hard_negatives", "l52_source_report",
-    # rule 2: oracle changed this round (MATERIALIZED rewrite)
-    "g06_pagerank",
-    # rule 4: four REGISTERED_ROUND=7 spares (rationale above)
-    "s20_incremental_hll", "l62_winnow_pairs", "g32_weighted_sssp",
-    "q46_hll_mergeable_rollup",
+    # rule 1: the 32 horizon-critical REGISTERED_ROUND=7 names
+    "q47_map_aggregates", "q48_histogram_quantiles",
+    "q49_weighted_quantiles", "q50_range_frame_windows",
+    "q51_bitmap_segments", "q52_grouping_sets", "q53_topk_weighted",
+    "q54_top_event_paths", "q55_conditional_aggregates",
+    "q56_sliding_hll", "q57_jsonl_roundtrip", "q58_unpivot_measures",
+    "s17_sequence_match", "s18_sequence_count", "s19_stream_enrich",
+    "s21_interval_full_join", "s22_incremental_scd1",
+    "l53_paragraph_dedup", "l54_stratified_split", "l55_ann_recall_eval",
+    "l56_source_overlap_matrix", "l57_audio_rms", "l58_snapshot_diff",
+    "l59_vocab_js_drift", "l60_priority_dedup", "l61_overlap_chunks",
+    "l63_embedding_outliers", "l64_source_keyness",
+    "l65_langid_confusion", "l66_length_ks_drift",
+    "l67_leakage_free_split",
+    "g33_temporal_reachability",
+    # rule 5/stalest-first: 18 spares from the 49 r6-row names
+    "g03_supplier_triangles", "g05_bfs_distances",
+    "g17_link_prediction", "g20_random_walks",
+    "g21_harmonic_centrality", "g22_biased_walks", "g23_scc",
+    "g24_local_clustering", "g25_ktruss", "g26_assortativity",
+    "g27_diameter", "g28_mis",
+    "q41_hll_distinct", "q42_cms_heavy_hitters",
+    "s11_stateful_running_totals", "s12_incremental_rollup",
+    "l30_incremental_dedup", "l04_simhash_pairs",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -201,45 +228,31 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-9 ROTATION, pre-derived (assuming CORRECTNESS_r08 lands with
-# the window above; REGISTERED_ROUND=8 is empty — round 8 was an
-# evidence round, zero new registrations, N stays 180 and the lag
-# stays ceil(180/50) = 4 files).  At r9 the horizon is {r6,r7,r8,r9}.
-# Window, in order:
-# 1. HORIZON-CRITICAL: the 32 REGISTERED_ROUND=7 names NOT in the r8
-#    window above (their virtual r6 rows leave the horizon when r9's
-#    file lands — this cohort cannot slip):
-#      q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 q57 q58,
-#      s17 s18 s19 s21 s22,
-#      l53 l54 l55 l56 l57 l58 l59 l60 l61 l63 l64 l65 l66 l67,
-#      g33
-#    (32 = 36 r7 registrations − the 4 windowed at r8: s20 l62 g32
-#    q46).
-# 2. rule-2/rule-3 traffic from r8's file (any red, any r9 change).
-# 3. the remaining ~18 slots start on the 49 names whose newest real
-#    row is r6 (they fall out of the horizon at r10; verified by
-#    script: g06 is NOT among them — its newest row is r7, so the
-#    rule-2 re-window costs r9 nothing): stalest-first, ≥2 sentinels
-#    per family.  The ~31 r6-rows r9 leaves unwindowed are then r10's
-#    lead cohort, alongside nothing else mandatory — the 46 rule-1/2
-#    names windowed at r8 are safe through r12.
-# Suggested 18 spares (verified against the files this round; the 32
-# mandatory names carry only ONE g — g33 — so the g-sentinel rule
-# needs ≥1 g from here anyway): all 12 r6-row g names (g03 g05 g17
-# g20 g21 g22 g23 g24 g25 g26 g27 g28 — the iterative family where
-# fresh evidence is worth most), q41 q42 (sketches.py carried the r8
-# cms weight-guard change; rule 2 promotes q42 at r9 since the change
-# postdates its newest row), s11 s12 (s12's shared crash protocol got
-# the r8 failure-injection test), l30 (r8 _check_meta change), and
-# l04 (the documented variance query — a fresh driver row helps
-# adjudication).  That leaves 31 r6-rows as r10's lead cohort.
-# The math only works if r9 lands its file (an r5-class driver hiccup
-# would push the 32-name cohort past the bound — if CORRECTNESS_r08
-# is missing at r9, window the same list above unchanged and escalate
-# in PROGRESS.jsonl).  As always: re-derive every cohort from
-# REGISTERED_ROUND ∪ the correctness files at r9 — do not trust this
-# enumeration (r7's and r8's pre-derivations were each wrong by one
-# name until recounted against the files).
+# ROUND-10 ROTATION, pre-derived (assuming CORRECTNESS_r09 lands
+# with the window above; REGISTERED_ROUND=9 is empty — round 9
+# registered nothing, N stays 180, lag stays ceil(180/50) = 4
+# files).  At r10 the horizon is {r7,r8,r9,r10}.  Window, in order:
+# 1. LEAD COHORT: the 31 r6-row names r9 left unwindowed — their r6
+#    rows leave the horizon when r10's file lands:
+#      q01 q06 q17 q19 q38 q39 q40,
+#      s06 s07 s08 s09 s13,
+#      l01 l03 l10 l31 l32 l33 l34 l35 l36 l37 l38 l39 l40 l41 l42
+#      l43 l44 l45 l46
+#    (31 = 49 r6-rows − the 18 windowed at r9; ZERO g names — every
+#    r6-row g was windowed at r9, so the g sentinels must come from
+#    the spares).
+# 2. rule-2/rule-3 traffic from r9's file (any red, any r10 change).
+# 3. ~19 spares from the 49 names whose newest real row is r7
+#    (they fall out at r11): stalest-first, and ≥2 g sentinels are
+#    MANDATORY here (e.g. g04 g14–g19 all carry r7 rows).  The ~30
+#    r7-rows left unwindowed are r11's lead cohort.
+# The math only works if r9 lands its file (an r5-class driver
+# hiccup pushes the 32-name r7-registration cohort past the bound —
+# if CORRECTNESS_r09 is missing at r10, window the r9 list above
+# unchanged and escalate in PROGRESS.jsonl).  As always: re-derive
+# every cohort from REGISTERED_ROUND ∪ the correctness files at r10
+# — the r7/r8 pre-derivations were each off by one until recounted
+# (r9's was the first to survive the recount intact).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 

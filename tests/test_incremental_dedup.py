@@ -298,14 +298,14 @@ def test_absorb_rejects_mismatched_fingerprint_params(spark, tmp_path):
 
 
 def test_premeta_index_requires_explicit_stamp(spark, tmp_path):
-    """A pre-meta index (no _FP_PARAMS file) must NOT adopt the first
-    caller's non-default params: that absorb would stamp the wrong
-    scheme, silently poison the bucket space, and make later
-    correct-param absorbs raise against the wrong baseline (r8 review).
-    Default-param calls may adopt (any pre-meta index built through the
-    public signatures without overrides used exactly those); non-default
-    calls must go through stamp_index_params, which itself refuses to
-    restamp an already-stamped index."""
+    """A pre-meta index (no _FP_PARAMS file) must NOT adopt ANY first
+    caller's params — not even the defaults: a pre-meta index actually
+    built with non-default params, first absorbed post-upgrade by a
+    default-param caller, would otherwise get stamped with the wrong
+    (default) scheme — the poisoning path inverted (r8 review, closed
+    fully in r9).  Every pre-meta index goes through
+    stamp_index_params, which itself refuses to restamp an
+    already-stamped index."""
     import os
     import pytest
     from janusgraph_clickhouse_spark.llm.incremental import (
@@ -321,10 +321,15 @@ def test_premeta_index_requires_explicit_stamp(spark, tmp_path):
     assert absorb_batch(df, "doc_id", "text", idx, bands=12).count() == 0
     with pytest.raises(ValueError, match="refusing to restamp"):
         stamp_index_params(idx, n=3, num_hashes=48, bands=16)
-    # a DEFAULT-param call on a pre-meta index adopts silently
+    # a DEFAULT-param call on a pre-meta index is loud too (the index
+    # may have been BUILT with non-default params — only the operator
+    # can know), and absorbs normally once stamped
     idx2 = str(tmp_path / "fpidx2")
     bootstrap_index(df, "doc_id", "text", idx2)
     os.remove(os.path.join(idx2, _META_FILE))
+    with pytest.raises(ValueError, match="predates parameter stamping"):
+        absorb_batch(df, "doc_id", "text", idx2)
+    stamp_index_params(idx2, n=3, num_hashes=48, bands=16)
     assert absorb_batch(df, "doc_id", "text", idx2).count() == 0
     assert os.path.exists(os.path.join(idx2, _META_FILE))
 
