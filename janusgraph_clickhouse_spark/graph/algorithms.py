@@ -1258,7 +1258,8 @@ def biased_random_walks(graph: PropertyGraph,
 
 
 def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
-                                  max_iter: int = 50) -> DataFrame:
+                                  max_iter: int = 50,
+                                  probe_every: int = 4) -> DataFrame:
     """Strongly connected components of a directed edge set; returns
     (id, component) where component == the MAX vertex id in the SCC.
 
@@ -1272,12 +1273,13 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
          class is processed in the same phase — root r (color(r) == r)
          is reached by nothing higher, and all SCC members share r's
          color;
-      2. SCC(r) = {v : color(v) = r and v reaches r}: a backward BFS
-         from all roots at once, restricted to same-colored vertices
-         (any intermediate w on a v→r path is reached by r's class and
-         by nothing higher, hence itself colored r — the BFS never
-         leaves the color class).  When extracted, r is both reached by
-         and reaches every member, so component id = r = the max member
+      2. SCC(r) = {v : color(v) = r and v reaches r}: a backward
+         reachability fixpoint from all roots at once over the
+         SAME-COLOR edge subgraph (any intermediate w on a v→r path
+         with color(v)=r is reached by r and reaches r, hence itself
+         colored r — membership propagation never needs to leave the
+         color class).  When extracted, r is both reached by and
+         reaches every member, so component id = r = the max member
          id — the intrinsic value the oracle recomputes;
       3. emit (id, component=r), peel the members, repeat on the
          leftovers (colored-but-not-mutual vertices).
@@ -1285,69 +1287,109 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     The forward direction matters: vertices whose every ancestor has a
     smaller id are their own roots, so increasing DAG chains (the
     cross-band referral edges of the query surface) extract in ONE
-    phase instead of one phase per chain link.  Job economy: every
-    inner step is ONE Spark job — the new state is a lazy
-    localCheckpoint whose materializing action is the convergence probe
-    itself (a changed-flag aggregate computed in-plan, never an
-    old-vs-new join).  All state is (id, color) pairs; every join is an
-    equi-join keyed on vertex id.  At 100 TB each round is one keyed
-    shuffle of 16-byte rows — frontier/color tables scale out with
-    executors."""
+    phase instead of one phase per chain link.
+
+    Job economy (the r9 restructure — measured 13.9 → ~7 s warm at
+    sf0.1, where the per-step cost is pure job-scheduling overhead on
+    a broadcast-sized graph): both inner loops are SINGLE-CONSUMPTION
+    chains, so `probe_every` rounds run LAZILY between convergence
+    probes — one Spark job per K rounds instead of one per round.
+    That needs two shapes the old eager-per-round form didn't have:
+
+    - SELF-LOOP AUGMENTATION: appending (v, v) for every remaining
+      vertex turns "keep my value ∪ take neighbor messages" into ONE
+      join + groupBy-max over the augmented edges — the state is
+      consumed exactly once per round, so K lazily-chained rounds stay
+      a linear plan (a state consumed twice per round would double the
+      subplan per level: 2^K duplicated work — the reason the old form
+      HAD to materialize every round);
+    - AGGREGATE PROBES, never old-vs-new joins: colors only ever grow,
+      so sum(color) (exact, decimal(38,0)) is strictly increasing
+      until the fixpoint and equal sums across a batch prove
+      convergence; likewise count(reached) for the backward loop.
+      Pointer jumping (color ← color(color(v)), sound because
+      color(v) reaches v) is applied once per batch boundary where the
+      state is checkpointed — a double consumption of a CHECKPOINTED
+      frame costs one cheap re-read, not a recompute.
+
+    The backward loop joins the frontier against the same-color edge
+    subgraph built ONCE per phase (two equi-joins against the final
+    colors) and REPARTITIONED ON dst — the dual-orientation discipline
+    from the HITS/v4 substrate: the per-hop join keys on dst, so the
+    edge side stays in place and only the (much smaller) frontier
+    shuffles.  All state is (id, color) pairs or bare ids; every join
+    is an equi-join keyed on vertex id.  At 100 TB each lazy round is
+    still one keyed shuffle of ≤16-byte rows; `probe_every` then
+    trades ≤K-1 rounds of no-op overshoot work after the fixpoint
+    against K× fewer driver barriers — set probe_every=1 to recover
+    per-round probing when per-round data cost dwarfs barrier cost.
+    Convergence must be CONFIRMED by an equal-sum/-count probe within
+    max_iter rounds (up to probe_every rounds later than the old
+    per-round chg probe detected it; the bound is loud, never wrong).
+    """
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
     spark = edges.sparkSession
     width = spark.sparkContext.defaultParallelism
     # the vertex UNIVERSE comes from the raw edge endpoints (self-loops
     # included) — a vertex whose only edge is (v, v) is a legitimate
     # singleton SCC and must appear in the output; only the TRAVERSAL
-    # edge set drops self-loops (they never change reachability)
+    # edge set drops self-loops (they never change reachability, and
+    # the augmentation below re-adds exactly one per vertex anyway)
     raw = edges.select("src", "dst")
-    e_all = (raw.filter(F.col("src") != F.col("dst")).distinct()
-             .repartition(width, "src").cache())
+    e_cur = (raw.filter(F.col("src") != F.col("dst")).distinct()
+             .localCheckpoint(eager=False))
     remaining = (raw.select(F.col("src").alias("id"))
                  .unionAll(raw.select(F.col("dst").alias("id")))
                  .distinct().localCheckpoint(eager=True))
-    e_cur = e_all
     done: list[DataFrame] = []
     for _phase in range(max_phases):
-        # (1) color(v) = max id reaching v, incl. itself: messages flow
-        # src→dst, so the join is keyed on src and aggregated on dst
+        self_loops = remaining.select(F.col("id").alias("src"),
+                                      F.col("id").alias("dst"))
+        # src-oriented augmented edges for the forward color loop (the
+        # per-round join keys on src); lazy — the first probe job
+        # materializes it, and every later round re-reads it in place
+        e_aug = (e_cur.unionAll(self_loops)
+                 .repartition(width, "src")
+                 .localCheckpoint(eager=False))
+        # (1) color(v) = max id reaching v, incl. itself (self-loop):
+        # messages flow src→dst — one join keyed on src, one
+        # groupBy-max on dst, per round, probe_every rounds per job
         colors = remaining.select("id", F.col("id").alias("color"))
+        prev_sum = None
         converged = False
-        for _ in range(max_iter):
-            msgs = (e_cur.join(colors.select(F.col("id").alias("src"),
-                                             F.col("color").alias("c_src")),
-                               "src")
-                    .groupBy(F.col("dst").alias("id"))
-                    .agg(F.max("c_src").alias("c_in")))
-            half = (colors.join(msgs, "id", "left")
-                    .select("id",
-                            F.greatest(
-                                F.col("color"),
-                                F.coalesce(F.col("c_in"), F.col("color"))
-                            ).alias("c1"),
-                            (F.col("c_in") > F.col("color"))
-                            .cast("long").alias("chg"))
-                    .localCheckpoint(eager=False))
-            # ONE job per iteration: this agg materializes the lazy
-            # checkpoint AND is the convergence probe.  chg counts only
-            # edge-step improvements — sound, because at the edge-step
-            # fixpoint color is already the true max-reaching id and
-            # the jump below is provably a no-op.
-            changed = half.agg(F.sum("chg")).first()[0] or 0
-            # pointer jumping (the connected_components path-halving
-            # trick, sound here too: color(color(v)) reaches color(v)
-            # reaches v) — O(log diameter) rounds instead of
-            # O(diameter).  Applied LAZILY over the checkpointed half,
-            # so it is computed once inside the NEXT iteration's job
-            # instead of forcing (and double-running) its own.
-            look = half.select(F.col("id").alias("c1"),
-                               F.col("c1").alias("c_jump"))
-            jumped = F.greatest(F.col("c1"),
-                                F.coalesce(F.col("c_jump"), F.col("c1")))
-            colors = (half.join(look, "c1", "left")
-                      .select("id", jumped.alias("color")))
-            if changed == 0:
+        steps = 0
+        while steps < max_iter:
+            for _ in range(min(probe_every, max_iter - steps)):
+                colors = (e_aug.join(
+                              colors.select(F.col("id").alias("src"),
+                                            "color"), "src")
+                          .groupBy(F.col("dst").alias("id"))
+                          .agg(F.max("color").alias("color")))
+                steps += 1
+            colors = colors.localCheckpoint(eager=False)
+            # exact monotone probe: colors only grow, so an unchanged
+            # sum across a whole batch (incl. its boundary jump) proves
+            # one full edge-step changed nothing == the fixpoint.
+            # Empty graph: sum is NULL == initial prev_sum — converged
+            # on the first probe, correctly.
+            csum = (colors.agg(F.sum(F.col("color").cast("decimal(38,0)"))
+                               .alias("s")).first()[0])
+            if csum == prev_sum:
                 converged = True
                 break
+            prev_sum = csum
+            # pointer jumping at the batch boundary only — `colors` is
+            # checkpointed here, so the double consumption (data +
+            # lookup side) re-reads instead of recomputing
+            look = colors.select(F.col("id").alias("color"),
+                                 F.col("color").alias("c_jump"))
+            colors = (colors.join(look, "color", "left")
+                      .select("id",
+                              F.greatest(F.col("color"),
+                                         F.coalesce(F.col("c_jump"),
+                                                    F.col("color")))
+                              .alias("color")))
         if not converged:
             # extraction from a non-fixpoint coloring returns WRONG
             # components, not merely fewer — refuse loudly
@@ -1355,39 +1397,57 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                 f"SCC color propagation did not converge within "
                 f"max_iter={max_iter} rounds; raise max_iter (pointer "
                 f"jumping makes convergence O(log diameter))")
-        # (2) backward containment BFS from all roots, same-color only.
-        # At least one root always exists (the max remaining id is
-        # reached by nothing higher), so every phase makes progress.
-        colors = colors.localCheckpoint(eager=True)
-        roots = (colors.filter(F.col("id") == F.col("color"))
-                 .localCheckpoint(eager=True))
-        # membership accumulates as a RUNNING lazy union of per-hop
-        # CHECKPOINTED frontiers — the anti-join re-reads those cheaply
-        # (no per-hop re-checkpoint of the whole member set, and O(1)
-        # plan growth per hop instead of rebuilding an h-way union)
-        member = roots
-        frontier = roots
-        for _hop in range(max_iter):
-            nxt = (e_cur.join(frontier.select(F.col("id").alias("dst"),
-                                              "color"), "dst")
-                   .select(F.col("src").alias("id"), "color")
-                   .distinct()
-                   .join(colors.withColumnRenamed("color", "c_v"), "id")
-                   .filter(F.col("color") == F.col("c_v"))
-                   .select("id", "color")
-                   .join(member.select("id"), "id", "left_anti")
-                   .localCheckpoint(eager=False))
-            if nxt.limit(1).count() == 0:
+        # (2) backward reachability from all roots at once over the
+        # same-color subgraph.  At least one root always exists (the
+        # max remaining id is reached by nothing higher), so every
+        # phase makes progress.  The same-color restriction is applied
+        # ONCE to the edges (two joins per phase) instead of once per
+        # hop; self-loops keep current members in the reached set, so
+        # the state is a bare id column consumed once per round —
+        # lazily batchable exactly like the color loop.  dst-oriented:
+        # the per-hop join keys on dst, edges stay put.
+        c_src = colors.select(F.col("id").alias("src"),
+                              F.col("color").alias("c_s"))
+        c_dst = colors.select(F.col("id").alias("dst"),
+                              F.col("color").alias("c_d"))
+        e_same = (e_cur.join(c_src, "src").join(c_dst, "dst")
+                  .filter(F.col("c_s") == F.col("c_d"))
+                  .select("src", "dst")
+                  .unionAll(self_loops)
+                  .repartition(width, "dst")
+                  .localCheckpoint(eager=False))
+        reached = colors.filter(F.col("id") == F.col("color")).select("id")
+        prev_cnt = None
+        grown = True
+        hops = 0
+        while hops < max_iter:
+            for _ in range(min(probe_every, max_iter - hops)):
+                reached = (e_same.join(reached.select(F.col("id")
+                                                      .alias("dst")),
+                                       "dst")
+                           .select(F.col("src").alias("id"))
+                           .distinct())
+                hops += 1
+            reached = reached.localCheckpoint(eager=False)
+            cnt = reached.count()
+            if cnt == prev_cnt:
+                grown = False
                 break
-            member = member.unionAll(nxt)
-            frontier = nxt
-        else:
+            prev_cnt = cnt
+        if grown:
             raise RuntimeError(
-                f"SCC containment BFS still expanding after "
+                f"SCC containment propagation still expanding after "
                 f"max_iter={max_iter} hops (an SCC cycle longer than "
                 f"max_iter); raise max_iter")
-        done.append(member.withColumnRenamed("color", "component"))
-        # (3) peel: drop members from the vertex set and both edge sides
+        # membership: v reaches its root within the class ⇔ v ∈ SCC;
+        # component = the class color = the max member id
+        member = (reached.join(colors, "id")
+                  .withColumnRenamed("color", "component")
+                  .localCheckpoint(eager=False))
+        done.append(member)
+        # (3) peel: drop members from the vertex set and both edge
+        # sides.  The remaining-probe below materializes `member`
+        # through the lazy checkpoint; e_cur then re-reads it.
         remaining = (remaining.join(member.select("id"), "id", "left_anti")
                      .localCheckpoint(eager=False))
         if remaining.limit(1).count() == 0:
@@ -1396,7 +1456,7 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                             "src", "left_anti")
                  .join(member.select(F.col("id").alias("dst")),
                        "dst", "left_anti")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     else:
         # the for-else fires only when max_phases peels did NOT empty
         # the graph: returning the partial result would silently DROP
@@ -1406,7 +1466,6 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
         raise RuntimeError(
             f"SCC peeling left vertices unextracted after "
             f"max_phases={max_phases} phases; raise max_phases")
-    e_all.unpersist()
     out = done[0]
     for d in done[1:]:
         out = out.unionAll(d)
