@@ -201,7 +201,21 @@ def bfs_distances(graph: PropertyGraph, source_ids: list[int],
     frontier is broadcast ONLY while its known row count is under
     `broadcast_threshold` (the count falls out of the per-hop exit check
     on checkpointed data — no extra job); large frontiers shuffle-join,
-    so a hub fan-out can't OOM the driver."""
+    so a hub fan-out can't OOM the driver.
+
+    ONE materializing action per hop: the frontier is a LAZY
+    localCheckpoint whose materializing action is the exit-probe count
+    itself; the visited union is lazy too, materialized inside the
+    NEXT hop's probe (its double consumption — anti-join + union —
+    re-reads the checkpoint, never recomputes).  Local-mode NEUTRAL
+    (g27 A/B best-of-3: 8.2 s eager vs 8.8 s lazy — noise; the two
+    removed jobs per hop were trivial count/checkpoint jobs), kept for
+    cluster barrier economy: two fewer driver round-trips per hop at
+    zero behavior change.  The per-hop barrier itself is intrinsic to
+    BSP BFS; lazily batching K hops per job (the SCC r9 recipe) was
+    REJECTED here because it forces the dense all-reached join form —
+    per-round work Σ|reached| instead of Σ|frontier|, a 100 TB scale
+    regression (PERF.md round 9)."""
     edges = graph.edges.select("src", "dst")
     if not directed:
         edges = edges.unionAll(edges.select(F.col("dst").alias("src"),
@@ -215,15 +229,18 @@ def bfs_distances(graph: PropertyGraph, source_ids: list[int],
     for hop in range(1, max_hops + 1):
         nxt = _next_frontier(edges, frontier, visited, hop,
                              use_broadcast=frontier_n <= broadcast_threshold)
-        nxt = nxt.localCheckpoint(eager=True)
-        frontier_n = nxt.count()  # exit probe doubles as the size probe
+        nxt = nxt.localCheckpoint(eager=False)
+        frontier_n = nxt.count()  # materializes nxt AND probes the exit
         if frontier_n == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    # visited is built entirely from eager checkpoints, so the cached
-    # edge set can release NOW instead of leaking one copy per call
-    # (diameter_estimate alone runs two BFS sweeps per invocation)
+    # visited's lineage reaches only checkpointed frontiers (each nxt
+    # was materialized by its own probe count), never the edge scan, so
+    # the cached edge set can release NOW instead of leaking one copy
+    # per call (diameter_estimate alone runs two BFS sweeps per
+    # invocation); the final lazy union materializes from checkpoint
+    # blocks whenever the caller executes
     edges.unpersist()
     return visited
 
@@ -1159,13 +1176,17 @@ def harmonic_centrality(graph: PropertyGraph,
                           F.lit(0).alias("distance"))
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # lazy checkpoint + count probe = ONE job per hop (the
+        # bfs_distances/SCC r9 discipline; count also fully
+        # materializes the checkpoint, which isEmpty's limit(1) would
+        # not — partially-checkpointed frontiers recompute later)
         nxt = (frontier.join(edges, frontier.vid == edges.src)
                .select("source", F.col("dst").alias("vid"))
                .distinct()
                .join(visited, ["source", "vid"], "left_anti")
                .withColumn("distance", F.lit(hop))
-               .localCheckpoint(eager=True))
-        if nxt.isEmpty():
+               .localCheckpoint(eager=False))
+        if nxt.count() == 0:
             break
         # only the FRONTIER is materialized per hop; `visited` stays a
         # lazy union of already-checkpointed frontiers (depth ≤ max_hops)
