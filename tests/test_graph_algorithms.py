@@ -1020,3 +1020,35 @@ def test_dense_triangle_cap_raises_loudly(spark):
     inc = spark.createDataFrame([(1, 1)], "g long, n long")
     with pytest.raises(ValueError, match="dense bit-matrix"):
         co_occurrence_triangles(inc, "g", "n", DENSE_TRI_MAX_NODES + 1)
+
+
+def test_scc_probe_every_one_matches_default(spark):
+    """probe_every=1 (per-round probing, the documented 100 TB dial)
+    must produce the identical partition as the batched default — the
+    batching is an execution schedule, never a semantics change."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        strongly_connected_components)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10),
+             (5, 5), (7, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {1: 3, 2: 3, 3: 3, 10: 11, 11: 11, 5: 5, 7: 7, 8: 8}
+    got_default = {r.id: r.component
+                   for r in strongly_connected_components(e).collect()}
+    got_one = {r.id: r.component
+               for r in strongly_connected_components(
+                   e, probe_every=1).collect()}
+    assert got_default == got_one == want
+
+
+def test_hits_periodic_checkpoint_boundary(spark):
+    """max_iter crossing the every-10-iteration lineage truncation
+    (r9): results must equal the un-truncated recurrence.  On a
+    2-cycle the normalized scores are exactly (0.5, 0.5) at EVERY
+    iteration count, so max_iter=12 (the truncation fires once, at
+    t=9) must reproduce max_iter=8 (never fires) bit-for-bit."""
+    from janusgraph_clickhouse_spark.graph.algorithms import hits
+    g = graph_from_edge_list(spark, [(1, 2), (2, 1)])
+    for mi in (8, 12):
+        out = {r.id: (r.hub, r.authority)
+               for r in hits(g, max_iter=mi).collect()}
+        assert out == {1: (0.5, 0.5), 2: (0.5, 0.5)}, f"max_iter={mi}"

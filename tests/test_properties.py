@@ -624,3 +624,37 @@ def test_winnow_planted_run_property(spark, seed, run_len, pre_a, pre_b):
     s1 = {r.fp for r in rows if r.id == 1}
     s2 = {r.fp for r in rows if r.id == 2}
     assert s1 & s2, (seed, run_len, pre_a, pre_b)
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                     min_size=1, max_size=14))
+def test_scc_random_digraphs_match_reference(spark, edges):
+    """SCC on arbitrary small digraphs (self-loops included) matches a
+    brute-force Warshall transitive-closure reference: component =
+    max id of the mutual-reachability class.  Guards the r9 batched
+    single-consumption fixpoint restructure against every shape
+    hypothesis can draw (multi-phase peels, DAG chains, nested
+    cycles, isolated self-loop singletons)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        strongly_connected_components)
+    verts = sorted({v for p in edges for v in p})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    reach = [[False] * n for _ in range(n)]
+    for a, b in edges:
+        reach[idx[a]][idx[b]] = True
+    for k in range(n):
+        for i in range(n):
+            if reach[i][k]:
+                for j in range(n):
+                    if reach[k][j]:
+                        reach[i][j] = True
+    want = {v: max(u for u in verts
+                   if u == v or (reach[idx[v]][idx[u]]
+                                 and reach[idx[u]][idx[v]]))
+            for v in verts}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.id: r.component
+           for r in strongly_connected_components(e).collect()}
+    assert got == want
