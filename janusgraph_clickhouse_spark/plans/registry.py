@@ -129,9 +129,16 @@ def query(name: str, oracle: str | None = None):
 #    driver row (36 r7 registrations − the 4 windowed at r8: s20 l62
 #    g32 q46).  Their virtual r6 rows leave the 4-file horizon
 #    {r6,r7,r8,r9} the moment CORRECTNESS_r09 lands — cannot slip.
-# 2. rule 2: no oracle changes this round; g23_scc's implementation
-#    was touched this round (dst-orientation substrate attempt) and
-#    it is already in the spare list below, so rule 2 costs nothing.
+# 2. rule 2: no oracle changes this round.  Implementations touched
+#    in r9: g23 (batched fixpoints), bfs/harmonic lazy checkpoints
+#    (g05/g21/g27), HITS periodic truncation — all already in this
+#    window, so rule 2 costs nothing; the LATE-r9 LPA
+#    single-consumption rewrite (g16, and g30 which consumes LPA
+#    labels) landed after this window froze — both are tail names
+#    with r7 rows, dual-scale parity-green the day they changed (the
+#    r7 late-change precedent), and MUST be windowed at r10 under
+#    rule 2 (they are r7-row names, so they were already in r10's
+#    spare pool — promote them first among the g sentinels).
 # 3. 18 spares from the 49 r6-row names (stalest cohort; they fall
 #    out of the horizon at r10), per the r8 pre-derivation's
 #    suggestion, re-verified against the files: all 12 r6-row g
