@@ -658,3 +658,46 @@ def test_scc_random_digraphs_match_reference(spark, edges):
     got = {r.id: r.component
            for r in strongly_connected_components(e).collect()}
     assert got == want
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16))
+def test_lpa_random_graphs_match_reference(spark, pairs):
+    """Synchronous LPA (4 supersteps, ties → smallest, no neighbors →
+    keep) on arbitrary small undirected graphs matches a pure-Python
+    reference — guards the r9 weight-0 self-loop vote form: the
+    self-vote must never beat a real neighbor vote, never change an
+    existing count, and must fire for isolated vertices."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        label_propagation)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    assume(edges)
+    verts = sorted({v for p in pairs for v in p})
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in verts}
+    for _ in range(4):
+        new = {}
+        for v in verts:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in adj[v])
+            top = max(counts.values())
+            new[v] = min(c for c, n in counts.items() if n == top)
+        labels = new
+    # feed the RAW pairs (self-loops and orientations included):
+    # undirected_edges() canonicalizes exactly like the reference
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {r.id: r.community
+           for r in label_propagation(g, max_iter=4).collect()}
+    assert got == labels
