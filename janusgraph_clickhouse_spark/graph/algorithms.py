@@ -356,9 +356,14 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     needed = peel depth (typically ≪ |V|); each round is one semi-join to
     induce the subgraph plus one hash aggregate for degrees — the same
     two-shuffle shape at any scale, and the survivor set only shrinks, so
-    per-round cost is monotonically non-increasing.  localCheckpoint per
-    round keeps lineage flat (the survivor set feeds both next round's
-    induce and the exit probe)."""
+    per-round cost is monotonically non-increasing.  The survivor set is
+    a LAZY localCheckpoint materialized by the exit-probe count — one
+    materializing action per round; its double consumption next round
+    (both semi-join sides) re-reads the checkpoint.  That same double
+    consumption is why rounds can NOT be lazily batched here (the SCC
+    K-rounds-per-probe recipe needs single-consumption state; a
+    decrement-propagation rewrite would share the subplan twice per
+    level too) — the per-round barrier stays, intrinsic to peeling."""
     sym = graph.undirected_edges()
     edges = (sym.unionAll(sym.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
@@ -377,8 +382,8 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
         deg = induced.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("core_degree"))
         nxt = deg.filter(F.col("core_degree") >= k).select("id")
-        nxt = nxt.localCheckpoint(eager=True)
-        n_next = nxt.count()  # exit probe doubles as progress tracking
+        nxt = nxt.localCheckpoint(eager=False)
+        n_next = nxt.count()  # materializes nxt AND probes the exit
         alive = nxt
         if n_next == n_alive:
             break

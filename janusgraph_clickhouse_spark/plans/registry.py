@@ -132,13 +132,14 @@ def query(name: str, oracle: str | None = None):
 # 2. rule 2: no oracle changes this round.  Implementations touched
 #    in r9: g23 (batched fixpoints), bfs/harmonic lazy checkpoints
 #    (g05/g21/g27), HITS periodic truncation — all already in this
-#    window, so rule 2 costs nothing; the LATE-r9 LPA
-#    single-consumption rewrite (g16, and g30 which consumes LPA
-#    labels) landed after this window froze — both are tail names
-#    with r7 rows, dual-scale parity-green the day they changed (the
-#    r7 late-change precedent), and MUST be windowed at r10 under
-#    rule 2 (they are r7-row names, so they were already in r10's
-#    spare pool — promote them first among the g sentinels).
+#    window, so rule 2 costs nothing; the LATE-r9 changes landed
+#    after this window froze — the LPA single-consumption rewrite
+#    (g16, and g30 which consumes LPA labels) and the k-core lazy
+#    probe checkpoint (g15).  All three are tail names with r7 rows,
+#    dual-scale parity-green the day they changed (the r7
+#    late-change precedent), and MUST be windowed at r10 under
+#    rule 2 (they were already in r10's spare pool — promote them
+#    first among the g sentinels).
 # 3. 18 spares from the 49 r6-row names (stalest cohort; they fall
 #    out of the horizon at r10), per the r8 pre-derivation's
 #    suggestion, re-verified against the files: all 12 r6-row g
