@@ -1219,9 +1219,16 @@ def harmonic_centrality(graph: PropertyGraph,
         visited = visited.unionAll(nxt)
         frontier = nxt
     edges.unpersist()
+    # try_divide, not /: when every seed's ball is empty, `visited` is
+    # just the seed frame whose distance is the LITERAL 0, and ANSI
+    # constant folding evaluates 1.0/0 at PLAN time — before the
+    # distance > 0 filter can prune the rows (found by the randomized
+    # property test on a self-loop-only graph).  For the surviving
+    # rows (distance ≥ 1) the two forms are identical.
     return (visited.filter(F.col("distance") > 0)
             .groupBy(F.col("source").alias("id"))
-            .agg(F.round(F.sum(F.lit(1.0) / F.col("distance")), 6)
+            .agg(F.round(F.sum(F.try_divide(F.lit(1.0),
+                                            F.col("distance"))), 6)
                  .alias("harmonic")))
 
 

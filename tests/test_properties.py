@@ -701,3 +701,161 @@ def test_lpa_random_graphs_match_reference(spark, pairs):
     got = {r.id: r.community
            for r in label_propagation(g, max_iter=4).collect()}
     assert got == labels
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16),
+       k=st.integers(1, 3))
+def test_kcore_random_graphs_match_reference(spark, pairs, k):
+    """k-core peeling on arbitrary small undirected graphs matches a
+    pure-Python peel for k ∈ {1,2,3}: same survivor set AND the same
+    degree-inside-core — guards the lazy probe-materialization form
+    (r9) against every peel depth hypothesis can draw (long chains
+    shed endpoints one round at a time, cliques survive whole,
+    isolated self-loops vanish with the canonicalization)."""
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import k_core
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    assume(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {r.id: r.core_degree for r in k_core(g, k=k).collect()}
+    assert got == want, (sorted(pairs), k)
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                     min_size=1, max_size=16))
+def test_connected_components_random_graphs_match_reference(spark, pairs):
+    """Min-id connected components on arbitrary small graphs matches a
+    union-find reference — guards the pointer-jumping (path-halving)
+    update against chains, stars, forests and self-loop singletons."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        connected_components)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    verts = sorted({v for p in pairs for v in p})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    roots = {}
+    for v in verts:
+        roots.setdefault(find(v), []).append(v)
+    want = {v: min(mem) for mem in roots.values() for v in mem}
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {r.id: r.component
+           for r in connected_components(g).collect()}
+    assert got == want, sorted(pairs)
+
+
+@SPARK_FAST
+@given(wedges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5),
+                                st.integers(1, 9)),
+                      min_size=1, max_size=14))
+def test_sssp_weighted_random_digraphs_match_reference(spark, wedges):
+    """Weighted SSSP (sparse Bellman-Ford) on arbitrary small digraphs
+    with positive integer weights matches a Dijkstra reference from
+    the min vertex id: same reached set, same exact long distances.
+    Parallel edges with different weights are legal input (min wins);
+    unreached vertices must be ABSENT, not ∞."""
+    import heapq
+
+    from janusgraph_clickhouse_spark.graph.algorithms import sssp_weighted
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    import pyspark.sql.functions as F
+    verts = sorted({v for s, d, _ in wedges for v in (s, d)})
+    source = verts[0]
+    best = {}
+    for s, d, w in wedges:
+        best[(s, d)] = min(w, best.get((s, d), w))
+    adj = {}
+    for (s, d), w in best.items():
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    e = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in sorted(wedges)],
+        "src long, dst long, weight double")
+    v = spark.createDataFrame([(int(x),) for x in verts], "id long")
+    g = PropertyGraph(v, e)
+    got = {r.id: r.dist
+           for r in sssp_weighted(g, [source]).collect()}
+    assert got == dist, (sorted(wedges), source)
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                     min_size=1, max_size=14))
+def test_harmonic_random_digraphs_match_reference(spark, edges):
+    """Bounded-horizon harmonic centrality (max_hops=3, directed) on
+    arbitrary small digraphs matches a per-source BFS reference:
+    C_H(s) = Σ_{0<d(s,v)≤3} 1/d(s,v), 6dp grid.  Guards the
+    source-labeled multi-source frontier against cycles, self-loops
+    (never distance 0 → never contribute) and sources with empty
+    3-balls (must be ABSENT from the result, not 0)."""
+    from collections import deque
+
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        harmonic_centrality)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    real = sorted({(a, b) for a, b in edges if a != b})
+    verts = sorted({v for p in edges for v in p})
+    assume(verts)
+    adj = {}
+    for a, b in real:
+        adj.setdefault(a, set()).add(b)
+    want = {}
+    for s in verts:
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if d[u] == 3:
+                continue
+            for v in adj.get(u, ()):  # noqa: B007
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        score = sum(1.0 / h for v, h in d.items() if h > 0)
+        if score:
+            want[s] = round(score, 6)
+    g = graph_from_edge_list(spark, sorted(edges))
+    got = {r.id: r.harmonic
+           for r in harmonic_centrality(g, verts, max_hops=3).collect()}
+    assert set(got) == set(want), (sorted(edges),)
+    for s in want:
+        assert abs(got[s] - want[s]) <= 1e-6, (s, got[s], want[s])
