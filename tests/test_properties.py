@@ -859,3 +859,104 @@ def test_harmonic_random_digraphs_match_reference(spark, edges):
     assert set(got) == set(want), (sorted(edges),)
     for s in want:
         assert abs(got[s] - want[s]) <= 1e-6, (s, got[s], want[s])
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16),
+       k=st.integers(3, 4))
+def test_ktruss_random_graphs_match_reference(spark, pairs, k):
+    """Bounded-iteration k-truss (iters=3) on arbitrary small graphs
+    matches a pure-Python peel: same surviving canonical edge set AND
+    the same recomputed support — guards the left-join+coalesce(0)
+    triangle-free edge handling and the per-round checkpoint loop."""
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assume(E)
+
+    def sup(es):
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {(u, v): len(adj[u] & adj[v]) for u, v in es}
+
+    cur = set(E)
+    for _ in range(3):
+        s = sup(cur)
+        cur = {e for e in cur if s[e] >= k - 2}
+    want = sup(cur)
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {(r.src, r.dst): r.support for r in k_truss(df, k=k).collect()}
+    assert got == want, (sorted(pairs), k)
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                     min_size=1, max_size=16))
+def test_mis_random_graphs_match_greedy_reference(spark, pairs):
+    """The derandomized Luby MIS equals the greedy lexicographically-
+    first MIS under the (md5(str(id))[:15] as base-16, id) total order
+    — plus direct independence and maximality checks.  Guards the
+    min-neighbor-struct round logic against stars, paths, cliques and
+    self-loop-only vertices (which are never active)."""
+    import hashlib
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        maximal_independent_set)
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)  # endpoints of real edges only
+
+    def prio(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for v in sorted(verts, key=lambda v: (prio(v), v)):
+        if not (adj[v] & want):
+            want.add(v)
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {r.id for r in maximal_independent_set(df).collect()}
+    assert got == want, sorted(pairs)
+    # independence + maximality, asserted directly (not via the ref)
+    for u, v in pairs:
+        if u != v:
+            assert not (u in got and v in got), (u, v)
+    for v in verts:
+        assert v in got or (adj[v] & got), v
+
+
+@SPARK_FAST
+@given(tedges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5),
+                                st.integers(0, 9)),
+                      min_size=1, max_size=14))
+def test_temporal_reachability_matches_reference(spark, tedges):
+    """Earliest-arrival time-respecting reachability on arbitrary
+    small temporal digraphs matches a pure-Python monotone-min
+    fixpoint: arrival(v) = min t over edges (u,v,t) with
+    t >= arrival(u), sources at start_ts=0.  Unreached vertices must
+    be ABSENT; a too-early edge must never relax (the property static
+    BFS gets wrong)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        temporal_reachability)
+    verts = sorted({v for s, d, _ in tedges for v in (s, d)})
+    source = verts[0]
+    arr = {source: 0}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in tedges:
+            if u in arr and t >= arr[u] and t < arr.get(v, float("inf")):
+                arr[v] = t
+                changed = True
+    df = spark.createDataFrame(
+        [(int(s), int(d), int(t)) for s, d, t in sorted(tedges)],
+        "src long, dst long, ts long")
+    got = {r.id: r.arrival
+           for r in temporal_reachability(df, [source]).collect()}
+    assert got == arr, (sorted(tedges), source)
