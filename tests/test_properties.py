@@ -960,3 +960,136 @@ def test_temporal_reachability_matches_reference(spark, tedges):
     got = {r.id: r.arrival
            for r in temporal_reachability(df, [source]).collect()}
     assert got == arr, (sorted(tedges), source)
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16))
+def test_pagerank_random_digraphs_match_reference(spark, pairs):
+    """PageRank (5 fixed supersteps, damping 0.85, in-plan dangling
+    redistribution) on arbitrary small digraphs matches a pure-Python
+    power iteration to 1e-9 — guards the dangling-mass broadcast
+    cross-join and the every-2-supersteps checkpoint cadence.
+    Self-loops are REAL edges here (they add out-degree and
+    self-contribution), exactly as the Spark side treats them."""
+    from janusgraph_clickhouse_spark.graph.algorithms import pagerank
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    verts = sorted({v for p in pairs for v in p})
+    n = len(verts)
+    out_deg = {v: 0 for v in verts}
+    for a, _ in pairs:
+        out_deg[a] += 1
+    r = {v: 1.0 for v in verts}
+    d = 0.85
+    for _ in range(5):
+        msg = {v: 0.0 for v in verts}
+        for a, b in sorted(pairs):
+            msg[b] += r[a] / out_deg[a]
+        dang = sum(r[v] for v in verts if out_deg[v] == 0)
+        r = {v: (1 - d) + d * dang / n + d * msg[v] for v in verts}
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {row.id: row.rank
+           for row in pagerank(g, max_iter=5).collect()}
+    assert set(got) == set(r)
+    for v in verts:
+        assert abs(got[v] - r[v]) <= 1e-9, (v, got[v], r[v])
+    # conservation invariant, independent of the reference
+    assert abs(sum(got.values()) - n) <= 1e-9
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                     min_size=1, max_size=16),
+       sparse=st.booleans())
+def test_lcc_and_triangles_match_reference(spark, pairs, sparse):
+    """Local clustering coefficient AND the global triangle count on
+    arbitrary small graphs match a pure-Python reference — on BOTH
+    routing paths: ids offset past DENSE_LCC_MAX_NODES force the
+    degree-oriented wedge path, small ids take the numpy bitset path.
+    Guards the dual-path routing against disagreeing."""
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        DENSE_LCC_MAX_NODES, local_clustering, triangle_count)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    off = DENSE_LCC_MAX_NODES + 1 if sparse else 0
+    E = {(min(a, b) + off, max(a, b) + off)
+         for a, b in pairs if a != b}
+    assume(E)
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {v: sum(1 for u in adj[v] for w in adj[v]
+                  if u < w and w in adj[u]) for v in adj}
+    n_tri = sum(tri.values()) // 3
+    want = {}
+    for v in adj:
+        deg = len(adj[v])
+        want[v] = (deg, 0.0 if deg < 2
+                   else round(2.0 * tri[v] / (deg * (deg - 1)), 6))
+    shifted = sorted((a + off, b + off) for a, b in pairs)
+    g = graph_from_edge_list(spark, shifted)
+    assert triangle_count(g) == n_tri
+    got = {r.id: (r.degree, r.lcc)
+           for r in local_clustering(g).collect()}
+    assert set(got) == set(want)
+    for v, (deg, lcc) in want.items():
+        assert got[v][0] == deg, (v, got[v], deg)
+        assert abs(got[v][1] - lcc) <= 1e-6, (v, got[v], lcc)
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                     min_size=1, max_size=16))
+def test_diameter_double_sweep_matches_reference(spark, pairs):
+    """The double-sweep diameter estimate is fully deterministic
+    (min-id seed; farthest = max distance then min id) — a pure-Python
+    replica must reproduce ALL five output fields, and the estimate
+    must lower-bound the true diameter of the seed's component."""
+    from collections import deque
+
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        diameter_estimate)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    assume(pairs)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set())
+        adj.setdefault(b, set())
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        return d
+
+    source = min(adj)
+    d1 = bfs(source)
+    ecc1 = max(d1.values())
+    far1 = min(v for v, h in d1.items() if h == ecc1)
+    d2 = bfs(far1)
+    ecc2 = max(d2.values())
+    far2 = min(v for v, h in d2.items() if h == ecc2)
+    row = diameter_estimate(graph_from_edge_list(spark,
+                                                 sorted(pairs))).first()
+    assert (row.source_id, row.sweep1_far, row.sweep1_ecc,
+            row.sweep2_far, row.diameter_estimate) == (
+        source, far1, ecc1, far2, ecc2), sorted(pairs)
+    # lower-bound property against brute-force all-pairs
+    comp = d1.keys()
+    true_diam = max(max(bfs(s).values()) for s in comp)
+    assert ecc2 <= true_diam
