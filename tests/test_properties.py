@@ -1093,3 +1093,128 @@ def test_diameter_double_sweep_matches_reference(spark, pairs):
     comp = d1.keys()
     true_diam = max(max(bfs(s).values()) for s in comp)
     assert ecc2 <= true_diam
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16))
+def test_hits_random_digraphs_match_reference(spark, pairs):
+    """HITS (4 unnormalized synchronous half-step pairs, one final L1
+    normalization) on arbitrary small digraphs matches a pure-Python
+    replica to 1e-9 — guards the deferred-normalization restructure
+    and the message-aggregate-only loop (vertices absent from the
+    carried aggregates are exactly the zero scores)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import hits
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    verts = sorted({v for p in pairs for v in p})
+    h = {v: 1.0 for v in verts}
+    for _ in range(4):
+        a = {v: sum(h[u] for u, x in pairs if x == v) for v in verts}
+        h = {v: sum(a[x] for u, x in pairs if u == v) for v in verts}
+    ht, at = sum(h.values()), sum(a.values())
+    want = {v: (h[v] / ht if ht > 0 else 0.0,
+                a[v] / at if at > 0 else 0.0) for v in verts}
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {r.id: (r.hub, r.authority)
+           for r in hits(g, max_iter=4).collect()}
+    assert set(got) == set(want)
+    for v in verts:
+        assert abs(got[v][0] - want[v][0]) <= 1e-9, (v, got[v], want[v])
+        assert abs(got[v][1] - want[v][1]) <= 1e-9, (v, got[v], want[v])
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16))
+def test_ppr_random_digraphs_match_reference(spark, pairs):
+    """Personalized PageRank (6 fixed supersteps, dangling mass
+    teleports to the SOURCES) on arbitrary small digraphs matches a
+    pure-Python replica to 1e-9, and sum(rank) == 1 holds."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        personalized_pagerank)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    verts = sorted({v for p in pairs for v in p})
+    src = verts[0]
+    out_deg = {v: 0 for v in verts}
+    for a, _ in pairs:
+        out_deg[a] += 1
+    p = {v: (1.0 if v == src else 0.0) for v in verts}
+    r = dict(p)
+    d = 0.85
+    for _ in range(6):
+        msg = {v: 0.0 for v in verts}
+        for a, b in sorted(pairs):
+            msg[b] += r[a] / out_deg[a]
+        dang = sum(r[v] for v in verts if out_deg[v] == 0)
+        r = {v: ((1 - d) + d * dang) * p[v] + d * msg[v]
+             for v in verts}
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {row.id: row.rank
+           for row in personalized_pagerank(g, [src]).collect()}
+    assert set(got) == set(r)
+    for v in verts:
+        assert abs(got[v] - r[v]) <= 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) <= 1e-9
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                     min_size=1, max_size=18))
+def test_directed_modularity_matches_reference(spark, pairs):
+    """Directed modularity (Leicht-Newman) of the id%3 partition on
+    arbitrary small digraphs matches a pure-Python replica of the
+    micro-quantized per-community sum (floor(term·1e9 + 0.5), summed
+    as exact integers) — guards the full-outer degree join and the
+    coalesce(0) within-edges handling."""
+    import math
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        directed_modularity)
+    m = len(pairs)
+    comms = sorted({v % 3 for p in pairs for v in p})
+    s = 0
+    n_comm = 0
+    for c in comms:
+        ec = sum(1 for a, b in pairs if a % 3 == c and b % 3 == c)
+        dout = sum(1 for a, _ in pairs if a % 3 == c)
+        din = sum(1 for _, b in pairs if b % 3 == c)
+        if dout == 0 and din == 0:
+            continue
+        n_comm += 1
+        term = ec / m - (din / m) * (dout / m)
+        s += math.floor(term * 1e9 + 0.5)
+    e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    verts = sorted({v for p in pairs for v in p})
+    lab = spark.createDataFrame([(v, v % 3) for v in verts],
+                                "id long, community long")
+    row = directed_modularity(e, lab).first()
+    assert (row.n_communities, row.n_edges) == (n_comm, m), sorted(pairs)
+    assert abs(row.modularity - s / 1e9) <= 5.1e-7, (row.modularity, s)
+
+
+@SPARK_FAST
+@given(raw=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                   min_size=1, max_size=16))
+def test_longest_path_levels_random_dags_match_reference(spark, raw):
+    """Longest-path topological levels on random DAGs (edges oriented
+    low→high, so acyclic by construction) match the ascending-order
+    DP: level(v) = max over in-edges of level(u)+1, sources at 0."""
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        longest_path_levels)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    assume(edges)
+    verts = sorted({v for p in edges for v in p})
+    level = {v: 0 for v in verts}
+    for v in verts:  # ascending id = topological order here
+        for a, b in edges:
+            if b == v:
+                level[v] = max(level[v], level[a] + 1)
+    g = graph_from_edge_list(spark, edges)
+    got = {r.id: r.level for r in longest_path_levels(g).collect()}
+    assert got == level, edges
