@@ -1218,3 +1218,70 @@ def test_longest_path_levels_random_dags_match_reference(spark, raw):
     g = graph_from_edge_list(spark, edges)
     got = {r.id: r.level for r in longest_path_levels(g).collect()}
     assert got == level, edges
+
+
+@SPARK_FAST
+@given(docs=st.lists(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=5))
+def test_bpe_train_and_apply_match_reference(spark, docs):
+    """BPE training (pair count desc, then lexicographic — greedy
+    leftmost non-overlapping merge) and the vocabulary-join apply on
+    arbitrary small corpora match a pure-Python reference trainer:
+    identical ordered merge table AND identical per-document
+    (n_words, n_bpe_tokens) — guards the islands-formulation greedy
+    merge and the run-length parity argument against every corpus
+    hypothesis can draw (aaaa runs, overlapping pairs, ties)."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from janusgraph_clickhouse_spark.llm.text import (
+        bpe_merges, bpe_token_counts)
+    n_merges = 3
+    freq = Counter(w for d in docs for w in d.split(" ") if w)
+    assume(freq)
+    syms = {w: list(w) for w in freq}
+    want_merges = []
+    ok = True
+    for t in range(n_merges):
+        pc = Counter()
+        for w, f in freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            ok = False
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_merges.append((t, a, b, a + b, cnt))
+        for w in syms:
+            s = syms[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assume(ok)  # vocab exhausted pairs → the Spark side raises loudly
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got_merges = [(r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+                  for r in bpe_merges(df, "doc_id", "text",
+                                      n_merges=n_merges)
+                  .orderBy("step").collect()]
+    assert got_merges == want_merges, docs
+    want_counts = {}
+    for i, d in enumerate(docs):
+        ws = [w for w in d.split(" ") if w]
+        if ws:
+            want_counts[i] = (len(ws), sum(len(syms[w]) for w in ws))
+    got_counts = {r.id: (r.n_words, r.n_bpe_tokens)
+                  for r in bpe_token_counts(df, "doc_id", "text",
+                                            n_merges=n_merges).collect()}
+    assert got_counts == want_counts, docs
