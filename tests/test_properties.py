@@ -1285,3 +1285,44 @@ def test_bpe_train_and_apply_match_reference(spark, docs):
                   for r in bpe_token_counts(df, "doc_id", "text",
                                             n_merges=n_merges).collect()}
     assert got_counts == want_counts, docs
+
+
+@SPARK_FAST
+@given(vals=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 5)),
+                     min_size=1, max_size=30),
+       weighted=st.booleans())
+def test_cms_heavy_hitters_match_reference(spark, vals, weighted):
+    """Count-Min heavy hitters (d=4 × w=256 md5-salted counters, min
+    over rows, top-k by estimate desc / key asc) on arbitrary small
+    multisets match a bit-exact pure-Python sketch replica — counts
+    and integer weights both — plus the one-sided guarantee
+    (overcount ≥ 0) asserted independently."""
+    import hashlib
+
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        CMS_D, CMS_W, cms_heavy_hitters)
+
+    def bucket(r, key):
+        s = f"cms{r}|{key}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % CMS_W
+
+    counters = {}
+    exact = {}
+    for key, w in vals:
+        wt = w if weighted else 1
+        exact[key] = exact.get(key, 0) + wt
+        for r in range(CMS_D):
+            b = (r, bucket(r, str(key)))
+            counters[b] = counters.get(b, 0) + wt
+    est = {key: min(counters[(r, bucket(r, str(key)))]
+                    for r in range(CMS_D)) for key in exact}
+    want = sorted(((k, est[k], exact[k], est[k] - exact[k])
+                   for k in exact),
+                  key=lambda t: (-t[1], t[0]))[:20]
+    df = spark.createDataFrame(vals, "key long, w long")
+    out = cms_heavy_hitters(df, "key",
+                            weight_col="w" if weighted else None)
+    got = [(r.key, r.cms_estimate, r.exact_cnt, r.overcount)
+           for r in out.collect()]
+    assert got == want, (vals, weighted)
+    assert all(o >= 0 for *_, o in got)
