@@ -1326,3 +1326,79 @@ def test_cms_heavy_hitters_match_reference(spark, vals, weighted):
            for r in out.collect()]
     assert got == want, (vals, weighted)
     assert all(o >= 0 for *_, o in got)
+
+
+@SPARK_FAST
+@given(vals=st.lists(st.integers(0, 500), min_size=0, max_size=60))
+def test_hll_distinct_matches_bit_exact_replica(spark, vals):
+    """HLL distinct (m=256 registers over md5_long60: bucket = low 8
+    bits, rank = 53 − bit_length(h>>8), Z summed as exact int64)
+    matches a pure-Python register replica on arbitrary small
+    multisets — guards the shared q41/q46 register machinery against
+    formula drift (an off-by-one rank or bucket shifts the estimate
+    far beyond the 4dp grid)."""
+    import hashlib
+
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        HLL_M, HLL_NUMER, hll_distinct)
+    regs = {}
+    for v in set(vals):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket = h % HLL_M
+        rest = h >> 8
+        rank = 53 - rest.bit_length() if rest > 0 else 53
+        regs[bucket] = max(rank, regs.get(bucket, 0))
+    z = (sum(1 << (53 - m) for m in regs.values())
+         + (HLL_M - len(regs)) * (1 << 53))
+    want_est = HLL_NUMER / z
+    row = (hll_distinct(
+        spark.createDataFrame([(v,) for v in vals] or [(None,)],
+                              "v int"), "v").first())
+    assert row.n_exact == len(set(vals))
+    assert abs(row.hll_estimate - want_est) <= 5.1e-5, (vals, want_est)
+    if vals:
+        want_rel = (want_est - row.n_exact) / row.n_exact
+        assert abs(row.rel_error - want_rel) <= 5.1e-7
+    else:
+        assert row.rel_error is None
+
+
+@SPARK_FAST
+@given(keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=40,
+                     unique=True),
+       salt=st.sampled_from(["", "s1", "abc"]))
+def test_split_membership_matches_md5_replica(spark, keys, salt):
+    """train/val/test membership (md5(salt+key)[:8] % 100) and
+    domain_sample survivorship (bucket < floor(rate·n + 0.5)) match a
+    pure-Python md5 replica on arbitrary key sets, and domain_sample
+    subsets are NESTED as the rate grows (the documented
+    raising-a-weight-only-adds-documents contract)."""
+    import hashlib
+
+    from janusgraph_clickhouse_spark.llm.split import (
+        domain_sample, train_val_test_split)
+
+    def bucket(k, n, s):
+        return int(hashlib.md5((s + str(k)).encode())
+                   .hexdigest()[:8], 16) % n
+
+    df = spark.createDataFrame([(k, "web") for k in keys],
+                               "doc_id long, domain string")
+    got = {r.doc_id: (r.bucket, r.split)
+           for r in train_val_test_split(df, "doc_id",
+                                         salt=salt).collect()}
+    for k in keys:
+        b = bucket(k, 100, salt)
+        s = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[k] == (b, s), (k, salt, got[k], (b, s))
+    prev = None
+    for rate in (0.1, 0.35, 0.8):
+        surv = {r.doc_id for r in domain_sample(
+            df, "doc_id", "domain", {"web": rate}).collect()}
+        import math
+        cut = math.floor(rate * 10000 + 0.5)
+        want = {k for k in keys if bucket(k, 10000, "mix") < cut}
+        assert surv == want, (rate, salt)
+        if prev is not None:
+            assert prev <= surv  # nesting
+        prev = surv
