@@ -1402,3 +1402,60 @@ def test_split_membership_matches_md5_replica(spark, keys, salt):
         if prev is not None:
             assert prev <= surv  # nesting
         prev = surv
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                     min_size=1, max_size=14),
+       pq=st.sampled_from([(1.0, 1.0), (2.0, 0.5), (0.5, 2.0)]))
+def test_biased_walks_random_digraphs_match_reference(spark, pairs, pq):
+    """node2vec biased walks (Efraimidis-Spirakis race keyed by
+    md5(seed:walk:step:cand), 12dp-rounded, min (key, cand) wins) on
+    arbitrary small digraphs match a pure-Python replica step for
+    step — guards the (1/p, 1, 1/q) weight classification (NULL prev
+    at step 1 → outward), the triangle left-join, and walk death at
+    sink vertices."""
+    import hashlib
+    import math
+
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        biased_random_walks)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    p, q = pq
+    edgeset = set(pairs)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    verts = sorted({v for e in pairs for v in e})
+    sources = verts[:2]
+    want = {(s, 0, s) for s in sources}
+    state = {s: (None, s) for s in sources}  # walk -> (prev, cur)
+    for t in range(1, 4):
+        nxt = {}
+        for walk, (prev, cur) in state.items():
+            cands = adj.get(cur, [])
+            if not cands:
+                continue
+
+            def race(c):
+                hx = hashlib.md5(
+                    f"w:{walk}:{t}:{c}".encode()).hexdigest()[:8]
+                u = (int(hx, 16) + 1) / 4294967296.0
+                if prev is not None and c == prev:
+                    w = 1.0 / p
+                elif prev is not None and (prev, c) in edgeset:
+                    w = 1.0
+                else:
+                    w = 1.0 / q
+                return round(-math.log(u) / w, 12)
+
+            winner = min(cands, key=lambda c: (race(c), c))
+            nxt[walk] = (cur, winner)
+            want.add((walk, t, winner))
+        state = nxt
+    g = graph_from_edge_list(spark, sorted(pairs))
+    got = {(r.walk_id, r.step, r.vertex)
+           for r in biased_random_walks(g, sources, steps=3,
+                                        p=p, q=q, seed="w").collect()}
+    assert got == want, (sorted(pairs), pq)
