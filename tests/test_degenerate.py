@@ -1,0 +1,62 @@
+"""Degenerate-input robustness pins: every graph operator must RETURN
+(never raise) on the shapes fixtures never exercise.  Lives in its own
+file so the suite's split-2 budget is unaffected (documented in
+CLAUDE.md's split 3)."""
+
+from __future__ import annotations
+def test_degenerate_graphs_every_operator_returns(spark):
+    """Robustness pin over the WHOLE graph-algorithm surface: every
+    operator must RETURN (never raise) on an edgeless graph and on a
+    self-loop-only graph — the degenerate shapes real corpora produce
+    at partition boundaries and that fixtures never exercise.  The
+    harmonic plan-time DIVIDE_BY_ZERO (ANSI constant folding of the
+    seed frame's literal distance — fixed with try_divide) is exactly
+    the bug class this guards."""
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.graph import algorithms as A
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+
+    def mk(edge_rows):
+        schema = "src long, dst long, label string, weight double"
+        e = spark.createDataFrame(edge_rows, schema)
+        v = spark.createDataFrame([(1, "v", "1"), (2, "v", "2")],
+                                  "id long, label string, name string")
+        return PropertyGraph(v, e)
+
+    ops = [
+        ("pagerank", lambda g: A.pagerank(g, max_iter=3).collect()),
+        ("ppr", lambda g: A.personalized_pagerank(
+            g, [1], max_iter=3).collect()),
+        ("hits", lambda g: A.hits(g, max_iter=2).collect()),
+        ("cc", lambda g: A.connected_components(g).collect()),
+        ("bfs", lambda g: A.bfs_distances(g, [1], max_hops=3).collect()),
+        ("kcore", lambda g: A.k_core(g, k=2).collect()),
+        ("lpa", lambda g: A.label_propagation(g, max_iter=2).collect()),
+        ("harmonic", lambda g: A.harmonic_centrality(
+            g, [1], max_hops=2).collect()),
+        ("adamic", lambda g: A.adamic_adar(g, top=5).collect()),
+        ("tri", lambda g: [A.triangle_count(g)]),
+        ("lcc", lambda g: A.local_clustering(g).collect()),
+        ("ktruss", lambda g: A.k_truss(g.edges, k=3).collect()),
+        ("diameter", lambda g: A.diameter_estimate(g).collect()),
+        ("mis", lambda g: A.maximal_independent_set(g.edges).collect()),
+        ("sssp", lambda g: A.sssp_weighted(g, [1]).collect()),
+        ("treach", lambda g: A.temporal_reachability(
+            g.edges.select("src", "dst", F.lit(1).alias("ts")),
+            [1]).collect()),
+        ("topo", lambda g: A.longest_path_levels(g).collect()),
+        ("assort", lambda g: A.degree_assortativity(g.edges).collect()),
+        ("walks", lambda g: A.seeded_random_walks(g, [1],
+                                                  steps=2).collect()),
+        ("bwalks", lambda g: A.biased_random_walks(g, [1],
+                                                   steps=2).collect()),
+        ("betw", lambda g: A.betweenness_approx(g.edges).collect()),
+        ("scc", lambda g: A.strongly_connected_components(
+            g.edges).collect()),
+    ]
+    for case, rows in [("edgeless", []),
+                       ("selfloop", [(1, 1, "e", 1.0)])]:
+        for name, fn in ops:
+            out = fn(mk(rows))  # must not raise
+            assert out is not None, (case, name)

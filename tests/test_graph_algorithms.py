@@ -1052,3 +1052,4 @@ def test_hits_periodic_checkpoint_boundary(spark):
         out = {r.id: (r.hub, r.authority)
                for r in hits(g, max_iter=mi).collect()}
         assert out == {1: (0.5, 0.5), 2: (0.5, 0.5)}, f"max_iter={mi}"
+
