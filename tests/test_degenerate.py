@@ -60,3 +60,56 @@ def test_degenerate_graphs_every_operator_returns(spark):
         for name, fn in ops:
             out = fn(mk(rows))  # must not raise
             assert out is not None, (case, name)
+
+
+def test_degenerate_corpora_every_llm_op_returns(spark):
+    """Same pin for the LLM text/dedup surface: empty corpus, single
+    blank document, and two identical one-word documents must RETURN
+    everywhere (BPE is excluded: an empty/blank corpus has no adjacent
+    pairs and its loud ValueError is the documented contract).  Two
+    one-word docs produce ZERO minhash/winnow pairs by semantics — a
+    one-word text has no 3-gram shingles, i.e. no content to band;
+    exact_dedup is the operator that catches those."""
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.llm import dedup as D
+    from janusgraph_clickhouse_spark.llm import text as X
+
+    def mk(rows):
+        schema = "doc_id long, text string"
+        return spark.createDataFrame(rows, schema)
+
+    ops = [
+        lambda df: X.text_stats(df, "doc_id", "text").collect(),
+        lambda df: X.bigram_lm_score(df, "doc_id", "text").collect(),
+        lambda df: X.tfidf_topk(df, "doc_id", "text").collect(),
+        lambda df: X.boilerplate_score(df, "doc_id", "text").collect(),
+        lambda df: X.gopher_rules(df, "doc_id", "text").collect(),
+        lambda df: X.entropy_stats(df, "doc_id", "text").collect(),
+        lambda df: X.overlap_chunks(df, "doc_id", "text").collect(),
+        lambda df: X.scrub_pii(df, "text").collect(),
+        lambda df: D.exact_dedup(df, "doc_id", "text").collect(),
+        lambda df: D.exact_dedup_groups(df, "doc_id", "text").collect(),
+        lambda df: D.minhash_dedup_pairs(df, "doc_id", "text").collect(),
+        lambda df: D.simhash(df, "doc_id", "text").collect(),
+        lambda df: D.simhash_pairs(df, "doc_id", "text").collect(),
+        lambda df: D.dedup_clusters(df, "doc_id", "text").collect(),
+        lambda df: D.cdc_chunks(df, "doc_id", "text").collect(),
+        lambda df: D.cdc_dedup_report(df, "doc_id", "text").collect(),
+        lambda df: D.winnow_fingerprints(df, "doc_id", "text").collect(),
+        lambda df: D.winnow_pairs(df, "doc_id", "text").collect(),
+        lambda df: D.lsh_banding_audit(df, "doc_id", "text").collect(),
+    ]
+    cases = [
+        spark.createDataFrame([], "doc_id long, text string"),
+        mk([(1, "")]),
+        mk([(1, "hi"), (2, "hi")]),
+    ]
+    for ci, df in enumerate(cases):
+        for oi, fn in enumerate(ops):
+            out = fn(df)  # must not raise
+            assert out is not None, (ci, oi)
+    # the semantics pins the docstring promises
+    dup = mk([(1, "hi"), (2, "hi")])
+    assert len(D.exact_dedup(dup, "doc_id", "text").collect()) == 1
+    assert D.minhash_dedup_pairs(dup, "doc_id", "text").count() == 0
