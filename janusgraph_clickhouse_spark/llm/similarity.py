@@ -30,7 +30,14 @@ def norm_expr(a: str | Column) -> Column:
 
 
 def cosine_expr(a: str | Column, b: str | Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """try_divide, not /: a zero-norm vector (failed encoder, padding
+    row — one is enough at corpus scale) makes the denominator 0 and a
+    plain division kills the whole job under ANSI.  NULL cosine means
+    "similarity undefined": descending top-k orders NULLs last and
+    every threshold filter rejects NULL, so zero-norm rows are never
+    neighbors and never pairs — in every consumer."""
+    return F.try_divide(dot_expr(a, b),
+                        norm_expr(a) * norm_expr(b))
 
 
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,

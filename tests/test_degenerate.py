@@ -113,3 +113,45 @@ def test_degenerate_corpora_every_llm_op_returns(spark):
     dup = mk([(1, "hi"), (2, "hi")])
     assert len(D.exact_dedup(dup, "doc_id", "text").collect()) == 1
     assert D.minhash_dedup_pairs(dup, "doc_id", "text").count() == 0
+
+
+def test_degenerate_vectors_every_similarity_op_returns(spark):
+    """Same pin for the similarity/ANN surface: a corpus containing a
+    zero-norm embedding (failed encoder, padding row) must never kill
+    a job — cosine_expr is try_divide, so the zero-norm row's cosine
+    is NULL, ordered last by every descending top-k and rejected by
+    every threshold filter.  Also pins: fewer points than IVF cells,
+    all-identical vectors through SQ8 (zero quantization range), and
+    a zero-norm QUERY vector."""
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.llm import similarity as S
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "id long, vec array<float>")
+    const = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(1, 5)],
+        "id long, vec array<float>")
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vec array<float>")
+
+    rows = S.brute_force_topk(zero, "id", "vec", [1.0, 0.0],
+                              k=3).collect()
+    assert [r.id for r in rows][:2] == [2, 3]  # real scores first
+    assert rows[-1].id == 1 and rows[-1].cosine is None  # NULLs last
+    assert len(S.brute_force_topk(zero, "id", "vec", [0.0, 0.0],
+                                  k=3).collect()) == 3
+    assert S.ivf_topk(tiny, "id", "vec", [1.0, 0.0], k=1).count() == 1
+    assert S.pq_topk(tiny, "id", "vec", query_id=1, k=1,
+                     m=2).count() == 1
+    assert S.lsh_ann_topk(tiny, "id", "vec", [1.0, 0.0],
+                          k=1).count() == 1
+    assert S.sq8_topk(const, "id", "vec", query_id=1, k=2).count() == 2
+    zl = zero.withColumn("label", F.lit("a"))
+    assert S.embedding_outliers(zl, "id", "vec", "label").count() == 3
+    j = S.brute_force_topk_join(
+        zero.withColumnRenamed("id", "qid")
+            .withColumnRenamed("vec", "qvec"),
+        zero, "qid", "qvec", "id", "vec", k=2)
+    assert j.count() == 6
