@@ -166,7 +166,13 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
              .crossJoin(da.join(db, "v", "left_semi")
                         .agg(F.count(F.lit(1)).alias("n_intersect"))))
     est_u = _kmv_estimate(F.col("nu"), F.col("hu"), k)
-    jac = F.col("rho").cast("double") / F.least(F.col("nu"), F.lit(k))
+    # try_divide: two EMPTY inputs (filtered-away partitions, NULL-only
+    # columns) make the union sketch empty (nu = 0) and a plain
+    # division kills the job under ANSI.  Jaccard of two empty sets is
+    # mathematically undefined — NULL is the honest value, and the
+    # exact columns beside it still read 0/0/0.
+    jac = F.try_divide(F.col("rho").cast("double"),
+                       F.least(F.col("nu"), F.lit(k)))
     return (stats.crossJoin(exact).select(
         F.lit(k).alias("k"),
         F.round(_kmv_estimate(F.col("na"), F.col("ha"), k), 4)
@@ -419,6 +425,15 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
     if bad:
         raise ValueError(f"columns {sorted(bad)} collide with the "
                          f"fold's internal names; alias them first")
+    wtype = df.schema[weight_col].dataType.typeName()
+    if wtype not in ("byte", "short", "integer", "long"):
+        # fail with the CONTRACT, not the cryptic downstream
+        # DATATYPE_MISMATCH on "num_r DIV 100" a float weight column
+        # otherwise produces at plan time
+        raise ValueError(
+            f"weighted_quantiles: weight_col {weight_col!r} must be an "
+            f"integral type (quantize floats to counts/cents first — "
+            f"the docstring contract); got {wtype}")
     wraw = F.col(weight_col)
     wok = F.when(
         wraw < 0,

@@ -155,3 +155,65 @@ def test_degenerate_vectors_every_similarity_op_returns(spark):
             .withColumnRenamed("vec", "qvec"),
         zero, "qid", "qvec", "id", "vec", k=2)
     assert j.count() == 6
+
+
+def test_degenerate_sketch_and_drift_inputs(spark):
+    """Degenerate pins for sketches, drift diagnostics and splits:
+    empty/NULL-only KMV inputs (jaccard_est is NULL — try_divide, the
+    undefined-similarity discipline), empty/zero-weight weighted
+    quantiles, a CLEAR ValueError for float weight columns (was a
+    cryptic plan-time DATATYPE_MISMATCH), disjoint/one-sided drift
+    comparisons, and DSIR with an empty target side."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.functions import sketches as K
+    from janusgraph_clickhouse_spark.llm import split as P
+    from janusgraph_clickhouse_spark.llm import text as X
+
+    empty_s = spark.createDataFrame([], "v string")
+    null_s = spark.createDataFrame([(None,)], "v string")
+    one_s = spark.createDataFrame([("a",)], "v string")
+    r = K.kmv_set_ops(empty_s, empty_s, "v").first()
+    assert (r.n_a, r.n_b, r.n_intersect) == (0, 0, 0)
+    assert r.jaccard_est is None
+    r = K.kmv_set_ops(null_s, null_s, "v").first()
+    assert (r.n_a, r.n_b) == (0, 0)
+    r = K.kmv_set_ops(one_s, empty_s, "v").first()
+    assert (r.n_a, r.n_b, r.n_intersect) == (1, 0, 0)
+    assert r.jaccard_est == 0.0
+
+    wq_empty = spark.createDataFrame([], "v long, w long, g string")
+    wq_zero = spark.createDataFrame([(1, 0, "g"), (2, 0, "g")],
+                                    "v long, w long, g string")
+    assert K.weighted_quantiles(wq_empty, "v", "w", ["g"],
+                                [50]).count() == 0
+    assert K.weighted_quantiles(wq_zero, "v", "w", ["g"],
+                                [50]).count() == 0
+    wq_dbl = spark.createDataFrame([(1.0, 1.5, "g")],
+                                   "v double, w double, g string")
+    with pytest.raises(ValueError, match="integral type"):
+        K.weighted_quantiles(wq_dbl, "v", "w", ["g"], [50])
+
+    docs_one = spark.createDataFrame(
+        [(1, "w1 w2 w3", "a")], "doc_id long, text string, src string")
+    docs_dis = spark.createDataFrame(
+        [(1, "aa bb cc", "a"), (2, "xx yy zz", "b")],
+        "doc_id long, text string, src string")
+    assert X.vocab_js_drift(docs_dis, "text", "src").count() == 1
+    assert X.vocab_js_drift(docs_one, "text", "src").count() == 0
+    assert X.source_keyness(docs_dis, "text", "src").count() == 0
+    assert X.length_ks_drift(docs_dis, "text", "src").count() == 1
+    assert X.length_ks_drift(docs_one, "text", "src").count() == 0
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id long, text string")
+    assert P.dsir_weights(docs, "doc_id", "text",
+                          F.lit(False)).count() == 1
+    assert P.dsir_weights(docs, "doc_id", "text",
+                          F.lit(True)).count() == 1
+    assert P.pack_sequences(
+        spark.createDataFrame([(1, " ".join(["w"] * 50))],
+                              "doc_id long, text string"),
+        "doc_id", "text", budget=8).count() == 1
