@@ -217,3 +217,37 @@ def test_degenerate_sketch_and_drift_inputs(spark):
         spark.createDataFrame([(1, " ".join(["w"] * 50))],
                               "doc_id long, text string"),
         "doc_id", "text", budget=8).count() == 1
+
+
+def test_degenerate_temporal_inputs(spark):
+    """Degenerate pins for the temporal operators: empty inputs,
+    single-point series through LTTB (fewer points than buckets),
+    same-timestamp ties, NULL values through LOCF, and as-of joins
+    against an empty right side (row preserved, carried columns
+    NULL)."""
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.operators import temporal as T
+
+    def tsify(df):
+        return (df.withColumn("ts", F.timestamp_seconds(F.col("tsl")))
+                .drop("tsl"))
+
+    schema = "k string, tsl long, v double, id long"
+    empty = tsify(spark.createDataFrame([], schema))
+    one = tsify(spark.createDataFrame([("a", 10, 1.0, 1)], schema))
+    same = tsify(spark.createDataFrame(
+        [("a", 10, 1.0, 1), ("a", 10, 2.0, 2)], schema))
+    right = tsify(spark.createDataFrame([], "k string, tsl long, rv double"))
+
+    assert T.as_of_join(empty, right, "k", "ts").count() == 0
+    r = T.as_of_join(one, right, "k", "ts").first()
+    assert r.rv is None  # left row survives, carry is NULL
+    assert T.gap_fill_locf(one, "k", "ts", "v").count() == 1
+    assert T.gap_fill_locf(empty, "k", "ts", "v").count() == 0
+    nv = one.withColumn("v", F.lit(None).cast("double"))
+    assert T.gap_fill_locf(nv, "k", "ts", "v").count() == 1
+    assert T.lttb_downsample(one, "k", "ts", "v", "id").count() == 1
+    assert T.lttb_downsample(same, "k", "ts", "v", "id").count() == 1
+    assert T.lttb_downsample(empty, "k", "ts", "v", "id").count() == 0
+    assert T.delta_sum(empty, "k", "ts", "v").count() == 0
