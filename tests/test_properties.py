@@ -1459,3 +1459,73 @@ def test_biased_walks_random_digraphs_match_reference(spark, pairs, pq):
            for r in biased_random_walks(g, sources, steps=3,
                                         p=p, q=q, seed="w").collect()}
     assert got == want, (sorted(pairs), pq)
+
+
+@SPARK_FAST
+@given(events=st.lists(st.tuples(st.integers(0, 2),      # user
+                                 st.integers(0, 50),     # ts
+                                 st.integers(0, 20),     # event_id
+                                 st.integers(-500, 500)),  # cents value
+                       min_size=1, max_size=25, unique=True),
+       horizon=st.sampled_from([0, 3, 30]))
+def test_decayed_score_matches_exact_reference(spark, events, horizon):
+    """decayed_score's exact-int64 contract on arbitrary event sets:
+    score_fixed = Σ_{k≤horizon} cents_k · 2^(horizon−k) over the
+    (ts, event_id)-DESC recency ranks, bit-identical to a pure-Python
+    big-int replica (including negative values and the hard horizon
+    cut)."""
+    from janusgraph_clickhouse_spark.streaming.ops import decayed_score
+    want = {}
+    by_user = {}
+    for u, ts, eid, c in events:
+        by_user.setdefault(u, []).append((ts, eid, c))
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (-t[0], -t[1]))
+        kept = evs[:horizon + 1]
+        score = sum(c * (1 << (horizon - k))
+                    for k, (_, _, c) in enumerate(kept))
+        want[u] = (len(kept), score)
+    df = spark.createDataFrame(
+        [(u, ts, eid, c / 100.0) for u, ts, eid, c in events],
+        "user_id long, tsl long, event_id long, value double")
+    import pyspark.sql.functions as F
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("tsl")))
+    got = {r.user_id: (r.n_scored, r.score_fixed)
+           for r in decayed_score(df, horizon=horizon).collect()}
+    assert got == want, (events, horizon)
+
+
+@SPARK_FAST
+@given(events=st.lists(st.tuples(st.integers(0, 1),       # user
+                                 st.integers(0, 2000)),    # ts seconds
+                       min_size=1, max_size=20, unique=True))
+def test_session_window_matches_gap_merge_reference(spark, events):
+    """Batch session_window semantics on arbitrary event sets match a
+    pure-Python gap merge: an event extends the session iff its ts <
+    last-event ts + gap (equality starts a NEW session — the window
+    end is exclusive); per-session n_events and session_start must
+    agree exactly."""
+    from janusgraph_clickhouse_spark.streaming.ops import session_stats
+    GAP = 300
+    want = {}
+    by_user = {}
+    for u, ts in events:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if ts < last + GAP:
+                last, n = ts, n + 1
+            else:
+                want[(u, start)] = n
+                start, last, n = ts, ts, 1
+        want[(u, start)] = n
+    import pyspark.sql.functions as F
+    df = (spark.createDataFrame(
+        [(u, ts, 1.0) for u, ts in events],
+        "user_id long, tsl long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.col("tsl"))))
+    got = {(r.user_id, r.session_start): r.n_events
+           for r in session_stats(df, gap="5 minutes").collect()}
+    assert got == want, events
