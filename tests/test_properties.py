@@ -1529,3 +1529,47 @@ def test_session_window_matches_gap_merge_reference(spark, events):
     got = {(r.user_id, r.session_start): r.n_events
            for r in session_stats(df, gap="5 minutes").collect()}
     assert got == want, events
+
+
+@SPARK_FAST
+@given(events=st.lists(
+    st.tuples(st.integers(0, 1),          # user
+              st.integers(0, 900),        # ts seconds
+              st.integers(0, 30),         # event_id
+              st.booleans()),             # True = click, False = purchase
+    min_size=1, max_size=16, unique_by=lambda t: t[2]))
+def test_interval_joins_match_reference(spark, events):
+    """The inner/left/full interval-join matrix on arbitrary event
+    sets matches a pure-Python replica of the CLOSED 5-minute window
+    [ts_a, ts_a + 300] — boundary inclusivity on BOTH ends and the
+    id_a < id_b self-join dedup are exactly where engines drift."""
+    import pyspark.sql.functions as F
+
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        full_join_within, left_join_within, self_join_within)
+    GAP = 300
+    rows = [(u, ts, eid, "click" if c else "purchase")
+            for u, ts, eid, c in events]
+    want_self = {(a[2], b[2]) for a in rows for b in rows
+                 if a[0] == b[0] and a[2] < b[2]
+                 and a[1] <= b[1] <= a[1] + GAP}
+    clicks = [r for r in rows if r[3] == "click"]
+    purchases = [r for r in rows if r[3] == "purchase"]
+    inner = {(a[2], b[2]) for a in clicks for b in purchases
+             if a[0] == b[0] and a[1] <= b[1] <= a[1] + GAP}
+    want_left = inner | {(a[2], None) for a in clicks
+                         if not any(x == a[2] for x, _ in inner)}
+    want_full = want_left | {(None, b[2]) for b in purchases
+                             if not any(y == b[2] for _, y in inner)}
+    df = (spark.createDataFrame(
+        rows, "user_id long, tsl long, event_id long, event_type string")
+        .withColumn("ts", F.timestamp_seconds(F.col("tsl"))))
+    got_self = {(r.id_a, r.id_b)
+                for r in self_join_within(df, "user_id").collect()}
+    got_left = {(r.id_a, r.id_b)
+                for r in left_join_within(df).collect()}
+    got_full = {(r.id_a, r.id_b)
+                for r in full_join_within(df).collect()}
+    assert got_self == want_self, rows
+    assert got_left == want_left, rows
+    assert got_full == want_full, rows
