@@ -1573,3 +1573,43 @@ def test_interval_joins_match_reference(spark, events):
     assert got_self == want_self, rows
     assert got_left == want_left, rows
     assert got_full == want_full, rows
+
+
+@SPARK_FAST
+@given(pairs=st.sets(st.tuples(st.integers(0, 4), st.integers(0, 4)),
+                     min_size=1, max_size=10))
+def test_motif_find_matches_brute_force(spark, pairs):
+    """Motif matching compiled to joins on arbitrary small digraphs
+    matches brute-force binding enumeration — the 2-path, the directed
+    3-cycle (with and without isomorphic distinct-vertices filtering),
+    and a disconnected pattern (the crossJoin arm)."""
+    from itertools import product
+
+    from janusgraph_clickhouse_spark.graph.motif import find
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    E = set(pairs)
+    verts = sorted({v for p in pairs for v in p})
+    g = graph_from_edge_list(spark, sorted(pairs))
+
+    def brute(pattern, distinct_vertices=False):
+        vs = sorted({v for s, _, d in pattern for v in (s, d)})
+        out = set()
+        for combo in product(verts, repeat=len(vs)):
+            env = dict(zip(vs, combo))
+            if distinct_vertices and len(set(combo)) < len(vs):
+                continue
+            if all((env[s], env[d]) in E for s, _, d in pattern):
+                out.add(tuple(env[v] for v in vs))
+        return out
+
+    patterns = [
+        ([("a", None, "b"), ("b", None, "c")], False),
+        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], False),
+        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], True),
+        ([("a", None, "b"), ("c", None, "d")], False),  # disconnected
+    ]
+    for pattern, dv in patterns:
+        got = {tuple(r) for r in find(g, pattern,
+                                      distinct_vertices=dv).collect()}
+        assert got == brute(pattern, dv), (sorted(pairs), pattern, dv)
