@@ -439,7 +439,14 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
     growth for large caller-supplied max_iter (the HITS discipline).
     The returned state is a lazy localCheckpoint: callers that consume
     it twice (g30 joins community onto both edge endpoints) re-read
-    the materialized blocks instead of re-running the chain."""
+    the materialized blocks instead of re-running the chain.
+
+    Requires the PropertyGraph endpoint contract (every edge endpoint
+    present in graph.vertices — see the class docstring): the output
+    rows come from the vote aggregate's dst side (edge endpoints ∪
+    vertex self-loops), so a ghost endpoint would vote and appear in
+    the result where the pre-r9 join-back form restricted output to
+    the vertex set."""
     from pyspark.sql import Window
     width = graph.edges.sparkSession.sparkContext.defaultParallelism
     sym = graph.undirected_edges()
@@ -1362,20 +1369,39 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
       state is checkpointed — a double consumption of a CHECKPOINTED
       frame costs one cheap re-read, not a recompute.
 
-    The backward loop joins the frontier against the same-color edge
-    subgraph built ONCE per phase (two equi-joins against the final
-    colors) and REPARTITIONED ON dst — the dual-orientation discipline
-    from the HITS/v4 substrate: the per-hop join keys on dst, so the
-    edge side stays in place and only the (much smaller) frontier
-    shuffles.  All state is (id, color) pairs or bare ids; every join
-    is an equi-join keyed on vertex id.  At 100 TB each lazy round is
-    still one keyed shuffle of ≤16-byte rows; `probe_every` then
-    trades ≤K-1 rounds of no-op overshoot work after the fixpoint
-    against K× fewer driver barriers — set probe_every=1 to recover
-    per-round probing when per-round data cost dwarfs barrier cost.
-    Convergence must be CONFIRMED by an equal-sum/-count probe within
-    max_iter rounds (up to probe_every rounds later than the old
-    per-round chg probe detected it; the bound is loud, never wrong).
+    The backward loop joins the REACHED SET (not a frontier) against
+    the same-color edge subgraph built ONCE per phase (two equi-joins
+    against the final colors) and REPARTITIONED ON dst — the
+    dual-orientation discipline from the HITS/v4 substrate: the
+    per-hop join keys on dst, so the edge side stays in place and only
+    the reached side shuffles.  DENSE-FORM TRADE-OFF (r9 ADVICE): the
+    self-loop augmentation that buys single-consumption lazy batching
+    re-joins the FULL reached set every round, so a long-cycle SCC
+    pays O(hops × |E_same|) total backward work where the old
+    frontier-minus-visited form paid Σ|frontier| — the same dense form
+    bfs_distances' docstring rejects for whole-graph BFS.  It is kept
+    here because E_same is the SINGLE COLOR CLASS being extracted (a
+    small slice of the phase's subgraph, not the whole graph) and
+    because hops is bounded by the class diameter; for pathological
+    deep-cycle inputs (SCC diameter ≫ probe_every), probe_every=1
+    reduces overshoot but NOT the per-round Σ|reached| cost — a
+    frontier-mode fallback would need per-round anti-joins and
+    per-round materialization, forfeiting the batched-job economy that
+    motivated the r9 restructure (13.9 → ~7 s warm at sf0.1).
+
+    All state is (id, color) pairs or bare ids; every join is an
+    equi-join keyed on vertex id.  At 100 TB each lazy round is still
+    one keyed shuffle of ≤16-byte rows; `probe_every` then trades
+    ≤K-1 rounds of no-op overshoot work after the fixpoint against K×
+    fewer driver barriers — set probe_every=1 to recover per-round
+    probing when per-round data cost dwarfs barrier cost.  Convergence
+    must be CONFIRMED by an equal-sum/-count probe: `max_iter` bounds
+    PROGRESS rounds only, and a fixpoint that lands inside the final
+    batch (progress since the last probe, so the batch's own probe
+    can't confirm) gets ONE extra confirmation-only round beyond
+    max_iter before the loud non-convergence path fires (r9 ADVICE —
+    previously the effective bound tightened by up to probe_every
+    rounds).
     """
     if probe_every < 1:
         raise ValueError(f"probe_every must be >= 1, got {probe_every}")
@@ -1441,6 +1467,24 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                                                     F.col("color")))
                               .alias("color")))
         if not converged:
+            # max_iter bounds PROGRESS rounds, not the confirming
+            # probe: a fixpoint landing inside the final batch made
+            # progress since the last probe (csum != prev_sum), so the
+            # batch's own probe cannot confirm it.  Colors grow
+            # monotonically, so ONE extra edge-step (after the
+            # boundary pointer jump, which is a no-op at the fixpoint)
+            # leaving the exact sum unchanged proves the fixpoint —
+            # run a single confirmation-only round before refusing.
+            colors = (e_aug.join(
+                          colors.select(F.col("id").alias("src"),
+                                        "color"), "src")
+                      .groupBy(F.col("dst").alias("id"))
+                      .agg(F.max("color").alias("color"))
+                      .localCheckpoint(eager=False))
+            csum = (colors.agg(F.sum(F.col("color").cast("decimal(38,0)"))
+                               .alias("s")).first()[0])
+            converged = csum == prev_sum
+        if not converged:
             # extraction from a non-fixpoint coloring returns WRONG
             # components, not merely fewer — refuse loudly
             raise RuntimeError(
@@ -1485,6 +1529,18 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                 break
             prev_cnt = cnt
         if grown:
+            # same confirmation-only round as the color loop: the
+            # reached set only grows (self-loops keep members), so one
+            # extra hop with an unchanged count proves the fixpoint
+            # even when it landed inside the final batch
+            reached = (e_same.join(reached.select(F.col("id")
+                                                  .alias("dst")),
+                                   "dst")
+                       .select(F.col("src").alias("id"))
+                       .distinct()
+                       .localCheckpoint(eager=False))
+            grown = reached.count() != prev_cnt
+        if grown:
             raise RuntimeError(
                 f"SCC containment propagation still expanding after "
                 f"max_iter={max_iter} hops (an SCC cycle longer than "
@@ -1496,11 +1552,15 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                   .localCheckpoint(eager=False))
         done.append(member)
         # (3) peel: drop members from the vertex set and both edge
-        # sides.  The remaining-probe below materializes `member`
-        # through the lazy checkpoint; e_cur then re-reads it.
+        # sides.  The FULL count (not limit(1) — a partial probe only
+        # partially materializes the lazy checkpoints of `remaining`
+        # and `member` beneath it, and the next phase's three
+        # consumptions would recompute the anti-join instead of
+        # re-reading blocks; r9 ADVICE) materializes both; e_cur and
+        # the next phase then re-read them in place.
         remaining = (remaining.join(member.select("id"), "id", "left_anti")
                      .localCheckpoint(eager=False))
-        if remaining.limit(1).count() == 0:
+        if remaining.count() == 0:
             break
         e_cur = (e_cur.join(member.select(F.col("id").alias("src")),
                             "src", "left_anti")

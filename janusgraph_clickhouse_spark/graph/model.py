@@ -38,7 +38,16 @@ ID_OFFSETS = {
 
 
 class PropertyGraph:
-    """vertices(id, label, props...) + edges(src, dst, label, props...)."""
+    """vertices(id, label, props...) + edges(src, dst, label, props...).
+
+    CONTRACT: every edge endpoint (src and dst) must appear in
+    `vertices.id`.  The graph builders in this module construct edges
+    from foreign keys of the same tables that produce the vertices, so
+    the invariant holds by construction; algorithms rely on it — e.g.
+    label_propagation's single-consumption vote aggregate derives its
+    output rows from edge endpoints ∪ vertex self-loops, so a ghost
+    endpoint (edge id absent from vertices) would both vote and appear
+    in the output where the old join-back form silently dropped it."""
 
     def __init__(self, vertices: DataFrame, edges: DataFrame,
                  src_partitioned: bool = False):

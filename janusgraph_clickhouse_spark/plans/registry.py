@@ -130,51 +130,89 @@ def query(name: str, oracle: str | None = None):
 #    g32 q46).  Their virtual r6 rows leave the 4-file horizon
 #    {r6,r7,r8,r9} the moment CORRECTNESS_r09 lands — cannot slip.
 # 2. rule 2: no oracle changes this round.  Implementations touched
-#    in r9: g23 (batched fixpoints), bfs/harmonic lazy checkpoints
-#    (g05/g21/g27), HITS periodic truncation — all already in this
-#    window, so rule 2 costs nothing; the LATE-r9 changes landed
-#    after this window froze — the LPA single-consumption rewrite
-#    (g16, and g30 which consumes LPA labels) and the k-core lazy
-#    probe checkpoint (g15).  All three are tail names with r7 rows,
-#    dual-scale parity-green the day they changed (the r7
-#    late-change precedent), and MUST be windowed at r10 under
-#    rule 2 (they were already in r10's spare pool — promote them
-#    first among the g sentinels).
+#    in r9: g23 (batched fixpoints) and the bfs/harmonic lazy
+#    checkpoints (g05/g21/g27) were in this window; HITS periodic
+#    truncation was NOT — g18 is a tail name whose newest row (r7)
+#    predates BOTH the r8 substrate restructure and the r9 change
+#    (the r9 note originally claimed "all already in this window";
+#    the r9 judge caught the falsehood — g18 heads the r10 rule-2
+#    cohort).  The LATE-r9 changes landed after this window froze —
+#    the LPA single-consumption rewrite (g16, and g30 which consumes
+#    LPA labels), the k-core lazy probe checkpoint (g15), and the
+#    try_divide zero-norm fix in cosine_expr/KMV (q43 and every
+#    cosine consumer without an r9 row: l05 l06 l11 l12 l17 l18 l19
+#    l27 l50 l51).  All dual-scale parity-green the day they changed
+#    (the r7 late-change precedent), and windowed at r10 under
+#    rule 2.
 # 3. 18 spares from the 49 r6-row names (stalest cohort; they fall
 #    out of the horizon at r10), per the r8 pre-derivation's
 #    suggestion, re-verified against the files: all 12 r6-row g
 #    names (the iterative family where fresh evidence is worth
 #    most), q41 q42 (sketches.py carried the r8 cms weight-guard
 #    change postdating their newest rows), s11 s12 (s12's shared
-#    crash protocol got the r8 failure-injection test), l30 (r8
-#    _check_meta change), l04 (the documented variance query — a
-#    fresh driver row aids adjudication).
+#    crash protocol got the r8 failure-injection test), l30 (changed
+#    in BOTH r8 — _check_meta — and r9 — the ALL-pre-meta
+#    stamp_index_params gate; its r9 row covers both), l04 (the
+#    documented variance query — a fresh driver row aids
+#    adjudication).
 # Family sentinels in-window: 14 q, 13 g, 16 l, 7 s (≥2 each).
+# (The r9 list itself is preserved in git history at the r9 closing
+# commit; replaced below by the ROUND-10 window.)
+#
+# ROUND-10 WINDOW (derived fresh from the correctness files this
+# round, per the standing rule; the recount MATCHED the r10
+# pre-derivation — second time running).  Verified by script over
+# CORRECTNESS_r0{1,2,3,4,6,7,8,9}.json: newest-real-green-row
+# histogram is 50×r9 + 50×r8 + 49×r7 + 31×r6 = 180; CORRECTNESS_r09
+# is 50/50 green (no rule-3 traffic); REGISTERED_ROUND=9 is empty.
+# Window, in order:
+# 1. LEAD COHORT: the 31 r6-row names r9 left unwindowed — their r6
+#    rows leave the 4-file horizon {r7,r8,r9,r10} when r10's file
+#    lands (ZERO g names: every r6-row g was windowed at r9, so the
+#    g sentinels come from rules 2/5);
+# 2. rule 2, LATE-r9 changes postdating their newest rows (the r9
+#    judge's list, re-derived here by grepping cosine_expr callers):
+#    g18_hits FIRST (restructured r8 AND r9, newest row r7 — the r9
+#    note's bookkeeping error), the LPA single-consumption rewrite
+#    (g16 r7, g30 r8 which consumes LPA labels), the k-core lazy
+#    probe (g15 r7), and the try_divide zero-norm fix (q43 r8 + the
+#    cosine_expr consumers without r9 rows: l05/l06/l51 r8,
+#    l11/l12/l17/l18/l19/l27/l50 r7);
+# 3. rule 2, r10 changes: g23_scc — the r9 ADVICE fixes landed this
+#    round (confirmation-only probe beyond max_iter in both loops,
+#    full-count phase-exit probe), postdating its r9 row;
+# 4. 3 spares from the 49 r7-row names (stalest pool; they fall out
+#    at r11): g04 connected components + g19 personalized pagerank
+#    (iterative-family evidence is worth most; also lifts the g
+#    sentinel count) and s10 scd2 (the only name in history with a
+#    red hash row, r6 — fresh rows aid adjudication).
+# Family sentinels in-window: 8 q, 7 g, 29 l, 6 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 32 horizon-critical REGISTERED_ROUND=7 names
-    "q47_map_aggregates", "q48_histogram_quantiles",
-    "q49_weighted_quantiles", "q50_range_frame_windows",
-    "q51_bitmap_segments", "q52_grouping_sets", "q53_topk_weighted",
-    "q54_top_event_paths", "q55_conditional_aggregates",
-    "q56_sliding_hll", "q57_jsonl_roundtrip", "q58_unpivot_measures",
-    "s17_sequence_match", "s18_sequence_count", "s19_stream_enrich",
-    "s21_interval_full_join", "s22_incremental_scd1",
-    "l53_paragraph_dedup", "l54_stratified_split", "l55_ann_recall_eval",
-    "l56_source_overlap_matrix", "l57_audio_rms", "l58_snapshot_diff",
-    "l59_vocab_js_drift", "l60_priority_dedup", "l61_overlap_chunks",
-    "l63_embedding_outliers", "l64_source_keyness",
-    "l65_langid_confusion", "l66_length_ks_drift",
-    "l67_leakage_free_split",
-    "g33_temporal_reachability",
-    # rule 5/stalest-first: 18 spares from the 49 r6-row names
-    "g03_supplier_triangles", "g05_bfs_distances",
-    "g17_link_prediction", "g20_random_walks",
-    "g21_harmonic_centrality", "g22_biased_walks", "g23_scc",
-    "g24_local_clustering", "g25_ktruss", "g26_assortativity",
-    "g27_diameter", "g28_mis",
-    "q41_hll_distinct", "q42_cms_heavy_hitters",
-    "s11_stateful_running_totals", "s12_incremental_rollup",
-    "l30_incremental_dedup", "l04_simhash_pairs",
+    # rule 1: the 31 horizon-critical r6-row names
+    "q01_slice_point", "q06_agg_pricing_summary", "q17_scalar_functions",
+    "q19_mutate_upsert", "q38_argmax_latest", "q39_window_funnel",
+    "q40_retention",
+    "s06_time_rollup", "s07_interval_join", "s08_trending_topk",
+    "s09_interval_left_join", "s13_decayed_score",
+    "l01_exact_dedup", "l03_minhash_lsh_pairs", "l10_multimodal_meta",
+    "l31_boilerplate_score", "l32_containment_pairs", "l33_pii_scrub",
+    "l34_bloom_decontaminate", "l35_sq8_topk", "l36_domain_cap",
+    "l37_shared_spans", "l38_cdc_chunk_dedup", "l39_gopher_rules",
+    "l40_pq_topk", "l41_dsir_weights", "l42_weighted_sample",
+    "l43_bpe_merges", "l44_curation_pipeline", "l45_bpe_token_counts",
+    "l46_lsh_banding_audit",
+    # rule 2: late-r9 changes after their newest rows (g18 first)
+    "g18_hits", "g16_label_propagation", "g30_modularity", "g15_kcore",
+    "q43_kmv_set_ops",
+    "l05_cosine_topk", "l06_cosine_near_dup", "l11_ann_lsh_topk",
+    "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup", "l18_dedup_clusters",
+    "l19_knn_join", "l27_semantic_dedup_clusters", "l50_knn_classify",
+    "l51_hard_negatives",
+    # rule 2: r10 change (this round's SCC ADVICE fixes)
+    "g23_scc",
+    # rule 5/stalest-first: 3 spares from the 49 r7-row names
+    "g04_connected_components", "g19_personalized_pagerank",
+    "s10_scd2_versions",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -236,31 +274,30 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-10 ROTATION, pre-derived (assuming CORRECTNESS_r09 lands
-# with the window above; REGISTERED_ROUND=9 is empty — round 9
-# registered nothing, N stays 180, lag stays ceil(180/50) = 4
-# files).  At r10 the horizon is {r7,r8,r9,r10}.  Window, in order:
-# 1. LEAD COHORT: the 31 r6-row names r9 left unwindowed — their r6
-#    rows leave the horizon when r10's file lands:
-#      q01 q06 q17 q19 q38 q39 q40,
-#      s06 s07 s08 s09 s13,
-#      l01 l03 l10 l31 l32 l33 l34 l35 l36 l37 l38 l39 l40 l41 l42
-#      l43 l44 l45 l46
-#    (31 = 49 r6-rows − the 18 windowed at r9; ZERO g names — every
-#    r6-row g was windowed at r9, so the g sentinels must come from
-#    the spares).
-# 2. rule-2/rule-3 traffic from r9's file (any red, any r10 change).
-# 3. ~19 spares from the 49 names whose newest real row is r7
-#    (they fall out at r11): stalest-first, and ≥2 g sentinels are
-#    MANDATORY here (e.g. g04 g14–g19 all carry r7 rows).  The ~30
-#    r7-rows left unwindowed are r11's lead cohort.
-# The math only works if r9 lands its file (an r5-class driver
-# hiccup pushes the 32-name r7-registration cohort past the bound —
-# if CORRECTNESS_r09 is missing at r10, window the r9 list above
-# unchanged and escalate in PROGRESS.jsonl).  As always: re-derive
-# every cohort from REGISTERED_ROUND ∪ the correctness files at r10
-# — the r7/r8 pre-derivations were each off by one until recounted
-# (r9's was the first to survive the recount intact).
+# ROUND-11 ROTATION, pre-derived (assuming CORRECTNESS_r10 lands
+# with the window above; round 10 registered nothing, N stays 180,
+# lag stays ceil(180/50) = 4 files).  At r11 the horizon is
+# {r8,r9,r10,r11}.  Window, in order:
+# 1. LEAD COHORT: the 36 r7-row names r10 left unwindowed — their r7
+#    rows leave the horizon when r11's file lands:
+#      g14,
+#      q02 q04 q05 q07 q09 q10 q11 q12 q14 q15 q16 q22 q23 q24 q25
+#      q27 q28 q31 q32 q33 q34 q36,
+#      s01 s05 s15,
+#      l20 l21 l22 l23 l24 l25 l26 l28 l29 l47
+#    (36 = 49 r7-rows − the 13 windowed at r10: g15 g16 g18 g04 g19
+#    s10 l11 l12 l17 l18 l19 l27 l50; only ONE g name — the second
+#    mandatory g sentinel must come from the spares, e.g. g06
+#    pagerank or g01/g02 from the r8-row pool).
+# 2. rule-2/rule-3 traffic from r10's file (any red, any r11 change).
+# 3. ~14 spares from the 45 names whose newest real row is r8
+#    (45 = 50 r8-rows − the 5 windowed at r10: g30 q43 l05 l06 l51);
+#    stalest-first, ≥2 g sentinels MANDATORY (g01 g02 g06–g13 g29
+#    g31 g32 all carry r8 rows).  The ~31 r8-rows left unwindowed
+#    are r12's lead cohort.
+# As always: re-derive every cohort from REGISTERED_ROUND ∪ the
+# correctness files at r11 — the r7/r8 pre-derivations were each off
+# by one until recounted (r9's and r10's survived the recount).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 

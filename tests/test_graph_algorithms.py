@@ -1040,6 +1040,29 @@ def test_scc_probe_every_one_matches_default(spark):
     assert got_default == got_one == want
 
 
+def test_scc_fixpoint_inside_final_batch(spark):
+    """r9 ADVICE regression: max_iter bounds PROGRESS rounds, not the
+    confirming probe.  On a directed 6-cycle with probe_every=4 and
+    max_iter=5, both fixpoints (color sum at round 5, backward count
+    at hop 5) land INSIDE the final batch — progress since the last
+    probe means the batch's own probe reads a changed sum/count, so
+    the pre-fix loops exited unconverged and raised RuntimeError
+    despite actual convergence.  The confirmation-only round beyond
+    max_iter now certifies both; max_iter=4 must still refuse loudly
+    (genuine non-convergence: round 5 makes real progress)."""
+    import pytest
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        strongly_connected_components)
+    e = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                              "src long, dst long")
+    got = {r.id: r.component
+           for r in strongly_connected_components(
+               e, max_iter=5, probe_every=4).collect()}
+    assert got == {i: 5 for i in range(6)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(e, max_iter=4, probe_every=4)
+
+
 def test_hits_periodic_checkpoint_boundary(spark):
     """max_iter crossing the every-10-iteration lineage truncation
     (r9): results must equal the un-truncated recurrence.  On a
