@@ -117,6 +117,11 @@ HEADLINE = [
     "g33_temporal_reachability",  # time-respecting earliest arrival
     "s20_incremental_hll",      # streaming uniqState maintenance
     "s21_interval_full_join",   # stream-stream full-outer interval
+    # round-10 addition (PERF.md notes the headline-total discontinuity):
+    # g18 had no bench entry, so its two rounds of restructuring were
+    # adjudicated only via sweeps/standalone pins — give it a per-round
+    # quiet-box record like the other heavy iterative queries
+    "g18_hits",                 # HITS hubs/authorities (dual-orientation)
 ]
 
 
