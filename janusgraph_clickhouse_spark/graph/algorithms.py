@@ -1316,7 +1316,8 @@ def biased_random_walks(graph: PropertyGraph,
 
 def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                                   max_iter: int = 50,
-                                  probe_every: int = 4) -> DataFrame:
+                                  probe_every: int = 4,
+                                  backward: str = "dense") -> DataFrame:
     """Strongly connected components of a directed edge set; returns
     (id, component) where component == the MAX vertex id in the SCC.
 
@@ -1377,17 +1378,21 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     the reached side shuffles.  DENSE-FORM TRADE-OFF (r9 ADVICE): the
     self-loop augmentation that buys single-consumption lazy batching
     re-joins the FULL reached set every round, so a long-cycle SCC
-    pays O(hops × |E_same|) total backward work where the old
-    frontier-minus-visited form paid Σ|frontier| — the same dense form
-    bfs_distances' docstring rejects for whole-graph BFS.  It is kept
-    here because E_same is the SINGLE COLOR CLASS being extracted (a
-    small slice of the phase's subgraph, not the whole graph) and
-    because hops is bounded by the class diameter; for pathological
-    deep-cycle inputs (SCC diameter ≫ probe_every), probe_every=1
-    reduces overshoot but NOT the per-round Σ|reached| cost — a
-    frontier-mode fallback would need per-round anti-joins and
-    per-round materialization, forfeiting the batched-job economy that
-    motivated the r9 restructure (13.9 → ~7 s warm at sf0.1).
+    pays O(hops × |E_same|) total backward work where a
+    frontier-minus-visited form pays Σ|frontier| — the same dense form
+    bfs_distances' docstring rejects for whole-graph BFS.  It is the
+    DEFAULT because E_same is the SINGLE COLOR CLASS being extracted
+    (a small slice of the phase's subgraph, not the whole graph) and
+    because hops is bounded by the class diameter, so the batched-job
+    economy that motivated the r9 restructure (13.9 → ~7 s warm at
+    sf0.1) wins on shallow classes.  For pathological DEEP-CYCLE
+    inputs (SCC diameter ≫ probe_every), pass `backward="frontier"`:
+    the backward phase then runs classic frontier BFS — per-hop
+    anti-join against the visited set, per-hop materialization, one
+    driver barrier per hop — trading ~3 jobs/hop for total data work
+    Σ|frontier| instead of O(hops × |E_same|).  Pick frontier when
+    the expected class diameter times |E_same| dwarfs the barrier
+    cost (e.g. million-edge cycles); results are identical (tested).
 
     All state is (id, color) pairs or bare ids; every join is an
     equi-join keyed on vertex id.  At 100 TB each lazy round is still
@@ -1405,6 +1410,9 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     """
     if probe_every < 1:
         raise ValueError(f"probe_every must be >= 1, got {probe_every}")
+    if backward not in ("dense", "frontier"):
+        raise ValueError(
+            f"backward must be 'dense' or 'frontier', got {backward!r}")
     spark = edges.sparkSession
     width = spark.sparkContext.defaultParallelism
     # the vertex UNIVERSE comes from the raw edge endpoints (self-loops
@@ -1504,42 +1512,78 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                               F.col("color").alias("c_s"))
         c_dst = colors.select(F.col("id").alias("dst"),
                               F.col("color").alias("c_d"))
-        e_same = (e_cur.join(c_src, "src").join(c_dst, "dst")
-                  .filter(F.col("c_s") == F.col("c_d"))
-                  .select("src", "dst")
-                  .unionAll(self_loops)
-                  .repartition(width, "dst")
-                  .localCheckpoint(eager=False))
-        reached = colors.filter(F.col("id") == F.col("color")).select("id")
-        prev_cnt = None
-        grown = True
-        hops = 0
-        while hops < max_iter:
-            for _ in range(min(probe_every, max_iter - hops)):
+        e_same_core = (e_cur.join(c_src, "src").join(c_dst, "dst")
+                       .filter(F.col("c_s") == F.col("c_d"))
+                       .select("src", "dst"))
+        roots = colors.filter(F.col("id") == F.col("color")).select("id")
+        if backward == "dense":
+            e_same = (e_same_core
+                      .unionAll(self_loops)
+                      .repartition(width, "dst")
+                      .localCheckpoint(eager=False))
+            reached = roots
+            prev_cnt = None
+            grown = True
+            hops = 0
+            while hops < max_iter:
+                for _ in range(min(probe_every, max_iter - hops)):
+                    reached = (e_same.join(reached.select(F.col("id")
+                                                          .alias("dst")),
+                                           "dst")
+                               .select(F.col("src").alias("id"))
+                               .distinct())
+                    hops += 1
+                reached = reached.localCheckpoint(eager=False)
+                cnt = reached.count()
+                if cnt == prev_cnt:
+                    grown = False
+                    break
+                prev_cnt = cnt
+            if grown:
+                # same confirmation-only round as the color loop: the
+                # reached set only grows (self-loops keep members), so
+                # one extra hop with an unchanged count proves the
+                # fixpoint even when it landed inside the final batch
                 reached = (e_same.join(reached.select(F.col("id")
                                                       .alias("dst")),
                                        "dst")
                            .select(F.col("src").alias("id"))
-                           .distinct())
+                           .distinct()
+                           .localCheckpoint(eager=False))
+                grown = reached.count() != prev_cnt
+        else:
+            # frontier mode (deep-cycle fallback): no self-loop union —
+            # the visited set persists in `reached` and each hop
+            # expands only the NEW vertices, anti-joined against it.
+            # Three consumptions per hop (expand + anti + accumulate),
+            # so both frames materialize fully every hop; total data
+            # work is Σ|frontier| at ~3 driver barriers per hop.
+            e_same = (e_same_core
+                      .repartition(width, "dst")
+                      .localCheckpoint(eager=False))
+            reached = roots.localCheckpoint(eager=False)
+            reached.count()
+            frontier = reached
+            grown = True
+            hops = 0
+            while hops < max_iter + 1:
+                # the +1 round is confirmation-only (the dense-mode
+                # contract): a frontier emitted exactly at hop
+                # max_iter may expand to nothing
+                preds = (e_same.join(frontier.select(F.col("id")
+                                                     .alias("dst")),
+                                     "dst")
+                         .select(F.col("src").alias("id"))
+                         .distinct())
+                frontier = (preds.join(reached, "id", "left_anti")
+                            .localCheckpoint(eager=False))
                 hops += 1
-            reached = reached.localCheckpoint(eager=False)
-            cnt = reached.count()
-            if cnt == prev_cnt:
-                grown = False
-                break
-            prev_cnt = cnt
-        if grown:
-            # same confirmation-only round as the color loop: the
-            # reached set only grows (self-loops keep members), so one
-            # extra hop with an unchanged count proves the fixpoint
-            # even when it landed inside the final batch
-            reached = (e_same.join(reached.select(F.col("id")
-                                                  .alias("dst")),
-                                   "dst")
-                       .select(F.col("src").alias("id"))
-                       .distinct()
-                       .localCheckpoint(eager=False))
-            grown = reached.count() != prev_cnt
+                if frontier.count() == 0:
+                    grown = False
+                    break
+                reached = (reached.unionAll(frontier)
+                           .localCheckpoint(eager=False))
+                reached.count()  # full: consumed twice next hop
         if grown:
             raise RuntimeError(
                 f"SCC containment propagation still expanding after "

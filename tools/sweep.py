@@ -43,6 +43,41 @@ def _spin() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spin_one(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0x9E3779B97F4A7C15
+    for _ in range(5_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _saturation_probe(width: int = 32) -> dict:
+    """All-cores contention probe: `width` concurrent PROCESS spins
+    (threads are GIL-serialized and useless here — they read ~width×
+    solo time even on an idle box).  A solo spin only sees pressure
+    when every core is busy; a saturating Spark job contends with ANY
+    external tenant, so this is the probe that actually predicts
+    sweep inflation (r10: solo 1.27 "quiet" while 32-way read
+    1.6–2.2 s under a 3–4-core tenant and the sweep ran 1.4× slow).
+    Also records /proc/loadavg (external load visible the cheap way)."""
+    from concurrent.futures import ProcessPoolExecutor
+    try:
+        with ProcessPoolExecutor(width) as ex:
+            times = list(ex.map(_spin_one, range(width)))
+        out = {"spin32_min": round(min(times), 3),
+               "spin32_max": round(max(times), 3)}
+    except Exception as e:  # sandboxed/odd environments: degrade loudly
+        out = {"spin32_err": f"{type(e).__name__}: {e}"[:100]}
+    try:
+        out["loadavg_1m"] = float(
+            open("/proc/loadavg").read().split()[0])
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PERF_sweep.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +112,7 @@ def main() -> None:
     result: dict = {
         "sf": 0.1, "oracle_sf": 0.01,
         "calibration_spin_sec": spin_pre,
+        "saturation_pre": _saturation_probe(),
         "warmup_query": "g22_biased_walks + g05_bfs_distances",
         "warmup_sec_untimed": round(warm_graph + warm_q, 2),
     }
@@ -121,6 +157,7 @@ def main() -> None:
         con.close()
     result["oracle_total_sec"] = round(o_total, 1)
     result["calibration_spin_sec_end"] = _spin()
+    result["saturation_end"] = _saturation_probe()
 
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
