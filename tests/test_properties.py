@@ -1648,3 +1648,166 @@ def test_motif_find_matches_brute_force(spark, pairs):
         got = {tuple(r) for r in find(g, pattern,
                                       distinct_vertices=dv).collect()}
         assert got == brute(pattern, dv), (sorted(pairs), pattern, dv)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_keys=st.integers(1, 3),
+       n_left=st.integers(1, 12), n_right=st.integers(0, 12))
+def test_asof_join_matches_pandas_merge_asof(spark, seed, n_keys,
+                                             n_left, n_right):
+    """as_of_join (the union-merge single-shuffle ASOF) must agree with
+    pandas.merge_asof(direction='backward', allow_exact_matches=True)
+    on arbitrary integer-timestamp event sets — including left rows
+    with no prior right row (NULL legs) and exact-timestamp ties.
+    Right (key, ts) pairs are generated UNIQUE: the operator's
+    documented tie rule for duplicate right timestamps (max orderable
+    projection) differs from pandas' positional 'last row wins'."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.operators.temporal import as_of_join
+    rng = np.random.RandomState(seed)
+    left_rows = [(int(rng.randint(0, n_keys)), int(rng.randint(0, 50)),
+                  i) for i in range(n_left)]
+    seen = set()
+    right_rows = []
+    for j in range(n_right):
+        key, ts = int(rng.randint(0, n_keys)), int(rng.randint(0, 50))
+        if (key, ts) in seen:
+            continue
+        seen.add((key, ts))
+        right_rows.append((key, ts, float(j) + 0.5))
+    ldf = spark.createDataFrame(left_rows, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)],
+        "k long, ts long, rv double").filter(F.col("k").isNotNull())
+    got = {r.lid: (r.rv, r.matched_ts)
+           for r in as_of_join(ldf, rdf, key="k", ts="ts",
+                               right_cols=["rv"]).collect()}
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]
+                       ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rv"]
+                       ).sort_values("ts", kind="stable")
+    if right_rows:
+        merged = pd.merge_asof(lpd, rpd, on="ts", by="k",
+                               direction="backward",
+                               allow_exact_matches=True,
+                               suffixes=("", "_r"))
+        want = {int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+                for r in merged.itertuples()}
+    else:
+        want = {lid: None for _, _, lid in left_rows}
+    assert {k: v[0] for k, v in got.items()} == want
+    # matched_ts is NULL exactly when the value leg is NULL
+    for lid, (rv, mts) in got.items():
+        assert (rv is None) == (mts is None)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_docs=st.integers(1, 30),
+       budget=st.integers(3, 40))
+def test_pack_sequences_matches_md5_replica(spark, seed, n_docs, budget):
+    """pack_sequences' distributed prefix sum (65,536-shard cumsum +
+    broadcast shard offsets) must equal the single-threaded replica:
+    sort docs by (md5(salt+doc_id), doc_id), cumsum the token counts,
+    seq_id = floor(first_token_offset / budget).  Uses the operator's
+    own returned `tok` so the property isolates the PLACEMENT math;
+    also checks conservation (every doc exactly once)."""
+    import hashlib
+    from janusgraph_clickhouse_spark.llm.split import pack_sequences
+    rng = np.random.RandomState(seed)
+    rows = [(i, " ".join(f"w{rng.randint(0, 99)}"
+                         for _ in range(rng.randint(1, 9))))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "doc_id", "text", budget=budget,
+                         salt="prop").collect()
+    assert sorted(r.doc_id for r in out) == list(range(n_docs))
+    toks = {r.doc_id: r.tok for r in out}
+    order = sorted(range(n_docs),
+                   key=lambda d: (hashlib.md5(
+                       f"prop{d}".encode()).hexdigest(), d))
+    offset, want = 0, {}
+    for d in order:
+        want[d] = offset // budget
+        offset += toks[d]
+    assert {r.doc_id: r.seq_id for r in out} == want
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_train=st.integers(1, 10),
+       m_bits=st.sampled_from([256, 1024, 1 << 14]))
+def test_bloom_decontaminate_identical_to_exact(spark, seed, n_train,
+                                                m_bits):
+    """l34's 'provably identical output' claim, randomized: the Bloom
+    prefilter admits only false POSITIVES and every survivor is
+    exact-confirmed, so bloom_decontaminate_pairs must equal
+    decontaminate_pairs row-for-row at ANY filter size — including
+    m_bits=256, where the filter is saturated and nearly everything
+    passes to the confirm join.  Half the train docs get a planted
+    5-gram run copied from a benchmark doc (true contamination);
+    the rest are random (must stay absent from both outputs)."""
+    rng = np.random.RandomState(seed)
+    bench_text = " ".join(f"b{rng.randint(0, 9999)}" for _ in range(12))
+    bench_words = bench_text.split()
+    rows = [(0, bench_text)]
+    for i in range(1, n_train + 1):
+        noise = [f"t{i}_{rng.randint(0, 9999)}" for _ in range(6)]
+        if i % 2 == 0:
+            start = rng.randint(0, len(bench_words) - 5 + 1)
+            planted = bench_words[start:start + 5]
+            rows.append((i, " ".join(noise[:3] + planted + noise[3:])))
+        else:
+            rows.append((i, " ".join(noise + [f"u{i}_{j}" for j in
+                                              range(5)])))
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = F.col("doc_id") == 0
+    exact = {(r.train_id, r.bench_id): (r.n_shared, r.containment)
+             for r in D.decontaminate_pairs(
+                 df, "doc_id", "text", bench, n=5).collect()}
+    bloom = {(r.train_id, r.bench_id): (r.n_shared, r.containment)
+             for r in D.bloom_decontaminate_pairs(
+                 df, "doc_id", "text", bench, n=5,
+                 m_bits=m_bits).collect()}
+    assert bloom == exact
+    planted_ids = {i for i in range(1, n_train + 1) if i % 2 == 0}
+    assert {t for (t, _b) in exact.keys()} >= planted_ids
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_corpus=st.integers(2, 20),
+       n_queries=st.integers(1, 4), dim=st.integers(2, 6),
+       k=st.integers(1, 5))
+def test_brute_force_topk_join_matches_numpy(spark, seed, n_corpus,
+                                             n_queries, dim, k):
+    """brute_force_topk_join (broadcast queries + window top-k) must
+    return exactly numpy's per-query cosine top-k under the engine
+    ordering contract: round(cos, 6) DESC, id ASC.  Vectors are drawn
+    with non-zero norm; scores are re-derived in float64 on both
+    sides so the property is bit-comparable after the 6dp round."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        brute_force_topk_join)
+    rng = np.random.RandomState(seed)
+    corpus = rng.randn(n_corpus, dim) + 0.1
+    queries = rng.randn(n_queries, dim) + 0.1
+    cdf = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(n_corpus)],
+        "id long, v array<double>")
+    qdf = spark.createDataFrame(
+        [(100 + j, queries[j].tolist()) for j in range(n_queries)],
+        "qid long, qv array<double>")
+    got = {}
+    for r in brute_force_topk_join(qdf, cdf, "qid", "qv", "id", "v",
+                                   k=k).collect():
+        got.setdefault(r.query_id, []).append((r.id, r.cosine))
+    for j in range(n_queries):
+        q = queries[j]
+        cos = corpus @ q / (np.linalg.norm(corpus, axis=1)
+                            * np.linalg.norm(q))
+        ranked = sorted(((round(float(cos[i]), 6), i)
+                         for i in range(n_corpus)),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        want = [(i, c) for c, i in ranked]
+        have = sorted(got.get(100 + j, []),
+                      key=lambda t: (-t[1], t[0]))
+        assert have == want, (j, have, want)
