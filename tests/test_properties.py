@@ -1811,3 +1811,67 @@ def test_brute_force_topk_join_matches_numpy(spark, seed, n_corpus,
         have = sorted(got.get(100 + j, []),
                       key=lambda t: (-t[1], t[0]))
         assert have == want, (j, have, want)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_pts=st.integers(1, 40),
+       n_keys=st.integers(1, 3), width=st.sampled_from([10, 60, 600]))
+def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,
+                                                n_keys, width):
+    """lttb_downsample (parallel-anchor LTTB, integer-exact area
+    argmax) vs a single-threaded replica of the documented contract:
+    one point per (key, bucket); first/last observed buckets keep
+    their first/last point; interior buckets keep the point
+    maximizing |(Px−Nx)(y−Py) − (Px−x)(Ny−Py)| against the neighbor
+    buckets' (midpoint, floor-mean-cents) anchors, ties → earliest
+    ts then smallest id.  Duplicate timestamps within a bucket are
+    drawn deliberately (the tie path)."""
+    import math
+    from datetime import datetime, timezone
+    from pyspark.sql import Row
+    from janusgraph_clickhouse_spark.operators.temporal import (
+        lttb_downsample)
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_pts):
+        k = int(rng.randint(0, n_keys))
+        t = int(rng.randint(0, 4 * width))
+        cents = int(rng.randint(-500, 500))
+        rows.append((k, t, cents))
+    data = [Row(k=k, ts=datetime.fromtimestamp(t, tz=timezone.utc),
+                v=c / 100.0, pid=i)
+            for i, (k, t, c) in enumerate(rows)]
+    df = spark.createDataFrame(data)
+    got = {(r.k, r.b): (r.ts_sec, r.cents, r.rule)
+           for r in lttb_downsample(df, "k", "ts", "v", "pid",
+                                    width_sec=width).collect()}
+    # replica
+    pts = [(k, t, math.floor((c / 100.0) * 100 + 0.5), i)
+           for i, (k, t, c) in enumerate(rows)]
+    half = width // 2
+    want = {}
+    for key in {p[0] for p in pts}:
+        kp = [p for p in pts if p[0] == key]
+        buckets = sorted({t - t % width for _, t, _, _ in kp})
+        agg = {b: [p for p in kp if p[1] - p[1] % width == b]
+               for b in buckets}
+        for bi, b in enumerate(buckets):
+            members = agg[b]
+            if bi == 0:
+                _, t, c, i = min(members, key=lambda p: (p[1], p[3]))
+                want[(key, b)] = (t, c, "first")
+            elif bi == len(buckets) - 1:
+                _, t, c, i = max(members, key=lambda p: (p[1], p[3]))
+                want[(key, b)] = (t, c, "last")
+            else:
+                pb, nb = agg[buckets[bi - 1]], agg[buckets[bi + 1]]
+                px = buckets[bi - 1] + half
+                py = math.floor(sum(p[2] for p in pb) / len(pb))
+                nx = buckets[bi + 1] + half
+                ny = math.floor(sum(p[2] for p in nb) / len(nb))
+                best = max(members,
+                           key=lambda p: (abs((px - nx) * (p[2] - py)
+                                              - (px - p[1]) * (ny - py)),
+                                          -p[1], -p[3]))
+                want[(key, b)] = (best[1], best[2], "area")
+    assert got == want
