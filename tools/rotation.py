@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Driver-window rotation math, derived fresh from the correctness
+files (the CLAUDE.md standing rule: NEVER trust a pre-derived cohort
+without recounting — the r7/r8/r9-era pre-derivations were each off by
+one until this recount was run by hand; r9/r10's survived because the
+recount became routine).
+
+Prints, for the NEXT round:
+  - the newest-real-green-row histogram over all registered queries
+    (virtual rows from REGISTERED_ROUND included, labeled),
+  - the horizon-critical lead cohort (names whose newest row leaves
+    the ceil(N/50)-file horizon when the next file lands),
+  - the family sentinel count of any candidate window file,
+  - names in the CURRENT DRIVER_PRIORITY with their newest rows (so
+    rule-2 additions can be checked against actual staleness).
+
+Usage:
+    python tools/rotation.py            # derive for the next round
+    python tools/rotation.py --check    # also assert the current
+                                        # window covers every
+                                        # horizon-critical name
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def newest_green_rows() -> tuple[dict[str, int], list[int]]:
+    """(name -> newest round with a fully-green real row, rounds seen).
+    A green row = rows_match AND schema_match AND hash_match (rows-only
+    no_oracle entries never count as green evidence)."""
+    newest: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", Path(f).name).group(1))
+        rounds.append(rnd)
+        for name, res in json.load(open(f)).items():
+            if (res.get("rows_match") and res.get("schema_match")
+                    and res.get("hash_match")):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest, rounds
+
+
+def main() -> None:
+    from janusgraph_clickhouse_spark.plans import get_queries
+    from janusgraph_clickhouse_spark.plans.registry import (
+        DRIVER_PRIORITY, REGISTERED_ROUND)
+
+    names = set(get_queries())
+    n = len(names)
+    lag = math.ceil(n / 50)
+    newest, rounds = newest_green_rows()
+    latest = max(rounds)
+    nxt = latest + 1
+
+    # virtual rows: a query registered in round R counts as having a
+    # row from R-1 until a real row lands
+    effective: dict[str, int] = {}
+    virtual: set[str] = set()
+    for q in names:
+        if q in newest:
+            effective[q] = newest[q]
+        else:
+            effective[q] = REGISTERED_ROUND.get(q, 1) - 1
+            virtual.add(q)
+
+    hist = Counter(effective.values())
+    print(f"registered: {n}; horizon lag ceil(N/50) = {lag} files; "
+          f"latest file r{latest}; deriving for r{nxt}")
+    print("newest-row histogram:",
+          {f"r{k}": v for k, v in sorted(hist.items())})
+
+    # the horizon at r{nxt} covers the last `lag` FILES; a name whose
+    # newest row predates the oldest file still in the horizon after
+    # r{nxt}'s file lands is horizon-critical NOW
+    horizon_files = sorted(rounds)[-(lag - 1):] if lag > 1 else []
+    oldest_kept = min(horizon_files) if horizon_files else nxt
+    lead = sorted(q for q in names if effective[q] < oldest_kept)
+    print(f"\nhorizon-critical lead cohort for r{nxt} "
+          f"(newest row < r{oldest_kept}, would leave the horizon): "
+          f"{len(lead)}")
+    for q in lead:
+        tag = " (virtual)" if q in virtual else ""
+        print(f"  {q}  r{effective[q]}{tag}")
+
+    fam = Counter(q[0] for q in DRIVER_PRIORITY)
+    print(f"\ncurrent DRIVER_PRIORITY ({len(DRIVER_PRIORITY)}): "
+          f"family sentinels {dict(sorted(fam.items()))}")
+
+    if "--check" in sys.argv:
+        missing = [q for q in lead if q not in DRIVER_PRIORITY]
+        assert not missing, (
+            f"horizon-critical names NOT in the current window: "
+            f"{missing}")
+        bad_fam = [f for f in ("q", "g", "l", "s") if fam.get(f, 0) < 2]
+        assert not bad_fam, f"family sentinel rule violated: {bad_fam}"
+        print("check: window covers every horizon-critical name and "
+              "the >=2-per-family sentinel rule")
+
+
+if __name__ == "__main__":
+    main()
