@@ -1875,3 +1875,77 @@ def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,
                                           -p[1], -p[3]))
                 want[(key, b)] = (best[1], best[2], "area")
     assert got == want
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_docs=st.integers(1, 12),
+       vocab=st.integers(2, 8))
+def test_tfidf_topk_matches_python_replica(spark, seed, n_docs, vocab):
+    """tfidf_topk vs a python replica: tf/df/N are exact integers, so
+    the selection (per-doc top-3 under rounded-score DESC + token ASC)
+    must match exactly on random corpora; scores compare to 1e-6
+    (both engines compute tf·ln(N/df) in float64 — integer-count
+    inputs never land on a rounding boundary)."""
+    import math
+    rng = np.random.RandomState(seed)
+    rows = [(i, " ".join(f"w{rng.randint(0, vocab)}"
+                         for _ in range(rng.randint(1, 10))))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in X.tfidf_topk(df, "doc_id", "text", k=3).collect():
+        got.setdefault(r.id, []).append((r.token, r.tfidf))
+    tf, docs_with = {}, {}
+    for i, text in rows:
+        for w in text.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+            docs_with.setdefault(w, set()).add(i)
+    n = float(n_docs)
+    want = {}
+    for i, _ in rows:
+        scored = sorted(
+            ((round(c * math.log(n / len(docs_with[w])), 6), w)
+             for (d, w), c in tf.items() if d == i),
+            key=lambda t: (-t[0], t[1]))[:3]
+        want[i] = [(w, s) for s, w in scored]
+    assert set(got) == set(want)
+    for i in want:
+        assert [w for w, _ in got[i]] == [w for w, _ in want[i]], i
+        for (_, gs), (_, ws) in zip(got[i], want[i]):
+            assert abs(gs - ws) <= 1e-6, (i, gs, ws)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_docs=st.integers(1, 10),
+       vocab=st.integers(2, 6))
+def test_bigram_lm_score_matches_python_replica(spark, seed, n_docs,
+                                                vocab):
+    """bigram_lm_score vs a python replica of the corpus-trained
+    bigram MLE: n_bigrams is exact; nll (a float average) compares to
+    1e-6 after the engine's 6dp rounding.  Single-token docs emit no
+    row (no bigram instances) — asserted explicitly."""
+    import math
+    rng = np.random.RandomState(seed)
+    rows = [(i, " ".join(f"w{rng.randint(0, vocab)}"
+                         for _ in range(rng.randint(1, 8))))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_bigrams, r.nll)
+           for r in X.bigram_lm_score(df, "doc_id", "text").collect()}
+    c2, c1, inst = {}, {}, {}
+    for i, text in rows:
+        ws = text.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        inst[i] = pairs
+        for p in pairs:
+            c2[p] = c2.get(p, 0) + 1
+            c1[p[0]] = c1.get(p[0], 0) + 1
+    for i, _ in rows:
+        if not inst[i]:
+            assert i not in got
+            continue
+        nll = sum(-math.log(c2[p] / c1[p[0]]) for p in inst[i]) \
+            / len(inst[i])
+        gn, gnll = got[i]
+        assert gn == len(inst[i])
+        assert abs(gnll - round(nll, 6)) <= 2e-6, (i, gnll, nll)
