@@ -1949,3 +1949,61 @@ def test_bigram_lm_score_matches_python_replica(spark, seed, n_docs,
         gn, gnll = got[i]
         assert gn == len(inst[i])
         assert abs(gnll - round(nll, 6)) <= 2e-6, (i, gnll, nll)
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16),
+       seed=st.integers(0, 999), times=st.integers(1, 3))
+def test_repeat_traversal_matches_python_replica(spark, edges, seed,
+                                                 times):
+    """Traversal.repeat() vs python replicas on random digraphs, both
+    modes (the g14 surface).  times=n is BAG semantics — the endpoint
+    multiset counts every distinct n-edge walk; until=pred is
+    BFS-with-SET semantics — stopped traversers exit at their current
+    vertex, visited vertices never re-expand, result = the set of
+    stop positions reachable under those rules."""
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
+    from janusgraph_clickhouse_spark.graph.traversal import Traversal
+    rng = np.random.RandomState(seed)
+    verts = sorted({v for p in edges for v in p})
+    labels = {v: ("stop" if rng.rand() < 0.4 else "go") for v in verts}
+    vdf = spark.createDataFrame([(v, labels[v]) for v in verts],
+                                "id long, label string")
+    edf = spark.createDataFrame(sorted(edges),
+                                "src long, dst long")
+    g = PropertyGraph(vdf, edf.select("src", "dst",
+                                      F.lit("e").alias("label")))
+    starts = sorted(rng.choice(verts, size=min(2, len(verts)),
+                               replace=False).tolist())
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    # times-mode: bag semantics, multiset of n-hop walk endpoints
+    got_bag = Counter(r.id for r in Traversal.V(g, *starts).repeat(
+        lambda t: t.out(), times=times).frontier.collect())
+    frontier = Counter(starts)
+    for _ in range(times):
+        nxt = Counter()
+        for v, c in frontier.items():
+            for d in adj.get(v, []):
+                nxt[d] += c
+        frontier = nxt
+    assert got_bag == frontier
+    # until-mode: BFS set semantics, stop at label == 'stop'
+    got_set = {r.id for r in Traversal.V(g, *starts).repeat(
+        lambda t: t.out(),
+        until=lambda t: t.has_label("stop")).frontier.collect()}
+    cur, visited, done = set(starts), set(starts), set()
+    for _ in range(20):
+        stop = {v for v in cur if labels[v] == "stop"}
+        done |= stop
+        active = cur - stop
+        nxt = {d for v in active for d in adj.get(v, [])} - visited
+        if not nxt:
+            break
+        visited |= nxt
+        cur = nxt
+    assert got_set == done
