@@ -1347,9 +1347,10 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     cross-band referral edges of the query surface) extract in ONE
     phase instead of one phase per chain link.
 
-    Job economy (the r9 restructure — measured 13.9 → ~7 s warm at
-    sf0.1, where the per-step cost is pure job-scheduling overhead on
-    a broadcast-sized graph): both inner loops are SINGLE-CONSUMPTION
+    Job economy (the r9 restructure — adjudicated 13.85 → 10.14 s
+    warm best-of-3 at sf0.1 in PERF.md, where the per-step cost is
+    pure job-scheduling overhead on a broadcast-sized graph): both
+    inner loops are SINGLE-CONSUMPTION
     chains, so `probe_every` rounds run LAZILY between convergence
     probes — one Spark job per K rounds instead of one per round.
     That needs two shapes the old eager-per-round form didn't have:
@@ -1392,7 +1393,10 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     driver barrier per hop — trading ~3 jobs/hop for total data work
     Σ|frontier| instead of O(hops × |E_same|).  Pick frontier when
     the expected class diameter times |E_same| dwarfs the barrier
-    cost (e.g. million-edge cycles); results are identical (tested).
+    cost the batched default amortizes (the r9 restructure's
+    adjudicated win: 13.85 → 10.14 s warm at sf0.1, PERF.md); for
+    million-edge deep cycles frontier wins.  Results are identical
+    (randomized Warshall property tests cover both modes).
 
     All state is (id, color) pairs or bare ids; every join is an
     equi-join keyed on vertex id.  At 100 TB each lazy round is still
