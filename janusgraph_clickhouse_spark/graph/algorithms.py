@@ -1385,8 +1385,9 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     DEFAULT because E_same is the SINGLE COLOR CLASS being extracted
     (a small slice of the phase's subgraph, not the whole graph) and
     because hops is bounded by the class diameter, so the batched-job
-    economy that motivated the r9 restructure (13.9 → ~7 s warm at
-    sf0.1) wins on shallow classes.  For pathological DEEP-CYCLE
+    economy that motivated the r9 restructure (adjudicated 13.85 →
+    10.14 s warm at sf0.1, PERF.md) wins on shallow classes.  For
+    pathological DEEP-CYCLE
     inputs (SCC diameter ≫ probe_every), pass `backward="frontier"`:
     the backward phase then runs classic frontier BFS — per-hop
     anti-join against the visited set, per-hop materialization, one
