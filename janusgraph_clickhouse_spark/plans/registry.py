@@ -180,7 +180,10 @@ def query(name: str, oracle: str | None = None):
 #    l11/l12/l17/l18/l19/l27/l50 r7);
 # 3. rule 2, r10 changes: g23_scc — the r9 ADVICE fixes landed this
 #    round (confirmation-only probe beyond max_iter in both loops,
-#    full-count phase-exit probe), postdating its r9 row;
+#    full-count phase-exit probe — interleaved A/B: perf-neutral),
+#    plus the backward="frontier" deep-cycle mode (default dense path
+#    refactored but plan-identical; both modes Warshall
+#    property-tested), postdating its r9 row;
 # 4. 3 spares from the 49 r7-row names (stalest pool; they fall out
 #    at r11): g04 connected components + g19 personalized pagerank
 #    (iterative-family evidence is worth most; also lifts the g
