@@ -2007,3 +2007,60 @@ def test_repeat_traversal_matches_python_replica(spark, edges, seed,
         visited |= nxt
         cur = nxt
     assert got_set == done
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_events=st.integers(1, 30),
+       n_chunks=st.integers(1, 4))
+def test_scd1_merge_chunking_invariant(spark, seed, n_events, n_chunks):
+    """incremental SCD1 (s22): the per-key struct-MAX merge is
+    associative and idempotent, so the persisted current state must be
+    INDEPENDENT of how the event stream is partitioned into ordered
+    micro-batches — any random chunking, including empty chunks,
+    yields the one-shot argMax-(ts, event_id, ...) per key — and a
+    replay of every already-committed batch id must change nothing
+    (the at-least-once contract)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from janusgraph_clickhouse_spark.streaming.ops import (
+        _merge_scd1_batch, read_rollup)
+    rng = np.random.RandomState(seed)
+    rows = [Row(user_id=int(rng.randint(0, 5)),
+                ts=datetime.fromtimestamp(int(rng.randint(0, 50)),
+                                          tz=timezone.utc),
+                event_id=int(i),
+                event_type=["view", "purchase"][int(rng.randint(0, 2))],
+                value=float(rng.randint(0, 500)) / 100.0)
+            for i in range(n_events)]
+    assign = rng.randint(0, n_chunks, size=n_events)
+    d = tempfile.mkdtemp(prefix="scd1_prop_")
+    try:
+        df = spark.createDataFrame(rows)
+        for b in range(n_chunks):
+            chunk = df.filter(
+                F.col("event_id").isin(
+                    [i for i in range(n_events) if assign[i] == b])
+                if (assign == b).any() else F.lit(False))
+            _merge_scd1_batch(spark, chunk, b, d)
+        got = {r.user_id: (r.ts, r.event_id, r.event_type, r.cents)
+               for r in read_rollup(spark, d).collect()}
+        # replay every batch — must be a byte-for-byte no-op
+        for b in range(n_chunks):
+            _merge_scd1_batch(spark, df.limit(0), b, d)
+        again = {r.user_id: (r.ts, r.event_id, r.event_type, r.cents)
+                 for r in read_rollup(spark, d).collect()}
+        assert again == got
+        want = {}
+        for r in rows:
+            cents = int(np.floor(r.value * 100 + 0.5))
+            key = (r.ts, r.event_id, r.event_type, cents)
+            if r.user_id not in want or key > want[r.user_id]:
+                want[r.user_id] = key
+        norm = {u: (t.replace(tzinfo=timezone.utc), e, ty, c)
+                for u, (t, e, ty, c) in got.items()}
+        assert norm == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
