@@ -2064,3 +2064,93 @@ def test_scd1_merge_chunking_invariant(spark, seed, n_events, n_chunks):
         assert norm == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_rows=st.integers(1, 40),
+       cap=st.integers(1, 5), n_domains=st.integers(1, 4))
+def test_domain_cap_matches_md5_replica(spark, seed, n_rows, cap,
+                                        n_domains):
+    """domain_cap's two-phase skew-safe window (per-(domain,salt-
+    bucket) top-cap, then per-domain top-cap over survivors) must
+    equal the single-window definition: per domain, sort by
+    (md5('cap'+key), key), keep the first `cap` with 1-based rk.
+    Exact string/integer comparison — no floats anywhere."""
+    import hashlib
+    from janusgraph_clickhouse_spark.llm.split import domain_cap
+    rng = np.random.RandomState(seed)
+    rows = [(i, f"d{rng.randint(0, n_domains)}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    got = {r.doc_id: (r.domain, r.rk)
+           for r in domain_cap(df, "doc_id", "domain", cap=cap).collect()}
+    want = {}
+    for dom in {d for _, d in rows}:
+        members = sorted(
+            (i for i, d in rows if d == dom),
+            key=lambda i: (hashlib.md5(f"cap{i}".encode()).hexdigest(),
+                           i))[:cap]
+        for rk, i in enumerate(members, 1):
+            want[i] = (dom, rk)
+    assert got == want
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_rows=st.integers(1, 40),
+       r_lo=st.integers(0, 5), r_hi=st.integers(5, 10))
+def test_domain_sample_membership_and_nesting(spark, seed, n_rows,
+                                              r_lo, r_hi):
+    """domain_sample membership is the pure hash function
+    md5-bucket(key) < floor(rate·n_buckets + 0.5), and per-domain
+    subsets NEST as rates grow (raising a weight only ADDS documents)
+    — both asserted against a hashlib replica on random corpora."""
+    import hashlib
+    import math
+    from janusgraph_clickhouse_spark.llm.split import domain_sample
+    rng = np.random.RandomState(seed)
+    rows = [(i, f"d{rng.randint(0, 3)}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    lo, hi = r_lo / 10.0, r_hi / 10.0
+    kept_lo = {r.doc_id for r in domain_sample(
+        df, "doc_id", "domain", rates={}, default_rate=lo).collect()}
+    kept_hi = {r.doc_id for r in domain_sample(
+        df, "doc_id", "domain", rates={}, default_rate=hi).collect()}
+    assert kept_lo <= kept_hi  # nesting
+    nb = 10000
+    def member(i, rate):
+        b = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:8],
+                16) % nb
+        return b < math.floor(rate * nb + 0.5)
+    assert kept_lo == {i for i, _ in rows if member(i, lo)}
+    assert kept_hi == {i for i, _ in rows if member(i, hi)}
+
+
+@SPARK_FAST
+@given(seed=st.integers(0, 9999), n_rows=st.integers(1, 30),
+       k=st.integers(1, 10))
+def test_weighted_sample_matches_efraimidis_replica(spark, seed,
+                                                    n_rows, k):
+    """weighted_sample (Efraimidis-Spirakis with md5-derived u_i and
+    nano-quantized ln(u)/w keys) vs a hashlib replica: the kept set,
+    order keys, and zero/negative-weight exclusion must match exactly
+    — the selection boundary is a total order over exact integers."""
+    import hashlib
+    import math
+    from janusgraph_clickhouse_spark.llm.split import weighted_sample
+    rng = np.random.RandomState(seed)
+    rows = [(i, round(float(rng.choice([0.0, 0.1, 1.0, 5.0, 50.0])), 2))
+            for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r.id, r.key_nano)
+           for r in weighted_sample(df, "doc_id", "w", k=k).collect()]
+    cand = []
+    lim = float(1 << 62)
+    for i, w in rows:
+        if w <= 0:
+            continue
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             + 1) / float(1 << 60)
+        raw = math.log(u) / w * 1e9
+        key_nano = int(math.floor(max(min(raw, lim), -lim) + 0.5))
+        cand.append((i, key_nano))
+    want = sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
+    assert got == want
