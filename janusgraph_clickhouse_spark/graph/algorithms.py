@@ -1590,9 +1590,15 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
                            .localCheckpoint(eager=False))
                 reached.count()  # full: consumed twice next hop
         if grown:
+            # `hops` is the expansions actually run: both modes run up
+            # to max_iter counted hops plus one confirmation-only hop
+            # (dense adds it after the loop without incrementing hops;
+            # frontier counts it, so hops may read max_iter+1 — the
+            # bound being exceeded is still max_iter; r10 ADVICE).
             raise RuntimeError(
                 f"SCC containment propagation still expanding after "
-                f"max_iter={max_iter} hops (an SCC cycle longer than "
+                f"{hops} hops run (bound max_iter={max_iter} plus one "
+                f"confirmation-only hop; an SCC cycle longer than "
                 f"max_iter); raise max_iter")
         # membership: v reaches its root within the class ⇔ v ∈ SCC;
         # component = the class color = the max member id

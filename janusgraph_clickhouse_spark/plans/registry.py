@@ -190,32 +190,61 @@ def query(name: str, oracle: str | None = None):
 #    sentinel count) and s10 scd2 (the only name in history with a
 #    red hash row, r6 — fresh rows aid adjudication).
 # Family sentinels in-window: 8 q, 7 g, 29 l, 6 s (≥2 each).
+# (The r10 list itself is preserved in git history at the r10 closing
+# commit; replaced below by the ROUND-11 window.)
+#
+# ROUND-11 WINDOW (derived fresh from the correctness files this
+# round, per the standing rule; `python tools/rotation.py` — now the
+# mechanical recount — MATCHED the r11 pre-derivation name-for-name,
+# third time running).  Verified over
+# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10.json: newest-real-green-row
+# histogram is 50×r10 + 49×r9 + 45×r8 + 36×r7 = 180; CORRECTNESS_r10
+# is 50/50 green (no rule-3 traffic); REGISTERED_ROUND has no r10
+# entries (zero registrations rounds 8-10).  Window, in order:
+# 1. LEAD COHORT: the 36 r7-row names r10 left unwindowed — their r7
+#    rows leave the 4-file horizon {r8,r9,r10,r11} when r11's file
+#    lands (only ONE g name, g14 — the other g sentinels come from
+#    rule 5);
+# 2. rule 2: NONE at window-freeze time.  The r11 ADVICE fix to the
+#    SCC frontier-mode RuntimeError message (algorithms.py) is latent
+#    for the registered g23 query (it runs the default dense backward
+#    mode and g23's newest row is r10-fresh) — tail per the r7
+#    latent-change precedent; the other two r11 ADVICE fixes touch
+#    tools/ only.  Any later r11 implementation change must displace
+#    spares from the bottom up.
+# 3. 14 spares from the 45 r8-row names (stalest pool; the 31 left
+#    unwindowed fall out at r12 and are r12's lead cohort):
+#    g01/g02/g06 (iterative/traversal g evidence is worth most —
+#    g06 pagerank explicitly suggested by the r10 verdict; lifts the
+#    g sentinel count to 4), q03/q08/q13 (key-range scan, top-parts
+#    join, the predicate library), s02/s03/s04 (sliding, session,
+#    stateful dedup — lifts s to 6), l02/l07/l08/l09/l13 (jaccard,
+#    text stats, langid, fingerprints, hash split — lifts l to 15).
+# Family sentinels in-window: 25 q, 4 g, 15 l, 6 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 31 horizon-critical r6-row names
-    "q01_slice_point", "q06_agg_pricing_summary", "q17_scalar_functions",
-    "q19_mutate_upsert", "q38_argmax_latest", "q39_window_funnel",
-    "q40_retention",
-    "s06_time_rollup", "s07_interval_join", "s08_trending_topk",
-    "s09_interval_left_join", "s13_decayed_score",
-    "l01_exact_dedup", "l03_minhash_lsh_pairs", "l10_multimodal_meta",
-    "l31_boilerplate_score", "l32_containment_pairs", "l33_pii_scrub",
-    "l34_bloom_decontaminate", "l35_sq8_topk", "l36_domain_cap",
-    "l37_shared_spans", "l38_cdc_chunk_dedup", "l39_gopher_rules",
-    "l40_pq_topk", "l41_dsir_weights", "l42_weighted_sample",
-    "l43_bpe_merges", "l44_curation_pipeline", "l45_bpe_token_counts",
-    "l46_lsh_banding_audit",
-    # rule 2: late-r9 changes after their newest rows (g18 first)
-    "g18_hits", "g16_label_propagation", "g30_modularity", "g15_kcore",
-    "q43_kmv_set_ops",
-    "l05_cosine_topk", "l06_cosine_near_dup", "l11_ann_lsh_topk",
-    "l12_ivf_ann_topk", "l17_lsh_blocked_near_dup", "l18_dedup_clusters",
-    "l19_knn_join", "l27_semantic_dedup_clusters", "l50_knn_classify",
-    "l51_hard_negatives",
-    # rule 2: r10 change (this round's SCC ADVICE fixes)
-    "g23_scc",
-    # rule 5/stalest-first: 3 spares from the 49 r7-row names
-    "g04_connected_components", "g19_personalized_pagerank",
-    "s10_scd2_versions",
+    # rule 1: the 36 horizon-critical r7-row names
+    "g14_repeat_until",
+    "q02_slice_multikey", "q04_multi_range_scan", "q05_unordered_scan_topk",
+    "q07_group_count", "q09_semi_join", "q10_anti_join",
+    "q11_shipping_priority", "q12_region_revenue", "q14_union_dedup",
+    "q15_per_group_topk", "q16_distinct_pairs",
+    "q22_left_outer_distribution", "q23_having", "q24_correlated_min",
+    "q25_count_distinct", "q27_set_operations", "q28_sql_surface",
+    "q31_statistics", "q32_cross_nation_volume",
+    "q33_large_order_customers", "q34_window_analytics",
+    "q36_cube_grouping",
+    "s01_tumbling_window", "s05_asof_join", "s15_pit_enrich",
+    "l20_vocab_topk", "l21_decontaminate", "l22_domain_mixture",
+    "l23_repetition_stats", "l24_sequence_packing", "l25_tfidf_topk",
+    "l26_bigram_lm_score", "l28_user_event_sequences",
+    "l29_length_band_filter", "l47_entropy_quality",
+    # rule 5/stalest-first: 14 spares from the 45 r8-row names
+    "g01_out_degree", "g02_two_hop_parts", "g06_pagerank",
+    "q03_key_range_scan", "q08_customer_top_parts",
+    "q13_predicate_library",
+    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
+    "l02_jaccard_pairs", "l07_text_stats", "l08_language_id",
+    "l09_fingerprint", "l13_hash_split",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -277,30 +306,27 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-11 ROTATION, pre-derived (assuming CORRECTNESS_r10 lands
-# with the window above; round 10 registered nothing, N stays 180,
-# lag stays ceil(180/50) = 4 files).  At r11 the horizon is
-# {r8,r9,r10,r11}.  Window, in order:
-# 1. LEAD COHORT: the 36 r7-row names r10 left unwindowed — their r7
-#    rows leave the horizon when r11's file lands:
-#      g14,
-#      q02 q04 q05 q07 q09 q10 q11 q12 q14 q15 q16 q22 q23 q24 q25
-#      q27 q28 q31 q32 q33 q34 q36,
-#      s01 s05 s15,
-#      l20 l21 l22 l23 l24 l25 l26 l28 l29 l47
-#    (36 = 49 r7-rows − the 13 windowed at r10: g15 g16 g18 g04 g19
-#    s10 l11 l12 l17 l18 l19 l27 l50; only ONE g name — the second
-#    mandatory g sentinel must come from the spares, e.g. g06
-#    pagerank or g01/g02 from the r8-row pool).
-# 2. rule-2/rule-3 traffic from r10's file (any red, any r11 change).
-# 3. ~14 spares from the 45 names whose newest real row is r8
-#    (45 = 50 r8-rows − the 5 windowed at r10: g30 q43 l05 l06 l51);
-#    stalest-first, ≥2 g sentinels MANDATORY (g01 g02 g06–g13 g29
-#    g31 g32 all carry r8 rows).  The ~31 r8-rows left unwindowed
-#    are r12's lead cohort.
+# ROUND-12 ROTATION, pre-derived (assuming CORRECTNESS_r11 lands
+# with the window above; rounds 8-11 registered nothing, N stays 180,
+# lag stays ceil(180/50) = 4 files).  At r12 the horizon is
+# {r9,r10,r11,r12}.  Window, in order:
+# 1. LEAD COHORT: the 31 r8-row names r11 left unwindowed — their r8
+#    rows leave the horizon when r12's file lands:
+#      g07 g08 g09 g10 g11 g12 g13 g29 g31 g32,
+#      q18 q20 q21 q26 q29 q30 q35 q37 q44 q45 q46,
+#      s14 s16 s20,
+#      l14 l15 l16 l48 l49 l52 l62
+#    (31 = 45 r8-rows − the 14 windowed at r11: g01 g02 g06 q03 q08
+#    q13 s02 s03 s04 l02 l07 l08 l09 l13; ten g names — every family
+#    clears the ≥2 sentinel bar from the lead cohort alone).
+# 2. rule-2/rule-3 traffic from r11's file (any red, any r12 change).
+# 3. ~19 spares from the 49 names whose newest real row is r9;
+#    stalest-first.  The ~30 r9-rows left unwindowed are r13's lead
+#    cohort.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
-# correctness files at r11 — the r7/r8 pre-derivations were each off
-# by one until recounted (r9's and r10's survived the recount).
+# correctness files at r12 with `python tools/rotation.py` — the
+# r7/r8 pre-derivations were each off by one until recounted
+# (r9/r10/r11's survived the recount).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 

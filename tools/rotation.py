@@ -36,20 +36,26 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def newest_green_rows() -> tuple[dict[str, int], list[int]]:
-    """(name -> newest round with a fully-green real row, rounds seen).
-    A green row = rows_match AND schema_match AND hash_match (rows-only
-    no_oracle entries never count as green evidence)."""
-    newest: dict[str, int] = {}
+def newest_rows() -> tuple[dict[str, int], dict[str, int], list[int]]:
+    """(name -> newest fully-green real row, name -> newest ANY real
+    row, rounds seen).  A green row = rows_match AND schema_match AND
+    hash_match.  Staleness (CLAUDE.md rule 1: 'no driver row') is
+    measured on ANY-row — a red or no_oracle row IS a driver row; red
+    rows are rule-3 traffic, not staleness (r10 ADVICE).  Green-row
+    recency is still reported so a name whose newest row is red shows
+    up loudly."""
+    green: dict[str, int] = {}
+    any_row: dict[str, int] = {}
     rounds: list[int] = []
     for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", Path(f).name).group(1))
         rounds.append(rnd)
         for name, res in json.load(open(f)).items():
+            any_row[name] = max(any_row.get(name, 0), rnd)
             if (res.get("rows_match") and res.get("schema_match")
                     and res.get("hash_match")):
-                newest[name] = max(newest.get(name, 0), rnd)
-    return newest, rounds
+                green[name] = max(green.get(name, 0), rnd)
+    return green, any_row, rounds
 
 
 def main() -> None:
@@ -60,17 +66,18 @@ def main() -> None:
     names = set(get_queries())
     n = len(names)
     lag = math.ceil(n / 50)
-    newest, rounds = newest_green_rows()
+    green, any_row, rounds = newest_rows()
     latest = max(rounds)
     nxt = latest + 1
 
     # virtual rows: a query registered in round R counts as having a
-    # row from R-1 until a real row lands
+    # row from R-1 until a real row lands.  Horizon math uses ANY-row
+    # recency (a red row is still a driver row — rule 3 handles reds).
     effective: dict[str, int] = {}
     virtual: set[str] = set()
     for q in names:
-        if q in newest:
-            effective[q] = newest[q]
+        if q in any_row:
+            effective[q] = any_row[q]
         else:
             effective[q] = REGISTERED_ROUND.get(q, 1) - 1
             virtual.add(q)
@@ -80,6 +87,17 @@ def main() -> None:
           f"latest file r{latest}; deriving for r{nxt}")
     print("newest-row histogram:",
           {f"r{k}": v for k, v in sorted(hist.items())})
+
+    # rule-3 traffic: names whose newest real row is NOT green (red or
+    # no_oracle newer than any green row) — they get windowed by rule 3
+    # regardless of staleness
+    red_newest = sorted(q for q in names
+                        if q in any_row and green.get(q, 0) < any_row[q])
+    if red_newest:
+        print(f"\nrule-3 traffic (newest row not green): {len(red_newest)}")
+        for q in red_newest:
+            print(f"  {q}  newest r{any_row[q]}, "
+                  f"newest green r{green.get(q, 0) or '—'}")
 
     # the horizon at r{nxt} covers the last `lag` FILES; a name whose
     # newest row predates the oldest file still in the horizon after
@@ -103,10 +121,14 @@ def main() -> None:
         assert not missing, (
             f"horizon-critical names NOT in the current window: "
             f"{missing}")
+        missing_red = [q for q in red_newest if q not in DRIVER_PRIORITY]
+        assert not missing_red, (
+            f"rule-3 names (newest row red) NOT in the current window: "
+            f"{missing_red}")
         bad_fam = [f for f in ("q", "g", "l", "s") if fam.get(f, 0) < 2]
         assert not bad_fam, f"family sentinel rule violated: {bad_fam}"
-        print("check: window covers every horizon-critical name and "
-              "the >=2-per-family sentinel rule")
+        print("check: window covers every horizon-critical and rule-3 "
+              "name and the >=2-per-family sentinel rule")
 
 
 if __name__ == "__main__":

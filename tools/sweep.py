@@ -53,7 +53,7 @@ def _spin_one(_: int) -> float:
     return time.perf_counter() - t0
 
 
-def _saturation_probe(width: int = 32) -> dict:
+def _saturation_probe(width: int | None = None) -> dict:
     """All-cores contention probe: `width` concurrent PROCESS spins
     (threads are GIL-serialized and useless here — they read ~width×
     solo time even on an idle box).  A solo spin only sees pressure
@@ -61,15 +61,22 @@ def _saturation_probe(width: int = 32) -> dict:
     external tenant, so this is the probe that actually predicts
     sweep inflation (r10: solo 1.27 "quiet" while 32-way read
     1.6–2.2 s under a 3–4-core tenant and the sweep ran 1.4× slow).
-    Also records /proc/loadavg (external load visible the cheap way)."""
+    Also records /proc/loadavg (external load visible the cheap way).
+    Width defaults to min(32, cpu count) so a smaller box doesn't
+    oversubscribe and read inflated while idle (r10 ADVICE); the
+    width used is recorded in the emitted dict."""
     from concurrent.futures import ProcessPoolExecutor
+    if width is None:
+        width = min(32, os.cpu_count() or 1)
     try:
         with ProcessPoolExecutor(width) as ex:
             times = list(ex.map(_spin_one, range(width)))
-        out = {"spin32_min": round(min(times), 3),
-               "spin32_max": round(max(times), 3)}
+        out = {"spin_width": width,
+               "spin_min": round(min(times), 3),
+               "spin_max": round(max(times), 3)}
     except Exception as e:  # sandboxed/odd environments: degrade loudly
-        out = {"spin32_err": f"{type(e).__name__}: {e}"[:100]}
+        out = {"spin_width": width,
+               "spin_err": f"{type(e).__name__}: {e}"[:100]}
     try:
         out["loadavg_1m"] = float(
             open("/proc/loadavg").read().split()[0])
