@@ -2,12 +2,13 @@
 """Driver-window rotation math, derived fresh from the correctness
 files (the CLAUDE.md standing rule: NEVER trust a pre-derived cohort
 without recounting — the r7/r8/r9-era pre-derivations were each off by
-one until this recount was run by hand; r9/r10's survived because the
-recount became routine).
+one until this recount was run by hand; r9/r10/r11's survived because
+the recount became routine).
 
 Prints, for the NEXT round:
-  - the newest-real-green-row histogram over all registered queries
+  - the newest-row histogram over all registered queries
     (virtual rows from REGISTERED_ROUND included, labeled),
+  - rule-3 traffic (names whose newest real row is not green),
   - the horizon-critical lead cohort (names whose newest row leaves
     the ceil(N/50)-file horizon when the next file lands),
   - the family sentinel count of any candidate window file,
@@ -36,7 +37,8 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def newest_rows() -> tuple[dict[str, int], dict[str, int], list[int]]:
+def newest_rows(repo_dir: str = REPO,
+                ) -> tuple[dict[str, int], dict[str, int], list[int]]:
     """(name -> newest fully-green real row, name -> newest ANY real
     row, rounds seen).  A green row = rows_match AND schema_match AND
     hash_match.  Staleness (CLAUDE.md rule 1: 'no driver row') is
@@ -47,7 +49,7 @@ def newest_rows() -> tuple[dict[str, int], dict[str, int], list[int]]:
     green: dict[str, int] = {}
     any_row: dict[str, int] = {}
     rounds: list[int] = []
-    for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+    for f in sorted(glob.glob(f"{repo_dir}/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", Path(f).name).group(1))
         rounds.append(rnd)
         for name, res in json.load(open(f)).items():
@@ -58,17 +60,20 @@ def newest_rows() -> tuple[dict[str, int], dict[str, int], list[int]]:
     return green, any_row, rounds
 
 
-def main() -> None:
-    from janusgraph_clickhouse_spark.plans import get_queries
-    from janusgraph_clickhouse_spark.plans.registry import (
-        DRIVER_PRIORITY, REGISTERED_ROUND)
+def derive(names: set[str], registered_round: dict[str, int],
+           green: dict[str, int], any_row: dict[str, int],
+           rounds: list[int]) -> dict:
+    """Pure window-derivation math (testable without the repo's files).
 
-    names = set(get_queries())
+    Returns: effective newest row per name (virtual rows applied),
+    the virtual-row set, rule-3 traffic (newest real row not green),
+    the horizon-critical lead cohort for the NEXT round, and the
+    horizon bound r{oldest_kept}.  Horizon staleness counts FILES, not
+    round numbers, so a missing gate file (the r5 hiccup) stretches
+    the horizon a round exactly as CLAUDE.md describes."""
     n = len(names)
     lag = math.ceil(n / 50)
-    green, any_row, rounds = newest_rows()
     latest = max(rounds)
-    nxt = latest + 1
 
     # virtual rows: a query registered in round R counts as having a
     # row from R-1 until a real row lands.  Horizon math uses ANY-row
@@ -79,37 +84,56 @@ def main() -> None:
         if q in any_row:
             effective[q] = any_row[q]
         else:
-            effective[q] = REGISTERED_ROUND.get(q, 1) - 1
+            effective[q] = registered_round.get(q, 1) - 1
             virtual.add(q)
-
-    hist = Counter(effective.values())
-    print(f"registered: {n}; horizon lag ceil(N/50) = {lag} files; "
-          f"latest file r{latest}; deriving for r{nxt}")
-    print("newest-row histogram:",
-          {f"r{k}": v for k, v in sorted(hist.items())})
 
     # rule-3 traffic: names whose newest real row is NOT green (red or
     # no_oracle newer than any green row) — they get windowed by rule 3
     # regardless of staleness
     red_newest = sorted(q for q in names
                         if q in any_row and green.get(q, 0) < any_row[q])
-    if red_newest:
-        print(f"\nrule-3 traffic (newest row not green): {len(red_newest)}")
-        for q in red_newest:
+
+    # the horizon at r{next} covers the last `lag` FILES; a name whose
+    # newest row predates the oldest file still in the horizon after
+    # the next file lands is horizon-critical NOW
+    horizon_files = sorted(rounds)[-(lag - 1):] if lag > 1 else []
+    oldest_kept = min(horizon_files) if horizon_files else latest + 1
+    lead = sorted(q for q in names if effective[q] < oldest_kept)
+
+    return {"lag": lag, "latest": latest, "effective": effective,
+            "virtual": virtual, "red_newest": red_newest,
+            "oldest_kept": oldest_kept, "lead": lead}
+
+
+def main() -> None:
+    from janusgraph_clickhouse_spark.plans import get_queries
+    from janusgraph_clickhouse_spark.plans.registry import (
+        DRIVER_PRIORITY, REGISTERED_ROUND)
+
+    names = set(get_queries())
+    green, any_row, rounds = newest_rows()
+    d = derive(names, REGISTERED_ROUND, green, any_row, rounds)
+    effective, nxt = d["effective"], d["latest"] + 1
+
+    hist = Counter(effective.values())
+    print(f"registered: {len(names)}; horizon lag ceil(N/50) = "
+          f"{d['lag']} files; latest file r{d['latest']}; "
+          f"deriving for r{nxt}")
+    print("newest-row histogram:",
+          {f"r{k}": v for k, v in sorted(hist.items())})
+
+    if d["red_newest"]:
+        print(f"\nrule-3 traffic (newest row not green): "
+              f"{len(d['red_newest'])}")
+        for q in d["red_newest"]:
             print(f"  {q}  newest r{any_row[q]}, "
                   f"newest green r{green.get(q, 0) or '—'}")
 
-    # the horizon at r{nxt} covers the last `lag` FILES; a name whose
-    # newest row predates the oldest file still in the horizon after
-    # r{nxt}'s file lands is horizon-critical NOW
-    horizon_files = sorted(rounds)[-(lag - 1):] if lag > 1 else []
-    oldest_kept = min(horizon_files) if horizon_files else nxt
-    lead = sorted(q for q in names if effective[q] < oldest_kept)
     print(f"\nhorizon-critical lead cohort for r{nxt} "
-          f"(newest row < r{oldest_kept}, would leave the horizon): "
-          f"{len(lead)}")
-    for q in lead:
-        tag = " (virtual)" if q in virtual else ""
+          f"(newest row < r{d['oldest_kept']}, would leave the "
+          f"horizon): {len(d['lead'])}")
+    for q in d["lead"]:
+        tag = " (virtual)" if q in d["virtual"] else ""
         print(f"  {q}  r{effective[q]}{tag}")
 
     fam = Counter(q[0] for q in DRIVER_PRIORITY)
@@ -117,11 +141,12 @@ def main() -> None:
           f"family sentinels {dict(sorted(fam.items()))}")
 
     if "--check" in sys.argv:
-        missing = [q for q in lead if q not in DRIVER_PRIORITY]
+        missing = [q for q in d["lead"] if q not in DRIVER_PRIORITY]
         assert not missing, (
             f"horizon-critical names NOT in the current window: "
             f"{missing}")
-        missing_red = [q for q in red_newest if q not in DRIVER_PRIORITY]
+        missing_red = [q for q in d["red_newest"]
+                       if q not in DRIVER_PRIORITY]
         assert not missing_red, (
             f"rule-3 names (newest row red) NOT in the current window: "
             f"{missing_red}")
