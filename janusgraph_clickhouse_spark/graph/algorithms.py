@@ -1387,17 +1387,20 @@ def strongly_connected_components(edges: DataFrame, max_phases: int = 25,
     because hops is bounded by the class diameter, so the batched-job
     economy that motivated the r9 restructure (adjudicated 13.85 →
     10.14 s warm at sf0.1, PERF.md) wins on shallow classes.  For
-    pathological DEEP-CYCLE
-    inputs (SCC diameter ≫ probe_every), pass `backward="frontier"`:
-    the backward phase then runs classic frontier BFS — per-hop
-    anti-join against the visited set, per-hop materialization, one
-    driver barrier per hop — trading ~3 jobs/hop for total data work
-    Σ|frontier| instead of O(hops × |E_same|).  Pick frontier when
-    the expected class diameter times |E_same| dwarfs the barrier
-    cost the batched default amortizes (the r9 restructure's
-    adjudicated win: 13.85 → 10.14 s warm at sf0.1, PERF.md); for
-    million-edge deep cycles frontier wins.  Results are identical
-    (randomized Warshall property tests cover both modes).
+    DEEP-CYCLE inputs (SCC diameter ≫ probe_every),
+    `backward="frontier"` runs classic frontier BFS instead — per-hop
+    anti-join against the visited set, per-hop materialization, ~3
+    driver barriers per hop — saving matched-row volume (Σ|frontier|
+    vs O(hops × |reached|) rows through the distinct).  MEASURED
+    (r11, PERF.md "g23 backward-mode crossover A/B"): dense wins at
+    every scale this box can hold — 1.6× at a 205k-edge/32-hop thick
+    ring, 1.8× at 12M edges/48 hops — because both modes scan the
+    same-color edge set once per hop (the dominant, identical term);
+    frontier's matched-row saving lost to its 3-jobs/hop barrier tax
+    even at 12M edges.  Keep dense unless the reached-set is so large
+    that the per-hop matched-row shuffle dominates the edge scan (a
+    regime with NO measured local crossover); frontier stays correct
+    either way (randomized Warshall property tests cover both modes).
 
     All state is (id, color) pairs or bare ids; every join is an
     equi-join keyed on vertex id.  At 100 TB each lazy round is still
