@@ -310,8 +310,23 @@ def _simhash64_udf():
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash LONG)."""
+    """(id, simhash LONG).
+
+    The input is spread to the session's default parallelism before
+    the pandas UDF when the scan is under-partitioned: a small corpus
+    arrives as ONE partition (sf0.1 documents is a single ~600 KB
+    parquet file), which serializes the family's dominant cost — the
+    Arrow-batched signature — onto one core and exposes the whole
+    query to single-core scheduling luck (r11 adjudication: 1.1-24 s
+    swings on the same data; spread, 2.65 s steady and ~9× faster than
+    the contended single-core readings — PERF.md "l04 regression").
+    At corpus scale the scan already carries ≥ parallelism partitions,
+    so the guard makes this a no-op — no shuffle is added where the
+    data is already spread."""
     fn = _simhash64_udf()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.select(F.col(id_col).alias("id"),
                      fn(F.split(F.col(text_col), " ")).alias("simhash"))
 

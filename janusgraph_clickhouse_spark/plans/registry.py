@@ -205,21 +205,24 @@ def query(name: str, oracle: str | None = None):
 #    rows leave the 4-file horizon {r8,r9,r10,r11} when r11's file
 #    lands (only ONE g name, g14 — the other g sentinels come from
 #    rule 5);
-# 2. rule 2: NONE at window-freeze time.  The r11 ADVICE fix to the
-#    SCC frontier-mode RuntimeError message (algorithms.py) is latent
-#    for the registered g23 query (it runs the default dense backward
-#    mode and g23's newest row is r10-fresh) — tail per the r7
-#    latent-change precedent; the other two r11 ADVICE fixes touch
-#    tools/ only.  Any later r11 implementation change must displace
-#    spares from the bottom up.
-# 3. 14 spares from the 45 r8-row names (stalest pool; the 31 left
+# 2. rule 2 (mid-r11 change): l04_simhash_pairs — the simhash()
+#    signature stage now spreads an under-partitioned input to the
+#    session parallelism before the pandas UDF (the sf0.1 documents
+#    scan is ONE partition, serializing the dominant cost onto one
+#    core; 9× measured, result-identical — PERF.md r11).  Displaces
+#    the bottom spare l13_hash_split per the freeze note (l13 joins
+#    r12's lead cohort).  The r11 ADVICE fix to the SCC frontier-mode
+#    RuntimeError message (algorithms.py) stays latent-tail (the
+#    registered g23 runs the dense mode and its row is r10-fresh);
+#    the other two r11 ADVICE fixes touch tools/ only.
+# 3. 13 spares from the 45 r8-row names (stalest pool; the 32 left
 #    unwindowed fall out at r12 and are r12's lead cohort):
 #    g01/g02/g06 (iterative/traversal g evidence is worth most —
 #    g06 pagerank explicitly suggested by the r10 verdict; lifts the
 #    g sentinel count to 4), q03/q08/q13 (key-range scan, top-parts
 #    join, the predicate library), s02/s03/s04 (sliding, session,
-#    stateful dedup — lifts s to 6), l02/l07/l08/l09/l13 (jaccard,
-#    text stats, langid, fingerprints, hash split — lifts l to 15).
+#    stateful dedup — lifts s to 6), l02/l07/l08/l09 (jaccard,
+#    text stats, langid, fingerprints — lifts l to 15).
 # Family sentinels in-window: 25 q, 4 g, 15 l, 6 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
     # rule 1: the 36 horizon-critical r7-row names
@@ -238,13 +241,15 @@ DRIVER_PRIORITY: list[str] = [
     "l23_repetition_stats", "l24_sequence_packing", "l25_tfidf_topk",
     "l26_bigram_lm_score", "l28_user_event_sequences",
     "l29_length_band_filter", "l47_entropy_quality",
-    # rule 5/stalest-first: 14 spares from the 45 r8-row names
+    # rule 2: mid-r11 change (simhash signature-stage spread)
+    "l04_simhash_pairs",
+    # rule 5/stalest-first: 13 spares from the 45 r8-row names
     "g01_out_degree", "g02_two_hop_parts", "g06_pagerank",
     "q03_key_range_scan", "q08_customer_top_parts",
     "q13_predicate_library",
     "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
     "l02_jaccard_pairs", "l07_text_stats", "l08_language_id",
-    "l09_fingerprint", "l13_hash_split",
+    "l09_fingerprint",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -310,19 +315,20 @@ REGISTERED_ROUND: dict[str, int] = {
 # with the window above; rounds 8-11 registered nothing, N stays 180,
 # lag stays ceil(180/50) = 4 files).  At r12 the horizon is
 # {r9,r10,r11,r12}.  Window, in order:
-# 1. LEAD COHORT: the 31 r8-row names r11 left unwindowed — their r8
+# 1. LEAD COHORT: the 32 r8-row names r11 left unwindowed — their r8
 #    rows leave the horizon when r12's file lands:
 #      g07 g08 g09 g10 g11 g12 g13 g29 g31 g32,
 #      q18 q20 q21 q26 q29 q30 q35 q37 q44 q45 q46,
 #      s14 s16 s20,
-#      l14 l15 l16 l48 l49 l52 l62
-#    (31 = 45 r8-rows − the 14 windowed at r11: g01 g02 g06 q03 q08
-#    q13 s02 s03 s04 l02 l07 l08 l09 l13; ten g names — every family
-#    clears the ≥2 sentinel bar from the lead cohort alone).
+#      l13 l14 l15 l16 l48 l49 l52 l62
+#    (32 = 45 r8-rows − the 13 windowed at r11: g01 g02 g06 q03 q08
+#    q13 s02 s03 s04 l02 l07 l08 l09; l13 was displaced by the
+#    rule-2 l04 mid-round; ten g names — every family clears the ≥2
+#    sentinel bar from the lead cohort alone).
 # 2. rule-2/rule-3 traffic from r11's file (any red, any r12 change).
-# 3. ~19 spares from the 49 names whose newest real row is r9;
-#    stalest-first.  The ~30 r9-rows left unwindowed are r13's lead
-#    cohort.
+# 3. ~18 spares from the 48 names whose newest real row is r9
+#    (l04 moves to an r11 row); stalest-first.  The ~30 r9-rows left
+#    unwindowed are r13's lead cohort.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
 # correctness files at r12 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted

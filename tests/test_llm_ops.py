@@ -46,6 +46,24 @@ def test_simhash_finds_planted_dups(spark, sf_oracle):
     assert len(exact & sim) >= 0.8 * len(exact)
 
 
+def test_simhash_spreads_single_partition_scan(spark, sf_oracle):
+    """The signature stage must not run on one core: a 1-partition
+    input (how a small corpus parquet arrives) is repartitioned to the
+    session parallelism before the pandas UDF — the r11 l04
+    adjudication found the single-core form swinging 1.1-24 s with
+    scheduling luck.  An input already at/above the parallelism must
+    pass through unshuffled (the 100 TB no-op guard)."""
+    docs = _docs(spark, sf_oracle).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    sig = D.simhash(docs, "doc_id", "text")
+    assert sig.rdd.getNumPartitions() >= min(target, sig.count())
+    wide = _docs(spark, sf_oracle).repartition(target + 7)
+    plan = D.simhash(wide, "doc_id", "text") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("repartition") <= 1, \
+        "already-spread input must not be reshuffled by simhash()"
+
+
 def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
     """Combination blocking (sub_bands=m, C(m, m-h) concatenated keys)
     must return EXACTLY the same pair set as the pigeonhole banding —
