@@ -42,7 +42,6 @@ def test_ppm_bmp_decode_roundtrip(w, h, seed):
     assert np.array_equal(M.decode_image(ppm), px)
     assert np.array_equal(M.decode_image(bmp), px)
 
-
 @FAST
 @given(n=st.integers(1, 500), channels=st.integers(1, 2),
        rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 999))
@@ -65,7 +64,6 @@ def test_wav_decode_roundtrip(n, channels, rate, seed):
 _WORD = st.text(alphabet="abcxyz@.:/019+()- ", min_size=0, max_size=12)
 _TEXTS = st.lists(_WORD, min_size=1, max_size=6)
 
-
 @SPARK_FAST
 @given(texts=_TEXTS)
 def test_scrub_pii_idempotent(spark, texts):
@@ -82,7 +80,6 @@ def test_scrub_pii_idempotent(spark, texts):
     for r in rows:
         assert r.text == scrubbed[r.doc_id]
         assert (r.pii_email, r.pii_url, r.pii_phone) == (0, 0, 0)
-
 
 @SPARK_FAST
 @given(docs=st.lists(
@@ -109,7 +106,6 @@ def test_jaccard_pairs_algebra(spark, docs):
         assert abs(r.jaccard - round(exact, 6)) < 1e-9
         if r.jaccard == 1.0:
             assert a == b
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 10_000))
@@ -139,7 +135,6 @@ _WORDS = st.lists(st.sampled_from(
     ["key", "agg", "row", "scan", "fast", "hash", "x", "yz"]),
     min_size=1, max_size=40)
 
-
 @SPARK_FAST
 @given(docs=st.lists(_WORDS, min_size=1, max_size=6),
        modulus=st.sampled_from([4, 8, 16]))
@@ -166,7 +161,6 @@ def test_cdc_chunks_partition_exactly(spark, docs, modulus):
             pos += c.n_tokens
         assert pos == n_tokens
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999))
 def test_hll_order_and_partitioning_invariant(spark, seed):
@@ -183,30 +177,6 @@ def test_hll_order_and_partitioning_invariant(spark, seed):
     a = hll_distinct(df1, "k").collect()[0]
     b = hll_distinct(df2, "k").collect()[0]
     assert a.hll_estimate == b.hll_estimate
-
-
-@SPARK_FAST
-@given(perm_seed=st.integers(0, 9999))
-def test_assortativity_invariant_under_relabeling(spark, perm_seed):
-    """Degree assortativity depends only on the degree structure — any
-    id permutation leaves it unchanged."""
-    import random
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        degree_assortativity)
-    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12), (3, 13)]
-    ids = sorted({x for e in edges for x in e})
-    rng = random.Random(perm_seed)
-    shuffled = ids[:]
-    rng.shuffle(shuffled)
-    p = dict(zip(ids, shuffled))
-    e1 = spark.createDataFrame(edges, ["src", "dst"])
-    e2 = spark.createDataFrame([(p[u], p[v]) for u, v in edges],
-                               ["src", "dst"])
-    r1 = degree_assortativity(e1).collect()[0]
-    r2 = degree_assortativity(e2).collect()[0]
-    assert r1.assortativity == r2.assortativity
-    assert (r1.n_edges, r1.sx, r1.sy) == (r2.n_edges, r2.sx, r2.sy)
-
 
 @SPARK_FAST
 @given(docs=st.lists(_WORDS, min_size=2, max_size=6))
@@ -237,7 +207,6 @@ def test_scd2_versions_account_for_every_event(spark, docs):
         assert sum(1 for r in vs if r.is_current) == 1
         assert vs[-1].is_current
 
-
 @given(st.integers(0, 2**31 - 1), st.integers(50, 400))
 @settings(max_examples=5, deadline=None)
 def test_kmv_identical_and_disjoint_sets(spark, seed, n):
@@ -260,7 +229,6 @@ def test_kmv_identical_and_disjoint_sets(spark, seed, n):
     b = spark.range(seed + 10**9, seed + 10**9 + n).selectExpr("id AS k")
     disj = kmv_set_ops(a, b, "k", k=32).collect()[0]
     assert disj.n_intersect == 0
-
 
 def test_kmv_accuracy_over_pinned_seeds(spark):
     """Distributional accuracy check on a FIXED seed list: the median
@@ -285,7 +253,6 @@ def test_kmv_accuracy_over_pinned_seeds(spark):
         errs.append(abs(r.est_a - n) / n)
     assert statistics.median(errs) < 0.25, sorted(errs)
 
-
 def test_kmv_small_sets_are_exact(spark):
     """Below k distinct values the sketch IS the set: every estimate
     collapses to the exact count."""
@@ -298,7 +265,6 @@ def test_kmv_small_sets_are_exact(spark):
     assert r.n_intersect == 5
     assert abs(r.est_intersect - 5.0) < 1e-9
     assert abs(r.jaccard_est - 5.0 / 15.0) < 1e-6
-
 
 @SPARK_FAST
 @given(vals=st.lists(st.floats(0, 100, allow_nan=False, width=32),
@@ -321,7 +287,6 @@ def test_delta_sum_matches_python_reference(spark, vals):
     assert out.n_events == len(vals)
     assert out.n_increases == sum(1 for d in diffs if d > 0)
     assert out.delta_sum_cents == sum(d for d in diffs if d > 0)
-
 
 @SPARK_FAST
 @given(buckets=st.lists(st.tuples(st.integers(0, 20),
@@ -354,50 +319,6 @@ def test_gap_fill_axis_dense_and_locf(spark, buckets):
             assert r.is_gap and r.cnt == 0
         assert r.filled_sum_cents == last
 
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7))
-                     .filter(lambda t: t[0] != t[1]),
-                     min_size=1, max_size=16))
-def test_betweenness_random_graphs_match_reference(spark, edges):
-    import hashlib
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        betweenness_approx)
-    from .test_graph_algorithms import _ref_micro_brandes
-    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
-    verts = sorted({v for p in sym for v in p})
-    md5h = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
-    sources = sorted(verts, key=lambda v: (md5h(v), v))[:4]
-    want = _ref_micro_brandes(sym, sources)
-    e = spark.createDataFrame(sym, "src long, dst long")
-    got = {r.id: r.bc_micro
-           for r in betweenness_approx(e, n_sources=4,
-                                       max_levels=10).collect()}
-    assert got == want
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(10, 14)),
-                     min_size=1, max_size=20))
-def test_bipartite_project_matches_reference(spark, edges):
-    from collections import defaultdict
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        bipartite_project)
-    e = spark.createDataFrame(sorted(edges), "p long, o long")
-    got = {(r.p_a, r.p_b): r.weight
-           for r in bipartite_project(e, left="p", right="o").collect()}
-    by_right = defaultdict(set)
-    for p, o in edges:
-        by_right[o].add(p)
-    want = defaultdict(int)
-    for ps in by_right.values():
-        ps = sorted(ps)
-        for i in range(len(ps)):
-            for j in range(i + 1, len(ps)):
-                want[(ps[i], ps[j])] += 1
-    assert got == dict(want)
-
-
 @FAST
 @given(host=st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
        path=st.from_regex(r"(/[A-Za-z0-9]{0,5}){0,3}/?", fullmatch=True),
@@ -414,7 +335,6 @@ def test_canonical_url_idempotent(spark, host, path, www, port, query):
     once = df.select(canonical_url("url").alias("c"))
     twice = once.select(canonical_url("c").alias("c2"), "c").collect()[0]
     assert twice.c2 == twice.c
-
 
 @SPARK_FAST
 @given(data=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 9)),
@@ -442,7 +362,6 @@ def test_weighted_quantiles_match_python_reference(spark, data, pcts):
             if cum >= r:
                 assert got[p] == v, (p, r, got, agg)
                 break
-
 
 @SPARK_FAST
 @given(counts=st.lists(st.integers(1, 40), min_size=1, max_size=5),
@@ -479,7 +398,6 @@ def test_exact_stratified_split_is_largest_remainder(spark, counts, pcts):
             have = got.get((f"s{si}", name), 0)
             assert have == want, (si, n, name, want, have, got)
 
-
 @SPARK_FAST
 @given(seq=st.lists(st.sampled_from("vcspe"), min_size=0, max_size=25))
 def test_sequence_count_matches_re_findall(spark, seq):
@@ -503,7 +421,6 @@ def test_sequence_count_matches_re_findall(spark, seq):
     for name, rx in pats.items():
         assert getattr(r, name) == len(re.findall(rx, s)), (s, name)
 
-
 @SPARK_FAST
 @given(paras=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 4),
                                 st.sampled_from(["aa", "bb", "cc"])),
@@ -520,7 +437,6 @@ def test_paragraph_dedup_conservation(spark, paras):
                   F.sum("n_kept").alias("nk")).collect()[0]
     assert agg.np == len(paras)
     assert agg.nk == len({p for _, _, p in paras})
-
 
 @SPARK_FAST
 @given(n_words=st.integers(0, 40), chunk=st.integers(1, 10),
@@ -550,7 +466,6 @@ def test_overlap_chunks_reassembly_property(spark, n_words, chunk,
         rebuilt.extend(new)
     assert rebuilt == words
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 99))
 def test_priority_dedup_partition_property(spark, seed):
@@ -576,7 +491,6 @@ def test_priority_dedup_partition_property(spark, seed):
         assert by_id[i].source == s and by_id[i].src_rank == rk
         assert by_id[i].n_copies == len(members)
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 99))
 def test_segment_overlap_inclusion_exclusion(spark, seed):
@@ -601,7 +515,6 @@ def test_segment_overlap_inclusion_exclusion(spark, seed):
         assert r.n_union == len(a | b) == r.n_a + r.n_b - r.n_inter
         assert 0.0 <= r.jaccard <= 1.0
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 999), run_len=st.integers(8, 14),
        pre_a=st.integers(0, 10), pre_b=st.integers(0, 10))
@@ -624,636 +537,6 @@ def test_winnow_planted_run_property(spark, seed, run_len, pre_a, pre_b):
     s1 = {r.fp for r in rows if r.id == 1}
     s2 = {r.fp for r in rows if r.id == 2}
     assert s1 & s2, (seed, run_len, pre_a, pre_b)
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                     min_size=1, max_size=14))
-def test_scc_random_digraphs_match_reference(spark, edges):
-    """SCC on arbitrary small digraphs (self-loops included) matches a
-    brute-force Warshall transitive-closure reference: component =
-    max id of the mutual-reachability class.  Guards the r9 batched
-    single-consumption fixpoint restructure against every shape
-    hypothesis can draw (multi-phase peels, DAG chains, nested
-    cycles, isolated self-loop singletons)."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        strongly_connected_components)
-    verts = sorted({v for p in edges for v in p})
-    idx = {v: i for i, v in enumerate(verts)}
-    n = len(verts)
-    reach = [[False] * n for _ in range(n)]
-    for a, b in edges:
-        reach[idx[a]][idx[b]] = True
-    for k in range(n):
-        for i in range(n):
-            if reach[i][k]:
-                for j in range(n):
-                    if reach[k][j]:
-                        reach[i][j] = True
-    want = {v: max(u for u in verts
-                   if u == v or (reach[idx[v]][idx[u]]
-                                 and reach[idx[u]][idx[v]]))
-            for v in verts}
-    e = spark.createDataFrame(sorted(edges), "src long, dst long")
-    got = {r.id: r.component
-           for r in strongly_connected_components(e).collect()}
-    assert got == want
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                     min_size=1, max_size=14))
-def test_scc_frontier_mode_matches_reference(spark, edges):
-    """backward='frontier' (the r10 deep-cycle fallback: per-hop
-    anti-join BFS instead of the dense lazily-batched reachability
-    fixpoint) must produce the identical partition on arbitrary small
-    digraphs — same Warshall reference as the dense-mode test, so a
-    divergence between the two modes cannot hide behind a shared
-    wrong answer."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        strongly_connected_components)
-    verts = sorted({v for p in edges for v in p})
-    idx = {v: i for i, v in enumerate(verts)}
-    n = len(verts)
-    reach = [[False] * n for _ in range(n)]
-    for a, b in edges:
-        reach[idx[a]][idx[b]] = True
-    for k in range(n):
-        for i in range(n):
-            if reach[i][k]:
-                for j in range(n):
-                    if reach[k][j]:
-                        reach[i][j] = True
-    want = {v: max(u for u in verts
-                   if u == v or (reach[idx[v]][idx[u]]
-                                 and reach[idx[u]][idx[v]]))
-            for v in verts}
-    e = spark.createDataFrame(sorted(edges), "src long, dst long")
-    got = {r.id: r.component
-           for r in strongly_connected_components(
-               e, backward="frontier").collect()}
-    assert got == want
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_lpa_random_graphs_match_reference(spark, pairs):
-    """Synchronous LPA (4 supersteps, ties → smallest, no neighbors →
-    keep) on arbitrary small undirected graphs matches a pure-Python
-    reference — guards the r9 weight-0 self-loop vote form: the
-    self-vote must never beat a real neighbor vote, never change an
-    existing count, and must fire for isolated vertices."""
-    from collections import Counter
-
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        label_propagation)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
-    assume(edges)
-    verts = sorted({v for p in pairs for v in p})
-    adj = {v: set() for v in verts}
-    for a, b in edges:
-        adj[a].add(b)
-        adj[b].add(a)
-    labels = {v: v for v in verts}
-    for _ in range(4):
-        new = {}
-        for v in verts:
-            if not adj[v]:
-                new[v] = labels[v]
-                continue
-            counts = Counter(labels[u] for u in adj[v])
-            top = max(counts.values())
-            new[v] = min(c for c, n in counts.items() if n == top)
-        labels = new
-    # feed the RAW pairs (self-loops and orientations included):
-    # undirected_edges() canonicalizes exactly like the reference
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {r.id: r.community
-           for r in label_propagation(g, max_iter=4).collect()}
-    assert got == labels
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16),
-       k=st.integers(1, 3))
-def test_kcore_random_graphs_match_reference(spark, pairs, k):
-    """k-core peeling on arbitrary small undirected graphs matches a
-    pure-Python peel for k ∈ {1,2,3}: same survivor set AND the same
-    degree-inside-core — guards the lazy probe-materialization form
-    (r9) against every peel depth hypothesis can draw (long chains
-    shed endpoints one round at a time, cliques survive whole,
-    isolated self-loops vanish with the canonicalization)."""
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import k_core
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
-    assume(edges)
-    adj = {}
-    for a, b in edges:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    alive = set(adj)
-    while True:
-        drop = {v for v in alive
-                if len(adj[v] & alive) < k}
-        if not drop:
-            break
-        alive -= drop
-    want = {v: len(adj[v] & alive) for v in alive}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {r.id: r.core_degree for r in k_core(g, k=k).collect()}
-    assert got == want, (sorted(pairs), k)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                     min_size=1, max_size=16))
-def test_connected_components_random_graphs_match_reference(spark, pairs):
-    """Min-id connected components on arbitrary small graphs matches a
-    union-find reference — guards the pointer-jumping (path-halving)
-    update against chains, stars, forests and self-loop singletons."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        connected_components)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    parent = {v: v for v in verts}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        parent[find(a)] = find(b)
-    roots = {}
-    for v in verts:
-        roots.setdefault(find(v), []).append(v)
-    want = {v: min(mem) for mem in roots.values() for v in mem}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {r.id: r.component
-           for r in connected_components(g).collect()}
-    assert got == want, sorted(pairs)
-
-
-@SPARK_FAST
-@given(wedges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5),
-                                st.integers(1, 9)),
-                      min_size=1, max_size=14))
-def test_sssp_weighted_random_digraphs_match_reference(spark, wedges):
-    """Weighted SSSP (sparse Bellman-Ford) on arbitrary small digraphs
-    with positive integer weights matches a Dijkstra reference from
-    the min vertex id: same reached set, same exact long distances.
-    Parallel edges with different weights are legal input (min wins);
-    unreached vertices must be ABSENT, not ∞."""
-    import heapq
-
-    from janusgraph_clickhouse_spark.graph.algorithms import sssp_weighted
-    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
-    import pyspark.sql.functions as F
-    verts = sorted({v for s, d, _ in wedges for v in (s, d)})
-    source = verts[0]
-    best = {}
-    for s, d, w in wedges:
-        best[(s, d)] = min(w, best.get((s, d), w))
-    adj = {}
-    for (s, d), w in best.items():
-        adj.setdefault(s, []).append((d, w))
-    dist = {source: 0}
-    heap = [(0, source)]
-    while heap:
-        du, u = heapq.heappop(heap)
-        if du > dist.get(u, float("inf")):
-            continue
-        for v, w in adj.get(u, []):
-            nd = du + w
-            if nd < dist.get(v, float("inf")):
-                dist[v] = nd
-                heapq.heappush(heap, (nd, v))
-    e = spark.createDataFrame(
-        [(int(s), int(d), float(w)) for s, d, w in sorted(wedges)],
-        "src long, dst long, weight double")
-    v = spark.createDataFrame([(int(x),) for x in verts], "id long")
-    g = PropertyGraph(v, e)
-    got = {r.id: r.dist
-           for r in sssp_weighted(g, [source]).collect()}
-    assert got == dist, (sorted(wedges), source)
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                     min_size=1, max_size=14))
-def test_harmonic_random_digraphs_match_reference(spark, edges):
-    """Bounded-horizon harmonic centrality (max_hops=3, directed) on
-    arbitrary small digraphs matches a per-source BFS reference:
-    C_H(s) = Σ_{0<d(s,v)≤3} 1/d(s,v), 6dp grid.  Guards the
-    source-labeled multi-source frontier against cycles, self-loops
-    (never distance 0 → never contribute) and sources with empty
-    3-balls (must be ABSENT from the result, not 0)."""
-    from collections import deque
-
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        harmonic_centrality)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    real = sorted({(a, b) for a, b in edges if a != b})
-    verts = sorted({v for p in edges for v in p})
-    assume(verts)
-    adj = {}
-    for a, b in real:
-        adj.setdefault(a, set()).add(b)
-    want = {}
-    for s in verts:
-        d = {s: 0}
-        q = deque([s])
-        while q:
-            u = q.popleft()
-            if d[u] == 3:
-                continue
-            for v in adj.get(u, ()):  # noqa: B007
-                if v not in d:
-                    d[v] = d[u] + 1
-                    q.append(v)
-        score = sum(1.0 / h for v, h in d.items() if h > 0)
-        if score:
-            want[s] = round(score, 6)
-    g = graph_from_edge_list(spark, sorted(edges))
-    got = {r.id: r.harmonic
-           for r in harmonic_centrality(g, verts, max_hops=3).collect()}
-    assert set(got) == set(want), (sorted(edges),)
-    for s in want:
-        assert abs(got[s] - want[s]) <= 1e-6, (s, got[s], want[s])
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16),
-       k=st.integers(3, 4))
-def test_ktruss_random_graphs_match_reference(spark, pairs, k):
-    """Bounded-iteration k-truss (iters=3) on arbitrary small graphs
-    matches a pure-Python peel: same surviving canonical edge set AND
-    the same recomputed support — guards the left-join+coalesce(0)
-    triangle-free edge handling and the per-round checkpoint loop."""
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import k_truss
-    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
-    assume(E)
-
-    def sup(es):
-        adj = {}
-        for u, v in es:
-            adj.setdefault(u, set()).add(v)
-            adj.setdefault(v, set()).add(u)
-        return {(u, v): len(adj[u] & adj[v]) for u, v in es}
-
-    cur = set(E)
-    for _ in range(3):
-        s = sup(cur)
-        cur = {e for e in cur if s[e] >= k - 2}
-    want = sup(cur)
-    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
-    got = {(r.src, r.dst): r.support for r in k_truss(df, k=k).collect()}
-    assert got == want, (sorted(pairs), k)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                     min_size=1, max_size=16))
-def test_mis_random_graphs_match_greedy_reference(spark, pairs):
-    """The derandomized Luby MIS equals the greedy lexicographically-
-    first MIS under the (md5(str(id))[:15] as base-16, id) total order
-    — plus direct independence and maximality checks.  Guards the
-    min-neighbor-struct round logic against stars, paths, cliques and
-    self-loop-only vertices (which are never active)."""
-    import hashlib
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        maximal_independent_set)
-    adj = {}
-    for a, b in pairs:
-        if a != b:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-    verts = sorted(adj)  # endpoints of real edges only
-
-    def prio(v):
-        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-
-    want = set()
-    for v in sorted(verts, key=lambda v: (prio(v), v)):
-        if not (adj[v] & want):
-            want.add(v)
-    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
-    got = {r.id for r in maximal_independent_set(df).collect()}
-    assert got == want, sorted(pairs)
-    # independence + maximality, asserted directly (not via the ref)
-    for u, v in pairs:
-        if u != v:
-            assert not (u in got and v in got), (u, v)
-    for v in verts:
-        assert v in got or (adj[v] & got), v
-
-
-@SPARK_FAST
-@given(tedges=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5),
-                                st.integers(0, 9)),
-                      min_size=1, max_size=14))
-def test_temporal_reachability_matches_reference(spark, tedges):
-    """Earliest-arrival time-respecting reachability on arbitrary
-    small temporal digraphs matches a pure-Python monotone-min
-    fixpoint: arrival(v) = min t over edges (u,v,t) with
-    t >= arrival(u), sources at start_ts=0.  Unreached vertices must
-    be ABSENT; a too-early edge must never relax (the property static
-    BFS gets wrong)."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        temporal_reachability)
-    verts = sorted({v for s, d, _ in tedges for v in (s, d)})
-    source = verts[0]
-    arr = {source: 0}
-    changed = True
-    while changed:
-        changed = False
-        for u, v, t in tedges:
-            if u in arr and t >= arr[u] and t < arr.get(v, float("inf")):
-                arr[v] = t
-                changed = True
-    df = spark.createDataFrame(
-        [(int(s), int(d), int(t)) for s, d, t in sorted(tedges)],
-        "src long, dst long, ts long")
-    got = {r.id: r.arrival
-           for r in temporal_reachability(df, [source]).collect()}
-    assert got == arr, (sorted(tedges), source)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_pagerank_random_digraphs_match_reference(spark, pairs):
-    """PageRank (5 fixed supersteps, damping 0.85, in-plan dangling
-    redistribution) on arbitrary small digraphs matches a pure-Python
-    power iteration to 1e-9 — guards the dangling-mass broadcast
-    cross-join and the every-2-supersteps checkpoint cadence.
-    Self-loops are REAL edges here (they add out-degree and
-    self-contribution), exactly as the Spark side treats them."""
-    from janusgraph_clickhouse_spark.graph.algorithms import pagerank
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    n = len(verts)
-    out_deg = {v: 0 for v in verts}
-    for a, _ in pairs:
-        out_deg[a] += 1
-    r = {v: 1.0 for v in verts}
-    d = 0.85
-    for _ in range(5):
-        msg = {v: 0.0 for v in verts}
-        for a, b in sorted(pairs):
-            msg[b] += r[a] / out_deg[a]
-        dang = sum(r[v] for v in verts if out_deg[v] == 0)
-        r = {v: (1 - d) + d * dang / n + d * msg[v] for v in verts}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {row.id: row.rank
-           for row in pagerank(g, max_iter=5).collect()}
-    assert set(got) == set(r)
-    for v in verts:
-        assert abs(got[v] - r[v]) <= 1e-9, (v, got[v], r[v])
-    # conservation invariant, independent of the reference
-    assert abs(sum(got.values()) - n) <= 1e-9
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                     min_size=1, max_size=16),
-       sparse=st.booleans())
-def test_lcc_and_triangles_match_reference(spark, pairs, sparse):
-    """Local clustering coefficient AND the global triangle count on
-    arbitrary small graphs match a pure-Python reference — on BOTH
-    routing paths: ids offset past DENSE_LCC_MAX_NODES force the
-    degree-oriented wedge path, small ids take the numpy bitset path.
-    Guards the dual-path routing against disagreeing."""
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        DENSE_LCC_MAX_NODES, local_clustering, triangle_count)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    off = DENSE_LCC_MAX_NODES + 1 if sparse else 0
-    E = {(min(a, b) + off, max(a, b) + off)
-         for a, b in pairs if a != b}
-    assume(E)
-    adj = {}
-    for u, v in E:
-        adj.setdefault(u, set()).add(v)
-        adj.setdefault(v, set()).add(u)
-    tri = {v: sum(1 for u in adj[v] for w in adj[v]
-                  if u < w and w in adj[u]) for v in adj}
-    n_tri = sum(tri.values()) // 3
-    want = {}
-    for v in adj:
-        deg = len(adj[v])
-        want[v] = (deg, 0.0 if deg < 2
-                   else round(2.0 * tri[v] / (deg * (deg - 1)), 6))
-    shifted = sorted((a + off, b + off) for a, b in pairs)
-    g = graph_from_edge_list(spark, shifted)
-    assert triangle_count(g) == n_tri
-    got = {r.id: (r.degree, r.lcc)
-           for r in local_clustering(g).collect()}
-    assert set(got) == set(want)
-    for v, (deg, lcc) in want.items():
-        assert got[v][0] == deg, (v, got[v], deg)
-        assert abs(got[v][1] - lcc) <= 1e-6, (v, got[v], lcc)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                     min_size=1, max_size=16))
-def test_diameter_double_sweep_matches_reference(spark, pairs):
-    """The double-sweep diameter estimate is fully deterministic
-    (min-id seed; farthest = max distance then min id) — a pure-Python
-    replica must reproduce ALL five output fields, and the estimate
-    must lower-bound the true diameter of the seed's component."""
-    from collections import deque
-
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        diameter_estimate)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    assume(pairs)
-    adj = {}
-    for a, b in pairs:
-        adj.setdefault(a, set())
-        adj.setdefault(b, set())
-        if a != b:
-            adj[a].add(b)
-            adj[b].add(a)
-
-    def bfs(s):
-        d = {s: 0}
-        q = deque([s])
-        while q:
-            u = q.popleft()
-            for v in adj[u]:
-                if v not in d:
-                    d[v] = d[u] + 1
-                    q.append(v)
-        return d
-
-    source = min(adj)
-    d1 = bfs(source)
-    ecc1 = max(d1.values())
-    far1 = min(v for v, h in d1.items() if h == ecc1)
-    d2 = bfs(far1)
-    ecc2 = max(d2.values())
-    far2 = min(v for v, h in d2.items() if h == ecc2)
-    row = diameter_estimate(graph_from_edge_list(spark,
-                                                 sorted(pairs))).first()
-    assert (row.source_id, row.sweep1_far, row.sweep1_ecc,
-            row.sweep2_far, row.diameter_estimate) == (
-        source, far1, ecc1, far2, ecc2), sorted(pairs)
-    # lower-bound property against brute-force all-pairs
-    comp = d1.keys()
-    true_diam = max(max(bfs(s).values()) for s in comp)
-    assert ecc2 <= true_diam
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_hits_random_digraphs_match_reference(spark, pairs):
-    """HITS (4 unnormalized synchronous half-step pairs, one final L1
-    normalization) on arbitrary small digraphs matches a pure-Python
-    replica to 1e-9 — guards the deferred-normalization restructure
-    and the message-aggregate-only loop (vertices absent from the
-    carried aggregates are exactly the zero scores)."""
-    from janusgraph_clickhouse_spark.graph.algorithms import hits
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    h = {v: 1.0 for v in verts}
-    for _ in range(4):
-        a = {v: sum(h[u] for u, x in pairs if x == v) for v in verts}
-        h = {v: sum(a[x] for u, x in pairs if u == v) for v in verts}
-    ht, at = sum(h.values()), sum(a.values())
-    want = {v: (h[v] / ht if ht > 0 else 0.0,
-                a[v] / at if at > 0 else 0.0) for v in verts}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {r.id: (r.hub, r.authority)
-           for r in hits(g, max_iter=4).collect()}
-    assert set(got) == set(want)
-    for v in verts:
-        assert abs(got[v][0] - want[v][0]) <= 1e-9, (v, got[v], want[v])
-        assert abs(got[v][1] - want[v][1]) <= 1e-9, (v, got[v], want[v])
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_ppr_random_digraphs_match_reference(spark, pairs):
-    """Personalized PageRank (6 fixed supersteps, dangling mass
-    teleports to the SOURCES) on arbitrary small digraphs matches a
-    pure-Python replica to 1e-9, and sum(rank) == 1 holds."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        personalized_pagerank)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    src = verts[0]
-    out_deg = {v: 0 for v in verts}
-    for a, _ in pairs:
-        out_deg[a] += 1
-    p = {v: (1.0 if v == src else 0.0) for v in verts}
-    r = dict(p)
-    d = 0.85
-    for _ in range(6):
-        msg = {v: 0.0 for v in verts}
-        for a, b in sorted(pairs):
-            msg[b] += r[a] / out_deg[a]
-        dang = sum(r[v] for v in verts if out_deg[v] == 0)
-        r = {v: ((1 - d) + d * dang) * p[v] + d * msg[v]
-             for v in verts}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {row.id: row.rank
-           for row in personalized_pagerank(g, [src]).collect()}
-    assert set(got) == set(r)
-    for v in verts:
-        assert abs(got[v] - r[v]) <= 1e-9, (v, got[v], r[v])
-    assert abs(sum(got.values()) - 1.0) <= 1e-9
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)),
-                     min_size=1, max_size=18))
-def test_directed_modularity_matches_reference(spark, pairs):
-    """Directed modularity (Leicht-Newman) of the id%3 partition on
-    arbitrary small digraphs matches a pure-Python replica of the
-    micro-quantized per-community sum (floor(term·1e9 + 0.5), summed
-    as exact integers) — guards the full-outer degree join and the
-    coalesce(0) within-edges handling."""
-    import math
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        directed_modularity)
-    m = len(pairs)
-    comms = sorted({v % 3 for p in pairs for v in p})
-    s = 0
-    n_comm = 0
-    for c in comms:
-        ec = sum(1 for a, b in pairs if a % 3 == c and b % 3 == c)
-        dout = sum(1 for a, _ in pairs if a % 3 == c)
-        din = sum(1 for _, b in pairs if b % 3 == c)
-        if dout == 0 and din == 0:
-            continue
-        n_comm += 1
-        term = ec / m - (din / m) * (dout / m)
-        s += math.floor(term * 1e9 + 0.5)
-    e = spark.createDataFrame(sorted(pairs), "src long, dst long")
-    verts = sorted({v for p in pairs for v in p})
-    lab = spark.createDataFrame([(v, v % 3) for v in verts],
-                                "id long, community long")
-    row = directed_modularity(e, lab).first()
-    assert (row.n_communities, row.n_edges) == (n_comm, m), sorted(pairs)
-    assert abs(row.modularity - s / 1e9) <= 5.1e-7, (row.modularity, s)
-
-
-@SPARK_FAST
-@given(raw=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                   min_size=1, max_size=16))
-def test_longest_path_levels_random_dags_match_reference(spark, raw):
-    """Longest-path topological levels on random DAGs (edges oriented
-    low→high, so acyclic by construction) match the ascending-order
-    DP: level(v) = max over in-edges of level(u)+1, sources at 0."""
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        longest_path_levels)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
-    assume(edges)
-    verts = sorted({v for p in edges for v in p})
-    level = {v: 0 for v in verts}
-    for v in verts:  # ascending id = topological order here
-        for a, b in edges:
-            if b == v:
-                level[v] = max(level[v], level[a] + 1)
-    g = graph_from_edge_list(spark, edges)
-    got = {r.id: r.level for r in longest_path_levels(g).collect()}
-    assert got == level, edges
-
 
 @SPARK_FAST
 @given(docs=st.lists(
@@ -1321,7 +604,6 @@ def test_bpe_train_and_apply_match_reference(spark, docs):
                                             n_merges=n_merges).collect()}
     assert got_counts == want_counts, docs
 
-
 @SPARK_FAST
 @given(vals=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 5)),
                      min_size=1, max_size=30),
@@ -1362,7 +644,6 @@ def test_cms_heavy_hitters_match_reference(spark, vals, weighted):
     assert got == want, (vals, weighted)
     assert all(o >= 0 for *_, o in got)
 
-
 @SPARK_FAST
 @given(vals=st.lists(st.integers(0, 500), min_size=0, max_size=60))
 def test_hll_distinct_matches_bit_exact_replica(spark, vals):
@@ -1396,7 +677,6 @@ def test_hll_distinct_matches_bit_exact_replica(spark, vals):
         assert abs(row.rel_error - want_rel) <= 5.1e-7
     else:
         assert row.rel_error is None
-
 
 @SPARK_FAST
 @given(keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=40,
@@ -1438,64 +718,6 @@ def test_split_membership_matches_md5_replica(spark, keys, salt):
             assert prev <= surv  # nesting
         prev = surv
 
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                     min_size=1, max_size=14),
-       pq=st.sampled_from([(1.0, 1.0), (2.0, 0.5), (0.5, 2.0)]))
-def test_biased_walks_random_digraphs_match_reference(spark, pairs, pq):
-    """node2vec biased walks (Efraimidis-Spirakis race keyed by
-    md5(seed:walk:step:cand), 12dp-rounded, min (key, cand) wins) on
-    arbitrary small digraphs match a pure-Python replica step for
-    step — guards the (1/p, 1, 1/q) weight classification (NULL prev
-    at step 1 → outward), the triangle left-join, and walk death at
-    sink vertices."""
-    import hashlib
-    import math
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        biased_random_walks)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    p, q = pq
-    edgeset = set(pairs)
-    adj = {}
-    for a, b in pairs:
-        adj.setdefault(a, []).append(b)
-    verts = sorted({v for e in pairs for v in e})
-    sources = verts[:2]
-    want = {(s, 0, s) for s in sources}
-    state = {s: (None, s) for s in sources}  # walk -> (prev, cur)
-    for t in range(1, 4):
-        nxt = {}
-        for walk, (prev, cur) in state.items():
-            cands = adj.get(cur, [])
-            if not cands:
-                continue
-
-            def race(c):
-                hx = hashlib.md5(
-                    f"w:{walk}:{t}:{c}".encode()).hexdigest()[:8]
-                u = (int(hx, 16) + 1) / 4294967296.0
-                if prev is not None and c == prev:
-                    w = 1.0 / p
-                elif prev is not None and (prev, c) in edgeset:
-                    w = 1.0
-                else:
-                    w = 1.0 / q
-                return round(-math.log(u) / w, 12)
-
-            winner = min(cands, key=lambda c: (race(c), c))
-            nxt[walk] = (cur, winner)
-            want.add((walk, t, winner))
-        state = nxt
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {(r.walk_id, r.step, r.vertex)
-           for r in biased_random_walks(g, sources, steps=3,
-                                        p=p, q=q, seed="w").collect()}
-    assert got == want, (sorted(pairs), pq)
-
-
 @SPARK_FAST
 @given(events=st.lists(st.tuples(st.integers(0, 2),      # user
                                  st.integers(0, 50),     # ts
@@ -1528,7 +750,6 @@ def test_decayed_score_matches_exact_reference(spark, events, horizon):
     got = {r.user_id: (r.n_scored, r.score_fixed)
            for r in decayed_score(df, horizon=horizon).collect()}
     assert got == want, (events, horizon)
-
 
 @SPARK_FAST
 @given(events=st.lists(st.tuples(st.integers(0, 1),       # user
@@ -1564,7 +785,6 @@ def test_session_window_matches_gap_merge_reference(spark, events):
     got = {(r.user_id, r.session_start): r.n_events
            for r in session_stats(df, gap="5 minutes").collect()}
     assert got == want, events
-
 
 @SPARK_FAST
 @given(events=st.lists(
@@ -1608,47 +828,6 @@ def test_interval_joins_match_reference(spark, events):
     assert got_self == want_self, rows
     assert got_left == want_left, rows
     assert got_full == want_full, rows
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 4), st.integers(0, 4)),
-                     min_size=1, max_size=10))
-def test_motif_find_matches_brute_force(spark, pairs):
-    """Motif matching compiled to joins on arbitrary small digraphs
-    matches brute-force binding enumeration — the 2-path, the directed
-    3-cycle (with and without isomorphic distinct-vertices filtering),
-    and a disconnected pattern (the crossJoin arm)."""
-    from itertools import product
-
-    from janusgraph_clickhouse_spark.graph.motif import find
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    E = set(pairs)
-    verts = sorted({v for p in pairs for v in p})
-    g = graph_from_edge_list(spark, sorted(pairs))
-
-    def brute(pattern, distinct_vertices=False):
-        vs = sorted({v for s, _, d in pattern for v in (s, d)})
-        out = set()
-        for combo in product(verts, repeat=len(vs)):
-            env = dict(zip(vs, combo))
-            if distinct_vertices and len(set(combo)) < len(vs):
-                continue
-            if all((env[s], env[d]) in E for s, _, d in pattern):
-                out.add(tuple(env[v] for v in vs))
-        return out
-
-    patterns = [
-        ([("a", None, "b"), ("b", None, "c")], False),
-        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], False),
-        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], True),
-        ([("a", None, "b"), ("c", None, "d")], False),  # disconnected
-    ]
-    for pattern, dv in patterns:
-        got = {tuple(r) for r in find(g, pattern,
-                                      distinct_vertices=dv).collect()}
-        assert got == brute(pattern, dv), (sorted(pairs), pattern, dv)
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_keys=st.integers(1, 3),
@@ -1701,7 +880,6 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed, n_keys,
     for lid, (rv, mts) in got.items():
         assert (rv is None) == (mts is None)
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_docs=st.integers(1, 30),
        budget=st.integers(3, 40))
@@ -1731,7 +909,6 @@ def test_pack_sequences_matches_md5_replica(spark, seed, n_docs, budget):
         want[d] = offset // budget
         offset += toks[d]
     assert {r.doc_id: r.seq_id for r in out} == want
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_train=st.integers(1, 10),
@@ -1773,7 +950,6 @@ def test_bloom_decontaminate_identical_to_exact(spark, seed, n_train,
     planted_ids = {i for i in range(1, n_train + 1) if i % 2 == 0}
     assert {t for (t, _b) in exact.keys()} >= planted_ids
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_corpus=st.integers(2, 20),
        n_queries=st.integers(1, 4), dim=st.integers(2, 6),
@@ -1811,7 +987,6 @@ def test_brute_force_topk_join_matches_numpy(spark, seed, n_corpus,
         have = sorted(got.get(100 + j, []),
                       key=lambda t: (-t[1], t[0]))
         assert have == want, (j, have, want)
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_pts=st.integers(1, 40),
@@ -1876,7 +1051,6 @@ def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,
                 want[(key, b)] = (best[1], best[2], "area")
     assert got == want
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_docs=st.integers(1, 12),
        vocab=st.integers(2, 8))
@@ -1914,7 +1088,6 @@ def test_tfidf_topk_matches_python_replica(spark, seed, n_docs, vocab):
         for (_, gs), (_, ws) in zip(got[i], want[i]):
             assert abs(gs - ws) <= 1e-6, (i, gs, ws)
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_docs=st.integers(1, 10),
        vocab=st.integers(2, 6))
@@ -1949,65 +1122,6 @@ def test_bigram_lm_score_matches_python_replica(spark, seed, n_docs,
         gn, gnll = got[i]
         assert gn == len(inst[i])
         assert abs(gnll - round(nll, 6)) <= 2e-6, (i, gnll, nll)
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16),
-       seed=st.integers(0, 999), times=st.integers(1, 3))
-def test_repeat_traversal_matches_python_replica(spark, edges, seed,
-                                                 times):
-    """Traversal.repeat() vs python replicas on random digraphs, both
-    modes (the g14 surface).  times=n is BAG semantics — the endpoint
-    multiset counts every distinct n-edge walk; until=pred is
-    BFS-with-SET semantics — stopped traversers exit at their current
-    vertex, visited vertices never re-expand, result = the set of
-    stop positions reachable under those rules."""
-    from collections import Counter
-    from pyspark.sql import functions as F
-    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
-    from janusgraph_clickhouse_spark.graph.traversal import Traversal
-    rng = np.random.RandomState(seed)
-    verts = sorted({v for p in edges for v in p})
-    labels = {v: ("stop" if rng.rand() < 0.4 else "go") for v in verts}
-    vdf = spark.createDataFrame([(v, labels[v]) for v in verts],
-                                "id long, label string")
-    edf = spark.createDataFrame(sorted(edges),
-                                "src long, dst long")
-    g = PropertyGraph(vdf, edf.select("src", "dst",
-                                      F.lit("e").alias("label")))
-    starts = sorted(rng.choice(verts, size=min(2, len(verts)),
-                               replace=False).tolist())
-    adj = {}
-    for s, d in edges:
-        adj.setdefault(s, []).append(d)
-    # times-mode: bag semantics, multiset of n-hop walk endpoints
-    got_bag = Counter(r.id for r in Traversal.V(g, *starts).repeat(
-        lambda t: t.out(), times=times).frontier.collect())
-    frontier = Counter(starts)
-    for _ in range(times):
-        nxt = Counter()
-        for v, c in frontier.items():
-            for d in adj.get(v, []):
-                nxt[d] += c
-        frontier = nxt
-    assert got_bag == frontier
-    # until-mode: BFS set semantics, stop at label == 'stop'
-    got_set = {r.id for r in Traversal.V(g, *starts).repeat(
-        lambda t: t.out(),
-        until=lambda t: t.has_label("stop")).frontier.collect()}
-    cur, visited, done = set(starts), set(starts), set()
-    for _ in range(20):
-        stop = {v for v in cur if labels[v] == "stop"}
-        done |= stop
-        active = cur - stop
-        nxt = {d for v in active for d in adj.get(v, [])} - visited
-        if not nxt:
-            break
-        visited |= nxt
-        cur = nxt
-    assert got_set == done
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_events=st.integers(1, 30),
@@ -2065,7 +1179,6 @@ def test_scd1_merge_chunking_invariant(spark, seed, n_events, n_chunks):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
-
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_rows=st.integers(1, 40),
        cap=st.integers(1, 5), n_domains=st.integers(1, 4))
@@ -2092,7 +1205,6 @@ def test_domain_cap_matches_md5_replica(spark, seed, n_rows, cap,
         for rk, i in enumerate(members, 1):
             want[i] = (dom, rk)
     assert got == want
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_rows=st.integers(1, 40),
@@ -2122,7 +1234,6 @@ def test_domain_sample_membership_and_nesting(spark, seed, n_rows,
         return b < math.floor(rate * nb + 0.5)
     assert kept_lo == {i for i, _ in rows if member(i, lo)}
     assert kept_hi == {i for i, _ in rows if member(i, hi)}
-
 
 @SPARK_FAST
 @given(seed=st.integers(0, 9999), n_rows=st.integers(1, 30),
