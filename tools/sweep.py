@@ -123,6 +123,17 @@ def main() -> None:
         "warmup_query": "g22_biased_walks + g05_bfs_distances",
         "warmup_sec_untimed": round(warm_graph + warm_q, 2),
     }
+    def _load_1m() -> float | None:
+        # per-slot external-load sample: the r11 tenant arrived
+        # MID-pass twice and the pre/end probes missed it (g18 read
+        # 67.9 s in a slot the bracketing probes called quiet) —
+        # a per-query loadavg makes contamination attributable to
+        # the slot, not the pass
+        try:
+            return float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            return None
+
     per_q: dict[str, dict] = {}
     total = 0.0
     for i, (name, fn) in enumerate(queries.items()):
@@ -134,6 +145,9 @@ def main() -> None:
             rows, err = -1, f"{type(e).__name__}: {e}"[:200]
         dt = round(time.perf_counter() - t0, 3)
         per_q[name] = {"sec": dt, "rows": rows}
+        load = _load_1m()
+        if load is not None:
+            per_q[name]["load_1m"] = load
         if err:
             per_q[name]["err"] = err
         total += dt
