@@ -42,6 +42,25 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned input to the session's default
+    parallelism before per-row-expensive MAP stages (Arrow UDFs, wide
+    explodes).  A small corpus parquet arrives as ONE partition, so
+    all pre-shuffle map work — shingle explosion, signature UDFs —
+    serializes onto one core: invisible when quiet, pathological under
+    tenant contention (the r11 l04 adjudication: 1.1-24 s swings on
+    identical data; PERF.md).  No-op when the input already carries
+    ≥ parallelism partitions (no shuffle added — corpus-scale plans
+    are untouched) and for streaming frames (getNumPartitions needs
+    an RDD lineage)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
                  n: int = 3, hashed: bool = True) -> DataFrame:
     """(id, shingle) distinct pairs — the exploded set representation.
@@ -51,9 +70,17 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
     8-byte longs instead of ~n-word strings (the dominant shuffle volume
     of the whole dedup family).  Set-intersection counts are unchanged up
     to 64-bit collisions — P ≈ m²/2⁶⁵ for m distinct shingles, ~1e-10 at
-    m=10⁶ — the standard trade every shingle-based dedup pipeline makes."""
-    base = df.select(F.col(id_col).alias("id"),
-                     F.explode(word_shingles(text_col, n)).alias("sh"))
+    m=10⁶ — the standard trade every shingle-based dedup pipeline makes.
+
+    The input is spread via _spread_scan first: the explode+hash map
+    work runs BEFORE the distinct's shuffle, so on a single-partition
+    scan it would serialize onto one core (same exposure class as the
+    r11 l04 finding; measured 1.2× on l03 at sf0.1 — smaller than
+    l04's 9× because the distinct's shuffle already spreads everything
+    downstream)."""
+    base = _spread_scan(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("sh"))
     key = F.xxhash64("sh") if hashed else F.col("sh")
     return base.select("id", key.alias("shingle")).distinct()
 
@@ -324,11 +351,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     so the guard makes this a no-op — no shuffle is added where the
     data is already spread."""
     fn = _simhash64_udf()
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df.select(F.col(id_col).alias("id"),
-                     fn(F.split(F.col(text_col), " ")).alias("simhash"))
+    return _spread_scan(df).select(
+        F.col(id_col).alias("id"),
+        fn(F.split(F.col(text_col), " ")).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

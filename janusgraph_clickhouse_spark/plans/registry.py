@@ -211,10 +211,19 @@ def query(name: str, oracle: str | None = None):
 #    scan is ONE partition, serializing the dominant cost onto one
 #    core; 9× measured, result-identical — PERF.md r11).  Displaces
 #    the bottom spare l13_hash_split per the freeze note (l13 joins
-#    r12's lead cohort).  The r11 ADVICE fix to the SCC frontier-mode
-#    RuntimeError message (algorithms.py) stays latent-tail (the
-#    registered g23 runs the dense mode and its row is r10-fresh);
-#    the other two r11 ADVICE fixes touch tools/ only.
+#    r12's lead cohort).  LATE-r11: the same spread applied to
+#    shingle_sets() (dedup._spread_scan — the explode map-side has
+#    the same one-core exposure; 1.2-1.4× across the family).
+#    Result-identical, re-verified at BOTH scales the day it landed
+#    (full 185/185 sf0.01 parity + targeted sf0.001 run of all 13
+#    affected names) — the affected in-window names l02/l21/l04 get
+#    real r11 rows; the 8 affected tail names (l03 l18 l30 l31 l32
+#    l34 l46 l67, all r9/r10 rows) follow the r7 latent-change
+#    precedent and are r12 RULE-2 TRAFFIC — window them at r12.
+#    The r11 ADVICE fix to the SCC frontier-mode RuntimeError
+#    message (algorithms.py) stays latent-tail (the registered g23
+#    runs the dense mode and its row is r10-fresh); the other two
+#    r11 ADVICE fixes touch tools/ only.
 # 3. 13 spares from the 45 r8-row names (stalest pool; the 32 left
 #    unwindowed fall out at r12 and are r12's lead cohort):
 #    g01/g02/g06 (iterative/traversal g evidence is worth most —
@@ -325,10 +334,14 @@ REGISTERED_ROUND: dict[str, int] = {
 #    q13 s02 s03 s04 l02 l07 l08 l09; l13 was displaced by the
 #    rule-2 l04 mid-round; ten g names — every family clears the ≥2
 #    sentinel bar from the lead cohort alone).
-# 2. rule-2/rule-3 traffic from r11's file (any red, any r12 change).
-# 3. ~18 spares from the 48 names whose newest real row is r9
-#    (l04 moves to an r11 row); stalest-first.  The ~30 r9-rows left
-#    unwindowed are r13's lead cohort.
+# 2. rule 2, ALREADY KNOWN: the 8 shingle-spread tail names (l03 l18
+#    l30 l31 l32 l34 l46 l67 — late-r11 result-identical plan change,
+#    dual-scale re-verified at change time, per the r7 precedent) +
+#    any red/any r12 change from r11's file.
+# 3. ~10 spares from the ~44 names whose newest real row is r9
+#    (l04/l02/l21 move to r11 rows; l03/l18/l30/l31/l32/l34/l46/l67
+#    enter via rule 2); stalest-first.  The r9-rows left unwindowed
+#    are r13's lead cohort.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
 # correctness files at r12 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted

@@ -62,6 +62,17 @@ def test_simhash_spreads_single_partition_scan(spark, sf_oracle):
         ._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("repartition") <= 1, \
         "already-spread input must not be reshuffled by simhash()"
+    # the shingle explode has the same exposure (its map side runs
+    # before the distinct's shuffle): spread on a 1-partition input,
+    # untouched on an already-spread one
+    narrow_plan = D.shingle_sets(docs, "doc_id", "text") \
+        ._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "repartition" in narrow_plan, \
+        "1-partition input must be spread before the shingle explode"
+    wide_plan = D.shingle_sets(wide, "doc_id", "text") \
+        ._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert wide_plan.count("repartition") <= 1, \
+        "already-spread input must not be reshuffled by shingle_sets()"
 
 
 def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
