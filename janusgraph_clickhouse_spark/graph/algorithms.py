@@ -473,6 +473,54 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
     return state.localCheckpoint(eager=False)
 
 
+def _dense_id_index(df: DataFrame, cols: list[str], cap: int):
+    """Sorted dense index over the distinct values of `cols` (unioned),
+    when at most `cap` of them exist: returns (map_df(orig, idx), ids)
+    with idx assigned in ASCENDING orig order, else None.
+
+    Monotonicity is the load-bearing property: ids[i] < ids[j] ⟺ i < j,
+    so every least/greatest canonicalization, u < v pair dedup, and
+    (score, u, v) tiebreak computed on indices is IDENTICAL to the same
+    computation on original ids — a dense specialization can run on the
+    remapped graph and map back with no re-sorting.
+
+    This exists because the dense bit-matrix paths (triangles / LCC /
+    Adamic-Adar) previously gated on id VALUES (`max(id) < cap`), which
+    is only incidentally true of the synthetic fixtures: any production
+    id space (hashed/sharded/offset 64-bit keys) silently fell through
+    to the join path even when the DIMENSION is tiny — measured in the
+    r11 weak-scaling study, where +1e7 key offsets pushed g03 from the
+    2 s bit-matrix to a 46 s pair-enumeration at 3× data and g17 past a
+    300 s budget (PERF.md "r11 scale study").
+
+    The collect is cardinality-bounded BY CONSTRUCTION: limit(cap+1)
+    bounds the fetched rows no matter how large the input (the
+    codebook/Bloom-words bounded-collect discipline)."""
+    ids_df = df.select(F.col(cols[0]).cast("long").alias("orig"))
+    for c in cols[1:]:
+        ids_df = ids_df.unionAll(df.select(F.col(c).cast("long")
+                                           .alias("orig")))
+    rows = ids_df.distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    ids = sorted(int(r[0]) for r in rows)
+    map_df = df.sparkSession.createDataFrame(
+        [(x, i) for i, x in enumerate(ids)], "orig long, idx long")
+    return map_df, ids
+
+
+def _remap_edges(sym: DataFrame, map_df: DataFrame) -> DataFrame:
+    """(src, dst) → dense indices via two broadcast joins of the
+    (bounded) id map.  Monotone remap: canonical src < dst stays
+    canonical."""
+    ms = F.broadcast(map_df.select(F.col("orig").alias("src"),
+                                   F.col("idx").alias("_si")))
+    md = F.broadcast(map_df.select(F.col("orig").alias("dst"),
+                                   F.col("idx").alias("_di")))
+    return (sym.join(ms, "src").join(md, "dst")
+            .select(F.col("_si").alias("src"), F.col("_di").alias("dst")))
+
+
 def adamic_adar(graph: PropertyGraph, top: int = 100,
                 dense_max_nodes: int = 8192,
                 hub_degree_threshold: int = 5000,
@@ -522,7 +570,17 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
     n_nodes = int(bounds["hi"] if bounds["hi"] is not None else 0) + 1
     min_id = int(bounds["lo"] if bounds["lo"] is not None else 0)
     if 0 <= min_id and n_nodes <= dense_max_nodes:
+        # already-dense id space: identity mapping, no remap pass
         return _adamic_adar_dense(sym, n_nodes, top)
+    if bounds["hi"] is not None:
+        # sparse/offset id space, possibly still a BOUNDED dimension:
+        # monotone dense remap keeps the bit-matrix path alive (id
+        # values are production-arbitrary; only cardinality matters)
+        dense = _dense_id_index(sym, ["src", "dst"], dense_max_nodes)
+        if dense is not None:
+            map_df, ids = dense
+            return _adamic_adar_dense(_remap_edges(sym, map_df),
+                                      len(ids), top, id_map=ids)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -563,7 +621,8 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
 
 
 def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
-                       block: int = 1024) -> DataFrame:
+                       block: int = 1024,
+                       id_map: list[int] | None = None) -> DataFrame:
     """Bounded-id-space Adamic-Adar: distinct edges → per-partition packed
     adjacency bitmatrix → in-Spark OR-reduce to ONE n²-bit matrix (the
     co_occurrence_triangles discipline — the driver receives exactly one
@@ -670,7 +729,11 @@ def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
     cnt = np.concatenate(cand_c)
     score = np.concatenate(cand_s)
     order = np.lexsort((v, u, -score))[:top]
-    rows = [(int(u[i]), int(v[i]), int(cnt[i]), float(score[i]))
+    # id_map: inverse of the monotone dense remap — the (score, u, v)
+    # order computed on indices equals the order on original ids, so
+    # mapping AFTER the cut is exact
+    emit = (lambda x: int(id_map[x])) if id_map is not None else int
+    rows = [(emit(u[i]), emit(v[i]), int(cnt[i]), float(score[i]))
             for i in order]
     return spark.createDataFrame(
         rows, "u long, v long, common_neighbors long, adamic_adar double")
@@ -1737,8 +1800,24 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     # would wrap numpy fancy indexing into phantom adjacency bits (the
     # adamic_adar guard, applied here too — previously only max was
     # checked)
+    dense_remap = None
+    if b.mn is not None and not (
+            b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES):
+        # sparse/offset ids over a bounded dimension: monotone dense
+        # remap (the g17/g03 routing fix — id values are arbitrary in
+        # production; cardinality is what the bit-matrix needs)
+        dense_remap = _dense_id_index(sym, ["src", "dst"],
+                                      DENSE_LCC_MAX_NODES)
     if b.mn is not None and b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES:
         per = _triangles_per_vertex_dense(sym, n_nodes)
+    elif dense_remap is not None:
+        map_df, ids = dense_remap
+        per_idx = _triangles_per_vertex_dense(
+            _remap_edges(sym, map_df), len(ids))
+        # inverse map back to original ids (bounded broadcast join)
+        per = (per_idx.join(F.broadcast(map_df.select(
+                   F.col("idx").alias("id"), F.col("orig"))), "id")
+               .select(F.col("orig").alias("id"), "triangles"))
     else:
         oriented = _degree_oriented_edges(graph).cache()
         wedges = _oriented_wedges(oriented)

@@ -95,11 +95,25 @@ def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct incidence and finishes on kilobytes
     # (graph.algorithms.co_occurrence_triangles; measured 25s → ~2s).
     from janusgraph_clickhouse_spark.graph.algorithms import (
-        DENSE_TRI_MAX_NODES)
+        DENSE_TRI_MAX_NODES, _dense_id_index)
     n_nodes = int(li.agg(F.max("l_suppkey")).first()[0] or 0) + 1
     if n_nodes <= DENSE_TRI_MAX_NODES:
         return co_occurrence_triangles(li, "l_partkey", "l_suppkey",
                                        n_nodes)
+    # sparse/offset supplier ids over a still-bounded dimension: the
+    # max-key probe above sees id VALUES, not cardinality — a monotone
+    # dense remap keeps the bit-matrix path alive (triangle COUNT is
+    # relabel-invariant, so no inverse map is needed).  Measured (r11
+    # scale study): without this, +1e7 key offsets pushed the 3×
+    # fixture from the ~2 s dense path to the 46 s pair-enumeration.
+    dense = _dense_id_index(li, ["l_suppkey"], DENSE_TRI_MAX_NODES)
+    if dense is not None:
+        map_df, ids = dense
+        li_idx = (li.select(F.col("l_partkey").alias("p"),
+                            F.col("l_suppkey").alias("orig"))
+                  .join(F.broadcast(map_df), "orig")
+                  .select("p", F.col("idx").alias("s")))
+        return co_occurrence_triangles(li_idx, "p", "s", len(ids))
     # past the dense driver-memory cap (~sf10+ supplier counts): fall
     # back to the fully-distributed projection + canonical 3-way join
     sp = li.select(F.col("l_partkey").alias("p"),

@@ -337,6 +337,14 @@ REGISTERED_ROUND: dict[str, int] = {
 # 2. rule 2, ALREADY KNOWN: the 8 shingle-spread tail names (l03 l18
 #    l30 l31 l32 l34 l46 l67 — late-r11 result-identical plan change,
 #    dual-scale re-verified at change time, per the r7 precedent) +
+#    g03/g17/g24 (late-r11 dense-id-remap routing fix, found by the
+#    r11 weak-scaling study: the bit-matrix fast paths gated on id
+#    VALUES, not cardinality, and silently fell to the join path on
+#    sparse/offset id spaces.  Result-identical — on the driver
+#    fixtures the ids are dense so the IDENTITY gate still runs and
+#    the plan is unchanged; the remap only fires for sparse ids.
+#    Relabel-invariance + path-equivalence pytest added; sf0.01
+#    oracle parity re-run green at change time) +
 #    any red/any r12 change from r11's file.
 # 3. ~10 spares from the ~44 names whose newest real row is r9
 #    (l04/l02/l21 move to r11 rows; l03/l18/l30/l31/l32/l34/l46/l67

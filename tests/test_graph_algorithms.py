@@ -1112,3 +1112,77 @@ def test_hits_periodic_checkpoint_boundary(spark):
                for r in hits(g, max_iter=mi).collect()}
         assert out == {1: (0.5, 0.5), 2: (0.5, 0.5)}, f"max_iter={mi}"
 
+
+
+def test_dense_id_index_monotone_and_bounded(spark):
+    """The sorted dense index must be monotone (ids[i] < ids[j] ⟺
+    i < j — the property that makes dense-path results relabel back
+    exactly) and refuse (None) past the cap with a bounded fetch."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _dense_id_index)
+    e = spark.createDataFrame(
+        [(7_000_000_009, 12), (5, 7_000_000_001), (12, 5)],
+        "src long, dst long")
+    map_df, ids = _dense_id_index(e, ["src", "dst"], cap=10)
+    assert ids == sorted(ids) == [5, 12, 7_000_000_001, 7_000_000_009]
+    got = {r.orig: r.idx for r in map_df.collect()}
+    assert got == {x: i for i, x in enumerate(ids)}
+    assert _dense_id_index(e, ["src", "dst"], cap=3) is None
+
+
+def test_adamic_adar_sparse_ids_dense_remap_matches_join_path(spark):
+    """Sparse/offset vertex ids over a small dimension must route
+    through the dense bit-matrix via the monotone remap and reproduce
+    the join path EXACTLY — original ids in the output, same (rounded
+    score desc, u, v) cut.  Before the r11 fix the dense path gated on
+    id VALUES and silently fell back (the scale-study g17 finding)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    off = 7_000_000_000
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (4, 5),
+             (5, 6), (6, 7), (7, 4), (3, 5)]
+    g = graph_from_edge_list(spark, [(a + off, b + off)
+                                     for a, b in edges])
+    dense = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+             for r in adamic_adar(g, top=50).collect()]
+    join = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g, top=50, dense_max_nodes=0).collect()]
+    assert dense == join and len(dense) > 0
+    assert all(u >= off and v >= off for u, v, _, _ in dense)
+
+
+def test_local_clustering_sparse_ids_dense_remap(spark, monkeypatch):
+    """local_clustering with offset ids: the remapped dense path must
+    equal both the closed form and the join path (cap forced to 0)."""
+    import janusgraph_clickhouse_spark.graph.algorithms as GA
+    off = 9_000_000_000
+    # square 0-1-2-3 plus diagonal (0,2): tri = {0,1,2}, {0,2,3}
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = graph_from_edge_list(spark, [(a + off, b + off)
+                                     for a, b in edges])
+    dense = {r.id: (r.degree, r.lcc)
+             for r in GA.local_clustering(g).collect()}
+    expect = {off + 0: (3, round(2 / 3, 6)), off + 1: (2, 1.0),
+              off + 2: (3, round(2 / 3, 6)), off + 3: (2, 1.0)}
+    assert dense == expect
+    monkeypatch.setattr(GA, "DENSE_LCC_MAX_NODES", 0)  # force join path
+    joinp = {r.id: (r.degree, r.lcc)
+             for r in GA.local_clustering(g).collect()}
+    assert joinp == expect
+
+
+def test_g03_dense_remap_sparse_supplier_ids(spark, tmp_path):
+    """The registered g03 on a lineitem whose supplier ids are offset
+    into a sparse space must still take the bit-matrix path (max-key
+    probe fails, cardinality remap succeeds) and return the identical
+    triangle count — relabel invariance end-to-end."""
+    from janusgraph_clickhouse_spark.plans.graph_queries import (
+        g03_supplier_triangles)
+    src = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    base = g03_supplier_triangles(spark, src).first()["triangles"]
+    shifted = li.withColumn(
+        "l_suppkey", F.col("l_suppkey") + F.lit(6_000_000_000))
+    shifted.write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet"))
+    got = g03_supplier_triangles(spark, str(tmp_path)).first()["triangles"]
+    assert got == base > 0
