@@ -523,6 +523,7 @@ def _remap_edges(sym: DataFrame, map_df: DataFrame) -> DataFrame:
 
 def adamic_adar(graph: PropertyGraph, top: int = 100,
                 dense_max_nodes: int = 8192,
+                dist_max_nodes: int = 32768,
                 hub_degree_threshold: int = 5000,
                 hub_salt: int = 32) -> DataFrame:
     """Link prediction over the undirected graph: for every NON-adjacent
@@ -549,16 +550,27 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
     cross-engine float-sum noise can't reorder the cut (the l05/l06
     discipline).
 
-    DENSE specialization (the g03 bit-matrix pattern): when the id space
-    is bounded (ids in [0, dense_max_nodes) — NEGATIVE ids fall through
-    to the join path; numpy fancy indexing would silently wrap them),
-    the wedge join is replaced by one adjacency-bitmatrix reduce + a
-    block-tiled BLAS triple-product S = (A·diag(1/ln deg))·Aᵀ — on a
-    near-complete 1500-vertex graph the join path materializes
-    Σ deg² ≈ 3.4e9 wedge rows (measured 72 s at sf0.1) while the dense
-    path is one shuffle of the distinct edges plus a ~3e9-FLOP local
-    matmul (~2 s).  Scores are identical under the 6dp rounding (float64
-    both ways); beyond the cap the salted join path runs unchanged."""
+    DENSE specializations (the g03 bit-matrix pattern), three tiers by
+    DIMENSION CARDINALITY (sparse/offset id spaces are first remapped
+    through the monotone `_dense_id_index`, so only the number of
+    distinct vertices matters — not their values; NEGATIVE or huge ids
+    no longer force the join path):
+
+    - n ≤ dense_max_nodes: driver-local block-tiled BLAS triple-product
+      S = (A·diag(1/ln deg))·Aᵀ over the OR-reduced bit-matrix — on a
+      near-complete 1500-vertex graph the join path materializes
+      Σ deg² ≈ 3.4e9 wedge rows (measured 72 s at sf0.1) vs ~2 s here;
+    - n ≤ dist_max_nodes: the SAME tile matmuls fanned out as Spark
+      tasks over the broadcast packed matrix (≤128 MB at 32768) —
+      driver holds one packed matrix, FLOPs scale out with executors
+      (`_adamic_adar_dense_dist`; the r11 scale study's g17@x10 blew a
+      300 s budget on the join path at 15k near-complete vertices);
+    - beyond: the salted wedge join below, the fully-distributed form
+      for unbounded dimensions (Θ(Σ deg²) rows — intrinsic to exact
+      all-pairs AA).
+
+    Scores are identical across all paths under the 6dp rounding
+    (float64 everywhere; path-equivalence pytest-pinned)."""
     # undirected_edges ends in a dropDuplicates shuffle and is consumed
     # by the bounds probe plus (on the join path) deg/left/right/
     # existing — materialize once instead of re-running the dedup per
@@ -572,15 +584,21 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
     if 0 <= min_id and n_nodes <= dense_max_nodes:
         # already-dense id space: identity mapping, no remap pass
         return _adamic_adar_dense(sym, n_nodes, top)
+    if 0 <= min_id and n_nodes <= dist_max_nodes:
+        # mid-size dense id space: distributed tile matmuls
+        return _adamic_adar_dense_dist(sym, n_nodes, top)
     if bounds["hi"] is not None:
         # sparse/offset id space, possibly still a BOUNDED dimension:
-        # monotone dense remap keeps the bit-matrix path alive (id
+        # monotone dense remap keeps the bit-matrix paths alive (id
         # values are production-arbitrary; only cardinality matters)
-        dense = _dense_id_index(sym, ["src", "dst"], dense_max_nodes)
+        dense = _dense_id_index(sym, ["src", "dst"], dist_max_nodes)
         if dense is not None:
             map_df, ids = dense
-            return _adamic_adar_dense(_remap_edges(sym, map_df),
-                                      len(ids), top, id_map=ids)
+            if len(ids) <= dense_max_nodes:
+                return _adamic_adar_dense(_remap_edges(sym, map_df),
+                                          len(ids), top, id_map=ids)
+            return _adamic_adar_dense_dist(_remap_edges(sym, map_df),
+                                           len(ids), top, id_map=ids)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -620,29 +638,17 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
             .limit(top))
 
 
-def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
-                       block: int = 1024,
-                       id_map: list[int] | None = None) -> DataFrame:
-    """Bounded-id-space Adamic-Adar: distinct edges → per-partition packed
-    adjacency bitmatrix → in-Spark OR-reduce to ONE n²-bit matrix (the
-    co_occurrence_triangles discipline — the driver receives exactly one
-    n²/8-byte blob, ≈ 8 MB at the 8192-node cap) → BLOCK-TILED float64
-    matmuls for common-neighbor counts and Σ 1/ln(deg) weights →
-    top-`top` by (rounded score desc, u, v).  Exact same semantics and
-    rounding as the join path.
+def _packed_adjacency(sym: DataFrame, n_nodes: int):
+    """OR-reduced packed symmetric adjacency of a canonical edge set:
+    one (n_nodes × ⌈n/8⌉)-byte uint8 matrix on the driver.
 
-    Driver memory, honestly: the unpacked 0/1 matrix is n² uint8 bytes
-    (67 MB at n=8192) and each matmul tile is block×n float64 — three
-    tiles live (Bu, Bu·w, Bv) plus two block² products, ≈ 220 MB peak at
-    the cap with block=1024.  The tiling exists because the untiled form
-    (S, C, Af each full n² float64) peaked at ~1.6 GB at n=8192 — 200×
-    the old docstring's claim; candidates are pruned to `top` per tile
-    pair under the final (rounded score desc, u, v) order, so the merge
-    holds ≤ top·(n/block)²/2 rows."""
+    Per-partition packed partials → in-Spark OR-reduce to ONE blob (the
+    co_occurrence_triangles discipline) — the driver receives exactly
+    one n²/8-byte matrix regardless of partition count (8 MB at n=8192,
+    128 MB at the distributed-tile cap 32768)."""
     import numpy as np
     import pandas as pd
 
-    spark = sym.sparkSession
     n_bytes = (n_nodes + 7) // 8
     e = (sym.select("src", "dst").distinct()
          .select(F.least("src", "dst").alias("a"),
@@ -686,6 +692,122 @@ def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
     A = np.zeros((n_nodes, n_bytes), dtype=np.uint8)
     for row in reduced:
         A |= np.frombuffer(row.adj, dtype=np.uint8).reshape(n_nodes, n_bytes)
+    return A
+
+
+def _adamic_adar_dense_dist(sym: DataFrame, n_nodes: int, top: int,
+                            id_map: list[int] | None = None) -> DataFrame:
+    """Adamic-Adar for MID-SIZE bounded dimensions (driver-dense cap <
+    n ≤ 32768): the packed n²-bit adjacency is broadcast (≤128 MB) and
+    the block-tiled matmuls FAN OUT AS SPARK TASKS — one task per
+    upper-triangle tile pair, each doing the identical float64
+    S = (Bu·diag(wgt))·Bvᵀ / C = Bu·Bvᵀ math as the driver-dense path
+    and pruning to its own top-`top` under the final (rounded score
+    desc, u, v) order (a tile's global winners are inside its local
+    top).  The global cut is a Spark TakeOrderedAndProject over ≤
+    top·(n/block)²/2 candidate rows.
+
+    Why this exists: the driver-dense path does all (n/block)²/2 tile
+    matmuls serially on the driver — ~13.6 TFLOP at n=15000, minutes of
+    single-node BLAS and O(n²) driver RAM; the salted wedge join is
+    Θ(Σ deg²) rows (intractable on near-complete graphs — the r11
+    scale study's g17@x10 blew a 300 s budget).  Distributing the tiles
+    keeps driver memory at ONE packed matrix, bounds each task at
+    ~3·block·n·8 bytes of unpacked tile (block auto-sized to ≤256 MB),
+    and scales the FLOPs out with executors.  Results are identical to
+    both other paths: same float64 sums, same 6dp rounding, same
+    tiebreaks (covered by the path-equivalence pytest)."""
+    import numpy as np
+
+    spark = sym.sparkSession
+    A = _packed_adjacency(sym, n_nodes)
+    # clear the diagonal in packed form (self-loops must not count as
+    # common neighbors; the driver-dense path clears it after unpack)
+    ii = np.arange(n_nodes, dtype=np.int64)
+    A[ii, ii // 8] &= ~(1 << (ii % 8)).astype(np.uint8)
+    lut = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+    deg = lut[A].sum(axis=1).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        wgt = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
+    block = int(max(256, min(2048, (256 << 20) // max(1, 24 * n_nodes))))
+    bc = spark.sparkContext.broadcast(
+        (A.tobytes(), int(n_nodes), wgt.tobytes()))
+    del A
+    tiles = [(u0, v0) for u0 in range(0, n_nodes, block)
+             for v0 in range(u0, n_nodes, block)]
+    tiles_df = spark.createDataFrame(tiles, "u0 int, v0 int").repartition(
+        max(len(tiles) // 2, spark.sparkContext.defaultParallelism))
+
+    def tile_scores(batches):
+        import pandas as pd
+        blob, n, wbytes = bc.value
+        nb = (n + 7) // 8
+        Ap = np.frombuffer(blob, dtype=np.uint8).reshape(n, nb)
+        w = np.frombuffer(wbytes, dtype=np.float64)
+        for pdf in batches:
+            for u0, v0 in zip(pdf["u0"], pdf["v0"]):
+                u0, v0 = int(u0), int(v0)
+                u1 = min(u0 + block, n)
+                v1 = min(v0 + block, n)
+                bits_u = np.unpackbits(Ap[u0:u1], axis=1,
+                                       bitorder="little")[:, :n]
+                bits_v = np.unpackbits(Ap[v0:v1], axis=1,
+                                       bitorder="little")[:, :n]
+                Bu = bits_u.astype(np.float64)
+                Bv = bits_v.astype(np.float64)
+                S = (Bu * w) @ Bv.T
+                C = Bu @ Bv.T
+                uu, vv = np.nonzero((bits_u[:, v0:v1] == 0) & (C > 0.5))
+                gu, gv = uu + u0, vv + v0
+                keep = gu < gv
+                if not keep.any():
+                    continue
+                gu, gv = gu[keep], gv[keep]
+                score = np.round(S[uu, vv][keep], 6)
+                cnt = C[uu, vv][keep].astype(np.int64)
+                order = np.lexsort((gv, gu, -score))[:top]
+                yield pd.DataFrame({"u": gu[order], "v": gv[order],
+                                    "common_neighbors": cnt[order],
+                                    "adamic_adar": score[order]})
+
+    cand = tiles_df.mapInPandas(
+        tile_scores,
+        schema="u long, v long, common_neighbors long, adamic_adar double")
+    out = (cand.orderBy(F.col("adamic_adar").desc(), "u", "v").limit(top)
+           .collect())  # ≤ top rows by construction
+    if id_map is not None:
+        out = [(int(id_map[r.u]), int(id_map[r.v]),
+                r.common_neighbors, r.adamic_adar) for r in out]
+    else:
+        out = [(r.u, r.v, r.common_neighbors, r.adamic_adar) for r in out]
+    return spark.createDataFrame(
+        out, "u long, v long, common_neighbors long, adamic_adar double")
+
+
+def _adamic_adar_dense(sym: DataFrame, n_nodes: int, top: int,
+                       block: int = 1024,
+                       id_map: list[int] | None = None) -> DataFrame:
+    """Bounded-id-space Adamic-Adar: distinct edges → per-partition packed
+    adjacency bitmatrix → in-Spark OR-reduce to ONE n²-bit matrix (the
+    co_occurrence_triangles discipline — the driver receives exactly one
+    n²/8-byte blob, ≈ 8 MB at the 8192-node cap) → BLOCK-TILED float64
+    matmuls for common-neighbor counts and Σ 1/ln(deg) weights →
+    top-`top` by (rounded score desc, u, v).  Exact same semantics and
+    rounding as the join path.
+
+    Driver memory, honestly: the unpacked 0/1 matrix is n² uint8 bytes
+    (67 MB at n=8192) and each matmul tile is block×n float64 — three
+    tiles live (Bu, Bu·w, Bv) plus two block² products, ≈ 220 MB peak at
+    the cap with block=1024.  The tiling exists because the untiled form
+    (S, C, Af each full n² float64) peaked at ~1.6 GB at n=8192 — 200×
+    the old docstring's claim; candidates are pruned to `top` per tile
+    pair under the final (rounded score desc, u, v) order, so the merge
+    holds ≤ top·(n/block)²/2 rows."""
+    import numpy as np
+
+    spark = sym.sparkSession
+    A = _packed_adjacency(sym, n_nodes)
     bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_nodes]
     del A
     np.fill_diagonal(bits, 0)

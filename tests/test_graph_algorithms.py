@@ -1186,3 +1186,41 @@ def test_g03_dense_remap_sparse_supplier_ids(spark, tmp_path):
         str(tmp_path / "lineitem.parquet"))
     got = g03_supplier_triangles(spark, str(tmp_path)).first()["triangles"]
     assert got == base > 0
+
+
+def test_adamic_adar_distributed_tiles_match_all_paths(spark):
+    """The distributed tile path (dense_max_nodes=0 forces it for any
+    graph under the dist cap) must reproduce the driver-dense and join
+    paths row-for-row — same float64 sums, 6dp rounding, tiebreaks."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (4, 5),
+             (5, 6), (6, 7), (7, 4), (3, 5), (1, 6), (2, 7)]
+    g = graph_from_edge_list(spark, edges)
+
+    def rows(**kw):
+        return [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+                for r in adamic_adar(g, top=50, **kw).collect()]
+
+    dense = rows()
+    dist = rows(dense_max_nodes=0)
+    join = rows(dense_max_nodes=0, dist_max_nodes=0)
+    assert dense == dist == join and len(dense) > 0
+
+
+def test_adamic_adar_distributed_sparse_ids_remap(spark):
+    """Sparse/offset ids + a forced-zero driver-dense cap must route
+    remap → distributed tiles and still emit ORIGINAL ids in join-path
+    order."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    off = 8_800_000_000
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 0),
+             (1, 4)]
+    g = graph_from_edge_list(spark, [(a + off, b + off)
+                                     for a, b in edges])
+    dist = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g, top=50, dense_max_nodes=0).collect()]
+    join = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+            for r in adamic_adar(g, top=50, dense_max_nodes=0,
+                                 dist_max_nodes=0).collect()]
+    assert dist == join and len(dist) > 0
+    assert all(u >= off and v >= off for u, v, _, _ in dist)
