@@ -1893,15 +1893,82 @@ def _triangles_per_vertex_dense(sym: DataFrame, n_nodes: int) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
+def _triangles_per_vertex_dense_dist(sym: DataFrame,
+                                     n_nodes: int) -> DataFrame:
+    """Per-vertex triangle counts via DISTRIBUTED bit-matrix tiles —
+    the mid-size companion to _triangles_per_vertex_dense (the
+    _adamic_adar_dense_dist pattern): broadcast the packed n²-bit
+    adjacency (≤128 MB at 32768), fan upper-triangle tile pairs out as
+    Spark tasks, per tile compute C = Bu·Bvᵀ (common-neighbor counts
+    for every pair) and credit each ADJACENT pair's endpoints with
+    C[u,v]; tri(v) = ½ Σ credits.  Identical math to the per-edge-mask
+    form, which ships |E|·n/8 bytes of masks through Arrow (≈20 GB at
+    15k vertices / 11M edges — blew the r11 scale-study budget); here
+    the Arrow traffic is per-VERTEX partial credit rows, ≤ 2·block per
+    tile."""
+    import numpy as np
+
+    spark = sym.sparkSession
+    A = _packed_adjacency(sym, n_nodes)
+    ii = np.arange(n_nodes, dtype=np.int64)
+    A[ii, ii // 8] &= ~(1 << (ii % 8)).astype(np.uint8)
+    block = int(max(256, min(2048, (256 << 20) // max(1, 24 * n_nodes))))
+    bc = spark.sparkContext.broadcast((A.tobytes(), int(n_nodes)))
+    del A
+    tiles = [(u0, v0) for u0 in range(0, n_nodes, block)
+             for v0 in range(u0, n_nodes, block)]
+    tiles_df = spark.createDataFrame(tiles, "u0 int, v0 int").repartition(
+        max(len(tiles) // 2, spark.sparkContext.defaultParallelism))
+
+    def tile_credits(batches):
+        import pandas as pd
+        blob, n = bc.value
+        nb = (n + 7) // 8
+        Ap = np.frombuffer(blob, dtype=np.uint8).reshape(n, nb)
+        for pdf in batches:
+            for u0, v0 in zip(pdf["u0"], pdf["v0"]):
+                u0, v0 = int(u0), int(v0)
+                u1 = min(u0 + block, n)
+                v1 = min(v0 + block, n)
+                bits_u = np.unpackbits(Ap[u0:u1], axis=1,
+                                       bitorder="little")[:, :n]
+                bits_v = np.unpackbits(Ap[v0:v1], axis=1,
+                                       bitorder="little")[:, :n]
+                C = bits_u.astype(np.float64) @ bits_v.astype(np.float64).T
+                adj = bits_u[:, v0:v1].astype(np.float64)
+                if u0 == v0:
+                    # within-tile pairs: upper triangle only, so each
+                    # unordered adjacent pair is credited exactly once
+                    adj = np.triu(adj, k=1)
+                M = adj * C
+                cu = M.sum(axis=1)  # credit to the row endpoint
+                cv = M.sum(axis=0)  # credit to the column endpoint
+                idx = np.concatenate([np.arange(u0, u1, dtype=np.int64),
+                                      np.arange(v0, v1, dtype=np.int64)])
+                credit = np.concatenate([cu, cv])
+                keep = credit > 0
+                if not keep.any():
+                    continue
+                yield pd.DataFrame({"id": idx[keep],
+                                    "c": credit[keep].astype(np.int64)})
+
+    return (tiles_df.mapInPandas(tile_credits, schema="id long, c long")
+            .groupBy("id")
+            .agg((F.sum("c") / 2).cast("long").alias("triangles"))
+            .localCheckpoint(eager=True))
+
+
 def local_clustering(graph: PropertyGraph) -> DataFrame:
     """Per-vertex local clustering coefficient; returns
     (id, degree, lcc) with lcc = 2·tri(v) / (deg(v)·(deg(v)−1)),
     0.0 for degree < 2, rounded to 6 decimals (oracle discipline).
 
-    Dual path, the g17/g03 routing discipline:
+    Three-tier routing, the g17/g03 discipline (sparse/offset id
+    spaces first pass through the monotone `_dense_id_index` remap, so
+    CARDINALITY routes, not id values):
 
-    - id space ≤ DENSE_LCC_MAX_NODES (bounded dimension — users,
-      suppliers): FULL-neighborhood bitsets.  Per canonical edge (u,v),
+    - bounded dimension AND |E|·⌈n/8⌉ ≤ 2 GB: per-edge
+      FULL-neighborhood bitsets.  Per canonical edge (u,v),
       |N(u) ∩ N(v)| counts every triangle through that edge, so
       tri(v) = ½ Σ_{(u,v)∋v} popcount — vectorized numpy byte-ANDs in
       one Arrow-batched mapInPandas over the edge list, NO wedge
@@ -1909,6 +1976,12 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
       wedges (72 s measured at sf0.1) but only n²/8 bytes of adjacency
       (280 KB at n=1500, broadcast) — the same economics as
       triangle_count_dense, kept per-edge instead of summed.
+    - bounded dimension (n ≤ 32768) but per-edge masks too big (the
+      mask path ships |E|·⌈n/8⌉ bytes through Arrow — 20 GB at 15k
+      vertices / 11M edges, the r11 scale-study g24 timeout):
+      DISTRIBUTED bit-matrix tiles (`_triangles_per_vertex_dense_dist`,
+      the _adamic_adar_dense_dist pattern) — broadcast packed matrix,
+      tile matmuls as Spark tasks, per-vertex credit rows out.
     - larger id spaces: degree-ordered orientation — wedges only out of
       each vertex's O(√m) oriented neighborhood, closed by a (b, c)
       equi-join, keeping all three corners so each triangle credits
@@ -1922,25 +1995,40 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     # would wrap numpy fancy indexing into phantom adjacency bits (the
     # adamic_adar guard, applied here too — previously only max was
     # checked)
-    dense_remap = None
-    if b.mn is not None and not (
-            b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES):
+    def _route_dense(sym_idx: DataFrame, n: int):
+        """Pick the per-vertex dense form by the REAL cost drivers:
+        the mask path ships |E|·⌈n/8⌉ bytes of per-edge masks through
+        Arrow (fine at small n·E, 20 GB at 15k vertices / 11M edges —
+        the r11 scale-study g24 timeout), the tile path broadcasts
+        n²/8 bytes and keeps Arrow traffic per-vertex.  Returns None
+        when neither bound holds (caller runs the join path)."""
+        if n <= 0:
+            return None
+        m = sym_idx.count()
+        if m * ((n + 7) // 8) <= (2 << 30):
+            return _triangles_per_vertex_dense(sym_idx, n)
+        if n <= 32768:  # packed broadcast ≤ 128 MB (the AA-dist cap)
+            return _triangles_per_vertex_dense_dist(sym_idx, n)
+        return None
+
+    per = None
+    if b.mn is not None and b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES:
+        per = _route_dense(sym, n_nodes)
+    elif b.mn is not None:
         # sparse/offset ids over a bounded dimension: monotone dense
         # remap (the g17/g03 routing fix — id values are arbitrary in
         # production; cardinality is what the bit-matrix needs)
         dense_remap = _dense_id_index(sym, ["src", "dst"],
                                       DENSE_LCC_MAX_NODES)
-    if b.mn is not None and b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES:
-        per = _triangles_per_vertex_dense(sym, n_nodes)
-    elif dense_remap is not None:
-        map_df, ids = dense_remap
-        per_idx = _triangles_per_vertex_dense(
-            _remap_edges(sym, map_df), len(ids))
-        # inverse map back to original ids (bounded broadcast join)
-        per = (per_idx.join(F.broadcast(map_df.select(
-                   F.col("idx").alias("id"), F.col("orig"))), "id")
-               .select(F.col("orig").alias("id"), "triangles"))
-    else:
+        if dense_remap is not None:
+            map_df, ids = dense_remap
+            per_idx = _route_dense(_remap_edges(sym, map_df), len(ids))
+            if per_idx is not None:
+                # inverse map back to original ids (bounded broadcast)
+                per = (per_idx.join(F.broadcast(map_df.select(
+                           F.col("idx").alias("id"), F.col("orig"))), "id")
+                       .select(F.col("orig").alias("id"), "triangles"))
+    if per is None:
         oriented = _degree_oriented_edges(graph).cache()
         wedges = _oriented_wedges(oriented)
         closer = oriented.select(F.col("a").alias("b"),

@@ -1224,3 +1224,30 @@ def test_adamic_adar_distributed_sparse_ids_remap(spark):
                                  dist_max_nodes=0).collect()]
     assert dist == join and len(dist) > 0
     assert all(u >= off and v >= off for u, v, _, _ in dist)
+
+
+def test_triangles_per_vertex_tile_path_matches_mask_path(spark):
+    """The distributed tile form of per-vertex triangle counts must
+    equal the per-edge-mask form on a randomized canonical edge set
+    (the tile form exists for the regime where per-edge masks ship
+    |E|*n/8 bytes through Arrow — the r11 scale-study g24 timeout)."""
+    import random
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _triangles_per_vertex_dense, _triangles_per_vertex_dense_dist)
+    rng = random.Random(411)
+    n = 60
+    edges = sorted({(a, b) for a, b in
+                    ((rng.randrange(n), rng.randrange(n))
+                     for _ in range(400)) if a < b})
+    sym = spark.createDataFrame(edges, "src long, dst long")
+    mask = {r.id: r.triangles
+            for r in _triangles_per_vertex_dense(sym, n).collect()}
+    tile = {r.id: r.triangles
+            for r in _triangles_per_vertex_dense_dist(sym, n).collect()}
+    # the mask path emits a row per edge endpoint (0-credit rows
+    # included); the tile path emits only positive credits — compare on
+    # the union with 0 default
+    allv = set(mask) | set(tile)
+    assert {v: mask.get(v, 0) for v in allv} == \
+           {v: tile.get(v, 0) for v in allv}
+    assert sum(tile.values()) > 0

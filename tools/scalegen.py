@@ -23,6 +23,14 @@ answer itself goes quadratic, which would poison a throughput read):
 - embeddings.embedding: copy i>0 adds a tiny per-copy, per-dimension
   deterministic perturbation so cross-copy vectors aren't bit-equal
   ties in top-k reranks.
+- events.ts: copy i is shifted i×(span+1day) later, so weak scaling
+  EXTENDS TIME instead of densifying windows.  Without the shift the
+  copies share timestamps, every 10-minute activity window holds k×
+  the users, and window co-occurrence graphs densify ~k²× in edges —
+  measured r11: g15_kcore read 42.6× at k=10 and the g17/g24
+  interaction graphs became near-complete 15k-vertex monsters.  That
+  densified variant is a legitimate hot-window stress, but it is NOT
+  weak scaling; generate it deliberately if wanted (drop the shift).
 
 Everything else (timestamps, props, names, measures) is copied
 verbatim.  Output: <out>/x{k}/<table>.parquet (directory parquet).
@@ -61,7 +69,8 @@ KEYS = {
 STRIDE = 10_000_000
 
 
-def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
+def _copy(df: DataFrame, table: str, i: int,
+          ts_shift_s: int = 0) -> DataFrame:
     if i == 0:
         return df
     dtypes = dict(df.dtypes)
@@ -70,6 +79,10 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
         if c in KEYS[table]:
             cols.append((F.col(c).cast("long") + i * STRIDE)
                         .cast(dtypes[c]).alias(c))
+        elif table == "events" and c == "ts":
+            cols.append((F.col("ts")
+                         + F.expr(f"INTERVAL {i * ts_shift_s} SECONDS"))
+                        .alias("ts"))
         elif table == "documents" and c == "text":
             cols.append(F.array_join(
                 F.transform(F.split(F.col("text"), " "),
@@ -103,7 +116,13 @@ def generate(spark, src: str, out: str, k: int) -> str:
     for table in TABLES:
         t0 = time.perf_counter()
         df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
-        parts = [_copy(df, table, i) for i in range(k)]
+        ts_shift_s = 0
+        if table == "events":
+            b = df.agg(F.min("ts").alias("lo"),
+                       F.max("ts").alias("hi")).first()
+            span = int((b["hi"] - b["lo"]).total_seconds()) + 86_400
+            ts_shift_s = span
+        parts = [_copy(df, table, i, ts_shift_s) for i in range(k)]
         full = parts[0]
         for p in parts[1:]:
             full = full.unionAll(p)

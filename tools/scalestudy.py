@@ -70,6 +70,23 @@ def _consume(df) -> tuple[int, int]:
     return row["n"], int(row["h"] or 0)
 
 
+def _clear_state(spark) -> None:
+    """Unpersist every cached/checkpointed block and clear SQL caches.
+
+    A budget-cancelled query skips its own unpersist cleanup (the
+    cancellation interrupts mid-function), and leaked eager
+    localCheckpoints/caches then poison every later measurement —
+    observed: after g17's 300 s cancel at x3, g18/g19 died with
+    'Not enough memory to build and broadcast' on an 8g heap."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in list(jmap.keys()):
+        try:
+            jmap[k].unpersist()
+        except Exception:
+            pass
+
+
 def _consume_budgeted(spark, make_df, budget_s: float) -> tuple[int, int]:
     """_consume under a wall-clock budget: the action runs in an
     InheritableThread tagged with a job group; on budget exhaustion the
@@ -137,6 +154,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     record = {"scales": args.scales, "src": args.src, "reps": args.reps,
+              "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
               "saturation_pre": _saturation_probe(),
               "solo_spin_pre": _spin(),
               "secs": {n: {} for n in args.names},
@@ -166,6 +184,7 @@ def main() -> None:
         sf_dir = args.src if k == 1 else os.path.join(args.base, f"x{k}")
         if not os.path.isdir(sf_dir):
             sys.exit(f"missing fixture {sf_dir} — run tools/scalegen.py {k}")
+        _clear_state(spark)  # scale boundary: no carry-over blocks
         # untimed bring-up: footers + the one-time clustered build
         t0 = time.perf_counter()
         for df in load_tables(spark, sf_dir).values():
@@ -191,6 +210,7 @@ def main() -> None:
             except Exception as exc:  # record, keep sweeping
                 record["errors"][f"{name}@x{k}"] = str(exc)[:500]
                 print(f"x{k} {name}: ERROR {str(exc)[:200]}", flush=True)
+                _clear_state(spark)  # drop leaked caches/checkpoints
 
     hi = str(max(args.scales))
     lo = str(min(args.scales))
