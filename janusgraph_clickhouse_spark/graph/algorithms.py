@@ -521,6 +521,30 @@ def _remap_edges(sym: DataFrame, map_df: DataFrame) -> DataFrame:
             .select(F.col("_si").alias("src"), F.col("_di").alias("dst")))
 
 
+def _sum_deg_sq(sym: DataFrame) -> int:
+    """Σ deg(w)² over the canonical undirected edge set — the wedge-row
+    count of the two-hop self-join, i.e. the JOIN path's work estimate.
+    One degree aggregate; run only when deciding a dist-tier entry."""
+    both = sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    v = (both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+         .agg(F.sum(F.col("d") * F.col("d"))).first()[0])
+    return int(v or 0)
+
+
+def _prefer_dense_tiles(sum_d2: int, n_nodes: int) -> bool:
+    """Cost gate between the distributed bit-matrix tiles and the
+    distributed join for mid-size dimensions.  Tile work is ~4n³ FLOPs
+    regardless of sparsity; join work is ~Σ deg² wedge rows.  Measured
+    r11 (PERF.md scale study): joins stream ~4.7e7 wedge-rows/s and
+    tiles ~2.7e11 FLOP/s on this box, crossing at Σd² ≈ n³/1436 — the
+    gate uses n³/1000 and both measured regimes sit 3 orders of
+    magnitude clear of it (sparse 15k-vertex: Σd²=1.9e6 vs 3.4e9 →
+    join, 5.3 s vs 64.5 s; near-complete block-diagonal 15k: Σd²=3.4e10
+    → tiles, 50 s vs a >300 s/8.3 GiB-broadcast join death)."""
+    return sum_d2 * 1000 > n_nodes ** 3
+
+
 def adamic_adar(graph: PropertyGraph, top: int = 100,
                 dense_max_nodes: int = 8192,
                 dist_max_nodes: int = 32768,
@@ -584,10 +608,16 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
     if 0 <= min_id and n_nodes <= dense_max_nodes:
         # already-dense id space: identity mapping, no remap pass
         return _adamic_adar_dense(sym, n_nodes, top)
-    if 0 <= min_id and n_nodes <= dist_max_nodes:
-        # mid-size dense id space: distributed tile matmuls
-        return _adamic_adar_dense_dist(sym, n_nodes, top)
     if bounds["hi"] is not None:
+        sum_d2 = None
+        if 0 <= min_id and n_nodes <= dist_max_nodes:
+            # identity mid-size id space: tiles iff dense enough that
+            # tile FLOPs beat wedge rows (cost gate); a cost-rejected
+            # graph still gets the remap probe below — a SPARSE id
+            # population inside [0, n) can shrink n³ past the gate
+            sum_d2 = _sum_deg_sq(sym)
+            if _prefer_dense_tiles(sum_d2, n_nodes):
+                return _adamic_adar_dense_dist(sym, n_nodes, top)
         # sparse/offset id space, possibly still a BOUNDED dimension:
         # monotone dense remap keeps the bit-matrix paths alive (id
         # values are production-arbitrary; only cardinality matters)
@@ -597,8 +627,11 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
             if len(ids) <= dense_max_nodes:
                 return _adamic_adar_dense(_remap_edges(sym, map_df),
                                           len(ids), top, id_map=ids)
-            return _adamic_adar_dense_dist(_remap_edges(sym, map_df),
-                                           len(ids), top, id_map=ids)
+            if sum_d2 is None:
+                sum_d2 = _sum_deg_sq(sym)
+            if _prefer_dense_tiles(sum_d2, len(ids)):
+                return _adamic_adar_dense_dist(_remap_edges(sym, map_df),
+                                               len(ids), top, id_map=ids)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -2007,7 +2040,12 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
         m = sym_idx.count()
         if m * ((n + 7) // 8) <= (2 << 30):
             return _triangles_per_vertex_dense(sym_idx, n)
-        if n <= 32768:  # packed broadcast ≤ 128 MB (the AA-dist cap)
+        # tile tier: packed broadcast ≤ 128 MB (the AA-dist cap), and
+        # only when tile FLOPs beat the join path's wedge rows (Σd²/2
+        # UPPER-bounds the degree-ORIENTED wedge count, so this gate
+        # biases toward tiles — the mistake it can make is bounded by
+        # the n ≤ 32768 cap, while a wedge explosion is not)
+        if n <= 32768 and _prefer_dense_tiles(_sum_deg_sq(sym_idx), n):
             return _triangles_per_vertex_dense_dist(sym_idx, n)
         return None
 

@@ -1251,3 +1251,20 @@ def test_triangles_per_vertex_tile_path_matches_mask_path(spark):
     assert {v: mask.get(v, 0) for v in allv} == \
            {v: tile.get(v, 0) for v in allv}
     assert sum(tile.values()) > 0
+
+
+def test_prefer_dense_tiles_gate(spark):
+    """Cost gate: near-complete graphs route to tiles, sparse graphs to
+    the join path; both measured regimes sit orders of magnitude clear
+    of the n^3/1000 boundary (PERF.md r11 calibration)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _prefer_dense_tiles, _sum_deg_sq)
+    # sparse 15k-vertex (deg~10): join wins (measured 5.3 s vs 64.5 s)
+    assert not _prefer_dense_tiles(1_900_000, 15_000)
+    # near-complete block-diagonal 15k: tiles win (50 s vs broadcast
+    # death)
+    assert _prefer_dense_tiles(34_000_000_000, 15_000)
+    # Σ deg² really is the wedge-row count: square 0-1-2-3, all deg 2
+    sym = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    assert _sum_deg_sq(sym) == 4 * 4
