@@ -120,8 +120,13 @@ def generate(spark, src: str, out: str, k: int) -> str:
         if table == "events":
             b = df.agg(F.min("ts").alias("lo"),
                        F.max("ts").alias("hi")).first()
-            span = int((b["hi"] - b["lo"]).total_seconds()) + 86_400
-            ts_shift_s = span
+            span = int((b["hi"] - b["lo"]).total_seconds())
+            # round UP to whole days so the shift is a multiple of every
+            # sane tumbling-window width: copies then land in identical
+            # relative window phases and stay ISOMORPHIC (a raw-seconds
+            # shift phase-shifted the 10-min windows per copy — x10 SCC
+            # emitted 14999 rows instead of 10x1500)
+            ts_shift_s = (span // 86_400 + 2) * 86_400
         parts = [_copy(df, table, i, ts_shift_s) for i in range(k)]
         full = parts[0]
         for p in parts[1:]:
