@@ -47,7 +47,9 @@ ALLOW_CARTESIAN = {
 
 
 def lint_one(name: str, df) -> dict:
-    plan = df._jdf.queryExecution().explainString("formatted")
+    # executedPlan().toString() is the INITIAL physical plan (pre-AQE,
+    # nothing executes); scan nodes carry PushedFilters/ReadSchema
+    plan = df._jdf.queryExecution().executedPlan().toString()
     findings = []
     info = {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
@@ -55,7 +57,7 @@ def lint_one(name: str, df) -> dict:
         "bhj": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
         "arrow": len(re.findall(r"ArrowEvalPython|MapInPandas|"
                                 r"FlatMapGroupsInPandas", plan)),
-        "scans": len(re.findall(r"Scan parquet", plan)),
+        "scans": len(re.findall(r"FileScan parquet|Scan parquet", plan)),
     }
     widths = [len(m.split(",")) for m in
               re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
