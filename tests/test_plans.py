@@ -210,7 +210,9 @@ def test_adamic_adar_join_path_salts_hub_keys(spark):
     from janusgraph_clickhouse_spark.graph.model import graph_from_edge_list
     g = graph_from_edge_list(
         spark, [(0, i) for i in range(1, 30)] + [(1, 2), (3, 4)])
-    df = adamic_adar(g, top=10, dense_max_nodes=0,
+    # dist_max_nodes=0 too: since r11 the mid-size tile tier would
+    # otherwise absorb any small graph before the join path is reached
+    df = adamic_adar(g, top=10, dense_max_nodes=0, dist_max_nodes=0,
                      hub_degree_threshold=5, hub_salt=4)
     plan = _optimized(df)
     assert "_salt" in plan
@@ -317,10 +319,16 @@ def test_local_clustering_routes_dense_to_bitset(spark, monkeypatch):
     base = [(1, 2), (2, 3), (1, 3), (3, 4)]
     A.local_clustering(graph_from_edge_list(spark, base))
     assert calls == ["dense"]
+    # since r11, offset/sparse ids REMAP to the dense path (cardinality
+    # routes, not id values — the scale-study finding)
     off = A.DENSE_LCC_MAX_NODES + 5
     A.local_clustering(graph_from_edge_list(
         spark, [(a + off, b + off) for a, b in base]))
-    assert calls == ["dense", "wedge"]
+    assert calls == ["dense", "dense"]
+    # the wedge join remains the route when no dense tier is allowed
+    monkeypatch.setattr(A, "DENSE_LCC_MAX_NODES", 0)
+    A.local_clustering(graph_from_edge_list(spark, base))
+    assert calls == ["dense", "dense", "wedge"]
 
 
 def test_argmax_is_single_hash_aggregate_and_tie_stable(spark, sf_smoke):
