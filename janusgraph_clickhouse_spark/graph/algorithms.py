@@ -759,7 +759,7 @@ def _adamic_adar_dense_dist(sym: DataFrame, n_nodes: int, top: int,
     ii = np.arange(n_nodes, dtype=np.int64)
     A[ii, ii // 8] &= ~(1 << (ii % 8)).astype(np.uint8)
     lut = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)  # uint8 LUT: an int64 LUT made lut[bytes] 8x the byte matrix (measured 214 us/pair -> see r11 PERF note)
     deg = lut[A].sum(axis=1).astype(np.float64)
     with np.errstate(divide="ignore"):
         wgt = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
@@ -1004,7 +1004,7 @@ def triangle_count_dense(edges: DataFrame, n_nodes: int) -> DataFrame:
               .join(F.broadcast(mv), "dst"))
 
     popcount_lut = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)  # uint8 LUT: an int64 LUT made lut[bytes] 8x the byte matrix (measured 214 us/pair -> see r11 PERF note)
 
     def count_partition(batches):
         lut = popcount_lut
@@ -1903,7 +1903,7 @@ def _triangles_per_vertex_dense(sym: DataFrame, n_nodes: int) -> DataFrame:
               .join(F.broadcast(mv), "dst"))
 
     lut = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)  # uint8 LUT: an int64 LUT made lut[bytes] 8x the byte matrix (measured 214 us/pair -> see r11 PERF note)
 
     def per_edge(batches):
         for pdf in batches:
@@ -1930,15 +1930,19 @@ def _triangles_per_vertex_dense_dist(sym: DataFrame,
                                      n_nodes: int) -> DataFrame:
     """Per-vertex triangle counts via DISTRIBUTED bit-matrix tiles —
     the mid-size companion to _triangles_per_vertex_dense (the
-    _adamic_adar_dense_dist pattern): broadcast the packed n²-bit
-    adjacency (≤128 MB at 32768), fan upper-triangle tile pairs out as
-    Spark tasks, per tile compute C = Bu·Bvᵀ (common-neighbor counts
-    for every pair) and credit each ADJACENT pair's endpoints with
-    C[u,v]; tri(v) = ½ Σ credits.  Identical math to the per-edge-mask
-    form, which ships |E|·n/8 bytes of masks through Arrow (≈20 GB at
-    15k vertices / 11M edges — blew the r11 scale-study budget); here
-    the Arrow traffic is per-VERTEX partial credit rows, ≤ 2·block per
-    tile."""
+    _adamic_adar_dense_dist broadcast/tile pattern): broadcast the
+    packed n²-bit adjacency (≤128 MB at 32768), fan upper-triangle
+    tile pairs out as Spark tasks, and per tile enumerate its ADJACENT
+    pairs locally and popcount exactly those mask ANDs — only adjacent
+    pairs earn credit (unlike AA, where non-adjacent pairs are the
+    output), so no C = Bu·Bvᵀ matmul is ever needed: total work is
+    |E| pair rows of ⌈n/8⌉ bytes (np.bitwise_count when numpy ≥ 2, a
+    byte LUT otherwise), chunked ≤ ~123 MB.  tri(v) = ½ Σ credits.
+    Identical math to the per-edge-mask form, which ships |E|·n/8
+    bytes of masks through Arrow (≈20 GB at 15k vertices / 11M edges —
+    blew the r11 scale-study budget, and an intermediate matmul form
+    of this function measured 128 s there); here the bytes never leave
+    the broadcast and Arrow carries only per-vertex credit rows."""
     import numpy as np
 
     spark = sym.sparkSession
@@ -1953,6 +1957,12 @@ def _triangles_per_vertex_dense_dist(sym: DataFrame,
     tiles_df = spark.createDataFrame(tiles, "u0 int, v0 int").repartition(
         max(len(tiles) // 2, spark.sparkContext.defaultParallelism))
 
+    lut = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)  # uint8 LUT: an int64 LUT made lut[bytes] 8x the byte matrix (measured 214 us/pair -> see r11 PERF note)
+    # popcount(row) via np.bitwise_count when available (numpy ≥ 2.0),
+    # else the byte LUT — same result, the LUT is ~2-3× slower
+    pop = getattr(np, "bitwise_count", None)
+
     def tile_credits(batches):
         import pandas as pd
         blob, n = bc.value
@@ -1962,28 +1972,40 @@ def _triangles_per_vertex_dense_dist(sym: DataFrame,
             for u0, v0 in zip(pdf["u0"], pdf["v0"]):
                 u0, v0 = int(u0), int(v0)
                 u1 = min(u0 + block, n)
+                # only ADJACENT pairs earn credit, so the tile never
+                # needs the full C matmul (that is the AA case, where
+                # NON-adjacent pairs are the output): enumerate the
+                # tile's adjacent pairs from the packed matrix and
+                # popcount exactly those mask ANDs — Σ over tiles is
+                # |E| pair rows of ⌈n/8⌉ bytes, with NO per-edge mask
+                # columns ever shipped (the measured 128 s x10 matmul
+                # form drops to the pure byte cost)
                 v1 = min(v0 + block, n)
-                bits_u = np.unpackbits(Ap[u0:u1], axis=1,
-                                       bitorder="little")[:, :n]
-                bits_v = np.unpackbits(Ap[v0:v1], axis=1,
-                                       bitorder="little")[:, :n]
-                C = bits_u.astype(np.float64) @ bits_v.astype(np.float64).T
-                adj = bits_u[:, v0:v1].astype(np.float64)
+                adj = np.unpackbits(
+                    Ap[u0:u1], axis=1,
+                    bitorder="little")[:, v0:v1]
                 if u0 == v0:
                     # within-tile pairs: upper triangle only, so each
                     # unordered adjacent pair is credited exactly once
                     adj = np.triu(adj, k=1)
-                M = adj * C
-                cu = M.sum(axis=1)  # credit to the row endpoint
-                cv = M.sum(axis=0)  # credit to the column endpoint
-                idx = np.concatenate([np.arange(u0, u1, dtype=np.int64),
-                                      np.arange(v0, v1, dtype=np.int64)])
-                credit = np.concatenate([cu, cv])
-                keep = credit > 0
-                if not keep.any():
+                uu, vv = np.nonzero(adj)
+                if len(uu) == 0:
                     continue
-                yield pd.DataFrame({"id": idx[keep],
-                                    "c": credit[keep].astype(np.int64)})
+                gu = (uu + u0).astype(np.int64)
+                gv = (vv + v0).astype(np.int64)
+                credit = np.zeros(n, dtype=np.int64)
+                for c0 in range(0, len(gu), 65536):  # ≤ ~123 MB/chunk
+                    cu = gu[c0:c0 + 65536]
+                    cv = gv[c0:c0 + 65536]
+                    both = Ap[cu] & Ap[cv]
+                    c = (pop(both).sum(axis=1, dtype=np.int64) if pop
+                         else lut[both].sum(axis=1).astype(np.int64))
+                    np.add.at(credit, cu, c)
+                    np.add.at(credit, cv, c)
+                keep = np.nonzero(credit)[0]
+                if len(keep) == 0:
+                    continue
+                yield pd.DataFrame({"id": keep, "c": credit[keep]})
 
     return (tiles_df.mapInPandas(tile_credits, schema="id long, c long")
             .groupBy("id")
