@@ -346,7 +346,8 @@ REGISTERED_ROUND: dict[str, int] = {
 #    Relabel-invariance + path-equivalence pytest added; sf0.01
 #    oracle parity re-run green at change time) +
 #    any red/any r12 change from r11's file.
-# 3. ~10 spares from the ~44 names whose newest real row is r9
+# 3. ~7 spares from the ~44 names whose newest real row is r9
+#    (rule 2 grew to 11 names when g03/g17/g24 joined late-r11)
 #    (l04/l02/l21 move to r11 rows; l03/l18/l30/l31/l32/l34/l46/l67
 #    enter via rule 2); stalest-first.  The r9-rows left unwindowed
 #    are r13's lead cohort.
