@@ -870,3 +870,65 @@ def test_repeat_traversal_matches_python_replica(spark, edges, seed,
         visited |= nxt
         cur = nxt
     assert got_set == done
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 11), st.integers(0, 11))
+                     .filter(lambda t: t[0] != t[1]),
+                     min_size=4, max_size=30),
+       offset=st.sampled_from([0, 9_999, 6_000_000_007]))
+def test_adamic_adar_remap_paths_match_join_on_random_graphs(
+        spark, edges, offset):
+    """Late-r11 dense-id remap: on random graphs under random id
+    offsets, the cardinality-routed bit-matrix paths must reproduce
+    the join path exactly — scores, counts, ORIGINAL ids, cut order.
+    offset=0 exercises the identity gates; the huge offset exercises
+    the monotone remap (id VALUES must not matter — the scale-study
+    finding)."""
+    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    g = graph_from_edge_list(
+        spark, [(a + offset, b + offset) for a, b in sorted(edges)])
+    def rows(**kw):
+        return [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+                for r in adamic_adar(g, top=50, **kw).collect()]
+    join = rows(dense_max_nodes=0, dist_max_nodes=0)
+    dense = rows()
+    dist = rows(dense_max_nodes=0)
+    assert dense == join
+    # tiny graphs pass the Σd² gate (n³ is small), so the dist tier
+    # really runs; if the gate ever rejects, the join path answers —
+    # either way the rows must match
+    assert dist == join
+
+
+@SPARK_FAST
+@given(edges=st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9))
+                     .filter(lambda t: t[0] != t[1]),
+                     min_size=3, max_size=24),
+       offset=st.sampled_from([0, 7_000_000_001]))
+def test_local_clustering_remap_matches_reference(spark, edges, offset):
+    """LCC under random graphs + offsets: the routed dense/tile paths
+    must equal a python reference on the canonical undirected graph."""
+    from collections import defaultdict
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        local_clustering)
+    from janusgraph_clickhouse_spark.graph.model import (
+        graph_from_edge_list)
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    nbrs = defaultdict(set)
+    for a, b in canon:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    for v, nv in nbrs.items():
+        d = len(nv)
+        tri = sum(len(nbrs[u] & nv) for u in nv) // 2
+        expect[v + offset] = (d, 0.0 if d < 2 else
+                              round(2.0 * tri / (d * (d - 1)), 6))
+    g = graph_from_edge_list(
+        spark, [(a + offset, b + offset) for a, b in sorted(edges)])
+    got = {r.id: (r.degree, r.lcc)
+           for r in local_clustering(g).collect()}
+    assert got == expect
