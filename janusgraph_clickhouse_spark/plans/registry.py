@@ -345,6 +345,13 @@ REGISTERED_ROUND: dict[str, int] = {
 #    the plan is unchanged; the remap only fires for sparse ids.
 #    Relabel-invariance + path-equivalence pytest added; sf0.01
 #    oracle parity re-run green at change time) +
+#    s11 (late-r11: directory-shaped events fixtures — the production
+#    parquet shape — broke its stream copy AND the events_ts_unit
+#    footer probe globbed the directory into pyarrow; both fixed,
+#    file-case parity green + x10 directory case runs.  The probe fix
+#    itself is a latent loader robustness change, result-identical on
+#    every driver fixture — covered by the full local parity sweep
+#    per the r7 latent-change precedent) +
 #    any red/any r12 change from r11's file.
 # 3. ~7 spares from the ~44 names whose newest real row is r9
 #    (rule 2 grew to 11 names when g03/g17/g24 joined late-r11)

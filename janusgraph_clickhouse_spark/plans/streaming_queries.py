@@ -388,14 +388,22 @@ def s11_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="s11_events_")
     try:
         if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(d, "events.parquet"))
+            # directory-shaped events (the production shape; Spark
+            # writes tables as directories named *.parquet): stream
+            # from the copied directory ITSELF — a file stream over
+            # the PARENT would neither list the nested part files nor
+            # probe their footers (the r11 scale-study s11@x10 find)
+            stream_path = os.path.join(d, "events.parquet")
+            shutil.copytree(src, stream_path)
         else:
             shutil.copy(src, d)
+            stream_path = d
         # the stream terminates inside run_to_memory and the sink is
         # in-memory, so the fixture copy can be deleted immediately —
         # no per-invocation /tmp leak
-        out = run_to_memory(running_user_totals(events_stream(spark, d)),
-                            mode="update")
+        out = run_to_memory(
+            running_user_totals(events_stream(spark, stream_path)),
+            mode="update")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -164,6 +164,17 @@ def events_ts_unit(path: str) -> str:
     dir_mtime = 0
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # a match may itself be a DIRECTORY (Spark-written tables are
+        # directories named *.parquet — the production shape; only the
+        # driver fixtures are single files): expand one level so the
+        # footer probe reads part files, not directory handles
+        expanded = []
+        for f in files:
+            if os.path.isdir(f):
+                expanded += sorted(glob.glob(os.path.join(f, "*.parquet")))
+            else:
+                expanded.append(f)
+        files = expanded
         if not files:
             return "us"
         try:
