@@ -495,13 +495,21 @@ def _dense_id_index(df: DataFrame, cols: list[str], cap: int):
 
     The collect is cardinality-bounded BY CONSTRUCTION: limit(cap+1)
     bounds the fetched rows no matter how large the input (the
-    codebook/Bloom-words bounded-collect discipline)."""
+    codebook/Bloom-words bounded-collect discipline).
+
+    A NULL id anywhere declines the remap (returns None) so the caller
+    keeps the degraded-but-working join path — the pre-remap min/max
+    gates silently ignored NULLs and fell through, and int(None) here
+    would turn that into a hard TypeError (r11 ADVICE).  The check is
+    sound under the limit: whenever distinct cardinality ≤ cap+1 the
+    limit returns ALL distinct values, NULL included; beyond that we
+    return None anyway."""
     ids_df = df.select(F.col(cols[0]).cast("long").alias("orig"))
     for c in cols[1:]:
         ids_df = ids_df.unionAll(df.select(F.col(c).cast("long")
                                            .alias("orig")))
     rows = ids_df.distinct().limit(cap + 1).collect()
-    if len(rows) > cap:
+    if len(rows) > cap or any(r[0] is None for r in rows):
         return None
     ids = sorted(int(r[0]) for r in rows)
     map_df = df.sparkSession.createDataFrame(
@@ -609,29 +617,32 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
         # already-dense id space: identity mapping, no remap pass
         return _adamic_adar_dense(sym, n_nodes, top)
     if bounds["hi"] is not None:
-        sum_d2 = None
-        if 0 <= min_id and n_nodes <= dist_max_nodes:
-            # identity mid-size id space: tiles iff dense enough that
-            # tile FLOPs beat wedge rows (cost gate); a cost-rejected
-            # graph still gets the remap probe below — a SPARSE id
-            # population inside [0, n) can shrink n³ past the gate
-            sum_d2 = _sum_deg_sq(sym)
-            if _prefer_dense_tiles(sum_d2, n_nodes):
-                return _adamic_adar_dense_dist(sym, n_nodes, top)
-        # sparse/offset id space, possibly still a BOUNDED dimension:
-        # monotone dense remap keeps the bit-matrix paths alive (id
-        # values are production-arbitrary; only cardinality matters)
+        # BOUNDED-dimension probe FIRST, identity ranges included:
+        # CARDINALITY picks the tier, never the id range (r12, from the
+        # r11 ADVICE — the old flow probed identity mid-size ranges only
+        # on cost-gate REJECTION, so a sparsely populated [0, n) range
+        # that the gate accepted paid tile FLOPs at n = max_id+1 even
+        # when its cardinality fit the driver-dense tier, up to
+        # (n/cardinality)³ extra work).  The probe is one bounded
+        # distinct-collect — noise next to either dense tier.
         dense = _dense_id_index(sym, ["src", "dst"], dist_max_nodes)
         if dense is not None:
             map_df, ids = dense
-            if len(ids) <= dense_max_nodes:
+            n = len(ids)
+            # fully-populated identity range: remap is the identity —
+            # skip the two map joins (keeps the returned plan identical
+            # to the pre-probe flow on dense-id inputs)
+            identity = ids[0] == 0 and ids[-1] == n - 1
+            if n <= dense_max_nodes:
+                if identity:
+                    return _adamic_adar_dense(sym, n, top)
                 return _adamic_adar_dense(_remap_edges(sym, map_df),
-                                          len(ids), top, id_map=ids)
-            if sum_d2 is None:
-                sum_d2 = _sum_deg_sq(sym)
-            if _prefer_dense_tiles(sum_d2, len(ids)):
+                                          n, top, id_map=ids)
+            if _prefer_dense_tiles(_sum_deg_sq(sym), n):
+                if identity:
+                    return _adamic_adar_dense_dist(sym, n, top)
                 return _adamic_adar_dense_dist(_remap_edges(sym, map_df),
-                                               len(ids), top, id_map=ids)
+                                               n, top, id_map=ids)
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -1937,7 +1948,8 @@ def _triangles_per_vertex_dense_dist(sym: DataFrame,
     pairs earn credit (unlike AA, where non-adjacent pairs are the
     output), so no C = Bu·Bvᵀ matmul is ever needed: total work is
     |E| pair rows of ⌈n/8⌉ bytes (np.bitwise_count when numpy ≥ 2, a
-    byte LUT otherwise), chunked ≤ ~123 MB.  tri(v) = ½ Σ credits.
+    byte LUT otherwise), chunked by row-width so each in-flight array
+    stays ≤ ~128 MB at every n.  tri(v) = ½ Σ credits.
     Identical math to the per-edge-mask form, which ships |E|·n/8
     bytes of masks through Arrow (≈20 GB at 15k vertices / 11M edges —
     blew the r11 scale-study budget, and an intermediate matmul form
@@ -1994,9 +2006,16 @@ def _triangles_per_vertex_dense_dist(sym: DataFrame,
                 gu = (uu + u0).astype(np.int64)
                 gv = (vv + v0).astype(np.int64)
                 credit = np.zeros(n, dtype=np.int64)
-                for c0 in range(0, len(gu), 65536):  # ≤ ~123 MB/chunk
-                    cu = gu[c0:c0 + 65536]
-                    cv = gv[c0:c0 + 65536]
+                # chunk rows scale INVERSELY with the packed row width
+                # so peak chunk memory stays ~flat (~3×128 MB for the
+                # Ap[cu]/Ap[cv]/both triple) at every n — a fixed 65536
+                # rows is ~768 MB of in-flight arrays at the n=32768
+                # cap, an OOM risk across 32 concurrent tasks
+                # (r11 ADVICE)
+                step = max(4096, (128 << 20) // nb)
+                for c0 in range(0, len(gu), step):
+                    cu = gu[c0:c0 + step]
+                    cv = gv[c0:c0 + step]
                     both = Ap[cu] & Ap[cv]
                     c = (pop(both).sum(axis=1, dtype=np.int64) if pop
                          else lut[both].sum(axis=1).astype(np.int64))

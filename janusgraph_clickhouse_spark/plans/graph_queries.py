@@ -917,34 +917,60 @@ def g22_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nodes n LEFT JOIN mutual m2 ON m2.v = n.id GROUP BY n.id
     """,
 )
-def g23_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g23_scc(spark: SparkSession, sf_dir: str,
+            band_width: int | None = None) -> DataFrame:
     """Strongly connected components (FW-BW coloring) on the user
     referral digraph sessionized from the event stream: every 7th event,
     consecutive actors within an event_type are linked u→v, and an edge
-    survives only within the same user-id quintile band or pointing
-    forward (u < v) — cycles live inside bands, cross-band flow is a
-    DAG, so the SCC structure is mid-size band components plus
-    singletons at EVERY scale factor and the FW-BW phase count stays a
-    small constant.  The oracle recomputes mutual reachability from
-    first principles (recursive-CTE transitive closure — viable at
-    oracle scale, never the engine plan); component id = max member id
-    on both sides."""
+    survives only within the same user-id band or pointing forward
+    (u < v) — cycles live inside bands, cross-band flow is a DAG, so
+    the SCC structure is mid-size band components plus singletons at
+    EVERY scale factor and the FW-BW phase count stays a small
+    constant.  The oracle recomputes mutual reachability from first
+    principles (recursive-CTE transitive closure — viable at oracle
+    scale, never the engine plan); component id = max member id on
+    both sides.
+
+    `band_width=None` (the REGISTERED semantics, oracle-matched) bands
+    by user-id quintile of max(user_id) — scale-RELATIVE, so weak-
+    scaling fixtures with disjoint per-copy key offsets shift every
+    band boundary and cross-scale timings are incomparable (r11 scale
+    study: x10 read FASTER than x1, one user lost to a phase shift).
+    A fixed `band_width` uses ABSOLUTE bands (user_id div width): each
+    offset copy reproduces x1's band structure verbatim, making g23 a
+    usable weak-scaling probe.  At sf0.1 (user_id ∈ [0,1500)) width
+    300 IS the quintile width, so the x1 edges are identical."""
     from pyspark.sql.window import Window
     from ..graph.algorithms import strongly_connected_components
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 7 == 0)
-    mx = ev.agg(F.max("user_id").alias("m"))
     w = Window.partitionBy("event_type").orderBy("event_id")
     seq = ev.select("user_id", F.lead("user_id").over(w).alias("nxt"))
-    band_eq = (F.expr("(user_id * 5) div (m + 1)")
-               == F.expr("(nxt * 5) div (m + 1)"))
-    e = (seq.filter(F.col("nxt").isNotNull()
-                    & (F.col("nxt") != F.col("user_id")))
-         .crossJoin(F.broadcast(mx))
-         .filter(band_eq | (F.col("user_id") < F.col("nxt")))
+    seq = seq.filter(F.col("nxt").isNotNull()
+                     & (F.col("nxt") != F.col("user_id")))
+    if band_width is None:
+        mx = ev.agg(F.max("user_id").alias("m"))
+        band_eq = (F.expr("(user_id * 5) div (m + 1)")
+                   == F.expr("(nxt * 5) div (m + 1)"))
+        seq = seq.crossJoin(F.broadcast(mx))
+    else:
+        band_eq = (F.expr(f"user_id div {int(band_width)}")
+                   == F.expr(f"nxt div {int(band_width)}"))
+    e = (seq.filter(band_eq | (F.col("user_id") < F.col("nxt")))
          .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
          .distinct())
     return strongly_connected_components(e)
+
+
+# NON-registered weak-scaling probes (tools/scalestudy.py only; never
+# in the driver window or the parity sweep): variants whose banding is
+# ABSOLUTE so cross-scale ratios compare like-for-like.  Width 300 =
+# the sf0.1 quintile width, so the x1 run is edge-identical to the
+# registered g23_scc.
+SCALE_PROBES: dict = {
+    "g23_scc_absband": lambda spark, sf_dir: g23_scc(spark, sf_dir,
+                                                     band_width=300),
+}
 
 
 @query(

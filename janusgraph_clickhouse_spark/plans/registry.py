@@ -197,68 +197,58 @@ def query(name: str, oracle: str | None = None):
 # round, per the standing rule; `python tools/rotation.py` — now the
 # mechanical recount — MATCHED the r11 pre-derivation name-for-name,
 # third time running).  Verified over
-# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10.json: newest-real-green-row
-# histogram is 50×r10 + 49×r9 + 45×r8 + 36×r7 = 180; CORRECTNESS_r10
-# is 50/50 green (no rule-3 traffic); REGISTERED_ROUND has no r10
-# entries (zero registrations rounds 8-10).  Window, in order:
-# 1. LEAD COHORT: the 36 r7-row names r10 left unwindowed — their r7
-#    rows leave the 4-file horizon {r8,r9,r10,r11} when r11's file
-#    lands (only ONE g name, g14 — the other g sentinels come from
-#    rule 5);
-# 2. rule 2 (mid-r11 change): l04_simhash_pairs — the simhash()
-#    signature stage now spreads an under-partitioned input to the
-#    session parallelism before the pandas UDF (the sf0.1 documents
-#    scan is ONE partition, serializing the dominant cost onto one
-#    core; 9× measured, result-identical — PERF.md r11).  Displaces
-#    the bottom spare l13_hash_split per the freeze note (l13 joins
-#    r12's lead cohort).  LATE-r11: the same spread applied to
-#    shingle_sets() (dedup._spread_scan — the explode map-side has
-#    the same one-core exposure; 1.2-1.4× across the family).
-#    Result-identical, re-verified at BOTH scales the day it landed
-#    (full 185/185 sf0.01 parity + targeted sf0.001 run of all 13
-#    affected names) — the affected in-window names l02/l21/l04 get
-#    real r11 rows; the 8 affected tail names (l03 l18 l30 l31 l32
-#    l34 l46 l67, all r9/r10 rows) follow the r7 latent-change
-#    precedent and are r12 RULE-2 TRAFFIC — window them at r12.
-#    The r11 ADVICE fix to the SCC frontier-mode RuntimeError
-#    message (algorithms.py) stays latent-tail (the registered g23
-#    runs the dense mode and its row is r10-fresh); the other two
-#    r11 ADVICE fixes touch tools/ only.
-# 3. 13 spares from the 45 r8-row names (stalest pool; the 32 left
-#    unwindowed fall out at r12 and are r12's lead cohort):
-#    g01/g02/g06 (iterative/traversal g evidence is worth most —
-#    g06 pagerank explicitly suggested by the r10 verdict; lifts the
-#    g sentinel count to 4), q03/q08/q13 (key-range scan, top-parts
-#    join, the predicate library), s02/s03/s04 (sliding, session,
-#    stateful dedup — lifts s to 6), l02/l07/l08/l09 (jaccard,
-#    text stats, langid, fingerprints — lifts l to 15).
-# Family sentinels in-window: 25 q, 4 g, 15 l, 6 s (≥2 each).
+# ROUND-12 WINDOW (re-derived from the correctness files via
+# `python tools/rotation.py` this round; recount MATCHED the r11
+# pre-derivation name-for-name, fourth round running).
+# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10+r11.json: newest-real-green-row
+# histogram is 50×r11 + 50×r10 + 48×r9 + 32×r8 = 180; CORRECTNESS_r11
+# is 50/50 green (no rule-3 traffic); zero registrations rounds 8-11,
+# N stays 180, horizon lag stays ceil(180/50) = 4 files.  Window:
+# 1. LEAD COHORT: the 32 r8-row names r11 left unwindowed — their r8
+#    rows leave the horizon {r9,r10,r11,r12} when r12's file lands
+#    (ten g names — g clears the sentinel bar from the lead alone);
+# 2. rule 2, pre-declared late-r11 (see the freeze note below):
+#    the 8 shingle-spread tail names (l03 l18 l30 l31 l32 l34 l46
+#    l67 — dedup._spread_scan, result-identical, dual-scale
+#    re-verified at change time), the dense-id-remap routing trio
+#    (g03 g17 g24 — the weak-scaling study's VALUES-vs-cardinality
+#    gate fix; driver-fixture plans byte-identical via the identity
+#    gate), and s11 (directory-shaped events fixtures + the
+#    events_ts_unit footer-probe glob fix);
+# 3. 6 spares from the 48 r9-row names (stalest pool — all tied at
+#    r9, so picked for family balance + the r11 verdict's watch
+#    items): l57/l63 (two of the four unadjudicated BENCH_r11
+#    driver-tail movers — a fresh driver row alongside the r12 pin),
+#    g05 (BFS evidence), q41/q42 (sketch family), s12 (incremental
+#    MV).  The 42 r9-row names left unwindowed are r13's lead cohort.
+# Family sentinels in-window: 13 q, 14 g, 18 l, 5 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 36 horizon-critical r7-row names
-    "g14_repeat_until",
-    "q02_slice_multikey", "q04_multi_range_scan", "q05_unordered_scan_topk",
-    "q07_group_count", "q09_semi_join", "q10_anti_join",
-    "q11_shipping_priority", "q12_region_revenue", "q14_union_dedup",
-    "q15_per_group_topk", "q16_distinct_pairs",
-    "q22_left_outer_distribution", "q23_having", "q24_correlated_min",
-    "q25_count_distinct", "q27_set_operations", "q28_sql_surface",
-    "q31_statistics", "q32_cross_nation_volume",
-    "q33_large_order_customers", "q34_window_analytics",
-    "q36_cube_grouping",
-    "s01_tumbling_window", "s05_asof_join", "s15_pit_enrich",
-    "l20_vocab_topk", "l21_decontaminate", "l22_domain_mixture",
-    "l23_repetition_stats", "l24_sequence_packing", "l25_tfidf_topk",
-    "l26_bigram_lm_score", "l28_user_event_sequences",
-    "l29_length_band_filter", "l47_entropy_quality",
-    # rule 2: mid-r11 change (simhash signature-stage spread)
-    "l04_simhash_pairs",
-    # rule 5/stalest-first: 13 spares from the 45 r8-row names
-    "g01_out_degree", "g02_two_hop_parts", "g06_pagerank",
-    "q03_key_range_scan", "q08_customer_top_parts",
-    "q13_predicate_library",
-    "s02_sliding_window", "s03_session_window", "s04_dedup_keep_first",
-    "l02_jaccard_pairs", "l07_text_stats", "l08_language_id",
-    "l09_fingerprint",
+    # rule 1: the 32 horizon-critical r8-row names
+    "g07_traversal_semi_anti", "g08_path_query", "g09_in_traversal",
+    "g10_weighted_sssp", "g11_interaction_degree", "g12_motif_count",
+    "g13_topo_levels", "g29_copurchase_lift", "g31_betweenness",
+    "g32_weighted_sssp",
+    "q18_json_extract", "q20_group_collect", "q21_array_functions",
+    "q26_rollup", "q29_pivot", "q30_percentiles", "q35_range_step",
+    "q37_geo_within", "q44_delta_sum", "q45_ttl_partition_prune",
+    "q46_hll_mergeable_rollup",
+    "s14_gap_fill", "s16_lttb_downsample", "s20_incremental_hll",
+    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
+    "l16_pipeline_composed", "l48_url_canonical_dedup",
+    "l49_fuzzy_linkage", "l52_source_report", "l62_winnow_pairs",
+    # rule 2: the 12 pre-declared late-r11 change names
+    "l03_minhash_lsh_pairs", "l18_dedup_clusters",
+    "l30_incremental_dedup", "l31_boilerplate_score",
+    "l32_containment_pairs", "l34_bloom_decontaminate",
+    "l46_lsh_banding_audit", "l67_leakage_free_split",
+    "g03_supplier_triangles", "g17_link_prediction",
+    "g24_local_clustering",
+    "s11_stateful_running_totals",
+    # rule 5/stalest-first: 6 spares from the 48 r9-row names
+    "g05_bfs_distances",
+    "q41_hll_distinct", "q42_cms_heavy_hitters",
+    "s12_incremental_rollup",
+    "l57_audio_rms", "l63_embedding_outliers",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5

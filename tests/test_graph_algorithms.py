@@ -1130,6 +1130,54 @@ def test_dense_id_index_monotone_and_bounded(spark):
     assert _dense_id_index(e, ["src", "dst"], cap=3) is None
 
 
+def test_dense_id_index_declines_null_ids(spark):
+    """A NULL id anywhere must DECLINE the remap (return None) so the
+    caller keeps the degraded-but-working join path — the pre-remap
+    min/max gates silently ignored NULLs and fell through; int(None)
+    in the remap was a hard TypeError (r11 ADVICE).  The check is
+    sound under limit(cap+1): at cardinality ≤ cap+1 the limit returns
+    ALL distinct values, NULL included."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _dense_id_index)
+    e = spark.createDataFrame([(1, 2), (2, None), (3, 1)],
+                              "src long, dst long")
+    assert _dense_id_index(e, ["src", "dst"], cap=10) is None
+    ok = spark.createDataFrame([(1, 2), (3, 1)], "src long, dst long")
+    assert _dense_id_index(ok, ["src", "dst"], cap=10) is not None
+
+
+def test_adamic_adar_identity_range_routes_by_cardinality(
+        spark, monkeypatch):
+    """A sparsely populated identity range [0, n) whose CARDINALITY
+    fits the driver-dense tier must route driver-dense even when the
+    RANGE only fits the tile tier and the cost gate would accept tiles
+    (r11 ADVICE: the acceptance branch skipped the cardinality probe
+    and paid tile FLOPs at n = max_id+1).  Near-complete K24 spread
+    over [0, 58): Σd²·1000 ≈ 1.3e7 ≫ 58³ ≈ 2e5, so the old flow
+    accepted tiles at n=58; the fix must pick driver-dense at n=24."""
+    import janusgraph_clickhouse_spark.graph.algorithms as GA
+    calls = []
+    real = GA._adamic_adar_dense
+
+    def spy(sym, n_nodes, top, **kw):
+        calls.append(n_nodes)
+        return real(sym, n_nodes, top, **kw)
+
+    monkeypatch.setattr(GA, "_adamic_adar_dense", spy)
+    ids = [i * 5 // 2 for i in range(24)]  # 24 distinct ids in [0, 58)
+    edges = [(ids[i], ids[j]) for i in range(24) for j in range(i + 1, 24)]
+    del edges[0], edges[-1]  # two non-adjacent pairs → non-empty output
+    g = graph_from_edge_list(spark, edges)
+    out = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+           for r in GA.adamic_adar(g, top=50, dense_max_nodes=32,
+                                   dist_max_nodes=64).collect()]
+    assert calls == [24], calls  # cardinality routed, not max_id+1
+    join = [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+            for r in GA.adamic_adar(g, top=50, dense_max_nodes=0,
+                                    dist_max_nodes=0).collect()]
+    assert out == join and len(out) > 0
+
+
 def test_adamic_adar_sparse_ids_dense_remap_matches_join_path(spark):
     """Sparse/offset vertex ids over a small dimension must route
     through the dense bit-matrix via the monotone remap and reproduce

@@ -144,6 +144,11 @@ def main() -> None:
         ensure_clustered_graph)
 
     queries = get_queries()
+    # non-registered scale probes (absolute-band variants etc.) are
+    # addressable by name here, never in the driver window
+    from janusgraph_clickhouse_spark.plans.graph_queries import (
+        SCALE_PROBES)
+    queries = {**queries, **SCALE_PROBES}
     unknown = [n for n in args.names if n not in queries]
     if unknown:
         sys.exit(f"not registered: {unknown}")
@@ -209,6 +214,15 @@ def main() -> None:
                 print(f"x{k} {name}: {best:.2f}s rows={rows}", flush=True)
             except Exception as exc:  # record, keep sweeping
                 record["errors"][f"{name}@x{k}"] = str(exc)[:500]
+                if best is not None:
+                    # a later rep failed (e.g. budget timeout on rep 2)
+                    # but rep 1 completed: keep the measured point next
+                    # to the error instead of discarding it (r11 ADVICE)
+                    record["secs"][name][str(k)] = round(best, 2)
+                    record["rows"][name][str(k)] = rows
+                    print(f"x{k} {name}: ERROR after a completed rep — "
+                          f"keeping best {best:.2f}s rows={rows}",
+                          flush=True)
                 print(f"x{k} {name}: ERROR {str(exc)[:200]}", flush=True)
                 _clear_state(spark)  # drop leaked caches/checkpoints
 
