@@ -452,18 +452,26 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     """Pairs with cosine ≥ threshold.  Brute-force within optional blocks
     (label, LSH bucket, IVF cell...); the full-corpus path should block
     first (see similarity.lsh_ann_topk) — an unblocked cross join is the
-    documented-slow baseline."""
-    from .similarity import cosine_expr
+    documented-slow baseline.
+
+    Per-pair work is ONE dot of pre-normalized unit vectors: each side
+    projects `unit_expr` BELOW the join, so norms are computed once per
+    input row, not once per pair (Θ(pairs·dim) saved — the within-block
+    pair count is quadratic in block size by the query's own semantics,
+    so the per-pair constant is the whole game; r12 PERF note).  A
+    zero-norm row's unit vector is NULL → NULL dot → rejected by the
+    threshold, exactly the cosine_expr invariant."""
+    from .similarity import dot_expr, unit_expr
     a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"),
+                  unit_expr(vec_col).alias("ua"),
                   *( [F.col(block_col).alias("blk")] if block_col else []))
     b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"),
+                  unit_expr(vec_col).alias("ub"),
                   *( [F.col(block_col).alias("blk")] if block_col else []))
     joined = a.join(b, ["blk"] if block_col else None) if block_col \
         else a.crossJoin(b)
     out = (joined.filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+           .withColumn("cosine", F.round(dot_expr("ua", "ub"), 6))
            .filter(F.col("cosine") >= threshold))
     return out.select("id_a", "id_b", "cosine")
 

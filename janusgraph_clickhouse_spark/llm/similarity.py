@@ -40,6 +40,24 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
                         norm_expr(a) * norm_expr(b))
 
 
+def unit_expr(a: str | Column) -> Column:
+    """The L2-normalized vector, or NULL for a zero-norm input (so a
+    downstream dot yields NULL — `cosine_expr`'s "zero-norm rows are
+    never neighbors" invariant survives pre-normalization).
+
+    Why this exists: cosine_expr evaluated on JOINED pairs recomputes
+    BOTH norms per pair — Θ(pairs·dim) redundant work, since each
+    row's norm is pair-invariant.  Projecting unit vectors BELOW the
+    join computes each norm once per input row and leaves one dot per
+    pair (~3× less per-pair expression work; measured on the r12
+    l06/l19 quadratic baselines).  cosine(â, b̂) = dot(â, b̂) exactly
+    up to float ulps, invisible under the 6dp output rounding."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cd = ca.cast("array<double>")
+    n = norm_expr(cd)
+    return F.when(n > 0, F.transform(cd, lambda x: x / n))
+
+
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
                      query_vec: list[float], k: int = 10,
                      exclude_id=None) -> DataFrame:
@@ -58,25 +76,115 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                           q_id: str, q_vec: str, c_id: str, c_vec: str,
-                          k: int = 10,
-                          exclude_self: bool = False) -> DataFrame:
-    """Per-query top-k over a broadcastable query set: broadcast the
-    queries, one pass over the corpus, per-query window top-k.
+                          k: int = 10, exclude_self: bool = False,
+                          vectorized: bool = True) -> DataFrame:
+    """Per-query EXACT top-k over a broadcastable query set.
+
+    The work is intrinsically |Q|·|C| dot products (that is what exact
+    batch kNN MEANS — the sub-quadratic paths are the LSH/IVF/PQ
+    variants below); what this function controls is the CONSTANT and
+    the shuffle.  Two implementations, result-identical (zero-norm
+    rows on either side are never neighbors, per cosine_expr):
+
+    - ``vectorized=True`` (default): the query matrix ships as one
+      broadcast numpy float64 block (same boundedness contract as the
+      JVM broadcast — chunk the query side externally if it outgrows
+      one executor); one Arrow pass over the corpus scores each batch
+      as a b×|Q| BLAS matmul of unit vectors and emits only the
+      PER-PARTITION top-k per query (selected by the same
+      HALF_UP-at-6dp + id order the final cut uses), so the window
+      shuffle sees ≤ partitions·|Q|·k rows instead of |C|·|Q|.
+      Measured r12 (x10 weak-scaling fixture, l19: 400 queries ×
+      20k corpus × dim 64): 18.9 s JVM-expression form → BLAS form,
+      see PERF.md.
+    - ``vectorized=False``: the original all-JVM form (crossJoin +
+      zip_with cosine + full window) — kept as the semantics
+      reference; the property suite pins both paths equal, zero-norm
+      rows included.
+
     ``exclude_self`` drops the id == query_id row (a corpus point
-    querying the corpus it lives in always ranks itself first)."""
+    querying the corpus it lives in always ranks itself first).
+    The vectorized path requires numeric ids on both sides (true of
+    every in-repo consumer); anything else falls back to the JVM form.
+    """
     from pyspark.sql import Window
     qq = queries.select(F.col(q_id).alias("query_id"),
                         F.col(q_vec).cast("array<double>").alias("qv"))
     cc = corpus.select(F.col(c_id).alias("id"),
                        F.col(c_vec).cast("array<double>").alias("cv"))
-    scored = (cc.crossJoin(F.broadcast(qq))
-              .withColumn("cosine", F.round(cosine_expr("cv", "qv"), 6))
-              .drop("cv", "qv"))
-    if exclude_self:
-        scored = scored.filter(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
+    numeric = {"bigint", "int", "smallint", "tinyint"}
+    if not (vectorized
+            and qq.schema["query_id"].dataType.simpleString() in numeric
+            and cc.schema["id"].dataType.simpleString() in numeric):
+        scored = (cc.crossJoin(F.broadcast(qq))
+                  .withColumn("cosine",
+                              F.round(cosine_expr("cv", "qv"), 6))
+                  .drop("cv", "qv"))
+        if exclude_self:
+            scored = scored.filter(F.col("id") != F.col("query_id"))
+        return (scored.filter(F.col("cosine").isNotNull())
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).drop("rn"))
+
+    spark = corpus.sparkSession
+    out_schema = "query_id long, id long, cosine double"
+    # bounded by the SAME contract that lets the JVM path broadcast qq
+    qrows = qq.filter(F.col("qv").isNotNull()).collect()
+    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    Q = (np.array([r["qv"] for r in qrows], dtype=np.float64)
+         if qrows else np.zeros((0, 1)))
+    qn = np.linalg.norm(Q, axis=1) if len(qrows) else np.zeros(0)
+    keep = qn > 0  # zero-norm query: cosine undefined for every row
+    qids, Q, qn = qids[keep], Q[keep], qn[keep]
+    if len(qids) == 0:
+        return (spark.createDataFrame([], out_schema)
+                .withColumn("cosine", F.round("cosine", 6)))
+    bq = spark.sparkContext.broadcast((qids, Q / qn[:, None]))
+    kk, excl = int(k), bool(exclude_self)
+
+    def score(batches):
+        import pandas as pd
+        qids_, Qn_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            C = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cv"]])
+            cn = np.linalg.norm(C, axis=1)
+            ok = cn > 0
+            ids, C, cn = ids[ok], C[ok], cn[ok]
+            if len(ids) == 0:
+                continue
+            S = (C / cn[:, None]) @ Qn_.T  # b × |Q|
+            # local cut by the FINAL cut's order: HALF_UP-away-from-
+            # zero at 6dp (Spark ROUND semantics), then id ascending —
+            # a raw-float local cut could drop a row that TIES at 6dp
+            # with a kept one but wins the id tiebreak globally
+            Sq = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)
+            oq, oi, oc = [], [], []
+            for j in range(len(qids_)):
+                cand = (np.nonzero(ids != qids_[j])[0] if excl
+                        else np.arange(len(ids)))
+                if len(cand) == 0:
+                    continue
+                sel = cand[np.lexsort((ids[cand], -Sq[cand, j]))[:kk]]
+                oq.append(np.full(len(sel), qids_[j], dtype=np.int64))
+                oi.append(ids[sel])
+                oc.append(S[sel, j])
+            if oq:
+                yield pd.DataFrame({"query_id": np.concatenate(oq),
+                                    "id": np.concatenate(oi),
+                                    "cosine": np.concatenate(oc)})
+
+    from .dedup import _spread_scan
+    # NULL vectors are never neighbors (JVM path: NULL cosine filtered)
+    local = _spread_scan(cc.filter(F.col("cv").isNotNull())) \
+        .mapInPandas(score, schema=out_schema)
+    return (local.withColumn("cosine", F.round("cosine", 6))
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
 
 

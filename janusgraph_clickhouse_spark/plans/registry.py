@@ -310,48 +310,37 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-12 ROTATION, pre-derived (assuming CORRECTNESS_r11 lands
-# with the window above; rounds 8-11 registered nothing, N stays 180,
-# lag stays ceil(180/50) = 4 files).  At r12 the horizon is
-# {r9,r10,r11,r12}.  Window, in order:
-# 1. LEAD COHORT: the 32 r8-row names r11 left unwindowed — their r8
-#    rows leave the horizon when r12's file lands:
-#      g07 g08 g09 g10 g11 g12 g13 g29 g31 g32,
-#      q18 q20 q21 q26 q29 q30 q35 q37 q44 q45 q46,
-#      s14 s16 s20,
-#      l13 l14 l15 l16 l48 l49 l52 l62
-#    (32 = 45 r8-rows − the 13 windowed at r11: g01 g02 g06 q03 q08
-#    q13 s02 s03 s04 l02 l07 l08 l09; l13 was displaced by the
-#    rule-2 l04 mid-round; ten g names — every family clears the ≥2
-#    sentinel bar from the lead cohort alone).
-# 2. rule 2, ALREADY KNOWN: the 8 shingle-spread tail names (l03 l18
-#    l30 l31 l32 l34 l46 l67 — late-r11 result-identical plan change,
-#    dual-scale re-verified at change time, per the r7 precedent) +
-#    g03/g17/g24 (late-r11 dense-id-remap routing fix, found by the
-#    r11 weak-scaling study: the bit-matrix fast paths gated on id
-#    VALUES, not cardinality, and silently fell to the join path on
-#    sparse/offset id spaces.  Result-identical — on the driver
-#    fixtures the ids are dense so the IDENTITY gate still runs and
-#    the plan is unchanged; the remap only fires for sparse ids.
-#    Relabel-invariance + path-equivalence pytest added; sf0.01
-#    oracle parity re-run green at change time) +
-#    s11 (late-r11: directory-shaped events fixtures — the production
-#    parquet shape — broke its stream copy AND the events_ts_unit
-#    footer probe globbed the directory into pyarrow; both fixed,
-#    file-case parity green + x10 directory case runs.  The probe fix
-#    itself is a latent loader robustness change, result-identical on
-#    every driver fixture — covered by the full local parity sweep
-#    per the r7 latent-change precedent) +
-#    any red/any r12 change from r11's file.
-# 3. ~7 spares from the ~44 names whose newest real row is r9
-#    (rule 2 grew to 11 names when g03/g17/g24 joined late-r11)
-#    (l04/l02/l21 move to r11 rows; l03/l18/l30/l31/l32/l34/l46/l67
-#    enter via rule 2); stalest-first.  The r9-rows left unwindowed
-#    are r13's lead cohort.
+# ROUND-13 ROTATION, pre-derived (assuming CORRECTNESS_r12 lands
+# with the window above; rounds 8-12 registered nothing, N stays 180,
+# lag stays ceil(180/50) = 4 files).  At r13 the horizon is
+# {r10,r11,r12,r13}.  Window, in order:
+# 1. LEAD COHORT: the 36 r9-row names r12 left unwindowed — their r9
+#    rows leave the horizon when r13's file lands:
+#      g20 g21 g22 g25 g26 g27 g28 g33,
+#      q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 q57 q58,
+#      s17 s18 s19 s21 s22,
+#      l53 l54 l55 l56 l58 l59 l60 l61 l64 l65 l66
+#    (36 = 48 r9-rows − the 12 windowed at r12: rule-2 members
+#    g03 g17 g24 l30 l67 s11 + spares g05 q41 q42 s12 l57 l63;
+#    8 g / 12 q / 5 s / 11 l — every family clears the ≥2 sentinel
+#    bar from the lead cohort alone).
+# 2. rule 2, ALREADY KNOWN (mid-r12 changes, all result-identical and
+#    sf0.01-parity-re-verified fresh-process at change time):
+#    l06/l17/l27 (embedding_near_dup_pairs now pre-normalizes unit
+#    vectors below the block join — one dot per pair; x10 71.5→30.2 s
+#    on l06), l19 (brute_force_topk_join vectorized BLAS default —
+#    x10 18.9→0.85 s; the JVM form stays as vectorized=False with a
+#    cross-path equality property test; l55 also consumes it but is
+#    already in the lead cohort), g23 (band_width parameter refactor —
+#    registered semantics unchanged, band_width=None path re-verified;
+#    the absolute-band variant exists only as the non-registered
+#    g23_scc_absband scale probe) + any red/any r13 change from r12's
+#    file.
+# 3. ~9 spares from the 50 r10-row names, stalest-first.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
-# correctness files at r12 with `python tools/rotation.py` — the
+# correctness files at r13 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted
-# (r9/r10/r11's survived the recount).
+# (r9/r10/r11/r12's survived the recount).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 

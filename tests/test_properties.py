@@ -989,6 +989,45 @@ def test_brute_force_topk_join_matches_numpy(spark, seed, n_corpus,
         assert have == want, (j, have, want)
 
 @SPARK_FAST
+@given(seed=st.integers(0, 9999), n_corpus=st.integers(2, 20),
+       n_queries=st.integers(1, 4), dim=st.integers(2, 6),
+       k=st.integers(1, 5))
+def test_topk_join_vectorized_equals_jvm_path(spark, seed, n_corpus,
+                                              n_queries, dim, k):
+    """The Arrow/BLAS top-k join (r12 default) and the all-JVM
+    crossJoin+window form must be row-identical — INCLUDING zero-norm
+    vectors on both sides (never neighbors, never query rows: the
+    cosine_expr invariant) and the exclude_self corner where a corpus
+    point queries its own corpus."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        brute_force_topk_join)
+    rng = np.random.RandomState(seed)
+    corpus = rng.randn(n_corpus, dim) + 0.1
+    corpus[0] = 0.0  # a zero-norm corpus row in every draw
+    cdf = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(n_corpus)],
+        "id long, v array<double>")
+    # queries ARE corpus points (ids shared → exclude_self is live),
+    # plus one zero-norm query
+    qrows = [(i, corpus[i].tolist())
+             for i in range(min(n_queries, n_corpus))]
+    qrows.append((999, [0.0] * dim))
+    qdf = spark.createDataFrame(qrows, "qid long, qv array<double>")
+
+    def rows(vec):
+        return sorted(
+            (r.query_id, r.id, r.cosine)
+            for r in brute_force_topk_join(
+                qdf, cdf, "qid", "qv", "id", "v", k=k,
+                exclude_self=True, vectorized=vec).collect())
+
+    got_vec, got_jvm = rows(True), rows(False)
+    assert got_vec == got_jvm
+    assert all(q != 999 for q, _i, _c in got_vec)  # zero-norm query
+    assert all(i != 0 for _q, i, _c in got_vec)    # zero-norm corpus
+
+
+@SPARK_FAST
 @given(seed=st.integers(0, 9999), n_pts=st.integers(1, 40),
        n_keys=st.integers(1, 3), width=st.sampled_from([10, 60, 600]))
 def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,
