@@ -152,11 +152,18 @@ def test_degenerate_vectors_every_similarity_op_returns(spark):
     assert S.sq8_topk(const, "id", "vec", query_id=1, k=2).count() == 2
     zl = zero.withColumn("label", F.lit("a"))
     assert S.embedding_outliers(zl, "id", "vec", "label").count() == 3
-    j = S.brute_force_topk_join(
-        zero.withColumnRenamed("id", "qid")
-            .withColumnRenamed("vec", "qvec"),
-        zero, "qid", "qvec", "id", "vec", k=2)
-    assert j.count() == 6
+    # top-k JOIN semantics (r12, both paths): zero-norm rows are never
+    # neighbors AND never query rows — no NULL-cosine k-fill padding
+    # (the single-query brute_force_topk keeps NULLs-last padding for
+    # inspection; the bulk join emits only defined similarities)
+    for vec in (True, False):
+        j = {(r.query_id, r.id)
+             for r in S.brute_force_topk_join(
+                 zero.withColumnRenamed("id", "qid")
+                     .withColumnRenamed("vec", "qvec"),
+                 zero, "qid", "qvec", "id", "vec", k=2,
+                 vectorized=vec).collect()}
+        assert j == {(2, 2), (2, 3), (3, 2), (3, 3)}, (vec, j)
 
 
 def test_degenerate_sketch_and_drift_inputs(spark):
