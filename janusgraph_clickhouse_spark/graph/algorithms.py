@@ -2091,22 +2091,33 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
         return None
 
     per = None
-    if b.mn is not None and b.mn >= 0 and 0 < n_nodes <= DENSE_LCC_MAX_NODES:
-        per = _route_dense(sym, n_nodes)
-    elif b.mn is not None:
-        # sparse/offset ids over a bounded dimension: monotone dense
-        # remap (the g17/g03 routing fix — id values are arbitrary in
-        # production; cardinality is what the bit-matrix needs)
+    if b.mn is not None:
+        # CARDINALITY probe FIRST, identity ranges included (r12: the
+        # adamic_adar probe-order fix applied symmetrically — a
+        # sparsely populated [0, n) range used to pay mask/tile costs
+        # at n = max_id+1 even when its distinct count was tiny; id
+        # values are arbitrary in production, cardinality is what the
+        # bit-matrix needs).  One bounded distinct-collect; a NULL id
+        # declines the remap and falls to the join path.
         dense_remap = _dense_id_index(sym, ["src", "dst"],
                                       DENSE_LCC_MAX_NODES)
         if dense_remap is not None:
             map_df, ids = dense_remap
-            per_idx = _route_dense(_remap_edges(sym, map_df), len(ids))
-            if per_idx is not None:
-                # inverse map back to original ids (bounded broadcast)
-                per = (per_idx.join(F.broadcast(map_df.select(
-                           F.col("idx").alias("id"), F.col("orig"))), "id")
-                       .select(F.col("orig").alias("id"), "triangles"))
+            n = len(ids)
+            if b.mn >= 0 and ids[0] == 0 and ids[-1] == n - 1:
+                # fully-populated identity range: no remap joins —
+                # the returned plan matches the pre-probe flow
+                per = _route_dense(sym, n)
+            else:
+                per_idx = _route_dense(_remap_edges(sym, map_df), n)
+                if per_idx is not None:
+                    # inverse map back to original ids (bounded
+                    # broadcast)
+                    per = (per_idx.join(F.broadcast(map_df.select(
+                               F.col("idx").alias("id"), F.col("orig"))),
+                           "id")
+                           .select(F.col("orig").alias("id"),
+                                   "triangles"))
     if per is None:
         oriented = _degree_oriented_edges(graph).cache()
         wedges = _oriented_wedges(oriented)

@@ -1198,6 +1198,33 @@ def test_adamic_adar_sparse_ids_dense_remap_matches_join_path(spark):
     assert all(u >= off and v >= off for u, v, _, _ in dense)
 
 
+def test_local_clustering_identity_range_routes_by_cardinality(
+        spark, monkeypatch):
+    """LCC symmetry of the adamic_adar probe-order fix: a sparsely
+    populated identity range [0, 58) with 4 distinct vertices must hit
+    the mask path at n = CARDINALITY (4), not n = max_id+1 (58) — and
+    match the closed form."""
+    import janusgraph_clickhouse_spark.graph.algorithms as GA
+    calls = []
+    real = GA._triangles_per_vertex_dense
+
+    def spy(sym, n_nodes):
+        calls.append(n_nodes)
+        return real(sym, n_nodes)
+
+    monkeypatch.setattr(GA, "_triangles_per_vertex_dense", spy)
+    # square 0-19-38-57 plus diagonal (0,38): tri = 2, sparse in [0,58)
+    ids = [0, 19, 38, 57]
+    edges = [(ids[0], ids[1]), (ids[1], ids[2]), (ids[2], ids[3]),
+             (ids[3], ids[0]), (ids[0], ids[2])]
+    g = graph_from_edge_list(spark, edges)
+    got = {r.id: (r.degree, r.lcc)
+           for r in GA.local_clustering(g).collect()}
+    assert calls == [4], calls
+    assert got == {ids[0]: (3, round(2 / 3, 6)), ids[1]: (2, 1.0),
+                   ids[2]: (3, round(2 / 3, 6)), ids[3]: (2, 1.0)}
+
+
 def test_local_clustering_sparse_ids_dense_remap(spark, monkeypatch):
     """local_clustering with offset ids: the remapped dense path must
     equal both the closed form and the join path (cap forced to 0)."""
