@@ -454,24 +454,31 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     first (see similarity.lsh_ann_topk) — an unblocked cross join is the
     documented-slow baseline.
 
-    Per-pair work is ONE dot of pre-normalized unit vectors: each side
-    projects `unit_expr` BELOW the join, so norms are computed once per
-    input row, not once per pair (Θ(pairs·dim) saved — the within-block
-    pair count is quadratic in block size by the query's own semantics,
-    so the per-pair constant is the whole game; r12 PERF note).  A
-    zero-norm row's unit vector is NULL → NULL dot → rejected by the
-    threshold, exactly the cosine_expr invariant."""
-    from .similarity import dot_expr, unit_expr
-    a = df.select(F.col(id_col).alias("id_a"),
-                  unit_expr(vec_col).alias("ua"),
+    Per-pair work is ONE dot + one divide: each side projects its L2
+    norm as a top-level SCALAR column BELOW the join, so norms are
+    computed once per input row, not once per pair (Θ(pairs·dim) saved
+    — the within-block pair count is quadratic in block size by the
+    query's own semantics, so the per-pair constant is the whole game;
+    r12 PERF note).  cosine = try_divide(dot(va,vb), na·nb) is the
+    EXACT cosine_expr formula and operation order — bit-identical
+    results, including the zero-norm → NULL → threshold-rejected
+    invariant.  (A unit-vector formulation was rejected: the norm
+    lands inside the transform lambda, and higher-order functions are
+    interpreted, so it re-evaluates per ELEMENT — dim+1 norms/row.)"""
+    from .similarity import dot_expr, norm_expr
+    va = F.col(vec_col).cast("array<double>")
+    a = df.select(F.col(id_col).alias("id_a"), va.alias("va"),
+                  norm_expr(va).alias("na"),
                   *( [F.col(block_col).alias("blk")] if block_col else []))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  unit_expr(vec_col).alias("ub"),
+    b = df.select(F.col(id_col).alias("id_b"), va.alias("vb"),
+                  norm_expr(va).alias("nb"),
                   *( [F.col(block_col).alias("blk")] if block_col else []))
     joined = a.join(b, ["blk"] if block_col else None) if block_col \
         else a.crossJoin(b)
     out = (joined.filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("cosine", F.round(dot_expr("ua", "ub"), 6))
+           .withColumn("cosine", F.round(
+               F.try_divide(dot_expr("va", "vb"),
+                            F.col("na") * F.col("nb")), 6))
            .filter(F.col("cosine") >= threshold))
     return out.select("id_a", "id_b", "cosine")
 

@@ -40,22 +40,12 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
                         norm_expr(a) * norm_expr(b))
 
 
-def unit_expr(a: str | Column) -> Column:
-    """The L2-normalized vector, or NULL for a zero-norm input (so a
-    downstream dot yields NULL — `cosine_expr`'s "zero-norm rows are
-    never neighbors" invariant survives pre-normalization).
-
-    Why this exists: cosine_expr evaluated on JOINED pairs recomputes
-    BOTH norms per pair — Θ(pairs·dim) redundant work, since each
-    row's norm is pair-invariant.  Projecting unit vectors BELOW the
-    join computes each norm once per input row and leaves one dot per
-    pair (~3× less per-pair expression work; measured on the r12
-    l06/l19 quadratic baselines).  cosine(â, b̂) = dot(â, b̂) exactly
-    up to float ulps, invisible under the 6dp output rounding."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cd = ca.cast("array<double>")
-    n = norm_expr(cd)
-    return F.when(n > 0, F.transform(cd, lambda x: x / n))
+# NOTE: a `unit_expr` (pre-normalized vector) helper was tried for the
+# pair scorers and REJECTED: the norm expression lands inside the
+# transform lambda and higher-order functions are interpreted, so it
+# re-evaluates per ELEMENT (dim+1 norms per row).  The once-per-row
+# form is a top-level scalar norm column projected below the join with
+# try_divide(dot, na*nb) per pair — see dedup.embedding_near_dup_pairs.
 
 
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
