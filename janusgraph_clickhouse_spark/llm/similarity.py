@@ -773,10 +773,17 @@ def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
     q = e.filter((F.col("id") % query_mod) == 0).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)])
+    # the exact top-k is ≤ |queries|·k rows but its subtree (corpus
+    # scan + Arrow scoring stage) feeds THREE consumers below (n_exact,
+    # the hit join, and the recall output) — materialize it once
+    # instead of re-running the scoring per consumer (the pagerank/
+    # triangle_count cache discipline; r12, after the vectorized join
+    # made the re-execution visible in the closing battery)
     exact = brute_force_topk_join(q.select("qid", "qv"),
                                   e.select("id", "v"),
                                   "qid", "qv", "id", "v", k=k,
-                                  exclude_self=True)
+                                  exclude_self=True).localCheckpoint(
+                                      eager=True)
     extk = exact.select(F.col("query_id").alias("qid"), "id")
     cands = _bucket_pair_candidates(q, e, n_tables, "qid", "id",
                                     a_prefix="qb")
