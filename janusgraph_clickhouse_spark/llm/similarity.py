@@ -67,7 +67,8 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                           q_id: str, q_vec: str, c_id: str, c_vec: str,
                           k: int = 10, exclude_self: bool = False,
-                          vectorized: bool = True) -> DataFrame:
+                          vectorized: bool = True,
+                          max_queries: int = 262144) -> DataFrame:
     """Per-query EXACT top-k over a broadcastable query set.
 
     The work is intrinsically |Q|·|C| dot products (that is what exact
@@ -120,8 +121,20 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
 
     spark = corpus.sparkSession
     out_schema = "query_id long, id long, cosine double"
-    # bounded by the SAME contract that lets the JVM path broadcast qq
-    qrows = qq.filter(F.col("qv").isNotNull()).collect()
+    # LOUD cap instead of a silent driver OOM (the bounded-collect
+    # discipline): max_queries=262144 bounds the collected block at
+    # ~128 MB for dim 64 — the same order as the JVM path's broadcast
+    # limit.  A larger query side must be chunked by the caller (each
+    # chunk is one independent top-k join; results union).
+    qrows = (qq.filter(F.col("qv").isNotNull())
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_join: query side exceeds max_queries="
+            f"{max_queries}; chunk the query set and union the "
+            f"per-chunk results (each chunk is an independent "
+            f"top-k join), or raise max_queries if the driver can "
+            f"hold the block")
     qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
     Q = (np.array([r["qv"] for r in qrows], dtype=np.float64)
          if qrows else np.zeros((0, 1)))

@@ -164,6 +164,15 @@ def test_degenerate_vectors_every_similarity_op_returns(spark):
                  zero, "qid", "qvec", "id", "vec", k=2,
                  vectorized=vec).collect()}
         assert j == {(2, 2), (2, 3), (3, 2), (3, 3)}, (vec, j)
+    # the vectorized path's query collect is LOUDLY capped (bounded-
+    # collect discipline) — an over-cap query side must raise with the
+    # chunking instruction, never silently OOM the driver
+    import pytest
+    with pytest.raises(ValueError, match="max_queries"):
+        S.brute_force_topk_join(
+            zero.withColumnRenamed("id", "qid")
+                .withColumnRenamed("vec", "qvec"),
+            zero, "qid", "qvec", "id", "vec", k=1, max_queries=1)
 
 
 def test_degenerate_sketch_and_drift_inputs(spark):
