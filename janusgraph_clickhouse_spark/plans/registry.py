@@ -197,58 +197,64 @@ def query(name: str, oracle: str | None = None):
 # round, per the standing rule; `python tools/rotation.py` — now the
 # mechanical recount — MATCHED the r11 pre-derivation name-for-name,
 # third time running).  Verified over
-# ROUND-12 WINDOW (re-derived from the correctness files via
-# `python tools/rotation.py` this round; recount MATCHED the r11
-# pre-derivation name-for-name, fourth round running).
-# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10+r11.json: newest-real-green-row
-# histogram is 50×r11 + 50×r10 + 48×r9 + 32×r8 = 180; CORRECTNESS_r11
-# is 50/50 green (no rule-3 traffic); zero registrations rounds 8-11,
-# N stays 180, horizon lag stays ceil(180/50) = 4 files.  Window:
-# 1. LEAD COHORT: the 32 r8-row names r11 left unwindowed — their r8
-#    rows leave the horizon {r9,r10,r11,r12} when r12's file lands
-#    (ten g names — g clears the sentinel bar from the lead alone);
-# 2. rule 2, pre-declared late-r11 (see the freeze note below):
-#    the 8 shingle-spread tail names (l03 l18 l30 l31 l32 l34 l46
-#    l67 — dedup._spread_scan, result-identical, dual-scale
-#    re-verified at change time), the dense-id-remap routing trio
-#    (g03 g17 g24 — the weak-scaling study's VALUES-vs-cardinality
-#    gate fix; driver-fixture plans byte-identical via the identity
-#    gate), and s11 (directory-shaped events fixtures + the
-#    events_ts_unit footer-probe glob fix);
-# 3. 6 spares from the 48 r9-row names (stalest pool — all tied at
-#    r9, so picked for family balance + the r11 verdict's watch
-#    items): l57/l63 (two of the four unadjudicated BENCH_r11
-#    driver-tail movers — a fresh driver row alongside the r12 pin),
-#    g05 (BFS evidence), q41/q42 (sketch family), s12 (incremental
-#    MV).  The 42 r9-row names left unwindowed are r13's lead cohort.
-# Family sentinels in-window: 13 q, 14 g, 18 l, 5 s (≥2 each).
+# ROUND-13 WINDOW (re-derived from the correctness files via
+# `python tools/rotation.py` this round; recount MATCHED the r12
+# pre-derivation name-for-name, fifth round running).
+# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10+r11+r12.json:
+# newest-real-green-row histogram is 50×r12 + 50×r11 + 44×r10 +
+# 36×r9 = 180; CORRECTNESS_r12 is 50/50 green (no rule-3 traffic);
+# zero registrations rounds 8-12, N stays 180, horizon lag stays
+# ceil(180/50) = 4 files.  Window:
+# 1. LEAD COHORT: the 36 r9-row names r12 left unwindowed — their r9
+#    rows leave the horizon {r10,r11,r12,r13} when r13's file lands
+#    (8 g / 12 q / 5 s / 11 l — every family clears the ≥2 sentinel
+#    bar from the lead cohort alone);
+# 2. rule 2, pre-declared in the r12 pre-derivation (mid-r12 changes,
+#    all result-identical and sf0.01-parity-re-verified fresh-process
+#    at change time): l06/l17/l27 (embedding_near_dup_pairs computes
+#    scalar norm columns once per row below the block join — one dot
+#    + try_divide per pair, 1.8–2.8×; the take-1 unit-vector
+#    pre-normalization was superseded same-day, see PERF.md "take 2"),
+#    l19 (brute_force_topk_join vectorized BLAS default — x10
+#    18.9→0.85 s; the JVM form stays as vectorized=False with a
+#    cross-path equality property test; l55 also consumes it but is
+#    already in the lead cohort), g23 (band_width parameter refactor —
+#    registered semantics unchanged, band_width=None path re-verified;
+#    the absolute-band variant exists only as the non-registered
+#    g23_scc_absband scale probe);
+# 3. 9 spares from the 39 remaining r10-row names (stalest pool — all
+#    tied at r10, so picked for family balance + the r12 verdict's
+#    watch items): l43 (the one unadjudicated >1.4× BENCH_r12 mover —
+#    a fresh driver row alongside the r13 pin), l40/l50
+#    (closing-battery heavies), g04/g18 (CC + HITS evidence),
+#    q01/q06 (core relational), s06/s13 (streaming).  The 30 r10-row
+#    names left unwindowed are r14's lead cohort.
+# Family sentinels in-window: 14 q, 11 g, 18 l, 7 s (≥2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 32 horizon-critical r8-row names
-    "g07_traversal_semi_anti", "g08_path_query", "g09_in_traversal",
-    "g10_weighted_sssp", "g11_interaction_degree", "g12_motif_count",
-    "g13_topo_levels", "g29_copurchase_lift", "g31_betweenness",
-    "g32_weighted_sssp",
-    "q18_json_extract", "q20_group_collect", "q21_array_functions",
-    "q26_rollup", "q29_pivot", "q30_percentiles", "q35_range_step",
-    "q37_geo_within", "q44_delta_sum", "q45_ttl_partition_prune",
-    "q46_hll_mergeable_rollup",
-    "s14_gap_fill", "s16_lttb_downsample", "s20_incremental_hll",
-    "l13_hash_split", "l14_groupwise_normalize", "l15_label_centroids",
-    "l16_pipeline_composed", "l48_url_canonical_dedup",
-    "l49_fuzzy_linkage", "l52_source_report", "l62_winnow_pairs",
-    # rule 2: the 12 pre-declared late-r11 change names
-    "l03_minhash_lsh_pairs", "l18_dedup_clusters",
-    "l30_incremental_dedup", "l31_boilerplate_score",
-    "l32_containment_pairs", "l34_bloom_decontaminate",
-    "l46_lsh_banding_audit", "l67_leakage_free_split",
-    "g03_supplier_triangles", "g17_link_prediction",
-    "g24_local_clustering",
-    "s11_stateful_running_totals",
-    # rule 5/stalest-first: 6 spares from the 48 r9-row names
-    "g05_bfs_distances",
-    "q41_hll_distinct", "q42_cms_heavy_hitters",
-    "s12_incremental_rollup",
-    "l57_audio_rms", "l63_embedding_outliers",
+    # rule 1: the 36 horizon-critical r9-row names
+    "g20_random_walks", "g21_harmonic_centrality", "g22_biased_walks",
+    "g25_ktruss", "g26_assortativity", "g27_diameter", "g28_mis",
+    "g33_temporal_reachability",
+    "q47_map_aggregates", "q48_histogram_quantiles",
+    "q49_weighted_quantiles", "q50_range_frame_windows",
+    "q51_bitmap_segments", "q52_grouping_sets", "q53_topk_weighted",
+    "q54_top_event_paths", "q55_conditional_aggregates",
+    "q56_sliding_hll", "q57_jsonl_roundtrip", "q58_unpivot_measures",
+    "s17_sequence_match", "s18_sequence_count", "s19_stream_enrich",
+    "s21_interval_full_join", "s22_incremental_scd1",
+    "l53_paragraph_dedup", "l54_stratified_split", "l55_ann_recall_eval",
+    "l56_source_overlap_matrix", "l58_snapshot_diff",
+    "l59_vocab_js_drift", "l60_priority_dedup", "l61_overlap_chunks",
+    "l64_source_keyness", "l65_langid_confusion", "l66_length_ks_drift",
+    # rule 2: the 5 pre-declared mid-r12 change names
+    "l06_cosine_near_dup", "l17_lsh_blocked_near_dup", "l19_knn_join",
+    "l27_semantic_dedup_clusters",
+    "g23_scc",
+    # rule 5/stalest-first: 9 spares from the 39 remaining r10-row names
+    "l43_bpe_merges", "l40_pq_topk", "l50_knn_classify",
+    "g04_connected_components", "g18_hits",
+    "q01_slice_point", "q06_agg_pricing_summary",
+    "s06_time_rollup", "s13_decayed_score",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
@@ -310,37 +316,27 @@ REGISTERED_ROUND: dict[str, int] = {
     "q57_jsonl_roundtrip": 7, "q58_unpivot_measures": 7,
 }
 
-# ROUND-13 ROTATION, pre-derived (assuming CORRECTNESS_r12 lands
-# with the window above; rounds 8-12 registered nothing, N stays 180,
-# lag stays ceil(180/50) = 4 files).  At r13 the horizon is
-# {r10,r11,r12,r13}.  Window, in order:
-# 1. LEAD COHORT: the 36 r9-row names r12 left unwindowed — their r9
-#    rows leave the horizon when r13's file lands:
-#      g20 g21 g22 g25 g26 g27 g28 g33,
-#      q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 q57 q58,
-#      s17 s18 s19 s21 s22,
-#      l53 l54 l55 l56 l58 l59 l60 l61 l64 l65 l66
-#    (36 = 48 r9-rows − the 12 windowed at r12: rule-2 members
-#    g03 g17 g24 l30 l67 s11 + spares g05 q41 q42 s12 l57 l63;
-#    8 g / 12 q / 5 s / 11 l — every family clears the ≥2 sentinel
+# ROUND-14 ROTATION, pre-derived (assuming CORRECTNESS_r13 lands
+# with the window above; rounds 8-13 registered nothing, N stays 180,
+# lag stays ceil(180/50) = 4 files).  At r14 the horizon is
+# {r11,r12,r13,r14}.  Window, in order:
+# 1. LEAD COHORT: the 30 r10-row names r13 left unwindowed — their
+#    r10 rows leave the horizon when r14's file lands:
+#      g15 g16 g19 g30,
+#      q17 q19 q38 q39 q40 q43,
+#      s07 s08 s09 s10,
+#      l01 l05 l10 l11 l12 l33 l35 l36 l37 l38 l39 l41 l42 l44 l45 l51
+#    (30 = 44 r10-rows − the 14 windowed at r13: rule-2 members
+#    l06 l17 l19 l27 g23 + spares l43 l40 l50 g04 g18 q01 q06 s06 s13;
+#    4 g / 6 q / 4 s / 16 l — every family clears the ≥2 sentinel
 #    bar from the lead cohort alone).
-# 2. rule 2, ALREADY KNOWN (mid-r12 changes, all result-identical and
-#    sf0.01-parity-re-verified fresh-process at change time):
-#    l06/l17/l27 (embedding_near_dup_pairs now pre-normalizes unit
-#    vectors below the block join — one dot per pair; x10 71.5→30.2 s
-#    on l06), l19 (brute_force_topk_join vectorized BLAS default —
-#    x10 18.9→0.85 s; the JVM form stays as vectorized=False with a
-#    cross-path equality property test; l55 also consumes it but is
-#    already in the lead cohort), g23 (band_width parameter refactor —
-#    registered semantics unchanged, band_width=None path re-verified;
-#    the absolute-band variant exists only as the non-registered
-#    g23_scc_absband scale probe) + any red/any r13 change from r12's
-#    file.
-# 3. ~9 spares from the 50 r10-row names, stalest-first.
+# 2. rule 2: any implementation/oracle changed in r13 + any red from
+#    r13's file.
+# 3. ~20 spares from the 50 r11-row names, stalest-first.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
-# correctness files at r13 with `python tools/rotation.py` — the
+# correctness files at r14 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted
-# (r9/r10/r11/r12's survived the recount).
+# (r9/r10/r11/r12/r13's survived the recount).
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 
