@@ -9,6 +9,7 @@ per-bucket join stays bounded.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -77,17 +78,21 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
     the shuffle.  Two implementations, result-identical (zero-norm
     rows on either side are never neighbors, per cosine_expr):
 
-    - ``vectorized=True`` (default): the query matrix ships as one
-      broadcast numpy float64 block (same boundedness contract as the
-      JVM broadcast — chunk the query side externally if it outgrows
-      one executor); one Arrow pass over the corpus scores each batch
-      as a b×|Q| BLAS matmul of unit vectors and emits only the
-      PER-PARTITION top-k per query (selected by the same
-      HALF_UP-at-6dp + id order the final cut uses), so the window
-      shuffle sees ≤ partitions·|Q|·k rows instead of |C|·|Q|.
-      Measured r12 (x10 weak-scaling fixture, l19: 400 queries ×
-      20k corpus × dim 64): 18.9 s JVM-expression form → BLAS form,
-      see PERF.md.
+    - ``vectorized=True`` (default): the query matrix ships as
+      broadcast numpy float64 blocks of ≤ ``max_queries`` rows each
+      (larger query sides auto-chunk and union, r13 — same boundedness
+      contract as the JVM broadcast, one resident block per chunk);
+      one Arrow pass over the corpus scores each batch as a b×|Q|
+      BLAS matmul of unit vectors and emits only the PER-PARTITION
+      top-k per query (selected by the same HALF_UP-at-6dp + id order
+      the final cut uses), so the window shuffle sees ≤
+      partitions·|Q|·k rows instead of |C|·|Q|.  Measured r12 (x10
+      weak-scaling fixture, l19: 400 queries × 20k corpus × dim 64):
+      18.9 s JVM-expression form → 0.85 s BLAS form, see PERF.md.
+      Degenerate inputs behave exactly as the JVM form (r13): NULL /
+      ragged / NULL-element vectors and NULL ids on either side are
+      dropped, grouped or kept per the expression semantics — see
+      ``_topk_chunk_candidates``.
     - ``vectorized=False``: the original all-JVM form (crossJoin +
       zip_with cosine + full window) — kept as the semantics
       reference; the property suite pins both paths equal, zero-norm
@@ -121,29 +126,96 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
 
     spark = corpus.sparkSession
     out_schema = "query_id long, id long, cosine double"
-    # LOUD cap instead of a silent driver OOM (the bounded-collect
-    # discipline): max_queries=262144 bounds the collected block at
-    # ~128 MB for dim 64 — the same order as the JVM path's broadcast
-    # limit.  A larger query side must be chunked by the caller (each
-    # chunk is one independent top-k join; results union).
-    qrows = (qq.filter(F.col("qv").isNotNull())
-             .limit(max_queries + 1).collect())
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"brute_force_topk_join: query side exceeds max_queries="
-            f"{max_queries}; chunk the query set and union the "
-            f"per-chunk results (each chunk is an independent "
-            f"top-k join), or raise max_queries if the driver can "
-            f"hold the block")
-    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
-    Q = (np.array([r["qv"] for r in qrows], dtype=np.float64)
-         if qrows else np.zeros((0, 1)))
-    qn = np.linalg.norm(Q, axis=1) if len(qrows) else np.zeros(0)
+    # BOUNDED collect + CHUNK-AND-UNION above the bound (r13; was a
+    # loud raise): max_queries=262144 bounds each collected/broadcast
+    # query block at ~128 MB for dim 64 — the same order as the JVM
+    # path's broadcast limit.  A larger query side streams through
+    # toLocalIterator (the driver holds one scan partition + one chunk
+    # at a time); each max_queries-sized chunk runs the same
+    # independent scoring stage and ONE global window over the union
+    # cuts the final top-k, so duplicate query_ids split across chunks
+    # resolve exactly as the single-block form.  Broadcast residency:
+    # each chunk's query block stays referenced by the (lazy) returned
+    # plan — ceil(|Q|/max_queries) blocks resident until the result's
+    # last action; lower max_queries shrinks the per-block size but
+    # not the resident total.
+    qql = qq.withColumn("query_id", F.col("query_id").cast("long")) \
+            .filter(F.col("qv").isNotNull())
+    ccl = cc.withColumn("id", F.col("id").cast("long"))
+    head = qql.limit(max_queries + 1).collect()
+    chunks = (_row_chunks(qql.toLocalIterator(), max_queries)
+              if len(head) > max_queries else iter([head]))
+    parts = [p for rows in chunks
+             if (p := _topk_chunk_candidates(
+                 spark, qql.schema, rows, ccl, k, exclude_self,
+                 out_schema)) is not None]
+    if not parts:
+        return (spark.createDataFrame([], out_schema)
+                .withColumn("cosine", F.round("cosine", 6)))
+    local = functools.reduce(DataFrame.unionByName, parts)
+    return (local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def _row_chunks(rows, size: int):
+    buf = []
+    for r in rows:
+        buf.append(r)
+        if len(buf) == size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
+                           exclude_self: bool, out_schema: str):
+    """One query chunk → its pre-window candidate rows (rounded cosine,
+    JVM-equal filters applied); the CALLER owns the global top-k
+    window.  Returns None for a chunk that can emit nothing.
+
+    A clean chunk (non-NULL query ids, one uniform dim, no NULL vector
+    elements) takes the Arrow/BLAS path.  A chunk with degenerate QUERY
+    rows falls back — whole chunk — to the exact crossJoin expression
+    form (NULL query_id keeps its own window group, ragged dims and
+    NULL elements yield NULL cosine and drop, exactly as the JVM path;
+    the fallback re-scans the corpus per degenerate chunk, acceptable
+    because degenerate chunks are the exception).  Degenerate CORPUS
+    rows are handled in-path at zero extra scans: dim-mismatch and
+    NULL-element vectors drop scan-side (JVM-equal — their cosine is
+    NULL), NULL corpus ids drop under exclude_self (NULL != query_id
+    is never true) and are otherwise scored and emitted with the
+    NULLS FIRST id tiebreak the global window uses.  The local 6dp
+    HALF_UP cut can differ from Spark's round by ~1 ulp at an exact
+    6dp boundary, so cross-path identity is property-pinned but
+    probabilistic at that boundary, not proven.
+    """
+    if not qrows:
+        return None
+    qids_raw = [r["query_id"] for r in qrows]
+    try:
+        Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+        clean = Q.ndim == 2 and all(i is not None for i in qids_raw)
+    except (TypeError, ValueError):
+        clean = False  # ragged dims or NULL elements in a query vector
+    if not clean:
+        qdf = spark.createDataFrame(qrows, q_schema)
+        scored = (cc.crossJoin(F.broadcast(qdf))
+                  .withColumn("cosine",
+                              F.round(cosine_expr("cv", "qv"), 6))
+                  .drop("cv", "qv"))
+        if exclude_self:
+            scored = scored.filter(F.col("id") != F.col("query_id"))
+        return scored.filter(F.col("cosine").isNotNull())
+
+    qids = np.fromiter((int(i) for i in qids_raw), dtype=np.int64,
+                       count=len(qids_raw))
+    qn = np.linalg.norm(Q, axis=1)
     keep = qn > 0  # zero-norm query: cosine undefined for every row
     qids, Q, qn = qids[keep], Q[keep], qn[keep]
     if len(qids) == 0:
-        return (spark.createDataFrame([], out_schema)
-                .withColumn("cosine", F.round("cosine", 6)))
+        return None
+    qdim = Q.shape[1]
     bq = spark.sparkContext.broadcast((qids, Q / qn[:, None]))
     kk, excl = int(k), bool(exclude_self)
 
@@ -153,42 +225,60 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+            notna = pdf["id"].notna().to_numpy()
+            if excl and not notna.all():
+                # JVM drops NULL-id rows here: NULL != query_id filters
+                pdf = pdf[notna]
+                notna = notna[notna]
+                if len(pdf) == 0:
+                    continue
+            ids = pdf["id"].fillna(0).to_numpy(dtype=np.int64)
             C = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf["cv"]])
             cn = np.linalg.norm(C, axis=1)
             ok = cn > 0
-            ids, C, cn = ids[ok], C[ok], cn[ok]
+            ids, notna, C, cn = ids[ok], notna[ok], C[ok], cn[ok]
             if len(ids) == 0:
                 continue
             S = (C / cn[:, None]) @ Qn_.T  # b × |Q|
             # local cut by the FINAL cut's order: HALF_UP-away-from-
-            # zero at 6dp (Spark ROUND semantics), then id ascending —
-            # a raw-float local cut could drop a row that TIES at 6dp
-            # with a kept one but wins the id tiebreak globally
+            # zero at 6dp (Spark ROUND semantics), then id ascending
+            # NULLS FIRST — a raw-float local cut could drop a row
+            # that TIES at 6dp with a kept one but wins the id
+            # tiebreak globally
             Sq = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)
-            oq, oi, oc = [], [], []
+            ids_all_notna = bool(notna.all())
+            nn = None if ids_all_notna else notna.astype(np.int8)
+            oq, oiv, oim, oc = [], [], [], []
             for j in range(len(qids_)):
                 cand = (np.nonzero(ids != qids_[j])[0] if excl
                         else np.arange(len(ids)))
                 if len(cand) == 0:
                     continue
-                sel = cand[np.lexsort((ids[cand], -Sq[cand, j]))[:kk]]
+                keys = ((ids[cand], -Sq[cand, j]) if ids_all_notna
+                        else (ids[cand], nn[cand], -Sq[cand, j]))
+                sel = cand[np.lexsort(keys)[:kk]]
                 oq.append(np.full(len(sel), qids_[j], dtype=np.int64))
-                oi.append(ids[sel])
+                oiv.append(ids[sel])
+                oim.append(~notna[sel])
                 oc.append(S[sel, j])
             if oq:
+                mask = np.concatenate(oim)
+                vals = np.concatenate(oiv)
+                idcol = (pd.arrays.IntegerArray(vals, mask=mask)
+                         if mask.any() else vals)
                 yield pd.DataFrame({"query_id": np.concatenate(oq),
-                                    "id": np.concatenate(oi),
+                                    "id": idcol,
                                     "cosine": np.concatenate(oc)})
 
     from .dedup import _spread_scan
-    # NULL vectors are never neighbors (JVM path: NULL cosine filtered)
-    local = _spread_scan(cc.filter(F.col("cv").isNotNull())) \
-        .mapInPandas(score, schema=out_schema)
-    return (local.withColumn("cosine", F.round("cosine", 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).drop("rn"))
+    # JVM-equal scan-side drops: NULL vectors, dim-mismatch and
+    # NULL-element vectors all have NULL cosine in the expression form
+    base = cc.filter(F.col("cv").isNotNull()
+                     & (F.size("cv") == qdim)
+                     & ~F.exists("cv", lambda x: x.isNull()))
+    local = _spread_scan(base).mapInPandas(score, schema=out_schema)
+    return local.withColumn("cosine", F.round("cosine", 6))
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

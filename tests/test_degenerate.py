@@ -164,15 +164,22 @@ def test_degenerate_vectors_every_similarity_op_returns(spark):
                  zero, "qid", "qvec", "id", "vec", k=2,
                  vectorized=vec).collect()}
         assert j == {(2, 2), (2, 3), (3, 2), (3, 3)}, (vec, j)
-    # the vectorized path's query collect is LOUDLY capped (bounded-
-    # collect discipline) — an over-cap query side must raise with the
-    # chunking instruction, never silently OOM the driver
-    import pytest
-    with pytest.raises(ValueError, match="max_queries"):
-        S.brute_force_topk_join(
-            zero.withColumnRenamed("id", "qid")
-                .withColumnRenamed("vec", "qvec"),
-            zero, "qid", "qvec", "id", "vec", k=1, max_queries=1)
+    # the vectorized path's query collect stays BOUNDED (bounded-
+    # collect discipline) — an over-cap query side auto-chunks through
+    # max_queries-sized blocks (r13; was a loud raise) and the union +
+    # global window must equal both the single-block vectorized form
+    # and the JVM reference form
+    qz = (zero.withColumnRenamed("id", "qid")
+              .withColumnRenamed("vec", "qvec"))
+    want = sorted((r.query_id, r.id, r.cosine)
+                  for r in S.brute_force_topk_join(
+                      qz, zero, "qid", "qvec", "id", "vec", k=1,
+                      vectorized=False).collect())
+    chunked = sorted((r.query_id, r.id, r.cosine)
+                     for r in S.brute_force_topk_join(
+                         qz, zero, "qid", "qvec", "id", "vec", k=1,
+                         max_queries=1).collect())
+    assert chunked == want
 
 
 def test_degenerate_sketch_and_drift_inputs(spark):

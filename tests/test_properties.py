@@ -1028,6 +1028,62 @@ def test_topk_join_vectorized_equals_jvm_path(spark, seed, n_corpus,
 
 
 @SPARK_FAST
+@given(seed=st.integers(0, 9999), n_corpus=st.integers(2, 16),
+       n_queries=st.integers(2, 6), k=st.integers(1, 4),
+       max_queries=st.integers(1, 3), excl=st.booleans())
+def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
+                                                    n_corpus, n_queries,
+                                                    k, max_queries,
+                                                    excl):
+    """r13 hardening pins: the auto-chunked vectorized top-k join
+    (query side split across max_queries-sized broadcast blocks, one
+    global window over the union) must be row-identical to the all-JVM
+    crossJoin form — INCLUDING every degenerate-input class the r12
+    ADVICE named: NULL corpus ids (kept with the NULLS FIRST tiebreak,
+    dropped under exclude_self), NULL query_id (its own window group —
+    routes that chunk to the expression fallback), ragged-dim and
+    NULL-element vectors on both sides (NULL cosine → dropped), and
+    duplicate query_ids split across chunks."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        brute_force_topk_join)
+    rng = np.random.RandomState(seed)
+    dim = 4
+    corpus = rng.randn(n_corpus, dim) + 0.1
+    crows = [(None if rng.rand() < 0.2 else i, corpus[i].tolist())
+             for i in range(n_corpus)]
+    crows.append((n_corpus, [1.0, None, 0.5, 0.2]))  # NULL element
+    crows.append((n_corpus + 1, [1.0, 0.5]))         # ragged dim
+    cdf = spark.createDataFrame(crows, "id long, v array<double>")
+    qrows = []
+    for j in range(n_queries):
+        qid = (None if rng.rand() < 0.2
+               else int(rng.randint(0, max(2, n_corpus))))  # dups live
+        draw = rng.rand()
+        if draw < 0.15:
+            qv = [1.0, 0.3]                          # ragged query
+        elif draw < 0.3:
+            qv = [0.2, None, 0.1, 0.4]               # NULL element
+        else:
+            qv = (rng.randn(dim) + 0.1).tolist()
+        qrows.append((qid, qv))
+    qdf = spark.createDataFrame(qrows, "qid long, qv array<double>")
+
+    def canon(df):
+        return sorted(
+            tuple((v is not None, v if v is not None else 0)
+                  for v in (r.query_id, r.id, r.cosine))
+            for r in df.collect())
+
+    want = canon(brute_force_topk_join(
+        qdf, cdf, "qid", "qv", "id", "v", k=k, exclude_self=excl,
+        vectorized=False))
+    got = canon(brute_force_topk_join(
+        qdf, cdf, "qid", "qv", "id", "v", k=k, exclude_self=excl,
+        max_queries=max_queries))
+    assert got == want
+
+
+@SPARK_FAST
 @given(seed=st.integers(0, 9999), n_pts=st.integers(1, 40),
        n_keys=st.integers(1, 3), width=st.sampled_from([10, 60, 600]))
 def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,
