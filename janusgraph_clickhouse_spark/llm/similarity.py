@@ -273,10 +273,14 @@ def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
 
     from .dedup import _spread_scan
     # JVM-equal scan-side drops: NULL vectors, dim-mismatch and
-    # NULL-element vectors all have NULL cosine in the expression form
+    # NULL-element vectors all have NULL cosine in the expression form.
+    # The null-element probe is size(array_compact) == size — NOT
+    # F.exists(isNull): higher-order functions are interpreted
+    # per-element (the unit_expr lesson above) and the exists form
+    # measurably dragged the x10 scan.
     base = cc.filter(F.col("cv").isNotNull()
                      & (F.size("cv") == qdim)
-                     & ~F.exists("cv", lambda x: x.isNull()))
+                     & (F.size(F.array_compact("cv")) == qdim))
     local = _spread_scan(base).mapInPandas(score, schema=out_schema)
     return local.withColumn("cosine", F.round("cosine", 6))
 
