@@ -53,7 +53,7 @@ def test_betweenness_random_graphs_match_reference(spark, edges):
     import hashlib
     from janusgraph_clickhouse_spark.graph.algorithms import (
         betweenness_approx)
-    from .test_graph_algorithms import _ref_micro_brandes
+    from .test_graph_algorithms2 import _ref_micro_brandes
     sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
     verts = sorted({v for p in sym for v in p})
     md5h = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
@@ -536,399 +536,3 @@ def test_lcc_and_triangles_match_reference(spark, pairs, sparse):
     for v, (deg, lcc) in want.items():
         assert got[v][0] == deg, (v, got[v], deg)
         assert abs(got[v][1] - lcc) <= 1e-6, (v, got[v], lcc)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                     min_size=1, max_size=16))
-def test_diameter_double_sweep_matches_reference(spark, pairs):
-    """The double-sweep diameter estimate is fully deterministic
-    (min-id seed; farthest = max distance then min id) — a pure-Python
-    replica must reproduce ALL five output fields, and the estimate
-    must lower-bound the true diameter of the seed's component."""
-    from collections import deque
-
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        diameter_estimate)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    assume(pairs)
-    adj = {}
-    for a, b in pairs:
-        adj.setdefault(a, set())
-        adj.setdefault(b, set())
-        if a != b:
-            adj[a].add(b)
-            adj[b].add(a)
-
-    def bfs(s):
-        d = {s: 0}
-        q = deque([s])
-        while q:
-            u = q.popleft()
-            for v in adj[u]:
-                if v not in d:
-                    d[v] = d[u] + 1
-                    q.append(v)
-        return d
-
-    source = min(adj)
-    d1 = bfs(source)
-    ecc1 = max(d1.values())
-    far1 = min(v for v, h in d1.items() if h == ecc1)
-    d2 = bfs(far1)
-    ecc2 = max(d2.values())
-    far2 = min(v for v, h in d2.items() if h == ecc2)
-    row = diameter_estimate(graph_from_edge_list(spark,
-                                                 sorted(pairs))).first()
-    assert (row.source_id, row.sweep1_far, row.sweep1_ecc,
-            row.sweep2_far, row.diameter_estimate) == (
-        source, far1, ecc1, far2, ecc2), sorted(pairs)
-    # lower-bound property against brute-force all-pairs
-    comp = d1.keys()
-    true_diam = max(max(bfs(s).values()) for s in comp)
-    assert ecc2 <= true_diam
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_hits_random_digraphs_match_reference(spark, pairs):
-    """HITS (4 unnormalized synchronous half-step pairs, one final L1
-    normalization) on arbitrary small digraphs matches a pure-Python
-    replica to 1e-9 — guards the deferred-normalization restructure
-    and the message-aggregate-only loop (vertices absent from the
-    carried aggregates are exactly the zero scores)."""
-    from janusgraph_clickhouse_spark.graph.algorithms import hits
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    h = {v: 1.0 for v in verts}
-    for _ in range(4):
-        a = {v: sum(h[u] for u, x in pairs if x == v) for v in verts}
-        h = {v: sum(a[x] for u, x in pairs if u == v) for v in verts}
-    ht, at = sum(h.values()), sum(a.values())
-    want = {v: (h[v] / ht if ht > 0 else 0.0,
-                a[v] / at if at > 0 else 0.0) for v in verts}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {r.id: (r.hub, r.authority)
-           for r in hits(g, max_iter=4).collect()}
-    assert set(got) == set(want)
-    for v in verts:
-        assert abs(got[v][0] - want[v][0]) <= 1e-9, (v, got[v], want[v])
-        assert abs(got[v][1] - want[v][1]) <= 1e-9, (v, got[v], want[v])
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16))
-def test_ppr_random_digraphs_match_reference(spark, pairs):
-    """Personalized PageRank (6 fixed supersteps, dangling mass
-    teleports to the SOURCES) on arbitrary small digraphs matches a
-    pure-Python replica to 1e-9, and sum(rank) == 1 holds."""
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        personalized_pagerank)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    verts = sorted({v for p in pairs for v in p})
-    src = verts[0]
-    out_deg = {v: 0 for v in verts}
-    for a, _ in pairs:
-        out_deg[a] += 1
-    p = {v: (1.0 if v == src else 0.0) for v in verts}
-    r = dict(p)
-    d = 0.85
-    for _ in range(6):
-        msg = {v: 0.0 for v in verts}
-        for a, b in sorted(pairs):
-            msg[b] += r[a] / out_deg[a]
-        dang = sum(r[v] for v in verts if out_deg[v] == 0)
-        r = {v: ((1 - d) + d * dang) * p[v] + d * msg[v]
-             for v in verts}
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {row.id: row.rank
-           for row in personalized_pagerank(g, [src]).collect()}
-    assert set(got) == set(r)
-    for v in verts:
-        assert abs(got[v] - r[v]) <= 1e-9, (v, got[v], r[v])
-    assert abs(sum(got.values()) - 1.0) <= 1e-9
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)),
-                     min_size=1, max_size=18))
-def test_directed_modularity_matches_reference(spark, pairs):
-    """Directed modularity (Leicht-Newman) of the id%3 partition on
-    arbitrary small digraphs matches a pure-Python replica of the
-    micro-quantized per-community sum (floor(term·1e9 + 0.5), summed
-    as exact integers) — guards the full-outer degree join and the
-    coalesce(0) within-edges handling."""
-    import math
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        directed_modularity)
-    m = len(pairs)
-    comms = sorted({v % 3 for p in pairs for v in p})
-    s = 0
-    n_comm = 0
-    for c in comms:
-        ec = sum(1 for a, b in pairs if a % 3 == c and b % 3 == c)
-        dout = sum(1 for a, _ in pairs if a % 3 == c)
-        din = sum(1 for _, b in pairs if b % 3 == c)
-        if dout == 0 and din == 0:
-            continue
-        n_comm += 1
-        term = ec / m - (din / m) * (dout / m)
-        s += math.floor(term * 1e9 + 0.5)
-    e = spark.createDataFrame(sorted(pairs), "src long, dst long")
-    verts = sorted({v for p in pairs for v in p})
-    lab = spark.createDataFrame([(v, v % 3) for v in verts],
-                                "id long, community long")
-    row = directed_modularity(e, lab).first()
-    assert (row.n_communities, row.n_edges) == (n_comm, m), sorted(pairs)
-    assert abs(row.modularity - s / 1e9) <= 5.1e-7, (row.modularity, s)
-
-
-@SPARK_FAST
-@given(raw=st.sets(st.tuples(st.integers(0, 7), st.integers(0, 7)),
-                   min_size=1, max_size=16))
-def test_longest_path_levels_random_dags_match_reference(spark, raw):
-    """Longest-path topological levels on random DAGs (edges oriented
-    low→high, so acyclic by construction) match the ascending-order
-    DP: level(v) = max over in-edges of level(u)+1, sources at 0."""
-    from hypothesis import assume
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        longest_path_levels)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
-    assume(edges)
-    verts = sorted({v for p in edges for v in p})
-    level = {v: 0 for v in verts}
-    for v in verts:  # ascending id = topological order here
-        for a, b in edges:
-            if b == v:
-                level[v] = max(level[v], level[a] + 1)
-    g = graph_from_edge_list(spark, edges)
-    got = {r.id: r.level for r in longest_path_levels(g).collect()}
-    assert got == level, edges
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                     min_size=1, max_size=14),
-       pq=st.sampled_from([(1.0, 1.0), (2.0, 0.5), (0.5, 2.0)]))
-def test_biased_walks_random_digraphs_match_reference(spark, pairs, pq):
-    """node2vec biased walks (Efraimidis-Spirakis race keyed by
-    md5(seed:walk:step:cand), 12dp-rounded, min (key, cand) wins) on
-    arbitrary small digraphs match a pure-Python replica step for
-    step — guards the (1/p, 1, 1/q) weight classification (NULL prev
-    at step 1 → outward), the triangle left-join, and walk death at
-    sink vertices."""
-    import hashlib
-    import math
-
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        biased_random_walks)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    p, q = pq
-    edgeset = set(pairs)
-    adj = {}
-    for a, b in pairs:
-        adj.setdefault(a, []).append(b)
-    verts = sorted({v for e in pairs for v in e})
-    sources = verts[:2]
-    want = {(s, 0, s) for s in sources}
-    state = {s: (None, s) for s in sources}  # walk -> (prev, cur)
-    for t in range(1, 4):
-        nxt = {}
-        for walk, (prev, cur) in state.items():
-            cands = adj.get(cur, [])
-            if not cands:
-                continue
-
-            def race(c):
-                hx = hashlib.md5(
-                    f"w:{walk}:{t}:{c}".encode()).hexdigest()[:8]
-                u = (int(hx, 16) + 1) / 4294967296.0
-                if prev is not None and c == prev:
-                    w = 1.0 / p
-                elif prev is not None and (prev, c) in edgeset:
-                    w = 1.0
-                else:
-                    w = 1.0 / q
-                return round(-math.log(u) / w, 12)
-
-            winner = min(cands, key=lambda c: (race(c), c))
-            nxt[walk] = (cur, winner)
-            want.add((walk, t, winner))
-        state = nxt
-    g = graph_from_edge_list(spark, sorted(pairs))
-    got = {(r.walk_id, r.step, r.vertex)
-           for r in biased_random_walks(g, sources, steps=3,
-                                        p=p, q=q, seed="w").collect()}
-    assert got == want, (sorted(pairs), pq)
-
-
-@SPARK_FAST
-@given(pairs=st.sets(st.tuples(st.integers(0, 4), st.integers(0, 4)),
-                     min_size=1, max_size=10))
-def test_motif_find_matches_brute_force(spark, pairs):
-    """Motif matching compiled to joins on arbitrary small digraphs
-    matches brute-force binding enumeration — the 2-path, the directed
-    3-cycle (with and without isomorphic distinct-vertices filtering),
-    and a disconnected pattern (the crossJoin arm)."""
-    from itertools import product
-
-    from janusgraph_clickhouse_spark.graph.motif import find
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    E = set(pairs)
-    verts = sorted({v for p in pairs for v in p})
-    g = graph_from_edge_list(spark, sorted(pairs))
-
-    def brute(pattern, distinct_vertices=False):
-        vs = sorted({v for s, _, d in pattern for v in (s, d)})
-        out = set()
-        for combo in product(verts, repeat=len(vs)):
-            env = dict(zip(vs, combo))
-            if distinct_vertices and len(set(combo)) < len(vs):
-                continue
-            if all((env[s], env[d]) in E for s, _, d in pattern):
-                out.add(tuple(env[v] for v in vs))
-        return out
-
-    patterns = [
-        ([("a", None, "b"), ("b", None, "c")], False),
-        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], False),
-        ([("x", None, "y"), ("y", None, "z"), ("z", None, "x")], True),
-        ([("a", None, "b"), ("c", None, "d")], False),  # disconnected
-    ]
-    for pattern, dv in patterns:
-        got = {tuple(r) for r in find(g, pattern,
-                                      distinct_vertices=dv).collect()}
-        assert got == brute(pattern, dv), (sorted(pairs), pattern, dv)
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
-                     min_size=1, max_size=16),
-       seed=st.integers(0, 999), times=st.integers(1, 3))
-def test_repeat_traversal_matches_python_replica(spark, edges, seed,
-                                                 times):
-    """Traversal.repeat() vs python replicas on random digraphs, both
-    modes (the g14 surface).  times=n is BAG semantics — the endpoint
-    multiset counts every distinct n-edge walk; until=pred is
-    BFS-with-SET semantics — stopped traversers exit at their current
-    vertex, visited vertices never re-expand, result = the set of
-    stop positions reachable under those rules."""
-    from collections import Counter
-    from pyspark.sql import functions as F
-    from janusgraph_clickhouse_spark.graph.model import PropertyGraph
-    from janusgraph_clickhouse_spark.graph.traversal import Traversal
-    rng = np.random.RandomState(seed)
-    verts = sorted({v for p in edges for v in p})
-    labels = {v: ("stop" if rng.rand() < 0.4 else "go") for v in verts}
-    vdf = spark.createDataFrame([(v, labels[v]) for v in verts],
-                                "id long, label string")
-    edf = spark.createDataFrame(sorted(edges),
-                                "src long, dst long")
-    g = PropertyGraph(vdf, edf.select("src", "dst",
-                                      F.lit("e").alias("label")))
-    starts = sorted(rng.choice(verts, size=min(2, len(verts)),
-                               replace=False).tolist())
-    adj = {}
-    for s, d in edges:
-        adj.setdefault(s, []).append(d)
-    # times-mode: bag semantics, multiset of n-hop walk endpoints
-    got_bag = Counter(r.id for r in Traversal.V(g, *starts).repeat(
-        lambda t: t.out(), times=times).frontier.collect())
-    frontier = Counter(starts)
-    for _ in range(times):
-        nxt = Counter()
-        for v, c in frontier.items():
-            for d in adj.get(v, []):
-                nxt[d] += c
-        frontier = nxt
-    assert got_bag == frontier
-    # until-mode: BFS set semantics, stop at label == 'stop'
-    got_set = {r.id for r in Traversal.V(g, *starts).repeat(
-        lambda t: t.out(),
-        until=lambda t: t.has_label("stop")).frontier.collect()}
-    cur, visited, done = set(starts), set(starts), set()
-    for _ in range(20):
-        stop = {v for v in cur if labels[v] == "stop"}
-        done |= stop
-        active = cur - stop
-        nxt = {d for v in active for d in adj.get(v, [])} - visited
-        if not nxt:
-            break
-        visited |= nxt
-        cur = nxt
-    assert got_set == done
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 11), st.integers(0, 11))
-                     .filter(lambda t: t[0] != t[1]),
-                     min_size=4, max_size=30),
-       offset=st.sampled_from([0, 9_999, 6_000_000_007]))
-def test_adamic_adar_remap_paths_match_join_on_random_graphs(
-        spark, edges, offset):
-    """Late-r11 dense-id remap: on random graphs under random id
-    offsets, the cardinality-routed bit-matrix paths must reproduce
-    the join path exactly — scores, counts, ORIGINAL ids, cut order.
-    offset=0 exercises the identity gates; the huge offset exercises
-    the monotone remap (id VALUES must not matter — the scale-study
-    finding)."""
-    from janusgraph_clickhouse_spark.graph.algorithms import adamic_adar
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    g = graph_from_edge_list(
-        spark, [(a + offset, b + offset) for a, b in sorted(edges)])
-    def rows(**kw):
-        return [(r.u, r.v, r.common_neighbors, r.adamic_adar)
-                for r in adamic_adar(g, top=50, **kw).collect()]
-    join = rows(dense_max_nodes=0, dist_max_nodes=0)
-    dense = rows()
-    dist = rows(dense_max_nodes=0)
-    assert dense == join
-    # tiny graphs pass the Σd² gate (n³ is small), so the dist tier
-    # really runs; if the gate ever rejects, the join path answers —
-    # either way the rows must match
-    assert dist == join
-
-
-@SPARK_FAST
-@given(edges=st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9))
-                     .filter(lambda t: t[0] != t[1]),
-                     min_size=3, max_size=24),
-       offset=st.sampled_from([0, 7_000_000_001]))
-def test_local_clustering_remap_matches_reference(spark, edges, offset):
-    """LCC under random graphs + offsets: the routed dense/tile paths
-    must equal a python reference on the canonical undirected graph."""
-    from collections import defaultdict
-    from janusgraph_clickhouse_spark.graph.algorithms import (
-        local_clustering)
-    from janusgraph_clickhouse_spark.graph.model import (
-        graph_from_edge_list)
-    canon = {(min(a, b), max(a, b)) for a, b in edges}
-    nbrs = defaultdict(set)
-    for a, b in canon:
-        nbrs[a].add(b)
-        nbrs[b].add(a)
-    expect = {}
-    for v, nv in nbrs.items():
-        d = len(nv)
-        tri = sum(len(nbrs[u] & nv) for u in nv) // 2
-        expect[v + offset] = (d, 0.0 if d < 2 else
-                              round(2.0 * tri / (d * (d - 1)), 6))
-    g = graph_from_edge_list(
-        spark, [(a + offset, b + offset) for a, b in sorted(edges)])
-    got = {r.id: (r.degree, r.lcc)
-           for r in local_clustering(g).collect()}
-    assert got == expect
