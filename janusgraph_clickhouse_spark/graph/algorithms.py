@@ -665,11 +665,24 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
                  F.sequence(F.lit(0), F.lit(hub_salt - 1)))
                  .otherwise(F.array(F.lit(0)))))
              .drop("_hub"))
-    hop = (left.join(right, ["w", "_salt"])
+    # The wedge legs and the existing-edge side are |E|-scaled — NEVER
+    # broadcastable on this path (it only runs above the dense-tier
+    # caps, i.e. on big graphs by construction).  Catalyst's size
+    # estimate for them comes from the compressed two-long edge scan
+    # (or the checkpointed derivation) and lands UNDER the 64 MB
+    # auto-broadcast threshold while the in-memory hash table is GBs:
+    # the r13 x30 study watched the wedge join get planned as a
+    # BroadcastHashJoin over a 43M-row build side and kill the 8g
+    # driver ("Not enough memory to build and broadcast").  Explicit
+    # strategy hints, not threshold tweaks: merge for the wedge legs
+    # (sort spills; the join output streams into the partial agg) and
+    # a per-partition shuffle_hash build for the anti-join.
+    hop = (left.join(right.hint("merge"), ["w", "_salt"])
            .filter(F.col("u") < F.col("v")))
-    # deg is |V|-sized — NOT broadcast (AQE may still choose to); the
-    # wedge join above already hashed on (w, salt), so this re-shuffles
-    # only the surviving u<v half
+    # deg is |V|-sized — NOT explicitly broadcast (AQE may still choose
+    # to, which is right while |V| fits); the wedge join above already
+    # hashed on (w, salt), so this re-shuffles only the surviving
+    # u<v half
     scores = (hop.join(deg, "w")
               .groupBy("u", "v")
               .agg(F.count(F.lit(1)).alias("common_neighbors"),
@@ -677,7 +690,8 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
                    .alias("adamic_adar")))
     existing = sym.select(F.least("src", "dst").alias("u"),
                           F.greatest("src", "dst").alias("v")).distinct()
-    return (scores.join(existing, ["u", "v"], "left_anti")
+    return (scores.join(existing.hint("shuffle_hash"), ["u", "v"],
+                        "left_anti")
             .orderBy(F.col("adamic_adar").desc(), "u", "v")
             .limit(top))
 
