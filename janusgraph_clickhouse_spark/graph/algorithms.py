@@ -461,8 +461,18 @@ def label_propagation(graph: PropertyGraph, max_iter: int = 4) -> DataFrame:
     state = graph.vertices.select("id", F.col("id").alias("community"))
     w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("community"))
     for t in range(max_iter):
+        # shuffle_hash BUILT ON THE STATE side: state is |V|-bounded
+        # (per-partition build = |V|/width rows) and aug's
+        # repartition(width, src) is reused as the join distribution,
+        # so only state shuffles per superstep.  Without the hint,
+        # Catalyst sizes the un-materialized |E|-scaled aug from the
+        # compressed scan and plans a broadcast BUILD OF AUG — the
+        # r13 x30 study watched that build exhaust the 8g driver
+        # ("Not enough memory to build and broadcast", g16 at 43M
+        # oriented edges).
         votes = (aug.join(state.select(F.col("id").alias("src"),
-                                       "community"), "src")
+                                       "community")
+                          .hint("shuffle_hash"), "src")
                  .groupBy(F.col("dst").alias("id"), "community")
                  .agg(F.sum("w").alias("votes")))
         state = (votes.withColumn("_rn", F.row_number().over(w))
@@ -939,9 +949,15 @@ def triangle_count(graph: PropertyGraph) -> int:
     oriented = _degree_oriented_edges(graph).cache()
     wedges = _oriented_wedges(oriented)
     # the closing edge b—c has rank(b) < rank(c), so it is stored
-    # oriented exactly as (b, c): a plain equi-join, no OR-of-directions
+    # oriented exactly as (b, c): a plain equi-join, no OR-of-directions.
+    # shuffle_hash, not auto-broadcast: closer is |E|-scaled and the
+    # un-materialized cache reports the child plan's (compressed-scan)
+    # size estimate, so Catalyst will happily plan a GB-scale broadcast
+    # build off a 40 MB estimate (the r13 x30 g24 death, same class as
+    # the AA wedge join above); the per-partition hash build is bounded
+    # by |E|/partitions and the huge wedge side streams un-sorted
     closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    n = wedges.join(closer, ["b", "c"]).count()
+    n = wedges.join(closer.hint("shuffle_hash"), ["b", "c"]).count()
     oriented.unpersist()
     return n
 
@@ -978,7 +994,10 @@ def _oriented_wedges(oriented: DataFrame) -> DataFrame:
                          F.col("db").alias("dc"))
     rank_lt = (F.col("db") < F.col("dc")) | (
         (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    return o1.join(o2, "a").filter(rank_lt)
+    # both sides are |E|-scaled — never a broadcast build (the r13
+    # x30 lesson: the pre-materialization cache estimate undersizes
+    # the edge relation); per-partition hash build stays |E|/partitions
+    return o1.join(o2.hint("shuffle_hash"), "a").filter(rank_lt)
 
 
 def triangle_count_dense(edges: DataFrame, n_nodes: int) -> DataFrame:
@@ -2137,7 +2156,10 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
         wedges = _oriented_wedges(oriented)
         closer = oriented.select(F.col("a").alias("b"),
                                  F.col("b").alias("c"))
-        tri = (wedges.join(closer, ["b", "c"])
+        # shuffle_hash on the |E|-scaled closer, same rationale as
+        # triangle_count: no broadcast build off a pre-materialization
+        # size estimate (the r13 x30 g24 failure)
+        tri = (wedges.join(closer.hint("shuffle_hash"), ["b", "c"])
                .select("a", "b", "c"))
         per = (tri.select(F.col("a").alias("id"))
                .unionAll(tri.select(F.col("b").alias("id")))
@@ -2184,7 +2206,11 @@ def k_truss(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
         e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
         e3 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        # every side is |E|-scaled: per-partition shuffle_hash builds,
+        # never a broadcast off the checkpointed relation's estimate
+        # (the r13 x30 broadcast-death class)
+        tri = (e1.join(e2.hint("shuffle_hash"), "b")
+               .join(e3.hint("shuffle_hash"), ["a", "c"]))
         credit = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
                   .unionAll(tri.select(F.col("b").alias("u"),
                                        F.col("c").alias("v")))
@@ -2198,12 +2224,13 @@ def k_truss(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
         # LEFT join + coalesce(0): triangle-free edges have no support
         # row but still satisfy the threshold when k <= 2 — an inner
         # join would silently drop them before the filter could keep
-        # them
-        e = (e.join(sup, ["u", "v"], "left")
+        # them.  sup is edge-cardinality → shuffle_hash, not a
+        # broadcast build off its (aggregate-shrunk) estimate
+        e = (e.join(sup.hint("shuffle_hash"), ["u", "v"], "left")
              .filter(F.coalesce("support", F.lit(0)) >= k - 2)
              .select("u", "v")
              .localCheckpoint(eager=True))
-    final = (e.join(support(e), ["u", "v"], "left")
+    final = (e.join(support(e).hint("shuffle_hash"), ["u", "v"], "left")
              .select(F.col("u").alias("src"), F.col("v").alias("dst"),
                      F.coalesce("support", F.lit(0)).alias("support")))
     return final
@@ -2433,11 +2460,19 @@ def directed_modularity(edges: DataFrame, labels: DataFrame,
     aggregates."""
     lab = labels.select(F.col(id_col).alias("__v"),
                         F.col(label_col).alias("__c"))
+    # shuffle_hash BUILT ON THE LABEL side (|V|-bounded per-partition
+    # builds), exactly the "at true scale a shuffle join" the contract
+    # above promises: without the hint Catalyst sizes the
+    # un-materialized |E|-scaled edge relation from its compressed
+    # scan and plans the broadcast BUILD ON EDGES — the r13 x30 study
+    # watched that kill g30 on the 8g driver (the AA/LPA class)
     e2 = (edges.select(src, dst)
           .join(lab.withColumnRenamed("__v", src)
-                   .withColumnRenamed("__c", "__cs"), src)
+                   .withColumnRenamed("__c", "__cs")
+                   .hint("shuffle_hash"), src)
           .join(lab.withColumnRenamed("__v", dst)
-                   .withColumnRenamed("__c", "__cd"), dst))
+                   .withColumnRenamed("__c", "__cd")
+                   .hint("shuffle_hash"), dst))
     m = e2.agg(F.count(F.lit(1)).alias("m"))
     within = (e2.filter(F.col("__cs") == F.col("__cd"))
               .groupBy(F.col("__cs").alias("c"))

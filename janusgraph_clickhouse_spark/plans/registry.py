@@ -330,9 +330,17 @@ REGISTERED_ROUND: dict[str, int] = {
 #    l06 l17 l19 l27 g23 + spares l43 l40 l50 g04 g18 q01 q06 s06 s13;
 #    4 g / 6 q / 4 s / 16 l — every family clears the ≥2 sentinel
 #    bar from the lead cohort alone).
-# 2. rule 2: any implementation/oracle changed in r13 + any red from
+# 2. rule 2, PRE-DECLARED mid-r13 (the x30 broadcast-death fixes:
+#    join-strategy hints on every |E|-scaled join in the AA wedge
+#    path, triangle/LCC wedge enumeration, LPA superstep, k-truss
+#    support and modularity label joins — results identical, all
+#    sf0.01+sf0.001 parity re-verified fresh-process and
+#    property-pinned at change time; fixture pins flat):
+#    g03 g16 g17 g24 g30 — the changed names NOT in the r13 window
+#    (g25/l19/l55/g23 changed too but sit in the r13 window, so their
+#    r13 rows already cover the post-change code).  + any red from
 #    r13's file.
-# 3. ~20 spares from the 50 r11-row names, stalest-first.
+# 3. ~15 spares from the 50 r11-row names, stalest-first.
 # As always: re-derive every cohort from REGISTERED_ROUND ∪ the
 # correctness files at r14 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted
