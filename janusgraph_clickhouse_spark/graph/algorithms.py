@@ -2528,6 +2528,13 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
     present) for undirected semantics.  Output: (id, n_sources,
     bc_micro, bc) for every vertex with nonzero dependency."""
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    # every frontier×edges join below hints shuffle_hash ON THE EDGE
+    # side: e is |E|-scaled and its pre-materialization size estimate
+    # otherwise lets Catalyst broadcast-BUILD it against the larger-
+    # looking multi-source frontier (the r13 x30 g31 death, the AA/LPA
+    # class); the per-partition build is |E|/partitions and the edge
+    # shuffle is written once and reused across levels
+    e_h = e.hint("shuffle_hash")
     verts = (e.select(F.col("u").alias("id")).distinct())
     from ..functions.hashing import md5_long60
     pivots = (verts.select("id",
@@ -2541,7 +2548,7 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
     levels = [cur]
     visited = cur.select("s", "v")
     for lvl in range(1, max_levels + 1):
-        nxt = (cur.join(e, cur.v == e.u)
+        nxt = (cur.join(e_h, cur.v == e_h.u)
                .join(visited.withColumnRenamed("v", "w"), ["s", "w"],
                      "left_anti")
                .groupBy("s", F.col("w").alias("v"))
@@ -2566,7 +2573,7 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
         visited = visited.union(nxt.select("s", "v")).localCheckpoint()
         cur = nxt
     else:
-        probe = (cur.join(e, cur.v == e.u)
+        probe = (cur.join(e_h, cur.v == e_h.u)
                  .join(visited.withColumnRenamed("v", "w"), ["s", "w"],
                        "left_anti"))
         if not probe.isEmpty():
@@ -2603,7 +2610,7 @@ def betweenness_approx(edges: DataFrame, n_sources: int = 4,
                     F.col("sigma").alias("csigma"), "d")
         term = F.floor(F.col("sigma") * (MICRO + F.col("d"))
                        / F.col("csigma")).cast("long")
-        contrib = (parents.join(e, parents.v == e.u)
+        contrib = (parents.join(e_h, parents.v == e_h.u)
                    .join(children, ["s", "w"])
                    .groupBy("s", "v", "sigma")
                    .agg(F.sum(term).alias("d"))
