@@ -462,6 +462,75 @@ def weighted_quantiles(df: DataFrame, val_col: str, weight_col: str,
                       F.col(val_col).alias("q_value"))
 
 
+def exact_percentiles_cont(df: DataFrame, group_cols: list[str],
+                           val_col: str,
+                           probs: list[float]) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    SQL ``quantile_cont``) in a SHUFFLE-SORT shape: one row per
+    (group, prob), column ``q_cont``.
+
+    Why not the builtin: Spark's exact ``percentile`` AGGREGATE buffers
+    every (value → count) of a group inside a single aggregation
+    buffer, so one big group concentrates on one task's heap — the r13
+    x30 probe measured the tipping point (q30 over 18M lineitem rows
+    in 3 groups OOM'd a JVM solo on the 8g heap).  This form collapses
+    duplicates with a (group, value) count aggregate (partial+final,
+    any skew), then a cumulative-count window over the collapsed set —
+    the per-group sort SPILLS through the external sorter instead of
+    buffering, the documented trade of wall-clock for survival.  At
+    true 100 TB with few groups, percentile_approx (t-digest) remains
+    the right tool; this is the exact form that does not die.
+
+    Interpolation reproduces Spark's ``Percentile.getPercentile``
+    exactly, float-op order included: pos = p·(n−1);
+    (higher − pos)·v_lo + (pos − lower)·v_hi, with the frac-0 short
+    circuit returning v_lo — a cross-path equality property pins this
+    against the builtin.  NULL values are filtered before ranking
+    (the builtin ignores them; engines disagree on NULL sort order)."""
+    from pyspark.sql import Window
+
+    reserved = {"v", "cnt", "cum", "tot", "p", "pos", "k", "frac",
+                "q_cont"}
+    bad = reserved.intersection(group_cols)
+    if bad:
+        raise ValueError(f"columns {sorted(bad)} collide with the "
+                         f"fold's internal names; alias them first")
+    g = (df.filter(F.col(val_col).isNotNull())
+         .select(*group_cols, F.col(val_col).cast("double").alias("v"))
+         .groupBy(*group_cols, "v")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    wc = (Window.partitionBy(*group_cols).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (g.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("tot", F.sum("cnt").over(
+             Window.partitionBy(*group_cols))))
+    p = c.select(*group_cols, "v", "cnt", "cum", "tot",
+                 F.explode(F.array(*[F.lit(float(x)) for x in probs]))
+                 .alias("p"))
+    pos = F.col("p") * (F.col("tot") - 1).cast("double")
+    k = F.floor(pos).cast("long")
+    p = (p.withColumn("pos", pos).withColumn("k", k)
+         .withColumn("frac", F.col("pos") - F.col("k").cast("double")))
+    # the 1-based indices holding the bracketing values; a duplicate
+    # run can satisfy both conditions with ONE collapsed row
+    lo_i = F.col("k") + 1
+    hi_i = F.col("k") + 2
+    is_lo = (F.col("cum") >= lo_i) & (F.col("cum") - F.col("cnt") < lo_i)
+    is_hi = (F.col("cum") >= hi_i) & (F.col("cum") - F.col("cnt") < hi_i)
+    hit = p.filter(is_lo | is_hi).select(
+        *group_cols, "p", "pos", "k", "frac",
+        F.when(is_lo, F.col("v")).alias("v_lo"),
+        F.when(is_hi, F.col("v")).alias("v_hi"))
+    agg = (hit.groupBy(*group_cols, "p", "pos", "k", "frac")
+           .agg(F.max("v_lo").alias("v_lo"), F.max("v_hi").alias("v_hi")))
+    # Spark Percentile.getPercentile, same op order:
+    # (higher − pos)·lower + (pos − lower)·higher; frac == 0 → lower
+    q = F.when(F.col("frac") == 0.0, F.col("v_lo")).otherwise(
+        (F.col("k") + 1 - F.col("pos")) * F.col("v_lo")
+        + (F.col("pos") - F.col("k")) * F.col("v_hi"))
+    return agg.select(*group_cols, "p", q.alias("q_cont"))
+
+
 def hll_sliding_estimate(regs: DataFrame, time_col: str = "h",
                          step: int = 3600, window: int = 3) -> DataFrame:
     """Sliding distinct-count from MERGEABLE register states (the

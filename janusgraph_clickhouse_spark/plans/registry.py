@@ -338,7 +338,8 @@ REGISTERED_ROUND: dict[str, int] = {
 #    identical, all
 #    sf0.01+sf0.001 parity re-verified fresh-process and
 #    property-pinned at change time; fixture pins flat):
-#    g03 g16 g17 g24 g30 g12 g31 — the changed names NOT in the r13 window
+#    g03 g16 g17 g24 g30 g12 g31 q30 — the changed names NOT in the r13
+#    window
 #    (g25/l19/l55/g23 changed too but sit in the r13 window, so their
 #    r13 rows already cover the post-change code).  + any red from
 #    r13's file.

@@ -773,16 +773,28 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ==
-    linear-interpolation quantile_cont).  At 100 TB swap to
-    percentile_approx (t-digest) — exact percentile needs a per-group
-    sort; the query keeps the exact form because the oracle must match
-    bit-for-bit."""
+    """Exact interpolated percentiles (== quantile_cont), in the
+    shuffle-sort form of `functions.sketches.exact_percentiles_cont`
+    rather than the builtin `percentile` AGGREGATE: the builtin
+    buffers a whole group's value→count map in ONE aggregation buffer
+    and the r13 x30 probe measured it OOM a JVM solo at 18M rows / 3
+    groups on the 8g heap.  The operator is bit-identical to the
+    builtin (same Percentile.getPercentile float-op order,
+    property-pinned) and spills through the external sorter instead
+    of buffering.  At true 100 TB with few groups, percentile_approx
+    (t-digest) remains the right tool; this keeps the exact form the
+    oracle can match bit-for-bit."""
+    from ..functions.sketches import exact_percentiles_cont
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))
+    q = exact_percentiles_cont(li, ["l_returnflag"], "l_extendedprice",
+                               [0.5, 0.9, 0.99])
+    return (q.groupBy("l_returnflag")
+            .agg(F.round(F.max(F.when(F.col("p") == 0.5,
+                                      F.col("q_cont"))), 4).alias("p50"),
+                 F.round(F.max(F.when(F.col("p") == 0.9,
+                                      F.col("q_cont"))), 4).alias("p90"),
+                 F.round(F.max(F.when(F.col("p") == 0.99,
+                                      F.col("q_cont"))), 4).alias("p99")))
 
 
 @query(

@@ -1084,6 +1084,42 @@ def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
 
 
 @SPARK_FAST
+@given(seed=st.integers(0, 9999), n_rows=st.integers(1, 120),
+       n_groups=st.integers(1, 3))
+def test_exact_percentiles_cont_matches_builtin(spark, seed, n_rows,
+                                                n_groups):
+    """The shuffle-sort exact percentile (r13, the q30 x30 OOM fix)
+    must be BIT-identical to Spark's builtin `percentile` aggregate —
+    same Percentile.getPercentile float-op order — across duplicates,
+    NULLs, singleton groups and the 0.0/1.0 boundary probs."""
+    from janusgraph_clickhouse_spark.functions.sketches import (
+        exact_percentiles_cont)
+    rng = np.random.RandomState(seed)
+    groups = ["a", "b", "c"][:n_groups]
+    rows = [(groups[rng.randint(n_groups)],
+             None if rng.rand() < 0.07
+             else float(rng.choice([1.5, 2.25, -3.0,
+                                    round(rng.randn() * 100, 3)])))
+            for _ in range(n_rows)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    want = {(r.g, p): r[f"q{i}"]
+            for r in df.groupBy("g").agg(
+                *[__import__("pyspark.sql.functions", fromlist=["expr"])
+                  .expr(f"percentile(v, {p})").alias(f"q{i}")
+                  for i, p in enumerate(probs)]).collect()
+            for i, p in enumerate(probs)}
+    got = {(r.g, r.p): r.q_cont
+           for r in exact_percentiles_cont(df, ["g"], "v",
+                                           probs).collect()}
+    for key, w in want.items():
+        if w is None:
+            assert got.get(key) is None, (key, got.get(key))
+        else:
+            assert got.get(key) == w, (key, w, got.get(key))
+
+
+@SPARK_FAST
 @given(seed=st.integers(0, 9999), n_pts=st.integers(1, 40),
        n_keys=st.integers(1, 3), width=st.sampled_from([10, 60, 600]))
 def test_lttb_downsample_matches_python_replica(spark, seed, n_pts,

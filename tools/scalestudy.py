@@ -183,6 +183,7 @@ def main() -> None:
                               min(args.budget, 120.0))
         except Exception:
             pass  # the timed pass records the error
+        _clear_state(spark)  # r13: no cross-query block accumulation
     print(f"warmup pass x{k0}: {time.perf_counter()-t0:.1f}s", flush=True)
 
     for k in args.scales:
@@ -212,6 +213,13 @@ def main() -> None:
                 record["secs"][name][str(k)] = round(best, 2)
                 record["rows"][name][str(k)] = rows
                 print(f"x{k} {name}: {best:.2f}s rows={rows}", flush=True)
+                # r13: drop this query's checkpoint/cache blocks NOW —
+                # completed queries' eager localCheckpoints otherwise
+                # ACCUMULATE across a many-name x30 pass until the 8g
+                # heap tips (executor OOM mid-batch; every single-name
+                # rerun passed, only batches died — the leak is
+                # cross-query, not per-query)
+                _clear_state(spark)
             except Exception as exc:  # record, keep sweeping
                 record["errors"][f"{name}@x{k}"] = str(exc)[:500]
                 if best is not None:
