@@ -197,64 +197,57 @@ def query(name: str, oracle: str | None = None):
 # round, per the standing rule; `python tools/rotation.py` — now the
 # mechanical recount — MATCHED the r11 pre-derivation name-for-name,
 # third time running).  Verified over
-# ROUND-13 WINDOW (re-derived from the correctness files via
-# `python tools/rotation.py` this round; recount MATCHED the r12
-# pre-derivation name-for-name, fifth round running).
-# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10+r11+r12.json:
-# newest-real-green-row histogram is 50×r12 + 50×r11 + 44×r10 +
-# 36×r9 = 180; CORRECTNESS_r12 is 50/50 green (no rule-3 traffic);
-# zero registrations rounds 8-12, N stays 180, horizon lag stays
+# ROUND-14 WINDOW (re-derived from the correctness files via
+# `python tools/rotation.py` this round; recount MATCHED the r13
+# pre-derivation name-for-name, sixth round running).  Verified over
+# CORRECTNESS_r0{1,2,3,4,6,7,8,9}+r10..r13.json:
+# newest-real-green-row histogram is 50xr13 + 50xr12 + 50xr11 +
+# 30xr10 = 180; CORRECTNESS_r13 is 50/50 green (no rule-3 traffic);
+# zero registrations rounds 8-13, N stays 180, horizon lag stays
 # ceil(180/50) = 4 files.  Window:
-# 1. LEAD COHORT: the 36 r9-row names r12 left unwindowed — their r9
-#    rows leave the horizon {r10,r11,r12,r13} when r13's file lands
-#    (8 g / 12 q / 5 s / 11 l — every family clears the ≥2 sentinel
-#    bar from the lead cohort alone);
-# 2. rule 2, pre-declared in the r12 pre-derivation (mid-r12 changes,
-#    all result-identical and sf0.01-parity-re-verified fresh-process
-#    at change time): l06/l17/l27 (embedding_near_dup_pairs computes
-#    scalar norm columns once per row below the block join — one dot
-#    + try_divide per pair, 1.8–2.8×; the take-1 unit-vector
-#    pre-normalization was superseded same-day, see PERF.md "take 2"),
-#    l19 (brute_force_topk_join vectorized BLAS default — x10
-#    18.9→0.85 s; the JVM form stays as vectorized=False with a
-#    cross-path equality property test; l55 also consumes it but is
-#    already in the lead cohort), g23 (band_width parameter refactor —
-#    registered semantics unchanged, band_width=None path re-verified;
-#    the absolute-band variant exists only as the non-registered
-#    g23_scc_absband scale probe);
-# 3. 9 spares from the 39 remaining r10-row names (stalest pool — all
-#    tied at r10, so picked for family balance + the r12 verdict's
-#    watch items): l43 (the one unadjudicated >1.4× BENCH_r12 mover —
-#    a fresh driver row alongside the r13 pin), l40/l50
-#    (closing-battery heavies), g04/g18 (CC + HITS evidence),
-#    q01/q06 (core relational), s06/s13 (streaming).  The 30 r10-row
-#    names left unwindowed are r14's lead cohort.
-# Family sentinels in-window: 14 q, 11 g, 18 l, 7 s (≥2 each).
+# 1. LEAD COHORT: the 30 r10-row names r13 left unwindowed — their
+#    r10 rows leave the horizon {r11,r12,r13,r14} when r14's file
+#    lands (4 g / 6 q / 4 s / 16 l — every family clears the >=2
+#    sentinel bar from the lead cohort alone);
+# 2. rule 2, pre-declared mid-r13 (the x30 broadcast-death fixes:
+#    explicit merge/shuffle_hash hints on every |E|-scaled-by-
+#    construction join side in the wedge/superstep/support/label/
+#    frontier paths, the motif connected-order compiler, and q30's
+#    spill-safe exact-percentile fold — results identical, dual-scale
+#    parity re-verified fresh-process + property-pinned at change
+#    time): g03 g12 g17 g24 g31 q30 — the changed names NOT already
+#    in the lead cohort (g16/g30 changed too but are lead names;
+#    g25/l19/l55/g23 drew post-change r13 rows).  No rule-3 traffic
+#    (zero reds in CORRECTNESS_r13).
+# 3. 14 spares from the 50 r11-row names (stalest pool — all tied at
+#    r11, so picked for family balance): g01 g02 g06 g14,
+#    q02 q03 q04, s01 s02 s03, l02 l04 l07 l08.  The 36 r11-row
+#    names left unwindowed are r15's lead cohort.
+# Family sentinels in-window: 10 q, 13 g, 20 l, 7 s (>=2 each).
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 36 horizon-critical r9-row names
-    "g20_random_walks", "g21_harmonic_centrality", "g22_biased_walks",
-    "g25_ktruss", "g26_assortativity", "g27_diameter", "g28_mis",
-    "g33_temporal_reachability",
-    "q47_map_aggregates", "q48_histogram_quantiles",
-    "q49_weighted_quantiles", "q50_range_frame_windows",
-    "q51_bitmap_segments", "q52_grouping_sets", "q53_topk_weighted",
-    "q54_top_event_paths", "q55_conditional_aggregates",
-    "q56_sliding_hll", "q57_jsonl_roundtrip", "q58_unpivot_measures",
-    "s17_sequence_match", "s18_sequence_count", "s19_stream_enrich",
-    "s21_interval_full_join", "s22_incremental_scd1",
-    "l53_paragraph_dedup", "l54_stratified_split", "l55_ann_recall_eval",
-    "l56_source_overlap_matrix", "l58_snapshot_diff",
-    "l59_vocab_js_drift", "l60_priority_dedup", "l61_overlap_chunks",
-    "l64_source_keyness", "l65_langid_confusion", "l66_length_ks_drift",
-    # rule 2: the 5 pre-declared mid-r12 change names
-    "l06_cosine_near_dup", "l17_lsh_blocked_near_dup", "l19_knn_join",
-    "l27_semantic_dedup_clusters",
-    "g23_scc",
-    # rule 5/stalest-first: 9 spares from the 39 remaining r10-row names
-    "l43_bpe_merges", "l40_pq_topk", "l50_knn_classify",
-    "g04_connected_components", "g18_hits",
-    "q01_slice_point", "q06_agg_pricing_summary",
-    "s06_time_rollup", "s13_decayed_score",
+    # rule 1: the 30 horizon-critical r10-row names
+    "g15_kcore", "g16_label_propagation", "g19_personalized_pagerank",
+    "g30_modularity",
+    "q17_scalar_functions", "q19_mutate_upsert", "q38_argmax_latest",
+    "q39_window_funnel", "q40_retention", "q43_kmv_set_ops",
+    "s07_interval_join", "s08_trending_topk", "s09_interval_left_join",
+    "s10_scd2_versions",
+    "l01_exact_dedup", "l05_cosine_topk", "l10_multimodal_meta",
+    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l33_pii_scrub",
+    "l35_sq8_topk", "l36_domain_cap", "l37_shared_spans",
+    "l38_cdc_chunk_dedup", "l39_gopher_rules", "l41_dsir_weights",
+    "l42_weighted_sample", "l44_curation_pipeline",
+    "l45_bpe_token_counts", "l51_hard_negatives",
+    # rule 2: the 6 pre-declared mid-r13 x30-fix names not in the lead
+    "g03_supplier_triangles", "g12_motif_count", "g17_link_prediction",
+    "g24_local_clustering", "g31_betweenness", "q30_percentiles",
+    # rule 5/stalest-first: 14 spares from the 50 r11-row names
+    "g01_out_degree", "g02_two_hop_parts", "g06_pagerank",
+    "g14_repeat_until",
+    "q02_slice_multikey", "q03_key_range_scan", "q04_multi_range_scan",
+    "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
+    "l02_jaccard_pairs", "l04_simhash_pairs", "l07_text_stats",
+    "l08_language_id",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5
