@@ -14,6 +14,7 @@ that can md5 — determinism as a design property, not a test accident
 
 from __future__ import annotations
 
+import functools
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -486,7 +487,14 @@ def exact_percentiles_cont(df: DataFrame, group_cols: list[str],
     (higher − pos)·v_lo + (pos − lower)·v_hi, with the frac-0 short
     circuit returning v_lo — a cross-path equality property pins this
     against the builtin.  NULL values are filtered before ranking
-    (the builtin ignores them; engines disagree on NULL sort order)."""
+    (the builtin ignores them; engines disagree on NULL sort order),
+    but GROUP membership matches the builtin exactly (r14, ADVICE):
+    a group whose values are all NULL — and, when ``group_cols`` is
+    empty, an empty input — still emits its (group, p) rows with NULL
+    ``q_cont``, via a null-safe left join from the distinct group keys
+    of the UNFILTERED input.  That key probe is the one extra scan
+    this costs (column-pruned to the group columns; |groups|-bounded
+    both join sides)."""
     from pyspark.sql import Window
 
     reserved = {"v", "cnt", "cum", "tot", "p", "pos", "k", "frac",
@@ -528,7 +536,27 @@ def exact_percentiles_cont(df: DataFrame, group_cols: list[str],
     q = F.when(F.col("frac") == 0.0, F.col("v_lo")).otherwise(
         (F.col("k") + 1 - F.col("pos")) * F.col("v_lo")
         + (F.col("pos") - F.col("k")) * F.col("v_hi"))
-    return agg.select(*group_cols, "p", q.alias("q_cont"))
+    res = agg.select(*group_cols, "p", q.alias("q_cont"))
+    # builtin-matching group membership: every distinct group key of
+    # the UNFILTERED input (or the builtin's single global row when
+    # ungrouped, empty input included) gets its (group, p) rows; an
+    # all-NULL-value group surfaces as q_cont = NULL instead of
+    # silently vanishing.  eqNullSafe: groupBy treats NULL keys as a
+    # group, so the probe join must too.
+    keys = (df.select(*group_cols).distinct() if group_cols
+            else df.sparkSession.range(1).select())
+    probe = keys.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(float(x)) for x in probs]))
+        .alias("p")).alias("probe")
+    res = res.alias("res")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"probe.{c}").eqNullSafe(F.col(f"res.{c}"))
+         for c in group_cols] + [F.col("probe.p") == F.col("res.p")])
+    return probe.join(res, cond, "left").select(
+        *[F.col(f"probe.{c}") for c in group_cols],
+        F.col("probe.p").alias("p"), F.col("res.q_cont"))
 
 
 def hll_sliding_estimate(regs: DataFrame, time_col: str = "h",

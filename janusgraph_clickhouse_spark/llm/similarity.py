@@ -89,10 +89,14 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
       partitions·|Q|·k rows instead of |C|·|Q|.  Measured r12 (x10
       weak-scaling fixture, l19: 400 queries × 20k corpus × dim 64):
       18.9 s JVM-expression form → 0.85 s BLAS form, see PERF.md.
-      Degenerate inputs behave exactly as the JVM form (r13): NULL /
-      ragged / NULL-element vectors and NULL ids on either side are
-      dropped, grouped or kept per the expression semantics — see
-      ``_topk_chunk_candidates``.
+      Degenerate inputs behave exactly as the JVM form across the
+      property-pinned classes (r13/r14): NULL / ragged / NULL-element
+      vectors and NULL ids on either side are dropped, grouped or kept
+      per the expression semantics — see ``_topk_chunk_candidates`` —
+      and non-finite vector ELEMENTS (NaN/±inf) are never neighbors on
+      either path (r14, ADVICE: the JVM form filters NaN cosines, the
+      vectorized form drops non-finite norms; both property-pinned
+      with NaN/inf generators).
     - ``vectorized=False``: the original all-JVM form (crossJoin +
       zip_with cosine + full window) — kept as the semantics
       reference; the property suite pins both paths equal, zero-norm
@@ -120,7 +124,12 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                   .drop("cv", "qv"))
         if exclude_self:
             scored = scored.filter(F.col("id") != F.col("query_id"))
-        return (scored.filter(F.col("cosine").isNotNull())
+        # NaN cosine (non-finite vector elements) is garbage, not a
+        # best neighbor — drop it here like the vectorized path drops
+        # non-finite norms, instead of letting desc-order rank NaN
+        # first (r14, ADVICE)
+        return (scored.filter(F.col("cosine").isNotNull()
+                              & ~F.isnan("cosine"))
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= k).drop("rn"))
 
@@ -131,24 +140,32 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
     # query block at ~128 MB for dim 64 — the same order as the JVM
     # path's broadcast limit.  A larger query side streams through
     # toLocalIterator (the driver holds one scan partition + one chunk
-    # at a time); each max_queries-sized chunk runs the same
-    # independent scoring stage and ONE global window over the union
-    # cuts the final top-k, so duplicate query_ids split across chunks
-    # resolve exactly as the single-block form.  Broadcast residency:
-    # each chunk's query block stays referenced by the (lazy) returned
-    # plan — ceil(|Q|/max_queries) blocks resident until the result's
-    # last action; lower max_queries shrinks the per-block size but
-    # not the resident total.
+    # at a time; the probe collect is released first — r14, the
+    # boundary no longer holds the 262k-row head alongside the
+    # re-stream); each max_queries-sized chunk runs the same
+    # independent scoring stage, is EAGERLY materialized
+    # (localCheckpoint) and its query-block broadcast destroyed before
+    # the next chunk collects (r14, ADVICE: resident broadcast memory
+    # is now ONE block, not ceil(|Q|/max_queries) blocks), and ONE
+    # global window over the union cuts the final top-k, so duplicate
+    # query_ids split across chunks resolve exactly as the
+    # single-block form.  The single-block (common) case stays fully
+    # lazy — plan pins and registered-query laziness unchanged.
     qql = qq.withColumn("query_id", F.col("query_id").cast("long")) \
             .filter(F.col("qv").isNotNull())
     ccl = cc.withColumn("id", F.col("id").cast("long"))
     head = qql.limit(max_queries + 1).collect()
-    chunks = (_row_chunks(qql.toLocalIterator(), max_queries)
-              if len(head) > max_queries else iter([head]))
+    if len(head) <= max_queries:
+        chunks = iter([head])
+        eager = False
+    else:
+        head = None  # free the probe block before re-streaming
+        chunks = _row_chunks(qql.toLocalIterator(), max_queries)
+        eager = True
     parts = [p for rows in chunks
              if (p := _topk_chunk_candidates(
                  spark, qql.schema, rows, ccl, k, exclude_self,
-                 out_schema)) is not None]
+                 out_schema, eager=eager)) is not None]
     if not parts:
         return (spark.createDataFrame([], out_schema)
                 .withColumn("cosine", F.round("cosine", 6)))
@@ -169,10 +186,17 @@ def _row_chunks(rows, size: int):
 
 
 def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
-                           exclude_self: bool, out_schema: str):
+                           exclude_self: bool, out_schema: str,
+                           eager: bool = False):
     """One query chunk → its pre-window candidate rows (rounded cosine,
     JVM-equal filters applied); the CALLER owns the global top-k
     window.  Returns None for a chunk that can emit nothing.
+    ``eager=True`` (the multi-chunk path) materializes the chunk's
+    candidates with an eager localCheckpoint and destroys the chunk's
+    query-block broadcast before returning, so the caller's loop keeps
+    at most ONE block resident (r14, ADVICE; the trade is
+    localCheckpoint's non-fault-tolerant recompute, already the
+    repo-wide lineage-truncation tool).
 
     A clean chunk (non-NULL query ids, one uniform dim, no NULL vector
     elements) takes the Arrow/BLAS path.  A chunk with degenerate QUERY
@@ -206,12 +230,17 @@ def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
                   .drop("cv", "qv"))
         if exclude_self:
             scored = scored.filter(F.col("id") != F.col("query_id"))
-        return scored.filter(F.col("cosine").isNotNull())
+        out = scored.filter(F.col("cosine").isNotNull()
+                            & ~F.isnan("cosine"))
+        return out.localCheckpoint(eager=True) if eager else out
 
     qids = np.fromiter((int(i) for i in qids_raw), dtype=np.int64,
                        count=len(qids_raw))
     qn = np.linalg.norm(Q, axis=1)
-    keep = qn > 0  # zero-norm query: cosine undefined for every row
+    # zero-norm: cosine undefined (NULL on the JVM path); non-finite
+    # norm (NaN/±inf elements): cosine NaN on the JVM path — both
+    # never neighbors (r14, ADVICE closed the NaN divergence)
+    keep = np.isfinite(qn) & (qn > 0)
     qids, Q, qn = qids[keep], Q[keep], qn[keep]
     if len(qids) == 0:
         return None
@@ -236,7 +265,7 @@ def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
             C = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf["cv"]])
             cn = np.linalg.norm(C, axis=1)
-            ok = cn > 0
+            ok = np.isfinite(cn) & (cn > 0)  # JVM: NaN cosine dropped
             ids, notna, C, cn = ids[ok], notna[ok], C[ok], cn[ok]
             if len(ids) == 0:
                 continue
@@ -282,7 +311,11 @@ def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
                      & (F.size("cv") == qdim)
                      & (F.size(F.array_compact("cv")) == qdim))
     local = _spread_scan(base).mapInPandas(score, schema=out_schema)
-    return local.withColumn("cosine", F.round("cosine", 6))
+    out = local.withColumn("cosine", F.round("cosine", 6))
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        bq.destroy()  # candidates are materialized; free the block now
+    return out
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -1042,8 +1042,13 @@ def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
     ADVICE named: NULL corpus ids (kept with the NULLS FIRST tiebreak,
     dropped under exclude_self), NULL query_id (its own window group —
     routes that chunk to the expression fallback), ragged-dim and
-    NULL-element vectors on both sides (NULL cosine → dropped), and
-    duplicate query_ids split across chunks."""
+    NULL-element vectors on both sides (NULL cosine → dropped),
+    duplicate query_ids split across chunks, and — r14, closing the
+    ADVICE NaN divergence — NaN/±inf ELEMENTS on both sides (NaN
+    cosine filtered on the JVM form, non-finite norms dropped on the
+    vectorized form: never neighbors on either path).  The multi-chunk
+    runs also exercise the r14 eager-chunk path (localCheckpoint +
+    broadcast destroy per chunk)."""
     from janusgraph_clickhouse_spark.llm.similarity import (
         brute_force_topk_join)
     rng = np.random.RandomState(seed)
@@ -1053,6 +1058,10 @@ def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
              for i in range(n_corpus)]
     crows.append((n_corpus, [1.0, None, 0.5, 0.2]))  # NULL element
     crows.append((n_corpus + 1, [1.0, 0.5]))         # ragged dim
+    crows.append((n_corpus + 2,
+                  [float("nan"), 1.0, 0.5, 0.2]))    # NaN element (r14)
+    crows.append((n_corpus + 3,
+                  [float("inf"), 1.0, 0.5, 0.2]))    # inf element (r14)
     cdf = spark.createDataFrame(crows, "id long, v array<double>")
     qrows = []
     for j in range(n_queries):
@@ -1063,6 +1072,10 @@ def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
             qv = [1.0, 0.3]                          # ragged query
         elif draw < 0.3:
             qv = [0.2, None, 0.1, 0.4]               # NULL element
+        elif draw < 0.4:
+            qv = [float("nan"), 0.2, 0.1, 0.4]       # NaN query (r14)
+        elif draw < 0.5:
+            qv = [float("-inf"), 0.2, 0.1, 0.4]      # inf query (r14)
         else:
             qv = (rng.randn(dim) + 0.1).tolist()
         qrows.append((qid, qv))
@@ -1109,14 +1122,16 @@ def test_exact_percentiles_cont_matches_builtin(spark, seed, n_rows,
                   .expr(f"percentile(v, {p})").alias(f"q{i}")
                   for i, p in enumerate(probs)]).collect()
             for i, p in enumerate(probs)}
-    got = {(r.g, r.p): r.q_cont
-           for r in exact_percentiles_cont(df, ["g"], "v",
-                                           probs).collect()}
+    got_rows = exact_percentiles_cont(df, ["g"], "v", probs).collect()
+    got = {(r.g, r.p): r.q_cont for r in got_rows}
+    # exact ROW-SET match (r14, ADVICE): an all-NULL-value group must
+    # be PRESENT with q_cont NULL like the builtin's group row, not
+    # silently absent — `.get(key) is None` alone cannot tell those
+    # apart, so pin the key sets first.
+    assert len(got_rows) == len(got), "duplicate (group, p) rows"
+    assert set(got) == set(want), (set(want) ^ set(got))
     for key, w in want.items():
-        if w is None:
-            assert got.get(key) is None, (key, got.get(key))
-        else:
-            assert got.get(key) == w, (key, w, got.get(key))
+        assert got[key] == w, (key, w, got[key])
 
 
 @SPARK_FAST
