@@ -1182,6 +1182,195 @@ def co_occurrence_triangles(incidence: DataFrame, group_col: str,
     return spark.createDataFrame([(tri,)], "triangles long")
 
 
+def _bipartite_components(inc: DataFrame, max_iter: int = 15):
+    """Node-side connected-component labels of a bipartite incidence
+    (``g``, ``n`` columns): returns (n, c) with c = min node id in the
+    node's component of the CO-OCCURRENCE projection, or None if the
+    alternating propagation did not PROVABLY converge in ``max_iter``
+    rounds (the caller must then keep its fully-distributed path — an
+    unconverged labeling can SPLIT a true component and silently
+    undercount whatever is computed per label).
+
+    Alternating min-label propagation: group label = min member label,
+    node label = min over its groups, plus pointer-jumping path halving
+    on the node labels (labels ARE node ids, so label-of-label
+    composition is one self-join) — O(log diameter) rounds, each round
+    three shuffles of |inc| + one |nodes| join.  Convergence (a
+    fixpoint round with zero changes) IMPLIES per-group label
+    consistency: two members of one group with different labels would
+    both still be pulling the group min, i.e. not a fixpoint."""
+    import pandas as pd  # noqa: F401 (kept with the numpy block style)
+
+    # EVERY join against `inc` hints merge: inc is |incidence|-scaled
+    # BY CONSTRUCTION and arrives as a checkpoint child, whose size
+    # estimate Catalyst reads as tiny — the un-hinted first cut of this
+    # loop was broadcast-BUILT at x30 and died exactly as the r13 rule
+    # predicts (CLAUDE.md: hint |E|-scaled sides, never trust
+    # pre-materialization estimates; 2-table equi-joins, so the
+    # reordering-suppression corollary doesn't bite)
+    cs = (inc.select("n").distinct()
+          .select("n", F.col("n").alias("c"))
+          .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        cg = (inc.hint("merge").join(cs, "n")
+              .groupBy("g").agg(F.min("c").alias("gc")))
+        pulled = (inc.hint("merge").join(cg, "g").groupBy("n")
+                  .agg(F.min("gc").alias("c2")))
+        new = (cs.join(pulled, "n", "left")
+               .select("n", F.least(
+                   F.col("c"),
+                   F.coalesce(F.col("c2"), F.col("c"))).alias("c")))
+        hop = new.select(F.col("n").alias("_k"), F.col("c").alias("_cc"))
+        new = (new.join(hop, new["c"] == hop["_k"], "left")
+               .select("n", F.least(
+                   F.col("c"),
+                   F.coalesce(F.col("_cc"), F.col("c"))).alias("c"))
+               .localCheckpoint(eager=True))
+        changed = (cs.select("n", F.col("c").alias("_old"))
+                   .join(new, "n")
+                   .filter(F.col("c") != F.col("_old"))
+                   .limit(1).count())
+        cs = new
+        if changed == 0:
+            return cs
+    return None
+
+
+# per-COMPONENT dense cap for the grouped bit-matrix triangle count:
+# one applyInPandas group peaks at ~9·n_c² bytes (unpacked uint8 bits +
+# two float32 matrices) = 600 MB at 8192 — bounded per TASK, so a
+# 4-core/8 GB executor holds ≤4 concurrent dense components (~2.4 GB)
+# and the driver holds none at all (the counts reduce executor-side).
+DENSE_TRI_COMP_CAP = 8192
+
+
+def co_occurrence_triangles_by_component(
+        incidence: DataFrame, group_col: str, node_col: str,
+        comp_cap: int = DENSE_TRI_COMP_CAP,
+        cc_max_iter: int = 15) -> DataFrame:
+    """Co-occurrence triangle count for dimensions PAST the global
+    dense cap: label connected components (triangles and co-occurrence
+    pairs never span components — every group's members share one
+    component by definition), then count each component with the
+    machinery its own size/density deserves:
+
+    - n_c ≤ ``comp_cap`` AND the r11-measured density gate prefers
+      dense (`_prefer_dense_tiles` fed the component's Σ|g|²
+      pair-enumeration row count): ONE applyInPandas task builds the
+      component's n_c-bit adjacency from its per-group member lists and
+      counts sum((B@B)∘B) upper-triangle — executor-side, never the
+      driver, components in parallel;
+    - everything else (oversize or sparse-enough-to-join components):
+      ONE pair-enumeration + canonical triple join over the incidence
+      restricted (semi-join) to those components — the same
+      fully-distributed fallback the caller would have used globally.
+
+    Why this exists (r13 x30, VERDICT task): a block-diagonal corpus —
+    30 replicated sf0.1 tenants, 30k suppliers total, every BLOCK tiny
+    — fails the global 16384 cap and fell to the 3e10-wedge-row join;
+    per-component dispatch runs 30 independent 1000-node bit matrices
+    instead.  That block-diagonal shape is what multi-tenant /
+    multi-shard production data actually looks like at 100 TB.
+
+    If the component labeling cannot prove convergence
+    (`_bipartite_components` → None, pathological diameter), the whole
+    input takes the join path — correct over fast.  NULL group/node
+    ids never co-occur with anything (SQL join semantics) and are
+    dropped with a loud one-time filter here, matching the oracle's
+    equi-join behavior."""
+    import numpy as np
+    import pandas as pd
+
+    spark = incidence.sparkSession
+    from pyspark.sql import Window
+
+    inc = (incidence
+           .select(F.col(group_col).alias("g"), F.col(node_col).alias("n"))
+           .filter(F.col("g").isNotNull() & F.col("n").isNotNull())
+           .distinct()
+           .localCheckpoint(eager=True))  # consumed by CC + both tiers
+
+    labels = _bipartite_components(inc, max_iter=cc_max_iter)
+    if labels is None:
+        dense_members = None
+        join_inc = inc
+    else:
+        sizes = labels.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+        # density gate per component: Σ|g∩comp|² is the component's
+        # pair-enumeration row count (the join path's work floor)
+        gsz = (inc.hint("merge").join(labels, "n").groupBy("c", "g")
+               .agg(F.count(F.lit(1)).alias("k")))
+        d2 = gsz.groupBy("c").agg(
+            F.sum(F.col("k") * F.col("k")).alias("d2"))
+        routed = (sizes.join(d2, "c")
+                  .withColumn("dense",
+                              (F.col("n_c") <= comp_cap)
+                              & (F.col("d2") * 1000
+                                 > F.col("n_c") ** 3)))
+        lbl = labels.join(routed.select("c", "n_c", "dense"), "c")
+        dense_lbl = lbl.filter(F.col("dense"))
+        join_lbl = lbl.filter(~F.col("dense"))
+        # per-component dense index: relabel-invariant count, so any
+        # bijection works; row_number keeps it deterministic
+        widx = Window.partitionBy("c").orderBy("n")
+        dense_idx = dense_lbl.withColumn(
+            "idx", F.row_number().over(widx) - 1)
+        dense_members = (inc.hint("merge").join(dense_idx, "n")
+                         .groupBy("c", "g")
+                         .agg(F.collect_set("idx").alias("members"),
+                              F.max("n_c").alias("n_c")))
+        join_inc = (inc.hint("merge")
+                    .join(join_lbl.select("n"), "n", "left_semi"))
+
+    parts = []
+    if dense_members is not None:
+        def comp_tri(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if len(pdf) == 0:
+                return pd.DataFrame({"t": pd.array([], dtype="int64")})
+            n_c = int(pdf["n_c"].iloc[0])
+            n_bytes = (n_c + 7) // 8
+            A = np.zeros((n_c, n_bytes), dtype=np.uint8)
+            for members in pdf["members"]:
+                idx = np.unique(np.asarray(members, dtype=np.int64))
+                if len(idx) < 2:
+                    continue
+                mask = np.zeros(n_bytes, dtype=np.uint8)
+                np.bitwise_or.at(mask, idx // 8,
+                                 (1 << (idx % 8)).astype(np.uint8))
+                A[idx] |= mask
+            bits = np.unpackbits(A, axis=1, bitorder="little")[:, :n_c]
+            np.fill_diagonal(bits, 0)
+            B = np.triu(bits, 1).astype(np.float32)
+            del bits
+            C = B @ B
+            C *= B
+            # n_c ≤ 8192 ⇒ count ≤ n³/6 < 2^53: float64 sum is exact
+            return pd.DataFrame({"t": [int(C.sum(dtype=np.float64))]})
+
+        parts.append(dense_members.groupBy("c")
+                     .applyInPandas(comp_tri, schema="t long"))
+    # the join tier (unconverged, oversize, or sparse components):
+    # identical shape to the global fallback, restricted incidence
+    sp = join_inc.select("g", "n")
+    pairs = (sp.alias("a").join(sp.alias("b").hint("merge"), "g")
+             .filter(F.col("a.n") < F.col("b.n"))
+             .select(F.col("a.n").alias("src"),
+                     F.col("b.n").alias("dst")).distinct()
+             .localCheckpoint(eager=True))
+    tri_join = (pairs.alias("e1")
+                .join(pairs.alias("e2").hint("shuffle_hash"),
+                      F.col("e1.dst") == F.col("e2.src"))
+                .join(pairs.alias("e3").hint("shuffle_hash"),
+                      (F.col("e3.src") == F.col("e1.src"))
+                      & (F.col("e3.dst") == F.col("e2.dst")))
+                .agg(F.count(F.lit(1)).alias("t")))
+    parts.append(tri_join)
+    import functools as _ft
+    allp = _ft.reduce(DataFrame.unionByName, parts)
+    return allp.agg(F.coalesce(F.sum("t"), F.lit(0))
+                    .cast("long").alias("triangles"))
+
+
 def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
     """Per-vertex triangle participation; returns (id, triangles)."""
     e = graph.undirected_edges().select("src", "dst").cache()

@@ -114,22 +114,16 @@ def g03_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .join(F.broadcast(map_df), "orig")
                   .select("p", F.col("idx").alias("s")))
         return co_occurrence_triangles(li_idx, "p", "s", len(ids))
-    # past the dense driver-memory cap (~sf10+ supplier counts): fall
-    # back to the fully-distributed projection + canonical 3-way join
-    sp = li.select(F.col("l_partkey").alias("p"),
-                   F.col("l_suppkey").alias("s")).distinct()
-    pairs = (sp.alias("a").join(sp.alias("b"), "p")
-             .filter(F.col("a.s") < F.col("b.s"))
-             .select(F.col("a.s").alias("src"),
-                     F.col("b.s").alias("dst")).distinct()
-             .localCheckpoint(eager=True))
-    return (pairs.alias("e1")
-            .join(pairs.alias("e2"),
-                  F.col("e1.dst") == F.col("e2.src"))
-            .join(pairs.alias("e3"),
-                  (F.col("e3.src") == F.col("e1.src"))
-                  & (F.col("e3.dst") == F.col("e2.dst")))
-            .agg(F.count(F.lit(1)).cast("long").alias("triangles")))
+    # past the global dense cap (~sf10+ supplier counts): label
+    # components and dispatch each at its own size — a block-diagonal
+    # corpus (multi-tenant shards; the x30 weak-scaling shape) runs as
+    # independent per-component bit matrices in executors, and only
+    # genuinely large/sparse components pay the distributed
+    # pair-enumeration + canonical 3-way join (r14, VERDICT task 3)
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        co_occurrence_triangles_by_component)
+    return co_occurrence_triangles_by_component(li, "l_partkey",
+                                                "l_suppkey")
 
 
 @query(

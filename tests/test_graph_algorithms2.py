@@ -753,3 +753,73 @@ def test_prefer_dense_tiles_gate(spark):
     sym = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
     assert _sum_deg_sq(sym) == 4 * 4
+
+
+def test_bipartite_components_labels(spark):
+    """Alternating min-label + path halving labels every node with the
+    min node id of its CO-OCCURRENCE component; disjoint group families
+    stay disjoint; a chain of overlapping groups merges."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _bipartite_components)
+    # groups: {1,2}, {2,3} (chained -> one comp), {10,11} (separate),
+    # {20} singleton
+    inc = spark.createDataFrame(
+        [(100, 1), (100, 2), (101, 2), (101, 3), (200, 10), (200, 11),
+         (300, 20)], "g long, n long")
+    got = {r.n: r.c for r in _bipartite_components(inc).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cooccurrence_by_component_matches_global_dense(spark):
+    """Per-component dispatch (r14) must equal the global bit-matrix
+    count on a block-diagonal incidence — across the dense tier, the
+    forced join tier (comp_cap=0), and a mixed dense+sparse routing."""
+    import numpy as np
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        co_occurrence_triangles, co_occurrence_triangles_by_component)
+    rng = np.random.RandomState(7)
+    rows = []
+    # three blocks of 12 nodes with random groups inside each block
+    for b in range(3):
+        base = b * 12
+        for g in range(10):
+            members = rng.choice(12, size=rng.randint(2, 6),
+                                 replace=False)
+            rows += [(b * 1000 + g, int(base + m)) for m in members]
+    # plus one sparse chain component (fails the density gate)
+    rows += [(9000 + i, 100 + i) for i in range(8)]
+    rows += [(9000 + i, 101 + i) for i in range(8)]
+    inc = spark.createDataFrame(rows, "g long, n long")
+    want = co_occurrence_triangles(inc, "g", "n", 256).first()["triangles"]
+    got_dense = co_occurrence_triangles_by_component(
+        inc, "g", "n").first()["triangles"]
+    got_join = co_occurrence_triangles_by_component(
+        inc, "g", "n", comp_cap=0).first()["triangles"]
+    assert got_dense == got_join == want > 0
+
+
+def test_g03_per_component_tier_matches_global(spark, tmp_path,
+                                               monkeypatch):
+    """The registered g03 with the global dense cap forced to 0 (so the
+    per-component tier runs) must return the same triangle count as the
+    unpatched dense path, on a 3-tenant offset-replicated lineitem —
+    the x30 weak-scaling shape in miniature (3x the single-tenant
+    count, since blocks are disjoint and identical)."""
+    from janusgraph_clickhouse_spark.graph import algorithms as GA
+    from janusgraph_clickhouse_spark.plans.graph_queries import (
+        g03_supplier_triangles)
+    src = "/root/testdata/sf0.001"
+    base = g03_supplier_triangles(spark, src).first()["triangles"]
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    copies = [li.withColumn("l_suppkey",
+                            F.col("l_suppkey") + F.lit(k * 10_000_000))
+              .withColumn("l_partkey",
+                          F.col("l_partkey") + F.lit(k * 10_000_000))
+              for k in range(3)]
+    import functools
+    from pyspark.sql import DataFrame
+    functools.reduce(DataFrame.unionByName, copies).write.mode(
+        "overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    monkeypatch.setattr(GA, "DENSE_TRI_MAX_NODES", 0)
+    got = g03_supplier_triangles(spark, str(tmp_path)).first()["triangles"]
+    assert got == 3 * base > 0
