@@ -563,6 +563,216 @@ def _prefer_dense_tiles(sum_d2: int, n_nodes: int) -> bool:
     return sum_d2 * 1000 > n_nodes ** 3
 
 
+# attempt component labeling only when the join alternative is already
+# expensive (Σd² wedge rows above this ≈ 20+ s at the measured 4.7e7
+# rows/s): a cheap join never pays the O(log diameter) labeling rounds,
+# so fixture-scale and genuinely-sparse plans are byte-identical
+EDGE_COMP_ATTEMPT_MIN_WEDGES = 1_000_000_000
+# per-component dense caps: one applyInPandas task holds the
+# component's n_c² float matrices — AA peaks at ~4 n_c² floats
+# (A/W/S/C ≈ 380 MB at 4096), the per-vertex triangle kernel at ~2
+# (A/T ≈ 130 MB) — bounded per TASK, so a 4-core/8 GB executor runs
+# 4 concurrent dense components comfortably
+AA_COMP_CAP = 4096
+TRI_COMP_CAP = 4096
+
+
+def _edge_components(sym: DataFrame, max_iter: int = 15):
+    """Connected-component labels of a canonical undirected edge set:
+    (n, c) with c = min vertex id in n's component, or None when the
+    propagation cannot PROVE convergence within ``max_iter`` rounds
+    (callers must then keep their fully-distributed path — an
+    unconverged labeling can split a true component and silently
+    corrupt anything computed per label).
+
+    Min-label propagation + path-halving pointer jumps (labels are
+    vertex ids, so label-of-label is one self-join) — O(log diameter)
+    rounds.  A zero-change fixpoint round proves per-component label
+    uniformity: adjacent vertices still differing would both be pulling
+    the smaller label.  Every join against the |E|-scaled edge relation
+    hints merge (the checkpoint-child estimate mis-broadcast class)."""
+    # `both` stays LAZY: the callers hand in an already-checkpointed
+    # edge set, so each round re-derives the union as a narrow read of
+    # that checkpoint — materializing 2·|E| here on top of the caller's
+    # |E| is what OOM'd the first x30 g24 attempt on the 8g heap
+    both = sym.select("src", "dst").unionAll(
+        sym.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst")))
+    cs = (both.select(F.col("src").alias("n")).distinct()
+          .select("n", F.col("n").alias("c"))
+          .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (both.hint("merge")
+                .join(cs.select(F.col("n").alias("src"), "c"), "src")
+                .groupBy(F.col("dst").alias("n"))
+                .agg(F.min("c").alias("c2")))
+        new = (cs.join(msgs, "n", "left")
+               .select("n", F.least(
+                   F.col("c"),
+                   F.coalesce(F.col("c2"), F.col("c"))).alias("c")))
+        hop = new.select(F.col("n").alias("_k"), F.col("c").alias("_cc"))
+        new = (new.join(hop, new["c"] == hop["_k"], "left")
+               .select("n", F.least(
+                   F.col("c"),
+                   F.coalesce(F.col("_cc"), F.col("c"))).alias("c"))
+               .localCheckpoint(eager=True))
+        changed = (cs.select("n", F.col("c").alias("_old"))
+                   .join(new, "n")
+                   .filter(F.col("c") != F.col("_old"))
+                   .limit(1).count())
+        cs = new
+        if changed == 0:
+            return cs
+    return None
+
+
+def _component_split(sym: DataFrame, comp_cap: int):
+    """Split a canonical edge set by per-component dense eligibility:
+    returns (dense_edges, join_edges, has_dense, has_join) where
+    dense_edges = (c, src, dst) of components that pass BOTH the size
+    cap and the r11-measured density gate (component Σd²·1000 > n_c³ —
+    the same crossover `_prefer_dense_tiles` uses, per component
+    instead of globally), join_edges = the rest, or None when the
+    component labeling did not converge.  Edges never span components,
+    so labeling the src endpoint labels the edge."""
+    labels = _edge_components(sym)
+    if labels is None:
+        return None
+    both = sym.unionAll(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d"))
+    stats = (labels.join(deg, "n", "left")
+             .groupBy("c")
+             .agg(F.count(F.lit(1)).alias("n_c"),
+                  F.sum(F.col("d") * F.col("d")).alias("d2")))
+    routed = stats.withColumn(
+        "dense", (F.col("n_c") <= comp_cap)
+        & (F.col("d2") * 1000 > F.col("n_c") ** 3))
+    lbl = (labels.join(routed.select("c", "dense"), "c")
+           .select(F.col("n").alias("src"), "c", "dense")
+           .localCheckpoint(eager=True))
+    dense_edges = (sym.hint("merge")
+                   .join(lbl.filter(F.col("dense")).drop("dense"),
+                         "src")
+                   .select("c", "src", "dst"))
+    join_edges = (sym.hint("merge")
+                  .join(lbl.filter(~F.col("dense")).select("src"),
+                        "src", "left_semi"))
+    has_dense = lbl.filter(F.col("dense")).limit(1).count() > 0
+    has_join = lbl.filter(~F.col("dense")).limit(1).count() > 0
+    return dense_edges, join_edges, has_dense, has_join
+
+
+def _adamic_adar_comp_dense(dense_edges: DataFrame, top: int) -> DataFrame:
+    """Per-component dense Adamic-Adar: ONE applyInPandas task per
+    component builds its n_c×n_c adjacency (local indices via
+    np.unique — SORTED original ids, so the (score, u, v) order on
+    indices equals the order on ids, the `_dense_id_index` monotonicity
+    argument), scores S = (A·diag(1/ln deg))·Aᵀ and common-neighbor
+    counts C = A·Aᵀ with BLAS, masks adjacent pairs and the diagonal,
+    and emits its own top-`top` under the FINAL (rounded score desc,
+    u, v) order.  Degrees computed inside the component ARE true
+    degrees — neighborhoods never cross components."""
+    import numpy as np
+    import pandas as pd
+
+    def aa(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"u": pd.array([], dtype="int64"),
+                              "v": pd.array([], dtype="int64"),
+                              "common_neighbors": pd.array(
+                                  [], dtype="int64"),
+                              "adamic_adar": pd.array(
+                                  [], dtype="float64")})
+        if len(pdf) == 0:
+            return empty
+        s = pdf["src"].to_numpy(dtype=np.int64)
+        d = pdf["dst"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([s, d]))
+        n = len(ids)
+        si = np.searchsorted(ids, s)
+        di = np.searchsorted(ids, d)
+        A = np.zeros((n, n), dtype=np.float32)
+        A[si, di] = 1.0
+        A[di, si] = 1.0
+        np.fill_diagonal(A, 0.0)
+        deg = A.sum(axis=1, dtype=np.int64).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            wgt = np.where(deg >= 2,
+                           1.0 / np.log(np.maximum(deg, 2)), 0.0)
+        S = (A * wgt) @ A.T          # float64: A*wgt upcasts
+        C = (A @ A.T).astype(np.int64)  # counts ≤ n < 2^24: f32 exact
+        uu, vv = np.nonzero(np.triu((A == 0) & (C > 0), 1))
+        if len(uu) == 0:
+            return empty
+        score = np.round(S[uu, vv], 6)
+        order = np.lexsort((vv, uu, -score))[:top]
+        return pd.DataFrame({"u": ids[uu[order]], "v": ids[vv[order]],
+                             "common_neighbors": C[uu, vv][order],
+                             "adamic_adar": score[order]})
+
+    return dense_edges.groupBy("c").applyInPandas(
+        aa, schema="u long, v long, common_neighbors long, "
+                   "adamic_adar double")
+
+
+def _lcc_join_triangles(sym: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts via the degree-ordered wedge join
+    over a canonical edge set — split out of `local_clustering` (r14)
+    so the per-component tier can run it on a RESTRICTED edge set.
+    shuffle_hash on the |E|-scaled closer, same rationale as
+    triangle_count: no broadcast build off a pre-materialization size
+    estimate (the r13 x30 g24 failure)."""
+    oriented = _degree_oriented_edges_sym(
+        sym.select("src", "dst")).cache()
+    wedges = _oriented_wedges(oriented)
+    closer = oriented.select(F.col("a").alias("b"),
+                             F.col("b").alias("c"))
+    tri = (wedges.join(closer.hint("shuffle_hash"), ["b", "c"])
+           .select("a", "b", "c"))
+    per = (tri.select(F.col("a").alias("id"))
+           .unionAll(tri.select(F.col("b").alias("id")))
+           .unionAll(tri.select(F.col("c").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+           .localCheckpoint(eager=True))
+    oriented.unpersist()
+    return per
+
+
+def _tri_per_vertex_comp_dense(dense_edges: DataFrame) -> DataFrame:
+    """Per-component dense per-vertex triangle counts: one
+    applyInPandas task per component, tri(v) = ½ Σ_u (A ∘ A²)[v, u] —
+    emits (id, triangles) in original ids (components partition the
+    vertex set, so the union across components needs no re-agg)."""
+    import numpy as np
+    import pandas as pd
+
+    def tri(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({"id": pd.array([], dtype="int64"),
+                                 "triangles": pd.array([],
+                                                       dtype="int64")})
+        s = pdf["src"].to_numpy(dtype=np.int64)
+        d = pdf["dst"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([s, d]))
+        n = len(ids)
+        si = np.searchsorted(ids, s)
+        di = np.searchsorted(ids, d)
+        A = np.zeros((n, n), dtype=np.float32)
+        A[si, di] = 1.0
+        A[di, si] = 1.0
+        np.fill_diagonal(A, 0.0)
+        T = A @ A.T
+        # per-row float64 accumulation: entries are exact (< 2^24) but
+        # a row SUM at n=4096 can pass float32's integer range
+        t = ((A * T).sum(axis=1, dtype=np.float64) / 2.0).astype(
+            np.int64)
+        return pd.DataFrame({"id": ids, "triangles": t})
+
+    return dense_edges.groupBy("c").applyInPandas(
+        tri, schema="id long, triangles long")
+
+
 def adamic_adar(graph: PropertyGraph, top: int = 100,
                 dense_max_nodes: int = 8192,
                 dist_max_nodes: int = 32768,
@@ -623,6 +833,30 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
                      ).first()
     n_nodes = int(bounds["hi"] if bounds["hi"] is not None else 0) + 1
     min_id = int(bounds["lo"] if bounds["lo"] is not None else 0)
+    sum_d2 = None
+
+    def _try_components():
+        """Per-component dispatch (r14): dense kernels for components
+        that fit, the restricted join for the rest; None when labeling
+        failed or nothing routes dense.  Works on ORIGINAL ids — the
+        kernels index locally via np.unique, no remap pass."""
+        split = _component_split(sym, AA_COMP_CAP)
+        if split is None or not split[2]:
+            return None
+        dense_edges, join_edges, _, has_join = split
+        parts = [_adamic_adar_comp_dense(dense_edges, top)]
+        if has_join:
+            parts.append(_adamic_adar_join_scores(
+                join_edges.localCheckpoint(eager=True),
+                hub_degree_threshold, hub_salt))
+        import functools as _ft
+        allp = _ft.reduce(DataFrame.unionByName, parts)
+        # pairs never span components, and each component emitted its
+        # own top-`top` under the FINAL order — the global cut over
+        # the union is exact
+        return (allp.orderBy(F.col("adamic_adar").desc(), "u", "v")
+                .limit(top))
+
     if 0 <= min_id and n_nodes <= dense_max_nodes:
         # already-dense id space: identity mapping, no remap pass
         return _adamic_adar_dense(sym, n_nodes, top)
@@ -648,11 +882,48 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
                     return _adamic_adar_dense(sym, n, top)
                 return _adamic_adar_dense(_remap_edges(sym, map_df),
                                           n, top, id_map=ids)
-            if _prefer_dense_tiles(_sum_deg_sq(sym), n):
+            sum_d2 = _sum_deg_sq(sym)
+            # component attempt BEFORE the global tiles (r14): a
+            # block-diagonal mid-size graph (10 near-complete 1.5k
+            # tenants at x10) passes the global tile gate and pays
+            # global-n³ FLOPs when per-component kernels do ~100×
+            # less; a single-component graph yields no dense comps
+            # and falls through to tiles unchanged
+            if sum_d2 > EDGE_COMP_ATTEMPT_MIN_WEDGES:
+                comp = _try_components()
+                if comp is not None:
+                    return comp
+            if _prefer_dense_tiles(sum_d2, n):
                 if identity:
                     return _adamic_adar_dense_dist(sym, n, top)
                 return _adamic_adar_dense_dist(_remap_edges(sym, map_df),
                                                n, top, id_map=ids)
+    # component attempt before the wedge join (r14): when the join's
+    # wedge-row bill is already expensive, the graph may be
+    # block-diagonal (multi-tenant/multi-shard corpora — the x30
+    # weak-scaling shape, where 30 near-complete 1.5k-vertex tenants
+    # made the global join's Σd² = 4.1e10 rows "intrinsic" while each
+    # BLOCK fits a dense kernel).  Labeling costs O(log diameter)
+    # |E|-shuffle rounds — noise next to the Σd² it competes with, and
+    # skipped entirely when the join is cheap.
+    if sum_d2 is None:
+        sum_d2 = _sum_deg_sq(sym)
+        if sum_d2 > EDGE_COMP_ATTEMPT_MIN_WEDGES:
+            comp = _try_components()
+            if comp is not None:
+                return comp
+    return (_adamic_adar_join_scores(sym, hub_degree_threshold,
+                                     hub_salt)
+            .orderBy(F.col("adamic_adar").desc(), "u", "v")
+            .limit(top))
+
+
+def _adamic_adar_join_scores(sym: DataFrame, hub_degree_threshold: int,
+                             hub_salt: int) -> DataFrame:
+    """The fully-distributed salted wedge-join AA scorer over a
+    canonical edge set (pre-limit: every non-adjacent pair with ≥1
+    common neighbor) — split out of `adamic_adar` (r14) so the
+    per-component tier can run it on a RESTRICTED edge set."""
     edges = sym.unionAll(sym.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("w")).agg(
@@ -700,10 +971,8 @@ def adamic_adar(graph: PropertyGraph, top: int = 100,
                    .alias("adamic_adar")))
     existing = sym.select(F.least("src", "dst").alias("u"),
                           F.greatest("src", "dst").alias("v")).distinct()
-    return (scores.join(existing.hint("shuffle_hash"), ["u", "v"],
-                        "left_anti")
-            .orderBy(F.col("adamic_adar").desc(), "u", "v")
-            .limit(top))
+    return scores.join(existing.hint("shuffle_hash"), ["u", "v"],
+                       "left_anti")
 
 
 def _packed_adjacency(sym: DataFrame, n_nodes: int):
@@ -967,7 +1236,14 @@ def _degree_oriented_edges(graph: PropertyGraph) -> DataFrame:
     rank: (a, b, db) with rank(a) < rank(b), db = deg(b).  The oriented
     out-degree is O(√m) for every vertex — the skew bound triangle
     counting builds on."""
-    e = graph.undirected_edges().select("src", "dst")
+    return _degree_oriented_edges_sym(
+        graph.undirected_edges().select("src", "dst"))
+
+
+def _degree_oriented_edges_sym(e: DataFrame) -> DataFrame:
+    """`_degree_oriented_edges` over an already-canonical (src, dst)
+    edge DataFrame — the per-component tiers (r14) orient RESTRICTED
+    edge sets, so the orientation can't insist on a PropertyGraph."""
     both = e.unionAll(e.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
     deg = both.groupBy(F.col("src").alias("id")).agg(
@@ -2291,28 +2567,25 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     # would wrap numpy fancy indexing into phantom adjacency bits (the
     # adamic_adar guard, applied here too — previously only max was
     # checked)
-    def _route_dense(sym_idx: DataFrame, n: int):
-        """Pick the per-vertex dense form by the REAL cost drivers:
-        the mask path ships |E|·⌈n/8⌉ bytes of per-edge masks through
-        Arrow (fine at small n·E, 20 GB at 15k vertices / 11M edges —
-        the r11 scale-study g24 timeout), the tile path broadcasts
-        n²/8 bytes and keeps Arrow traffic per-vertex.  Returns None
-        when neither bound holds (caller runs the join path)."""
-        if n <= 0:
+    def _try_components(s: DataFrame):
+        """Per-component triangle dispatch (r14, the adamic_adar twin):
+        dense kernels for components that fit, the restricted wedge
+        join for the rest; None when labeling failed or nothing routes
+        dense.  Per-vertex rows union WITHOUT re-agg — components
+        partition the vertex set."""
+        split = _component_split(s, TRI_COMP_CAP)
+        if split is None or not split[2]:
             return None
-        m = sym_idx.count()
-        if m * ((n + 7) // 8) <= (2 << 30):
-            return _triangles_per_vertex_dense(sym_idx, n)
-        # tile tier: packed broadcast ≤ 128 MB (the AA-dist cap), and
-        # only when tile FLOPs beat the join path's wedge rows (Σd²/2
-        # UPPER-bounds the degree-ORIENTED wedge count, so this gate
-        # biases toward tiles — the mistake it can make is bounded by
-        # the n ≤ 32768 cap, while a wedge explosion is not)
-        if n <= 32768 and _prefer_dense_tiles(_sum_deg_sq(sym_idx), n):
-            return _triangles_per_vertex_dense_dist(sym_idx, n)
-        return None
+        dense_edges, join_edges, _, has_join = split
+        parts = [_tri_per_vertex_comp_dense(dense_edges)]
+        if has_join:
+            parts.append(_lcc_join_triangles(
+                join_edges.localCheckpoint(eager=True)))
+        import functools as _ft
+        return _ft.reduce(DataFrame.unionByName, parts)
 
     per = None
+    dense_remap = None
     if b.mn is not None:
         # CARDINALITY probe FIRST, identity ranges included (r12: the
         # adamic_adar probe-order fix applied symmetrically — a
@@ -2323,39 +2596,53 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
         # declines the remap and falls to the join path.
         dense_remap = _dense_id_index(sym, ["src", "dst"],
                                       DENSE_LCC_MAX_NODES)
-        if dense_remap is not None:
-            map_df, ids = dense_remap
-            n = len(ids)
-            if b.mn >= 0 and ids[0] == 0 and ids[-1] == n - 1:
-                # fully-populated identity range: no remap joins —
-                # the returned plan matches the pre-probe flow
-                per = _route_dense(sym, n)
-            else:
-                per_idx = _route_dense(_remap_edges(sym, map_df), n)
-                if per_idx is not None:
-                    # inverse map back to original ids (bounded
-                    # broadcast)
-                    per = (per_idx.join(F.broadcast(map_df.select(
-                               F.col("idx").alias("id"), F.col("orig"))),
-                           "id")
-                           .select(F.col("orig").alias("id"),
-                                   "triangles"))
+
+    def _tier(kernel):
+        """Run a [0, n)-id dense kernel on the (possibly remapped)
+        edges and return per-vertex triangles in ORIGINAL ids."""
+        map_df, ids = dense_remap
+        n = len(ids)
+        if b.mn >= 0 and ids[0] == 0 and ids[-1] == n - 1:
+            # fully-populated identity range: no remap joins — the
+            # returned plan matches the pre-probe flow
+            return kernel(sym, n)
+        per_idx = kernel(_remap_edges(sym, map_df), n)
+        # inverse map back to original ids (bounded broadcast)
+        return (per_idx.join(F.broadcast(map_df.select(
+                    F.col("idx").alias("id"), F.col("orig"))), "id")
+                .select(F.col("orig").alias("id"), "triangles"))
+
+    # tier order (r14): mask → per-component → tiles → join.  The mask
+    # path ships |E|·⌈n/8⌉ bytes of per-edge masks through Arrow (fine
+    # at small n·E, 20 GB at 15k vertices / 11M edges — the r11
+    # scale-study g24 timeout); the component attempt runs between the
+    # mask and tile tiers because a block-diagonal mid-size graph pays
+    # global-n³ tile FLOPs when per-component kernels do orders of
+    # magnitude less (a single-component graph yields no dense comps
+    # and falls through to tiles unchanged); |E| is remap-invariant,
+    # so the mask bound counts `sym` directly.
+    if dense_remap is not None and len(dense_remap[1]) > 0:
+        if sym.count() * ((len(dense_remap[1]) + 7) // 8) <= (2 << 30):
+            per = _tier(_triangles_per_vertex_dense)
+    sum_d2 = None
     if per is None:
-        oriented = _degree_oriented_edges(graph).cache()
-        wedges = _oriented_wedges(oriented)
-        closer = oriented.select(F.col("a").alias("b"),
-                                 F.col("b").alias("c"))
-        # shuffle_hash on the |E|-scaled closer, same rationale as
-        # triangle_count: no broadcast build off a pre-materialization
-        # size estimate (the r13 x30 g24 failure)
-        tri = (wedges.join(closer.hint("shuffle_hash"), ["b", "c"])
-               .select("a", "b", "c"))
-        per = (tri.select(F.col("a").alias("id"))
-               .unionAll(tri.select(F.col("b").alias("id")))
-               .unionAll(tri.select(F.col("c").alias("id")))
-               .groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-               .localCheckpoint(eager=True))
-        oriented.unpersist()
+        sum_d2 = _sum_deg_sq(sym)
+        if sum_d2 > EDGE_COMP_ATTEMPT_MIN_WEDGES:
+            # original ids — the component kernels index locally, so
+            # the remap (and its per-iteration join re-execution) is
+            # never paid here
+            per = _try_components(sym)
+    if per is None and dense_remap is not None:
+        n = len(dense_remap[1])
+        # tile tier: packed broadcast ≤ 128 MB (the AA-dist cap), and
+        # only when tile FLOPs beat the join path's wedge rows (Σd²/2
+        # UPPER-bounds the degree-ORIENTED wedge count, so this gate
+        # biases toward tiles — the mistake it can make is bounded by
+        # the n ≤ 32768 cap, while a wedge explosion is not)
+        if 0 < n <= 32768 and _prefer_dense_tiles(sum_d2, n):
+            per = _tier(_triangles_per_vertex_dense_dist)
+    if per is None:
+        per = _lcc_join_triangles(sym)
     # degree from the SAME canonical edge set the triangles were counted
     # on (distinct-neighbor degree, robust to non-canonical inputs)
     deg = (sym.select(F.col("src").alias("id"))

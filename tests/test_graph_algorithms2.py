@@ -823,3 +823,80 @@ def test_g03_per_component_tier_matches_global(spark, tmp_path,
     monkeypatch.setattr(GA, "DENSE_TRI_MAX_NODES", 0)
     got = g03_supplier_triangles(spark, str(tmp_path)).first()["triangles"]
     assert got == 3 * base > 0
+
+
+def _block_diag_edges(rng, blocks, block_n, p=0.5):
+    """Random connected blocks with disjoint id spaces (chain backbone
+    guarantees per-block connectivity) — the multi-tenant shape."""
+    edges = []
+    for b in range(blocks):
+        base = b * 1000
+        for i in range(block_n - 1):
+            edges.append((base + i, base + i + 1))
+        for i in range(block_n):
+            for j in range(i + 2, block_n):
+                if rng.rand() < p:
+                    edges.append((base + i, base + j))
+    return edges
+
+
+def test_edge_components_labels(spark):
+    """Min-label + path-halving over a unipartite edge set labels every
+    vertex with its component's min id; proves convergence (non-None)
+    on a multi-block graph."""
+    from janusgraph_clickhouse_spark.graph.algorithms import (
+        _edge_components)
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long")
+    got = {r.n: r.c for r in _edge_components(sym).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_adamic_adar_per_component_matches_global(spark, monkeypatch):
+    """The r14 per-component AA tier (forced via zeroed attempt
+    threshold + zeroed dense caps) must reproduce the driver-dense
+    global rows exactly — including a mixed routing where one
+    oversize component takes the restricted join path."""
+    import numpy as np
+    from janusgraph_clickhouse_spark.graph import algorithms as GA
+    rng = np.random.RandomState(11)
+    edges = _block_diag_edges(rng, blocks=3, block_n=14)
+    # one longer sparse component that the small comp cap forces onto
+    # the join tier
+    edges += [(5000 + i, 5000 + i + 1) for i in range(30)]
+    edges += [(5000 + i, 5000 + i + 2) for i in range(0, 29, 3)]
+    g = graph_from_edge_list(spark, edges)
+
+    def rows(**kw):
+        return [(r.u, r.v, r.common_neighbors, r.adamic_adar)
+                for r in GA.adamic_adar(g, top=40, **kw).collect()]
+
+    want = rows()  # global driver-dense (n < 8192)
+    monkeypatch.setattr(GA, "EDGE_COMP_ATTEMPT_MIN_WEDGES", 0)
+    monkeypatch.setattr(GA, "AA_COMP_CAP", 20)
+    got = rows(dense_max_nodes=0, dist_max_nodes=0)
+    assert got == want and len(got) > 0
+
+
+def test_local_clustering_per_component_matches_global(spark,
+                                                       monkeypatch):
+    """The r14 per-component LCC tier must reproduce the global
+    (id, degree, lcc) rows exactly, mixed dense+join routing
+    included."""
+    import numpy as np
+    from janusgraph_clickhouse_spark.graph import algorithms as GA
+    rng = np.random.RandomState(13)
+    edges = _block_diag_edges(rng, blocks=3, block_n=12)
+    edges += [(5000 + i, 5000 + i + 1) for i in range(30)]
+    edges += [(5000 + i, 5000 + i + 2) for i in range(0, 29, 3)]
+    g = graph_from_edge_list(spark, edges)
+    want = {r.id: (r.degree, r.lcc)
+            for r in GA.local_clustering(g).collect()}
+    monkeypatch.setattr(GA, "EDGE_COMP_ATTEMPT_MIN_WEDGES", 0)
+    monkeypatch.setattr(GA, "TRI_COMP_CAP", 20)
+    monkeypatch.setattr(GA, "DENSE_LCC_MAX_NODES", 0)
+    got = {r.id: (r.degree, r.lcc)
+           for r in GA.local_clustering(g).collect()}
+    assert got == want and len(got) > 0
