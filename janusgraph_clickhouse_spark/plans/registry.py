@@ -341,6 +341,24 @@ REGISTERED_ROUND: dict[str, int] = {
 # correctness files at r14 with `python tools/rotation.py` — the
 # r7/r8 pre-derivations were each off by one until recounted
 # (r9/r10/r11/r12/r13's survived the recount).
+#
+# ROUND-15 ROTATION, pre-derived (assuming CORRECTNESS_r14 lands with
+# the window above; N stays 180, horizon {r12,r13,r14,r15}):
+# 1. LEAD COHORT: the 36 r11-row names r14 left unwindowed —
+#      q05 q07-q16 q22-q25 q27 q28 q31-q34 q36 (22 q),
+#      l09 l20-l26 l28 l29 l47 (11 l), s04 s05 s15 (3 s), ZERO g
+#    (all four r11-row g names were r14 spares) — the g sentinel must
+#    come from rule-2/spares.
+# 2. rule 2, PRE-DECLARED mid-r14 (changed names NOT in the r14
+#    window; every change dual-scale parity re-verified fresh-process
+#    + property-pinned at change time, x10/x30 rows recorded):
+#    l19 l55 — the brute_force_topk_join chunk-path rework (probe
+#    release + eager per-chunk broadcast lifecycle) and the NaN/inf
+#    element-class alignment (JVM form filters NaN cosines).  l05
+#    consumes cosine_expr paths too but is an r14 lead name.
+#    + any red from r14's file.
+# 3. ~12 spares from the 50 r12-row names, stalest-first, including
+#    ≥2 g names (g07 g08 ... candidates) for the family sentinel.
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 assert len(set(DRIVER_PRIORITY)) == 50, "duplicate name in window"
 
