@@ -83,10 +83,12 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
       (larger query sides auto-chunk and union, r13 — same boundedness
       contract as the JVM broadcast, one resident block per chunk);
       one Arrow pass over the corpus scores each batch as a b×|Q|
-      BLAS matmul of unit vectors and emits only the PER-PARTITION
-      top-k per query (selected by the same HALF_UP-at-6dp + id order
-      the final cut uses), so the window shuffle sees ≤
-      partitions·|Q|·k rows instead of |C|·|Q|.  Measured r12 (x10
+      BLAS matmul of unit vectors and emits a per-batch top-k
+      SUPERSET per query (everything beating or tying the k-th
+      HALF_UP-at-6dp score — one whole-matrix np.partition, no
+      per-query loop, r14; wholesale tie bands on dup-heavy corpora
+      are trimmed back to exact top-k), so the window shuffle sees ≤
+      2·partitions·|Q|·k rows instead of |C|·|Q|.  Measured r12 (x10
       weak-scaling fixture, l19: 400 queries × 20k corpus × dim 64):
       18.9 s JVM-expression form → 0.85 s BLAS form, see PERF.md.
       Degenerate inputs behave exactly as the JVM form across the
@@ -270,35 +272,58 @@ def _topk_chunk_candidates(spark, q_schema, qrows, cc, k: int,
             if len(ids) == 0:
                 continue
             S = (C / cn[:, None]) @ Qn_.T  # b × |Q|
-            # local cut by the FINAL cut's order: HALF_UP-away-from-
-            # zero at 6dp (Spark ROUND semantics), then id ascending
-            # NULLS FIRST — a raw-float local cut could drop a row
-            # that TIES at 6dp with a kept one but wins the id
-            # tiebreak globally
+            # local cut = SUPERSET of the per-partition top-k under the
+            # FINAL order (HALF_UP-at-6dp score desc, id asc NULLS
+            # FIRST): keep every candidate whose quantized score beats
+            # OR TIES the k-th largest — id tiebreaks at the boundary
+            # need never be resolved here because the global window
+            # re-ranks exactly, and a superset can't drop a winner.
+            # All whole-matrix numpy (one np.partition per batch): the
+            # r13 per-query lexsort loop went allocation-bound at
+            # x100 (l19 139 s → ~4 s, PERF.md r14).  Per-batch output
+            # is bounded at 2·|Q|·k by the tie-band trim below.
             Sq = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5)
-            ids_all_notna = bool(notna.all())
-            nn = None if ids_all_notna else notna.astype(np.int8)
-            oq, oiv, oim, oc = [], [], [], []
-            for j in range(len(qids_)):
-                cand = (np.nonzero(ids != qids_[j])[0] if excl
-                        else np.arange(len(ids)))
-                if len(cand) == 0:
-                    continue
-                keys = ((ids[cand], -Sq[cand, j]) if ids_all_notna
-                        else (ids[cand], nn[cand], -Sq[cand, j]))
-                sel = cand[np.lexsort(keys)[:kk]]
-                oq.append(np.full(len(sel), qids_[j], dtype=np.int64))
-                oiv.append(ids[sel])
-                oim.append(~notna[sel])
-                oc.append(S[sel, j])
-            if oq:
-                mask = np.concatenate(oim)
-                vals = np.concatenate(oiv)
-                idcol = (pd.arrays.IntegerArray(vals, mask=mask)
-                         if mask.any() else vals)
-                yield pd.DataFrame({"query_id": np.concatenate(oq),
-                                    "id": idcol,
-                                    "cosine": np.concatenate(oc)})
+            if excl:
+                self_mask = ids[:, None] == qids_[None, :]
+                Sq = np.where(self_mask, -np.inf, Sq)
+            b = Sq.shape[0]
+            if b > kk:
+                kth = -np.partition(-Sq, kk - 1, axis=0)[kk - 1]
+                keep_m = Sq >= kth[None, :]
+            else:
+                keep_m = np.ones(Sq.shape, dtype=bool)
+            if excl:
+                keep_m &= ~self_mask
+            # dup-heavy corpora (the dedup workload) tie WHOLESALE at
+            # the k-th quantized score — an unguarded >=-tie superset
+            # degrades to b rows/query there (worst case the full
+            # |C|·|Q| shuffle the local cut exists to avoid).  When a
+            # batch's kept total blows past 2·k·|Q|, trim each
+            # over-full query's tie band by the FINAL id order
+            # (NULLS FIRST, then id asc — ids is fillna(0) so notna is
+            # the NULL key), making the local cut EXACT top-k for
+            # those queries; per-batch output is ≤ 2·k·|Q| always.
+            # The trim loop touches only over-full queries, so the
+            # tie-free hot path stays allocation-free (r14).
+            if b > kk:
+                cnts = keep_m.sum(axis=0)
+                if cnts.sum() > 2 * kk * Sq.shape[1]:
+                    for j in np.nonzero(cnts > kk)[0]:
+                        tied = np.nonzero(keep_m[:, j]
+                                          & (Sq[:, j] == kth[j]))[0]
+                        need = kk - int((Sq[:, j] > kth[j]).sum())
+                        order = np.lexsort((ids[tied], notna[tied]))
+                        keep_m[tied[order[need:]], j] = False
+            rsel, csel = np.nonzero(keep_m)
+            if len(rsel) == 0:
+                continue
+            out_ids = ids[rsel]
+            out_mask = ~notna[rsel]
+            idcol = (pd.arrays.IntegerArray(out_ids, mask=out_mask)
+                     if out_mask.any() else out_ids)
+            yield pd.DataFrame({"query_id": qids_[csel],
+                                "id": idcol,
+                                "cosine": S[rsel, csel]})
 
     from .dedup import _spread_scan
     # JVM-equal scan-side drops: NULL vectors, dim-mismatch and

@@ -1097,6 +1097,49 @@ def test_topk_join_chunked_and_degenerate_equal_jvm(spark, seed,
 
 
 @SPARK_FAST
+@given(seed=st.integers(0, 9999), n_dups=st.integers(10, 40),
+       n_queries=st.integers(2, 5), k=st.integers(1, 4),
+       excl=st.booleans())
+def test_topk_join_tie_band_trim_equals_jvm(spark, seed, n_dups,
+                                            n_queries, k, excl):
+    """r14: dup-heavy corpora tie WHOLESALE at the k-th quantized
+    score (a dedup workload is exactly this), and the whole-matrix
+    superset cut trims those tie bands back to exact per-query top-k
+    by the final NULLS-FIRST-then-id order.  A corpus that is n_dups
+    exact copies of ONE vector (distinct ids, one NULL id) plus a few
+    distinct rows forces every query's tie band past the 2·k·|Q|
+    trim guard; the result must stay row-identical to the all-JVM
+    window form."""
+    from janusgraph_clickhouse_spark.llm.similarity import (
+        brute_force_topk_join)
+    rng = np.random.RandomState(seed)
+    dim = 4
+    base = (rng.randn(dim) + 0.1).tolist()
+    crows = [(i, base) for i in range(n_dups)]
+    crows.append((None, base))  # NULL id inside the tie band
+    for i in range(3):
+        crows.append((n_dups + i, (rng.randn(dim) + 0.1).tolist()))
+    cdf = spark.createDataFrame(crows, "id long, v array<double>")
+    qrows = [(0, base)]  # a query INSIDE the dup cluster (excl live)
+    for j in range(1, n_queries):
+        qrows.append((j, (rng.randn(dim) + 0.1).tolist()))
+    qdf = spark.createDataFrame(qrows, "qid long, qv array<double>")
+
+    def canon(df):
+        return sorted(
+            tuple((v is not None, v if v is not None else 0)
+                  for v in (r.query_id, r.id, r.cosine))
+            for r in df.collect())
+
+    want = canon(brute_force_topk_join(
+        qdf, cdf, "qid", "qv", "id", "v", k=k, exclude_self=excl,
+        vectorized=False))
+    got = canon(brute_force_topk_join(
+        qdf, cdf, "qid", "qv", "id", "v", k=k, exclude_self=excl))
+    assert got == want
+
+
+@SPARK_FAST
 @given(seed=st.integers(0, 9999), n_rows=st.integers(1, 120),
        n_groups=st.integers(1, 3))
 def test_exact_percentiles_cont_matches_builtin(spark, seed, n_rows,
