@@ -260,6 +260,12 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16,
         buckets = buckets.join(sizes, ["band", "bucket"], "left_semi")
     x = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
     y = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
+    # NOT hinted (r14 adjudication): these sides are agg-derived
+    # off the scan, so Catalyst's estimate GROWS with the input —
+    # measured broadcast at fixture scale, SMJ at x30/x100 (l03
+    # 33 s clean at x100) — unlike the simhash join below, whose
+    # pandas-UDF+checkpoint child pins the estimate small at any
+    # scale and died at x100
     return (x.join(y, ["band", "bucket"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
@@ -356,6 +362,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fn(F.split(F.col(text_col), " ")).alias("simhash"))
 
 
+def _auto_sub_bands(n: int, max_hamming: int,
+                    auto_row_threshold: int) -> "int | None":
+    """Corpus-scaled Manku sub-band count (r14).
+
+    None (pigeonhole split) under the threshold; otherwise the
+    smallest m ≥ h+2 whose expected bucket occupancy
+    n / 2^((m-h)·64/m) is ≤ 8 — any FIXED m has a fixed key space, so
+    its bucket join grows quadratically in n (the x100 l04 find) —
+    bounded by the explode budget C(m, m-h) ≤ 1024 keys/doc.  The
+    pair set is m-invariant (completeness holds for every m > h), so
+    this only moves the candidate-volume/fan-out trade."""
+    from math import comb
+    if n <= auto_row_threshold:
+        return None
+    m = max_hamming + 2
+    while (n > 8 * 2 ** ((m - max_hamming) * 64.0 / m)
+           and m < 32
+           and comb(m + 1, m + 1 - max_hamming) <= 1024):
+        m += 1
+    return m
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 8,
                   sub_bands: "int | None | str" = "auto",
@@ -386,13 +414,24 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     ~12.8 bits ≈ 7k buckets vs 256).  Rows per doc grow C(m, m-h)-fold;
     pick m so C(m, m-h) stays small (m = h+2 → C(h+2, 2)).
 
-    DEFAULT ``sub_bands="auto"``: combination blocking (m = max_hamming+2)
-    whenever the corpus exceeds `auto_row_threshold` rows, else the
-    pigeonhole split.  The threshold is the pigeonhole key-space size —
-    7-8-bit bands have ≤256 distinct values, so past ~256 rows every
-    bucket is multi-doc by pigeonhole and the candidate join starts its
+    DEFAULT ``sub_bands="auto"``: combination blocking whenever the
+    corpus exceeds `auto_row_threshold` rows, else the pigeonhole
+    split.  The threshold is the pigeonhole key-space size — 7-8-bit
+    bands have ≤256 distinct values, so past ~256 rows every bucket is
+    multi-doc by pigeonhole and the candidate join starts its
     quadratic slide; below it the 45× key fan-out costs more than it
-    saves.  The decision needs a count, so the signature DF is
+    saves.  Auto also SCALES m WITH THE CORPUS (r14): any fixed m has
+    a fixed key space (2^((m-h)·64/m) buckets), so bucket occupancy —
+    and the candidate join, Σ occ² — grows QUADRATICALLY in corpus
+    size (the r14 x100 probe measured l04 at 8.2× time for 3.3× data
+    on m=10's ~7k buckets).  m steps up from h+2 until expected
+    occupancy n / 2^((m-h)·64/m) ≤ 8, capped at C(m, m-h) ≤ 1024
+    keys/doc (the explode budget) — the same bounded-candidates
+    discipline as the ANN family's n_planes="auto".  Completeness
+    holds for EVERY m > h, so the pair set is m-invariant
+    (pytest-pinned) and the all-pairs oracle stays valid.  At fixture
+    scales (≤ ~57k docs) auto still picks m=10 — registered plans
+    unchanged.  The decision needs a count, so the signature DF is
     checkpointed first — one materialization either way, and the
     pair-set is identical for both blockings (pytest-pinned)."""
     if not 0 <= max_hamming <= 63:
@@ -405,8 +444,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     # the slow one)
     sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     if sub_bands == "auto":
-        sub_bands = (max_hamming + 2
-                     if sh.count() > auto_row_threshold else None)
+        sub_bands = _auto_sub_bands(sh.count(), max_hamming,
+                                    auto_row_threshold)
     n_bands = (sub_bands if sub_bands is not None else max_hamming + 1)
     if n_bands <= max_hamming:
         raise ValueError(
@@ -434,7 +473,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                      F.col("simhash").alias("sim_a"), "band", "val")
     y = bands.select(F.col("id").alias("doc_b"),
                      F.col("simhash").alias("sim_b"), "band", "val")
-    pairs = (x.join(y, ["band", "val"])
+    # |corpus|·C(m,pick)-scaled sides by construction (checkpoint
+    # child): explicit merge — the r14 x100 run died on a re-planned
+    # GB-scale broadcast build of this side (maxResultSize) while the
+    # first plan in the same process chose SMJ; never trust the
+    # estimator here
+    pairs = (x.hint("merge").join(y, ["band", "val"])
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", "sim_a", "sim_b")
              .distinct()
@@ -583,6 +627,13 @@ def _containment_report(train_sh: DataFrame,
     claim rests on this literally being the same plan tail."""
     bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
     shared = (train_sh.select(F.col("id").alias("train_id"), "shingle")
+              # merge (r14): in the Bloom caller (l34) bench_sh is an
+              # eager localCheckpoint, whose stats stay fixed-small at
+              # any scale — the estimator class that broadcast-killed
+              # l04 at x100; at 100 TB the benchmark side scales with
+              # the suite, so SMJ is the right strategy for the plain
+              # caller (l21) too
+              .hint("merge")
               .join(bench_sh.select(F.col("id").alias("bench_id"),
                                     "shingle"), "shingle")
               .groupBy("train_id", "bench_id")
@@ -1103,7 +1154,10 @@ def source_overlap_matrix(df: DataFrame, group_col: str, text_col: str,
                     F.col("source_a") < F.col("source_b"))
              .select("source_a", "source_b", "n_shingles_a",
                      "n_shingles_b", matches.alias("m")))
-    inter = (sh.alias("x").join(
+    # merge (r14): sh is an eager localCheckpoint — its stats
+    # stay fixed-small at any scale (the l04 x100 broadcast-death
+    # estimator class), and both sides are |corpus·shingles|-scaled
+    inter = (sh.alias("x").hint("merge").join(
         sh.alias("y"),
         (F.col("x.sh") == F.col("y.sh"))
         & (F.col("x.g") < F.col("y.g")))

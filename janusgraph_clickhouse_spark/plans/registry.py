@@ -353,9 +353,21 @@ REGISTERED_ROUND: dict[str, int] = {
 #    window; every change dual-scale parity re-verified fresh-process
 #    + property-pinned at change time, x10/x30 rows recorded):
 #    l19 l55 — the brute_force_topk_join chunk-path rework (probe
-#    release + eager per-chunk broadcast lifecycle) and the NaN/inf
-#    element-class alignment (JVM form filters NaN cosines).  l05
+#    release + eager per-chunk broadcast lifecycle), the NaN/inf
+#    element-class alignment (JVM form filters NaN cosines), and the
+#    LATE-r14 whole-matrix superset cut + tie-band trim (the x100
+#    l19 find: per-query lexsort loop allocation-bound, 138.7→7.5 s;
+#    property-pinned incl. a dup-heavy tie generator).  l05
 #    consumes cosine_expr paths too but is an r14 lead name.
+#    l04 — corpus-scaled Manku sub_bands auto tier (_auto_sub_bands)
+#    + the merge hint on the checkpoint-fed bands self-join (the
+#    x100 re-plan broadcast death; fixture pin 1.36 s, x30 28.3,
+#    x100 74.8 — parity green fresh-process both scales).
+#    l21 l34 — merge hint in _containment_report (l34's bench side
+#    is checkpoint-fed, the same estimator-blind class; pins
+#    1.12/1.45 flat, x30 6.5/7.6 flat).
+#    l56 — merge hint on the checkpoint-fed shingle self-join (pin
+#    2.41 flat, x30 13.5).
 #    + any red from r14's file.
 # 3. ~12 spares from the 50 r12-row names, stalest-first, including
 #    ≥2 g names (g07 g08 ... candidates) for the family sentinel.

@@ -89,9 +89,20 @@ def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
     multi = {(r.doc_a, r.doc_b, r.hamming)
              for r in D.simhash_pairs(docs, "doc_id", "text", 8,
                                       sub_bands=10).collect()}
+    # r14: auto scales m with corpus size (x100: fixed m=10's ~7k
+    # buckets went quadratic); the pair set must be m-INVARIANT —
+    # completeness holds for every m > h — pin the scaled tiers too
+    multi11 = {(r.doc_a, r.doc_b, r.hamming)
+               for r in D.simhash_pairs(docs, "doc_id", "text", 8,
+                                        sub_bands=11).collect()}
+    multi12 = {(r.doc_a, r.doc_b, r.hamming)
+               for r in D.simhash_pairs(docs, "doc_id", "text", 8,
+                                        sub_bands=12).collect()}
     auto_df = D.simhash_pairs(docs, "doc_id", "text", 8)
     auto = {(r.doc_a, r.doc_b, r.hamming) for r in auto_df.collect()}
     assert multi == pigeon
+    assert multi11 == pigeon
+    assert multi12 == pigeon
     assert auto == pigeon
     assert len(pigeon) > 0
     plan = auto_df._jdf.queryExecution().optimizedPlan().toString()
@@ -100,6 +111,35 @@ def test_simhash_multiband_blocking_is_complete(spark, sf_oracle):
     tiny_plan = tiny._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" not in tiny_plan, \
         "tiny corpus should keep the pigeonhole split"
+
+
+def test_auto_sub_bands_scales_with_corpus():
+    """r14: the auto blocking tier must hold expected bucket occupancy
+    ≤ 8 by widening the key space as the corpus grows — a fixed m's
+    bucket join is quadratic in n (the x100 l04 find) — while keeping
+    every fixture-scale corpus on m=10 (registered plans unchanged)
+    and respecting the C(m, m-h) ≤ 1024 explode budget."""
+    from math import comb
+    f = D._auto_sub_bands
+    assert f(200, 8, 256) is None                  # under threshold
+    # fixture scales: sf0.001/sf0.01/sf0.1 and the x10 study all stay
+    # on the r13 tier
+    for n in (500, 5000, 50000):
+        assert f(n, 8, 256) == 10
+    assert f(150_000, 8, 256) == 11                # x30
+    assert f(500_000, 8, 256) == 11                # x100
+    assert f(5_000_000, 8, 256) == 12
+    # occupancy bound holds wherever the explode budget allows it
+    for n in (10**6, 10**7):
+        m = f(n, 8, 256)
+        assert (n <= 8 * 2 ** ((m - 8) * 64.0 / m)
+                or comb(m + 1, m + 1 - 8) > 1024)
+    # monotone in n, and never below h+2
+    prev = 0
+    for n in (300, 10**4, 10**5, 10**6, 10**7, 10**8):
+        m = f(n, 8, 256)
+        assert m >= 10 and m >= prev
+        prev = m
 
 
 def test_lsh_blocked_near_dup_subset_of_exact(spark, sf_oracle):
