@@ -21,6 +21,7 @@ engines.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -59,6 +60,24 @@ def _spread_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint for a multiply-referenced frame: compute it
+    ONCE instead of re-deriving the whole subplan (scan + explode +
+    distinct) at every reference — Catalyst reuses identical Exchange
+    subtrees but re-runs everything ABOVE the exchange (the final
+    distinct aggregate included) per reference.  No-op on streaming
+    frames (no RDD lineage to checkpoint).
+
+    CONSEQUENCE (the r14 l04 rule): a checkpoint child's size estimate
+    stays fixed-small at any scale, so every join that consumes a
+    corpus-scaled materialized frame below MUST carry an explicit
+    merge/shuffle_hash hint — Catalyst would otherwise plan a GB-scale
+    broadcast build at 100 TB (x100-measured death class)."""
+    if df.isStreaming:
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
@@ -120,7 +139,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                   threshold: float = 0.4,
                   candidates: DataFrame | None = None,
-                  allow_quadratic: bool = False) -> DataFrame:
+                  allow_quadratic: bool = False,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ threshold.
 
     With `candidates` (doc_a, doc_b) supplied, computes Jaccard only for
@@ -132,44 +152,72 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     the one shape in the dedup family that cannot run at 100× — so it
     refuses unless `allow_quadratic=True` makes the choice explicit.
     The scale path is minhash_dedup_pairs (same output, LSH-bounded
-    candidate generation)."""
+    candidate generation).
+
+    `shingles`: optional precomputed (id, shingle) set from
+    shingle_sets — lets a pipeline that already materialized the
+    shingle pass (minhash_dedup_pairs) rerank without re-deriving it.
+    Must be the shingle_sets(df, id_col, text_col, n) output (values
+    identical by construction; only the derivation is shared).
+
+    Materialize-once shape (r14 optimization round): the shingle set
+    is referenced by sizes and BOTH self-join sides (and `candidates`
+    by the doc restriction and the pair semi-join), so each was
+    re-derived 2-4× per run — scan, explode, hash, distinct included.
+    Both are now eager localCheckpoints, and every join fed by them
+    carries an explicit merge hint (checkpoint children are
+    estimator-blind: fixed-small stats at any scale would otherwise
+    broadcast a corpus-scaled side — the l04 x100 death class)."""
     if candidates is None and not allow_quadratic:
         raise ValueError(
             "full-corpus exact Jaccard is quadratic in corpus size; "
             "pass candidates=... (the LSH rerank path, see "
             "minhash_dedup_pairs) or opt in with allow_quadratic=True "
             "for a bounded baseline/rerank run")
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = (shingles if shingles is not None
+          else shingle_sets(df, id_col, text_col, n))
     if candidates is not None:
         # normalize caller-supplied pair order: an un-canonicalized
         # (7, 3) would otherwise never match the (3, 7) the
-        # intersection emits and the pair would silently vanish
-        candidates = candidates.select(
+        # intersection emits and the pair would silently vanish;
+        # materialized because both the doc restriction and the final
+        # pair semi-join consume it (the candidate subplan — LSH
+        # banding in the l03 pipeline — previously compiled twice)
+        candidates = _materialize(candidates.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"))
+            F.greatest("doc_a", "doc_b").alias("doc_b")))
         # rerank path: restrict the expensive shingle self-join to docs
         # that appear in some candidate pair BEFORE joining — this is what
         # makes LSH cheaper than the exact baseline, not just a post-filter
         cand_docs = (candidates.select(F.col("doc_a").alias("id"))
                      .unionAll(candidates.select(F.col("doc_b").alias("id")))
                      .distinct())
-        sh = sh.join(cand_docs, "id", "left_semi")
+        sh = sh.hint("merge").join(cand_docs, "id", "left_semi")
+    # one materialization feeds sizes + both self-join sides; in the
+    # rerank path it is the post-restriction set that materializes
+    # (|candidate-doc shingles|, not |corpus shingles|)
+    sh = _materialize(sh)
     # sizes AFTER the candidate restriction: the aggregate's shuffle is
     # |candidate-doc shingles|, not |corpus shingles| (identical output —
     # only whole docs are filtered, never individual shingles)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
+    inter = (a.hint("merge").join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
     if candidates is not None:
-        inter = inter.join(candidates.select("doc_a", "doc_b").distinct(),
-                           ["doc_a", "doc_b"], "left_semi")
+        # no .distinct() on the build side: left_semi ignores
+        # duplicate build rows, so deduping it is a wasted aggregate
+        inter = (inter.hint("merge")
+                 .join(candidates.select("doc_a", "doc_b"),
+                       ["doc_a", "doc_b"], "left_semi"))
     jac = (inter
+           .hint("merge")
            .join(sizes.select(F.col("id").alias("doc_a"),
                               F.col("sz").alias("sz_a")), "doc_a")
+           .hint("merge")
            .join(sizes.select(F.col("id").alias("doc_b"),
                               F.col("sz").alias("sz_b")), "doc_b")
            .withColumn("jaccard_raw",
@@ -234,7 +282,8 @@ def check_band_params(num_hashes: int, bands: int,
 
 def lsh_candidates(signatures: DataFrame, bands: int = 16,
                    rows_per_band: int = 3,
-                   max_bucket_rows: int | None = None) -> DataFrame:
+                   max_bucket_rows: int | None = None,
+                   hint_join: str | None = None) -> DataFrame:
     """Banding: docs sharing any band bucket become candidate pairs.
     Explode to (band, bucket_hash, id), self-join per bucket — the join key
     is (band, bucket), so identical buckets co-locate in one shuffle.
@@ -260,12 +309,16 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16,
         buckets = buckets.join(sizes, ["band", "bucket"], "left_semi")
     x = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
     y = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
-    # NOT hinted (r14 adjudication): these sides are agg-derived
-    # off the scan, so Catalyst's estimate GROWS with the input —
-    # measured broadcast at fixture scale, SMJ at x30/x100 (l03
-    # 33 s clean at x100) — unlike the simhash join below, whose
-    # pandas-UDF+checkpoint child pins the estimate small at any
-    # scale and died at x100
+    # hint_join=None (r14 adjudication): when `signatures` is
+    # agg-derived off the scan, Catalyst's estimate GROWS with the
+    # input — measured broadcast at fixture scale, SMJ at x30/x100
+    # (l03 33 s clean at x100).  A caller feeding signatures from a
+    # CHECKPOINTED shingle set (minhash_dedup_pairs since the r14
+    # materialize-once change) passes hint_join="merge": the
+    # checkpoint child pins the estimate fixed-small at any scale —
+    # the class that broadcast-killed the simhash join at x100
+    if hint_join is not None:
+        x = x.hint(hint_join)
     return (x.join(y, ["band", "bucket"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
@@ -280,10 +333,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     the S-curve threshold at (1/16)^(1/3) ≈ 0.40."""
     rows_per_band = num_hashes // bands
     check_band_params(num_hashes, bands, rows_per_band)
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cand = lsh_candidates(sig, bands, rows_per_band)
+    # ONE shingle pass feeds both the signature aggregate and the
+    # exact-Jaccard rerank (r14 optimization round: the rerank
+    # previously re-derived scan+explode+distinct from scratch).
+    # Because sig is now agg-over-checkpoint — estimator-blind, stats
+    # fixed-small at any scale — the banding self-join must carry the
+    # merge hint (hint_join below); unhinted it would broadcast a
+    # corpus-scaled bucket side at 100 TB (the l04 x100 death class).
+    sh = _materialize(shingle_sets(df, id_col, text_col, n))
+    sig = signatures_from_shingles(sh, num_hashes)
+    cand = lsh_candidates(sig, bands, rows_per_band, hint_join="merge")
     return jaccard_pairs(df, id_col, text_col, n, threshold,
-                         candidates=cand)
+                         candidates=cand, shingles=sh)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -658,8 +719,15 @@ def decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
     move 8-byte xxhash64 keys, the join fans out only on genuinely
     shared shingles, never all-pairs.  Containment is computed against
     the benchmark side's shingle count (what leaked), not the train
-    doc's (how big the train doc is)."""
-    sh = shingle_sets(df, id_col, text_col, n=n)
+    doc's (how big the train doc is).
+
+    The shingle set is materialized once (r14 optimization round): the
+    train/bench split consumes it twice, so the scan + explode +
+    distinct previously ran twice per query.  The bench_ids build side
+    stays unhinted — it is scan-derived (estimates grow with input)
+    and benchmark-suite-bounded, the designed broadcast; the confirm
+    join below is already merge-hinted in _containment_report."""
+    sh = _materialize(shingle_sets(df, id_col, text_col, n=n))
     bench_ids = df.filter(bench_filter).select(F.col(id_col).alias("id"))
     bench_sh = sh.join(bench_ids, "id", "left_semi")
     train_sh = sh.join(bench_ids, "id", "left_anti")
@@ -741,7 +809,9 @@ def bloom_decontaminate_pairs(df: DataFrame, id_col: str, text_col: str,
     numpy bitset (a bitset lookup cannot be a join without re-paying
     the shuffle it exists to avoid, and the numpy form is vectorized
     per batch, never per-row Python)."""
-    sh = shingle_sets(df, id_col, text_col, n=n)
+    # one shingle pass feeds both the bench and train splits (r14
+    # optimization round — previously re-derived per split)
+    sh = _materialize(shingle_sets(df, id_col, text_col, n=n))
     bench_ids = df.filter(bench_filter).select(F.col(id_col).alias("id"))
     bench_sh = (sh.join(bench_ids, "id", "left_semi")
                 .localCheckpoint(eager=True))
@@ -785,8 +855,17 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     doc consisting almost entirely of stop-shingles can lose candidates
     — exactly the boilerplate a dedup pipeline drops anyway.  The
     rerank computes EXACT containment (all shingles, uncapped) for
-    candidates only, so the cap never biases emitted scores."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    candidates only, so the cap never biases emitted scores.
+
+    Materialize-once shape (r14 optimization round): the shingle set
+    was referenced by the df-cap aggregate, the blocker (twice), and
+    the rerank (sizes + both self-join sides) — up to ~7 re-derivations
+    of scan+explode+distinct per run (125 Exchange nodes in the l32
+    plan).  The shingle set, the df-capped blocker side, the candidate
+    pairs, and the restricted rerank set are now eager localCheckpoints;
+    every join fed by them carries an explicit merge hint (checkpoint
+    children are estimator-blind — the l04 x100 broadcast-death class)."""
+    sh = _materialize(shingle_sets(df, id_col, text_col, n))
     if candidates is not None:
         # normalize caller pair order (the jaccard_pairs trap): an
         # un-canonicalized (7, 3) would never match the intersection's
@@ -800,37 +879,51 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         if max_shingle_df is not None:
             dfreq = (sh.groupBy("shingle")
                      .agg(F.count(F.lit(1)).alias("_df")))
-            sh_blk = (sh.join(dfreq.filter(F.col("_df") <= max_shingle_df)
-                              .select("shingle"), "shingle", "left_semi"))
+            # NOT materialized: consumed twice (bottom-k window +
+            # probe side), but both derive from the checkpointed sh by
+            # one cheap semi-join — re-deriving pins faster than
+            # paying another barrier (in-session A/B, r14 opt round)
+            sh_blk = (sh.hint("merge")
+                      .join(dfreq.filter(F.col("_df") <= max_shingle_df)
+                            .select("shingle"), "shingle", "left_semi"))
         w = Window.partitionBy("id").orderBy("shingle")
         probe = (sh_blk.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= bottom_k)
                  .select(F.col("id").alias("ia"), "shingle"))
-        cand = (probe.join(sh_blk.select(F.col("id").alias("ib"),
-                                         "shingle"),
-                           "shingle")
+        cand = (probe.hint("merge")
+                .join(sh_blk.select(F.col("id").alias("ib"),
+                                    "shingle"),
+                      "shingle")
                 .filter(F.col("ia") != F.col("ib"))
                 .select(F.least("ia", "ib").alias("doc_a"),
                         F.greatest("ia", "ib").alias("doc_b"))
                 .distinct())
+    # the candidate pair set feeds the doc restriction AND the final
+    # pair semi-join — one materialization, two consumers
+    cand = _materialize(cand)
     cand_docs = (cand.select(F.col("doc_a").alias("id"))
                  .unionAll(cand.select(F.col("doc_b").alias("id")))
                  .distinct())
-    sh = sh.join(cand_docs, "id", "left_semi")
+    sh = _materialize(sh.hint("merge").join(cand_docs, "id", "left_semi"))
     # sizes AFTER the candidate restriction (exact containment still
     # uses ALL of a candidate doc's shingles — only whole docs filter)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
+    inter = (a.hint("merge").join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("m"))
-             .join(cand.select("doc_a", "doc_b").distinct(),
+             # no .distinct() on the build side: cand is already
+             # distinct (and left_semi ignores duplicates anyway)
+             .hint("merge")
+             .join(cand.select("doc_a", "doc_b"),
                    ["doc_a", "doc_b"], "left_semi"))
     out = (inter
+           .hint("merge")
            .join(sizes.select(F.col("id").alias("doc_a"),
                               F.col("sz").alias("sz_a")), "doc_a")
+           .hint("merge")
            .join(sizes.select(F.col("id").alias("doc_b"),
                               F.col("sz").alias("sz_b")), "doc_b")
            .withColumn("containment_raw",
@@ -887,23 +980,29 @@ def shared_spans(df: DataFrame, id_col: str, text_col: str,
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    wins = df.select(
+    # materialized (r14 optimization round): the positioned window-hash
+    # set feeds both self-join sides (plus the df-cap aggregate and its
+    # anti-join when capped) — each reference previously re-ran the
+    # tokenize + per-position xxhash64 explode, the expensive map work
+    # of this operator.  Checkpoint-fed consumers below carry merge
+    # hints (estimator-blind stats — the l04 x100 broadcast class).
+    wins = _materialize(df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.when(n >= k, F.transform(
                 idx, lambda i: F.xxhash64(F.array_join(
                     F.slice(toks, i, k), " "))))
             .otherwise(F.array().cast("array<long>"))
-        ).alias("pos", "h"))
+        ).alias("pos", "h")))
     if max_window_df is not None:
         hot = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_window_df).select("h"))
-        wins = wins.join(hot, "h", "left_anti")
+        wins = _materialize(wins.hint("merge").join(hot, "h", "left_anti"))
     a = wins.select(F.col("id").alias("doc_a"),
                     F.col("pos").alias("pos_a"), "h")
     b = wins.select(F.col("id").alias("doc_b"),
                     F.col("pos").alias("pos_b"), "h")
-    m = (a.join(b, "h")
+    m = (a.hint("merge").join(b, "h")
          .filter(F.col("doc_a") < F.col("doc_b"))
          .withColumn("d", F.col("pos_a") - F.col("pos_b")))
     w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
@@ -1279,13 +1378,23 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
     documents before pairing (the l32 hot-shingle discipline):
     boilerplate that would otherwise pair everything with everything
     contributes quadratic candidates and no dedup signal."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    # materialized once (r14 optimization round): the fingerprint set
+    # (explode + ordered window pass + distinct — the expensive map
+    # work) feeds the df aggregate and both self-join sides via the
+    # anti-join; each reference previously re-derived it.  `hot` stays
+    # unhinted: it is the over-cap fingerprint list, small by
+    # construction (bounded by corpus/max_fp_df), so its broadcast is
+    # right at any scale; the a×b self-join sides are checkpoint-fed
+    # AND corpus-scaled, so they carry the merge hint (the l04 x100
+    # broadcast class).
+    fps = _materialize(winnow_fingerprints(df, id_col, text_col, k,
+                                           window))
     hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
            .filter(F.col("dfc") > max_fp_df).select("fp"))
     kept = fps.join(hot, "fp", "left_anti")
     a = kept.select(F.col("id").alias("doc_a"), "fp")
     b = kept.select(F.col("id").alias("doc_b"), "fp")
-    return (a.join(b, "fp")
+    return (a.hint("merge").join(b, "fp")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))

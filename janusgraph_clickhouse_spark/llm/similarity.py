@@ -556,22 +556,29 @@ def sq8_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
     w_a = F.array(*[F.lit(float(x)) for x in w])
     u_a = F.array(*[F.lit(float(x)) for x in u])
     v_a = F.array(*[F.lit(float(x)) for x in v2])
+    # project the codes ONCE as a column, then run the three ADC folds
+    # off the column: inlining the quantize expression into each fold
+    # repeated it 3× per row (the l40 duplication class, r14
+    # optimization round).  Identical values — same expression,
+    # evaluated once.
     codes = sq8_quantize_expr(vec_col, mn, s)
+    ccol = F.col("_codes")
 
     def _dotsum(arr, weights):
         return F.aggregate(F.zip_with(arr, weights, lambda c, wt: c * wt),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    dot_hat = F.lit(float(a_const)) + _dotsum(codes, w_a)
-    norm2_hat = (F.lit(float(b_const)) + _dotsum(codes, u_a)
-                 + F.aggregate(F.zip_with(codes, v_a,
+    dot_hat = F.lit(float(a_const)) + _dotsum(ccol, w_a)
+    norm2_hat = (F.lit(float(b_const)) + _dotsum(ccol, u_a)
+                 + F.aggregate(F.zip_with(ccol, v_a,
                                           lambda c, vt: c * c * vt),
                                F.lit(0.0), lambda acc, x: acc + x))
     qcos = F.round(dot_hat / (F.sqrt(norm2_hat) * F.lit(float(qnorm))), 6)
     scored = (df.filter(F.col(id_col) != query_id)
               .select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("cv"),
-                      qcos.alias("qcos")))
+                      codes.alias("_codes"))
+              .select("id", "cv", qcos.alias("qcos")))
     short = scored.orderBy(F.col("qcos").desc(), "id").limit(shortlist)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (short.select("id", "qcos",
@@ -716,21 +723,30 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str, query_id: int,
     lut_n2 = [[sum(c * c for c in cents[s][cell])
                for cell in range(len(cents[s]))] for s in range(len(cents))]
 
+    # project the codes ONCE as a column, then index the LUTs off the
+    # column: inlining `codes` into every element_at repeated the full
+    # m·ks nearest-cell expression 2·m times per row (257
+    # aggregate(zip_with) nodes in the l40 plan before this; 8×
+    # the interpreted-HOF work, since nothing guarantees CSE across
+    # the inlines).  Identical values — same expression, evaluated
+    # once (r14 optimization round).
     codes = pq_codes_expr(vec_col, cents)
+    ccol = F.col("_codes")
     dot_hat = sum(
         (F.element_at(F.array(*[F.lit(float(x)) for x in lut_dot[s]]),
-                      F.element_at(codes, s + 1) + 1)
+                      F.element_at(ccol, s + 1) + 1)
          for s in range(len(cents))), F.lit(0.0))
     n2_hat = sum(
         (F.element_at(F.array(*[F.lit(float(x)) for x in lut_n2[s]]),
-                      F.element_at(codes, s + 1) + 1)
+                      F.element_at(ccol, s + 1) + 1)
          for s in range(len(cents))), F.lit(0.0))
     qcos = F.round(dot_hat / (F.sqrt(n2_hat) * F.lit(float(qnorm))), 6)
 
     scored = (df.filter(F.col(id_col) != query_id)
               .select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("cv"),
-                      qcos.alias("qcos")))
+                      codes.alias("_codes"))
+              .select("id", "cv", qcos.alias("qcos")))
     short = scored.orderBy(F.col("qcos").desc(), "id").limit(shortlist)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (short.select("id", "qcos",
@@ -793,17 +809,25 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str,
                                _auto_planes(df, n_planes,
                                             candidate_budget),
                                n_tables, seed, dim)
+    # n_candidates rides the SAME window partition as the top-k cut
+    # (count over an unbounded i-window = the pre-cut candidate count),
+    # so the scored pipeline is consumed exactly ONCE — the old
+    # separate groupBy("i") aggregate re-ran the leg joins + distinct +
+    # enrichment a second time, and its join-back cost another shuffle
+    # (r14 optimization round; result-identical by construction)
     w = Window.partitionBy("i").orderBy(F.col("cos").desc(), "j")
+    wcnt = Window.partitionBy("i")
     top = (scored.withColumn("rn", F.row_number().over(w))
+           .withColumn("n_candidates", F.count(F.lit(1)).over(wcnt))
            .filter(F.col("rn") <= k))
-    cand = scored.groupBy("i").agg(F.count(F.lit(1)).alias("n_candidates"))
     votes = (top.groupBy("i", "lj")
              .agg(F.min("true_label").alias("true_label"),
-                  F.count(F.lit(1)).alias("c")))
+                  F.count(F.lit(1)).alias("c"),
+                  F.min("n_candidates").alias("n_candidates")))
     ww = Window.partitionBy("i").orderBy(F.col("c").desc(), "lj")
     winner = (votes.withColumn("rn", F.row_number().over(ww))
               .filter(F.col("rn") == 1))
-    return (winner.join(cand, "i")
+    return (winner
             .select(F.col("i").alias("vec_id"), "true_label",
                     F.col("lj").alias("pred_label"),
                     F.col("c").alias("votes"), "n_candidates",
@@ -826,7 +850,8 @@ def _dim_of(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
 
 def _bucket_pair_candidates(a: DataFrame, b: DataFrame, n_tables: int,
                             a_id: str, b_id: str, a_prefix: str = "b",
-                            b_prefix: str = "b") -> DataFrame:
+                            b_prefix: str = "b",
+                            hint_join: str | None = None) -> DataFrame:
     """THE candidate machinery: per-table bucket EQUI-joins (never an
     OR-join), unioned, deduplicated.  One definition shared by the
     production path (_lsh_scored_pairs → knn_classify/hard_negatives)
@@ -835,8 +860,15 @@ def _bucket_pair_candidates(a: DataFrame, b: DataFrame, n_tables: int,
     DIFFERENT candidate path than production runs."""
     legs = []
     for t in range(n_tables):
+        # hint_join="merge" when the caller's frames are checkpoint-fed
+        # (estimator-blind fixed-small stats at any scale — the l04
+        # x100 broadcast-death class); None keeps Catalyst's choice for
+        # scan/agg-derived frames whose estimates grow with input
+        leg_a = a.select(F.col(a_id), F.col(f"{a_prefix}{t}").alias("bk"))
+        if hint_join is not None:
+            leg_a = leg_a.hint(hint_join)
         legs.append(
-            a.select(F.col(a_id), F.col(f"{a_prefix}{t}").alias("bk"))
+            leg_a
             .join(b.select(F.col(b_id),
                            F.col(f"{b_prefix}{t}").alias("bk")), "bk")
             .filter(F.col(a_id) != F.col(b_id)).select(a_id, b_id))
@@ -856,25 +888,44 @@ def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
     Vectors are cast to double UP FRONT: float32 multiplies diverge
     from the oracle's DOUBLE[] path by ulps that cross the rounding
     boundary (l51 found this — l50 passed on luck)."""
-    e = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("v"),
-                  F.col(label_col).alias("lbl"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"),
+                     F.col(label_col).alias("lbl"))
     dim = _dim_of(df, vec_col, dim)
+    e = base
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + 1000 * t)
         e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
+    # The bucketed frame — scan plus n_tables·n_planes·dim interpreted
+    # dot products, the expensive map work of this operator — is
+    # materialized ONCE, projected to (id, buckets) only, and feeds
+    # both sides of every per-table leg (2·n_tables references that
+    # each re-ran the bucket expressions before the r14 optimization
+    # round).  The leg joins carry merge hints because both sides are
+    # checkpoint-fed (estimator-blind stats — the l04 x100 broadcast
+    # class; the sorted sides are |corpus| narrow rows, cheap).
+    # The vector ENRICHMENT joins deliberately use the scan-derived
+    # `base` instead: they never needed the bucket columns, and a
+    # scan-derived side keeps size estimates that GROW with input, so
+    # Catalyst broadcasts it while it fits and switches to a shuffle
+    # strategy beyond that — a fixed hint here was x30-measured WRONG
+    # both ways (merge sorted the quadratic-bounded pair relation
+    # twice and blew the 300 s budget; shuffle_hash still shuffled it
+    # twice, 240 s vs the broadcast form's ~90 s).
+    from .dedup import _materialize
     bcols = [F.col(f"b{t}") for t in range(n_tables)]
+    eb = _materialize(e.select("id", *bcols))
     pairs = _bucket_pair_candidates(
-        e.select(F.col("id").alias("i"), *bcols),
-        e.select(F.col("id").alias("j"), *bcols),
-        n_tables, "i", "j")
+        eb.select(F.col("id").alias("i"), *bcols),
+        eb.select(F.col("id").alias("j"), *bcols),
+        n_tables, "i", "j", hint_join="merge")
     return (pairs
-            .join(e.select(F.col("id").alias("i"),
-                           F.col("v").alias("vi"),
-                           F.col("lbl").alias("true_label")), "i")
-            .join(e.select(F.col("id").alias("j"),
-                           F.col("v").alias("vj"),
-                           F.col("lbl").alias("lj")), "j")
+            .join(base.select(F.col("id").alias("i"),
+                              F.col("v").alias("vi"),
+                              F.col("lbl").alias("true_label")), "i")
+            .join(base.select(F.col("id").alias("j"),
+                              F.col("v").alias("vj"),
+                              F.col("lbl").alias("lj")), "j")
             .select("i", "j", "true_label", "lj",
                     F.round(cosine_expr("vi", "vj"), 6).alias("cos")))
 
@@ -929,41 +980,78 @@ def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
     n_hit / n_exact."""
     from pyspark.sql import Window
 
-    e = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("v"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
     d = _dim_of(df, vec_col, dim)
+    e = base
     for t in range(n_tables):
         planes = hyperplanes(d, n_planes, seed + 1000 * t)
         e = e.withColumn(f"b{t}", lsh_bucket_expr("v", planes))
-    q = e.filter((F.col("id") % query_mod) == 0).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"),
+    # The bucketed frame — scan plus n_tables·n_planes·dim interpreted
+    # bucket dot products — is materialized ONCE projected to
+    # (id, buckets) and feeds the query sample plus every per-table
+    # leg (each previously re-ran the bucket expressions).  Leg joins
+    # carry merge hints (both sides checkpoint-fed — estimator-blind
+    # stats, the l04 x100 broadcast class).  The exact side and the
+    # scoring enrichment join use the scan-derived `base` instead:
+    # they never needed the bucket columns, and a scan-derived side
+    # keeps estimates that grow with input, so Catalyst broadcasts it
+    # while it fits and switches strategy beyond that (a fixed hint
+    # was x30-measured wrong on the l50 sibling machinery).
+    from .dedup import _materialize
+    bcols = [F.col(f"b{t}") for t in range(n_tables)]
+    eb = _materialize(e.select("id", *bcols))
+    q = eb.filter((F.col("id") % query_mod) == 0).select(
+        F.col("id").alias("qid"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)])
+    qv = base.filter((F.col("id") % query_mod) == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"))
     # the exact top-k is ≤ |queries|·k rows but its subtree (corpus
     # scan + Arrow scoring stage) feeds THREE consumers below (n_exact,
     # the hit join, and the recall output) — materialize it once
     # instead of re-running the scoring per consumer (the pagerank/
     # triangle_count cache discipline; r12, after the vectorized join
     # made the re-execution visible in the closing battery)
-    exact = brute_force_topk_join(q.select("qid", "qv"),
-                                  e.select("id", "v"),
+    exact = brute_force_topk_join(qv,
+                                  base.select("id", "v"),
                                   "qid", "qv", "id", "v", k=k,
                                   exclude_self=True).localCheckpoint(
                                       eager=True)
     extk = exact.select(F.col("query_id").alias("qid"), "id")
-    cands = _bucket_pair_candidates(q, e, n_tables, "qid", "id",
-                                    a_prefix="qb")
-    scored = (cands.join(e.select("id", "v"), "id")
-              .join(F.broadcast(q.select("qid", "qv")), "qid")
+    # NOT materialized: the candidate set is quadratic in corpus size
+    # under the audited FIXED n_planes config (the documented l55
+    # semantics) — an eager checkpoint of it OOM'd the 8g heap at x100.
+    # Instead n_shortlist rides the SAME window partition as the top-k
+    # cut (count over an unbounded qid-window = the pre-cut candidate
+    # count, and the base join is 1:1 on id so the count is preserved),
+    # making the leg joins + distinct run exactly ONCE with nothing
+    # quadratic ever materialized (the l50 single-consumption shape;
+    # result-identical by construction).
+    cands = _bucket_pair_candidates(
+        q, eb, n_tables, "qid", "id", a_prefix="qb", hint_join="merge")
+    scored = (cands.join(base.select("id", "v"), "id")
+              .join(F.broadcast(qv), "qid")
               .withColumn("cos", F.round(cosine_expr("v", "qv"), 6)))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "id")
-    anntk = (scored.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= k).select("qid", "id"))
+    wc = Window.partitionBy("qid")
+    # materialized: anntk is ≤ |queries|·k rows (bounded at any scale,
+    # unlike cands) and feeds both the n_shortlist aggregate and the
+    # hit join — one checkpoint makes the candidate pipeline run once
+    anntk = _materialize(
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_shortlist", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= k)
+        .select("qid", "id", "n_shortlist"))
     nex = extk.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
-    nsl = cands.groupBy("qid").agg(F.count(F.lit(1)).alias("n_shortlist"))
-    hit = (extk.join(anntk, ["qid", "id"])
+    nsl = anntk.groupBy("qid").agg(F.min("n_shortlist")
+                                   .alias("n_shortlist"))
+    hit = (extk.join(anntk.select("qid", "id"), ["qid", "id"])
            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")))
     z = F.lit(0).cast("long")
-    return (nex.join(nsl, "qid", "left").join(hit, "qid", "left")
+    # merge: all three sides are checkpoint-fed per-query aggregates —
+    # estimator-blind, |queries|-scaled (corpus/query_mod) at 100 TB
+    return (nex.hint("merge").join(nsl, "qid", "left")
+            .hint("merge").join(hit, "qid", "left")
             .select(F.col("qid").alias("query_id"), "n_exact",
                     F.coalesce("n_shortlist", z).alias("n_shortlist"),
                     F.coalesce("n_hit", z).alias("n_hit"),

@@ -185,10 +185,18 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     Returns (id, n_bigrams, nll).  Training and scoring are the same
     two hash aggregates + two equi-joins — fully JVM-side, shuffle keys
     are tokens (bounded vocab), never document bodies."""
-    inst = bigram_instances(df, id_col, text_col)
+    # materialized once (r14 optimization round): the bigram-instance
+    # explode feeds both the count aggregate and the scoring join —
+    # re-deriving it doubled the tokenize+explode map work.  The count
+    # sides are agg-over-checkpoint (estimator-blind, vocab-bounded in
+    # a natural corpus but adversarially unbounded), so the scoring
+    # joins carry merge hints (the l04 x100 broadcast class).
+    from .dedup import _materialize
+    inst = _materialize(bigram_instances(df, id_col, text_col))
     c2 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    scored = (inst.join(c2, ["w1", "w2"]).join(c1, "w1")
+    scored = (inst.hint("merge").join(c2, ["w1", "w2"])
+              .hint("merge").join(c1, "w1")
               .withColumn("nll", -F.log(F.col("c2") / F.col("c1"))))
     return (scored.groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -206,10 +214,17 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
 
     words = df.select(F.col(id_col).alias("id"),
                       F.explode(tokens(text_col)).alias("token"))
-    tf = words.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once (r14 optimization round): tf feeds both the
+    # document-frequency aggregate and the scoring join — re-deriving
+    # it doubled the tokenize+explode+aggregate work.  dfreq is
+    # agg-over-checkpoint (estimator-blind), so the scoring join
+    # carries the merge hint (the l04 x100 broadcast class).
+    from .dedup import _materialize
+    tf = _materialize(words.groupBy("id", "token")
+                      .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    scored = (tf.join(dfreq, "token")
+    scored = (tf.hint("merge").join(dfreq, "token")
               .crossJoin(F.broadcast(n))
               .withColumn("tfidf",
                           F.round(F.col("tf")
@@ -243,10 +258,15 @@ def boilerplate_score(df: DataFrame, id_col: str, text_col: str,
     aggregate is the 100 TB-correct trade (checkpoint the shingle pass
     instead if scans dominate — it's the same table l30's index
     persists)."""
-    from .dedup import shingle_sets
-    sh = shingle_sets(df, id_col, text_col, n)
+    from .dedup import _materialize, shingle_sets
+    # materialized once (r14 optimization round — the docstring's own
+    # "checkpoint the shingle pass instead" alternative, taken): one
+    # scan+explode+distinct instead of two; the join-back carries the
+    # merge hint because both sides are now checkpoint-fed
+    # (estimator-blind stats — the l04 x100 broadcast class)
+    sh = _materialize(shingle_sets(df, id_col, text_col, n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (sh.join(dfreq, "shingle")
+    return (sh.hint("merge").join(dfreq, "shingle")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_shingles"),
                  F.sum(F.when(F.col("df") >= common_df, 1)

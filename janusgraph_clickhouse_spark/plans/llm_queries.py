@@ -79,12 +79,19 @@ def l02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-Jaccard oracle still holds: at the fixture's planted
     similarities (j ≳ 0.7) the 16×3 band S-curve passes every
     thresholded pair (P(miss) < 1e-8), and LSH == exact is
-    independently pytest-pinned (test_llm_ops)."""
+    independently pytest-pinned (test_llm_ops).
+
+    ONE materialized shingle pass feeds both the signature aggregate
+    and the exact rerank (r14 optimization round — previously each
+    derived scan+explode+distinct independently); the banding
+    self-join is merge-hinted because its signature side is now
+    agg-over-checkpoint, estimator-blind at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs, "doc_id", "text", n=3)
-    cand = D.lsh_candidates(sig)
+    sh = D._materialize(D.shingle_sets(docs, "doc_id", "text", n=3))
+    sig = D.signatures_from_shingles(sh)
+    cand = D.lsh_candidates(sig, hint_join="merge")
     return D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4,
-                           candidates=cand)
+                           candidates=cand, shingles=sh)
 
 
 @query("l03_minhash_lsh_pairs", oracle=_JACCARD_ORACLE)

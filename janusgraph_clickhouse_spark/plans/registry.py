@@ -368,6 +368,25 @@ REGISTERED_ROUND: dict[str, int] = {
 #    1.12/1.45 flat, x30 6.5/7.6 flat).
 #    l56 — merge hint on the checkpoint-fed shingle self-join (pin
 #    2.41 flat, x30 13.5).
+#    OPTIMIZATION-ROUND ADDITIONS (late r14, the materialize-once
+#    program — every multiply-referenced expensive subplan now an
+#    eager localCheckpoint with strategy hints on its checkpoint-fed
+#    consumer joins; results identical, parity re-verified at
+#    sf0.01, x30 rows in PERF_scale_r14_opt_x30*.json; see
+#    OPTIMIZATION_r14.md):
+#    l03 l18 — shared shingle pass between signatures and rerank +
+#      candidate/restricted-set materialization in jaccard_pairs;
+#    l32 — containment_pairs materialize-once (plan 3651→245 lines);
+#    l21 l34 — one shingle pass for the train/bench split (further
+#      change on top of the mid-r14 hint);
+#    l62 — winnow fingerprint set materialized, pair join hinted;
+#    l25 l26 l31 — tf / bigram-instance / shingle-df materialize-once;
+#    l40 l35 — PQ/SQ8 codes projected as a column once (the inlined
+#      codes expression previously re-evaluated 8×/3× per row);
+#    l46 — inherits the jaccard_pairs internals;
+#    l50 l55 — bucketed-frame materialization + shuffle_hash
+#      enrichment builds (l50's n_candidates now rides the top-k
+#      window, one consumption; l51 same machinery, in-window).
 #    + any red from r14's file.
 # 3. ~12 spares from the 50 r12-row names, stalest-first, including
 #    ≥2 g names (g07 g08 ... candidates) for the family sentinel.
