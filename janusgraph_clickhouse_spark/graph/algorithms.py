@@ -2949,14 +2949,25 @@ def directed_modularity(edges: DataFrame, labels: DataFrame,
           .join(lab.withColumnRenamed("__v", dst)
                    .withColumnRenamed("__c", "__cd")
                    .hint("shuffle_hash"), dst))
-    m = e2.agg(F.count(F.lit(1)).alias("m"))
-    within = (e2.filter(F.col("__cs") == F.col("__cd"))
+    # ONE pass over the labeled edge list (r14 optimization round): m,
+    # within, dout and din were four independent aggregates of e2, and
+    # Catalyst re-ran the two label joins per consumer.  All four are
+    # exact-integer derivable from the community-pair contingency
+    # table (groupBy (cs, cd) count — ≤ min(|E|, |C|²) rows), which is
+    # aggregated once and checkpointed; every derivation below is a
+    # tiny-table rollup of it.  Values identical: the same counts,
+    # grouped once instead of four times.
+    ctab = (e2.groupBy("__cs", "__cd")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True))
+    m = ctab.agg(F.sum("n").alias("m"))
+    within = (ctab.filter(F.col("__cs") == F.col("__cd"))
               .groupBy(F.col("__cs").alias("c"))
-              .agg(F.count(F.lit(1)).alias("ec")))
-    dout = e2.groupBy(F.col("__cs").alias("c")).agg(
-        F.count(F.lit(1)).alias("dout"))
-    din = e2.groupBy(F.col("__cd").alias("c")).agg(
-        F.count(F.lit(1)).alias("din"))
+              .agg(F.sum("n").alias("ec")))
+    dout = ctab.groupBy(F.col("__cs").alias("c")).agg(
+        F.sum("n").alias("dout"))
+    din = ctab.groupBy(F.col("__cd").alias("c")).agg(
+        F.sum("n").alias("din"))
     per = (dout.join(din, "c", "full")
            .join(within, "c", "left")
            .select("c",
