@@ -220,7 +220,7 @@ def main() -> None:
 
     cal_post = _calibrate(spark)
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -232,7 +232,18 @@ def main() -> None:
         "calibration": {f"{k}_{w}": v
                         for w, c in (("pre", cal_pre), ("post", cal_post))
                         for k, v in c.items()},
-    }))
+    })
+    print(line)
+    # Durability (r15, VERDICT r14 item 6 — additive, contract-
+    # preserving): the r13<->r14 round-over-round comparison was LOST
+    # because the driver's 2000-char output tail could not hold this
+    # ~2.5 KB line.  Also write it next to the script so a truncated
+    # capture can always be recovered from the repo.
+    try:
+        with open(os.path.join(REPO, "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line stays the contract
 
 
 if __name__ == "__main__":

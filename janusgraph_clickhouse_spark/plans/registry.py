@@ -224,30 +224,56 @@ def query(name: str, oracle: str | None = None):
 #    q02 q03 q04, s01 s02 s03, l02 l04 l07 l08.  The 36 r11-row
 #    names left unwindowed are r15's lead cohort.
 # Family sentinels in-window: 10 q, 13 g, 20 l, 7 s (>=2 each).
+# ROUND-15 WINDOW (installed early r15; re-derived from the
+# correctness files via `python tools/rotation.py` — recount MATCHED
+# the r14 pre-derivation's lead cohort name-for-name, seventh round
+# running).  Histogram after r14: 50xr14 + 50xr13 + 44xr12 + 36xr11;
+# zero reds, no rule-3 traffic.  Window:
+# 1. LEAD COHORT (36): the r11-row names r14 left unwindowed — 22 q,
+#    11 l, 3 s, ZERO g (all four r11-row g names were r14 spares), so
+#    the g sentinel comes from the spares.
+# 2. rule 2 (11): s03 (oracle boundary fix THIS round: Spark merges
+#    sessions at exact gap equality, lag-flag `>=` -> `>`;
+#    result-identical on every fixture — zero exact-300s adjacent
+#    pairs at any SF — but the driver should re-verify), plus 9 of
+#    the r14-changed names that were NOT in the r14 window
+#    (l03 l19 l32 l34 l40 l50 l55 l56 l62; l21/l25/l26 are changed
+#    AND lead names already), plus l30 (stalest l + a planned r15
+#    materialize-once target).  The r14-changed names left out are
+#    covered by inheritance and full local parity: l46 inherits
+#    l02's internals (l02 drew a post-change r14 row), l18 inherits
+#    l03's, l31 is the same text-family materialize-once pattern as
+#    in-window l25/l26.  l34/l50/l62 double as the VERDICT-r14
+#    fixture-regression repairs this round.
+# 3. spares (3): g07 g08 g05 — stalest g names (r12 rows), family
+#    sentinel; g05 is also a small-input shuffle-width target this
+#    round.  Family sentinels in-window: 22 q, 3 g, 21 l, 4 s.
 DRIVER_PRIORITY: list[str] = [
-    # rule 1: the 30 horizon-critical r10-row names
-    "g15_kcore", "g16_label_propagation", "g19_personalized_pagerank",
-    "g30_modularity",
-    "q17_scalar_functions", "q19_mutate_upsert", "q38_argmax_latest",
-    "q39_window_funnel", "q40_retention", "q43_kmv_set_ops",
-    "s07_interval_join", "s08_trending_topk", "s09_interval_left_join",
-    "s10_scd2_versions",
-    "l01_exact_dedup", "l05_cosine_topk", "l10_multimodal_meta",
-    "l11_ann_lsh_topk", "l12_ivf_ann_topk", "l33_pii_scrub",
-    "l35_sq8_topk", "l36_domain_cap", "l37_shared_spans",
-    "l38_cdc_chunk_dedup", "l39_gopher_rules", "l41_dsir_weights",
-    "l42_weighted_sample", "l44_curation_pipeline",
-    "l45_bpe_token_counts", "l51_hard_negatives",
-    # rule 2: the 6 pre-declared mid-r13 x30-fix names not in the lead
-    "g03_supplier_triangles", "g12_motif_count", "g17_link_prediction",
-    "g24_local_clustering", "g31_betweenness", "q30_percentiles",
-    # rule 5/stalest-first: 14 spares from the 50 r11-row names
-    "g01_out_degree", "g02_two_hop_parts", "g06_pagerank",
-    "g14_repeat_until",
-    "q02_slice_multikey", "q03_key_range_scan", "q04_multi_range_scan",
-    "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
-    "l02_jaccard_pairs", "l04_simhash_pairs", "l07_text_stats",
-    "l08_language_id",
+    # rule 1: the 36 horizon-critical r11-row names
+    "q05_unordered_scan_topk", "q07_group_count",
+    "q08_customer_top_parts", "q09_semi_join", "q10_anti_join",
+    "q11_shipping_priority", "q12_region_revenue",
+    "q13_predicate_library", "q14_union_dedup", "q15_per_group_topk",
+    "q16_distinct_pairs", "q22_left_outer_distribution", "q23_having",
+    "q24_correlated_min", "q25_count_distinct", "q27_set_operations",
+    "q28_sql_surface", "q31_statistics", "q32_cross_nation_volume",
+    "q33_large_order_customers", "q34_window_analytics",
+    "q36_cube_grouping",
+    "l09_fingerprint", "l20_vocab_topk", "l21_decontaminate",
+    "l22_domain_mixture", "l23_repetition_stats",
+    "l24_sequence_packing", "l25_tfidf_topk", "l26_bigram_lm_score",
+    "l28_user_event_sequences", "l29_length_band_filter",
+    "l47_entropy_quality",
+    "s04_dedup_keep_first", "s05_asof_join", "s15_pit_enrich",
+    # rule 2: s03 (r15 oracle boundary fix) + 10 r14-changed names
+    # without a post-change driver row (l21/l25/l26 are lead names)
+    "s03_session_window",
+    "l03_minhash_lsh_pairs", "l19_knn_join", "l32_containment_pairs",
+    "l34_bloom_decontaminate", "l40_pq_topk", "l50_knn_classify",
+    "l55_ann_recall_eval", "l56_source_overlap_matrix",
+    "l62_winnow_pairs", "l30_incremental_dedup",
+    # rule 5/stalest-first: 3 spares, g sentinels + one s (r12 rows)
+    "g07_traversal_semi_anti", "g08_path_query", "g05_bfs_distances",
 ]
 # SATURATION AMENDMENT (late r5): the registry crossed 100 queries
 # (g23/g24/l34 registered mid-round, landing in the TAIL — the r5

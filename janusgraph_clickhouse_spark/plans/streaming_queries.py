@@ -73,7 +73,7 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS MATERIALIZED (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                       OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -93,7 +93,11 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user.  The oracle
     sessionizes relationally (lag + gap-flag + running sum) — same
-    semantics Spark's session_window implements in state."""
+    semantics Spark's session_window implements in state.  Boundary:
+    Spark MERGES at exact equality (an event at last_ts + gap extends
+    the session — measured on 4.1.2, r15), so the gap-flag is strict
+    `>`; the fixtures have zero exact-gap adjacent pairs at any SF, so
+    this is result-identical to the old `>=` form on fixture data."""
     events = load_table(spark, sf_dir, "events")
     out = session_stats(events)
     # session_start from session_window.start is the first event's ts

@@ -13,10 +13,14 @@ from janusgraph_clickhouse_spark.llm import dedup as D
 from janusgraph_clickhouse_spark.llm import multimodal as M
 from janusgraph_clickhouse_spark.llm import text as X
 
-# deterministic, CI-friendly
-FAST = settings(max_examples=20, deadline=None,
+# deterministic, CI-friendly.  derandomize=True (r15, VERDICT r14 item 1):
+# the driver's gate must be reproducible — a fresh random Hypothesis draw
+# failed the session-window boundary in the driver's r14 run but not in any
+# builder run.  Bug-hunting with fresh entropy belongs in local sessions
+# (run with --hypothesis-seed=random), not in the gate.
+FAST = settings(max_examples=20, deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
-SPARK_FAST = settings(max_examples=5, deadline=None,
+SPARK_FAST = settings(max_examples=5, deadline=None, derandomize=True,
                       suppress_health_check=[
                           HealthCheck.function_scoped_fixture])
 
@@ -757,10 +761,12 @@ def test_decayed_score_matches_exact_reference(spark, events, horizon):
                        min_size=1, max_size=20, unique=True))
 def test_session_window_matches_gap_merge_reference(spark, events):
     """Batch session_window semantics on arbitrary event sets match a
-    pure-Python gap merge: an event extends the session iff its ts <
-    last-event ts + gap (equality starts a NEW session — the window
-    end is exclusive); per-session n_events and session_start must
-    agree exactly."""
+    pure-Python gap merge: an event extends the session iff its ts <=
+    last-event ts + gap (Spark MERGES at exact equality — measured on
+    4.1.2: events at 0 and 300 with a 300 s gap form ONE session; the
+    r14 driver's Hypothesis run caught the old exclusive-end reference
+    on exactly this boundary); per-session n_events and session_start
+    must agree exactly."""
     from janusgraph_clickhouse_spark.streaming.ops import session_stats
     GAP = 300
     want = {}
@@ -771,7 +777,7 @@ def test_session_window_matches_gap_merge_reference(spark, events):
         tss.sort()
         start, last, n = tss[0], tss[0], 1
         for ts in tss[1:]:
-            if ts < last + GAP:
+            if ts <= last + GAP:
                 last, n = ts, n + 1
             else:
                 want[(u, start)] = n

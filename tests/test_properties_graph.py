@@ -15,9 +15,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 # deterministic, CI-friendly (same knobs as test_properties.py)
-FAST = settings(max_examples=20, deadline=None,
+FAST = settings(max_examples=20, deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
-SPARK_FAST = settings(max_examples=5, deadline=None,
+SPARK_FAST = settings(max_examples=5, deadline=None, derandomize=True,
                       suppress_health_check=[
                           HealthCheck.function_scoped_fixture])
 

@@ -3,9 +3,16 @@
 
 Usage: python tools/dumpplans.py OUTDIR SUFFIX name [name...]
 Writes OUTDIR/<name>_<SUFFIX>.txt for each query, built at sf0.1
-(override with SPARK_GRAFT_SF_DIR).  Plan compilation only — no query
-execution beyond whatever bounded driver-side work (codebook collects,
-size probes) the query builder itself performs.
+(override with SPARK_GRAFT_SF_DIR).
+
+Execution caveat (r14 ADVICE): queries built on `_materialize`
+(l02/l03/l32/l50/l55 and the other materialize-once names) EXECUTE
+their checkpointed subplans — full shingle/bucket passes over the
+corpus — during build, because the dumped plan must match the
+runtime plan (a checkpoint child appears as a small LogicalRDD).
+Other queries pay only bounded driver-side work (codebook collects,
+size probes).  Set SPARK_GRAFT_NO_MATERIALIZE=1 to dump the lazy
+un-truncated tree instead (what planlint lints by default).
 """
 from __future__ import annotations
 

@@ -78,7 +78,26 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--names", nargs="+", default=None)
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--materialized", action="store_true",
+                    help="build with _materialize active (runtime-shaped "
+                         "plans; executes the checkpointed subplans and "
+                         "leaks their RDDs for the session — use only "
+                         "for small --names lists)")
     args = ap.parse_args()
+
+    # Lint the FULL lazy tree by default (r15, from the r14 ADVICE):
+    # _materialize's eager localCheckpoint otherwise (a) executes
+    # corpus-scale jobs per query BUILT and accumulates leaked
+    # checkpoint RDDs over a 180-query lint session, and (b) HIDES the
+    # checkpointed subtree from the plan string — a CartesianProduct /
+    # BatchEvalPython inside a materialized subplan would be invisible.
+    # The lazy tree is a superset of every runtime plan's operators, so
+    # error coverage is strictly better; Exchange/scan counters read
+    # as the un-truncated plan (comparable to pre-r14 numbers, NOT to
+    # the r14opt materialized totals — use --materialized for those).
+    if not args.materialized:
+        import os
+        os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
 
     from janusgraph_clickhouse_spark.plans import get_queries
     from janusgraph_clickhouse_spark.session import get_spark, tune_session
