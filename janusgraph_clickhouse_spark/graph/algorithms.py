@@ -1693,7 +1693,31 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     cold / sf0.1).  Conditioning: unnormalized values grow by at most a
     (sum-of-degrees)-ish factor per half-step — ≤ ~1e6^16 ≈ 1e96 on any
     plausible fixture, far inside double range, and relative float
-    error is unaffected by the deferred scalar divides."""
+    error is unaffected by the deferred scalar divides.
+
+    BROADCAST-STATE mode (r15, guide §2.4 "remove shuffles outright"):
+    when |V| is small enough to broadcast (gate below), each half-step
+    joins the |V|-row state INTO the orientation that is ALREADY
+    partitioned by the half-step's GROUP key — authorities from the
+    dst-partitioned orientation, hubs from the src-partitioned one —
+    so the broadcast join preserves the edge partitioning and the
+    group-by reuses it: ZERO |E|-scaled exchanges per iteration (the
+    shuffle form moves the joined message stream twice per iteration,
+    2·max_iter |E|-shuffles total).  Each half-step's |V|-row
+    aggregate is eagerly checkpointed so at most two broadcast
+    relations are live at once (driver/executor memory stays bounded
+    for any max_iter).  The gate is |V| ≤ SPARK_GRAFT_HITS_BCAST_V
+    (default 1M rows ≈ ~32 MB built relation): per-iteration broadcast
+    traffic is |V|·n_executors bytes vs the shuffle form's |E| bytes,
+    so broadcast wins only while the relation is decisively cheap —
+    x30-MEASURED at |V|=5.58M the broadcast form read 97.7 s vs the
+    shuffle form's 85.6 s and OOM-killed an 8 GiB heap on a rerun
+    (16 multi-hundred-MB broadcast builds + checkpoint accumulation),
+    so the default sits an order of magnitude below that death line; a
+    data-shape trade gated on cardinality (never on id values — the
+    r11 lesson), NOT a local[32] constant.  Both modes compute
+    identical sums up to FP summation order (verified row-identical
+    after the registered round(5) at sf0.001/0.01/0.1)."""
     width = graph.edges.sparkSession.sparkContext.defaultParallelism
     edges = graph.edges.select("src", "dst")
     if not _edges_aligned(graph):
@@ -1727,9 +1751,33 @@ def hits(graph: PropertyGraph, max_iter: int = 8) -> DataFrame:
     # Only the LAST a is consumed twice (inside h_T's lineage and by
     # the final join-back), so exactly that one is checkpointed.
     v = graph.vertices.select("id")
+    import os as _os
+    bcast_cap = int(_os.environ.get("SPARK_GRAFT_HITS_BCAST_V",
+                                    "1000000"))
+    use_bcast = v.count() <= bcast_cap
     h = v.select("id", F.lit(1.0).alias("hub"))
     a = v.select("id", F.lit(1.0).alias("authority"))
     for t in range(max_iter):
+        if use_bcast:
+            # broadcast-state half-steps (docstring): the state joins
+            # into the orientation already partitioned by the GROUP
+            # key, so neither the join nor the aggregate exchanges the
+            # |E|-scaled message stream.  Eager checkpoints bound live
+            # broadcast relations to two.
+            a = (edges_by_dst
+                 .join(F.broadcast(h.select(F.col("id").alias("src"),
+                                            "hub")), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("hub").alias("authority")))
+            a = a.localCheckpoint(eager=True)
+            h = (edges
+                 .join(F.broadcast(a.select(F.col("id").alias("dst"),
+                                            "authority")), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("authority").alias("hub")))
+            if t != max_iter - 1:
+                h = h.localCheckpoint(eager=True)
+            continue
         # authority from hubs: messages flow src→dst, keyed on src
         a = (edges.join(h.select(F.col("id").alias("src"), "hub"), "src")
              .groupBy(F.col("dst").alias("id"))

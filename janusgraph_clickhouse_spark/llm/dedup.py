@@ -74,8 +74,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     stays fixed-small at any scale, so every join that consumes a
     corpus-scaled materialized frame below MUST carry an explicit
     merge/shuffle_hash hint — Catalyst would otherwise plan a GB-scale
-    broadcast build at 100 TB (x100-measured death class)."""
-    if df.isStreaming:
+    broadcast build at 100 TB (x100-measured death class).
+
+    Build-only escape hatch (r14 ADVICE): the eager checkpoint runs at
+    query BUILD time, so plan-extraction sessions (planlint, dumpplans)
+    would execute corpus-scale jobs and leak checkpointed RDDs per
+    query built.  `SPARK_GRAFT_NO_MATERIALIZE=1` makes this a no-op —
+    the extracted plan then shows the full lazy subtree (which is what
+    a plan LINTER should see anyway).  Never set it for executing
+    queries: the consumer join hints assume a checkpoint child."""
+    if df.isStreaming or os.environ.get("SPARK_GRAFT_NO_MATERIALIZE") == "1":
         return df
     return df.localCheckpoint(eager=True)
 
@@ -688,19 +696,28 @@ def _containment_report(train_sh: DataFrame,
     claim rests on this literally being the same plan tail."""
     bsz = bench_sh.groupBy("id").agg(F.count(F.lit(1)).alias("bn"))
     shared = (train_sh.select(F.col("id").alias("train_id"), "shingle")
-              # merge (r14): in the Bloom caller (l34) bench_sh is an
-              # eager localCheckpoint, whose stats stay fixed-small at
-              # any scale — the estimator class that broadcast-killed
-              # l04 at x100; at 100 TB the benchmark side scales with
-              # the suite, so SMJ is the right strategy for the plain
-              # caller (l21) too
-              .hint("merge")
-              .join(bench_sh.select(F.col("id").alias("bench_id"),
-                                    "shingle"), "shingle")
+              # broadcast the BENCH side (r15, VERDICT r14 item 2 —
+              # replaces the r14 merge hint that cost l34 1.6× at
+              # fixture): the benchmark side is SUITE-bounded by the
+              # operator's contract (an eval set does not grow with
+              # the corpus — ~10⁷ shingle rows for a large suite, the
+              # same order as the Bloom filter broadcast the l34
+              # caller already ships), so its broadcast is right at
+              # any corpus scale, while SMJ sorted the corpus-scaled
+              # train side for nothing.  An explicit hint, not
+              # Catalyst's choice: BOTH sides here are checkpoint-fed
+              # in the l34 caller (estimator-blind fixed-small stats),
+              # and an unhinted plan may flip to broadcasting the
+              # TRAIN side on a warm re-plan — the l04 x100 death
+              # class.
+              .join(F.broadcast(bench_sh.select(
+                  F.col("id").alias("bench_id"), "shingle")), "shingle")
               .groupBy("train_id", "bench_id")
               .agg(F.count(F.lit(1)).alias("n_shared")))
-    return (shared.join(bsz.select(F.col("id").alias("bench_id"), "bn"),
-                        "bench_id")
+    # bsz is one row per benchmark doc (≤ suite size — strictly smaller
+    # than bench_sh above); explicit for the same two-blind-sides reason
+    return (shared.join(F.broadcast(bsz.select(
+                F.col("id").alias("bench_id"), "bn")), "bench_id")
             .select("train_id", "bench_id", "n_shared",
                     F.round(F.col("n_shared") / F.col("bn"), 6)
                     .alias("containment")))

@@ -86,7 +86,12 @@ def fingerprint_tables(df: DataFrame, id_col: str, text_col: str,
     check_band_params(num_hashes, bands, rows_per_band)
     sh = shingle_sets(df, id_col, text_col, n)
     if materialize:
-        sh = sh.localCheckpoint(eager=True)
+        # _materialize, not a bare localCheckpoint: honors the
+        # build-only SPARK_GRAFT_NO_MATERIALIZE escape hatch (planlint/
+        # dumpplans sessions) and the streaming guard; behavior in
+        # executing sessions is identical
+        from .dedup import _materialize
+        sh = _materialize(sh)
     sig = signatures_from_shingles(sh, num_hashes)
     # the SHARED band-bucket expression (dedup.band_bucket_expr): the
     # index must hash buckets bit-identically to batch lsh_candidates
@@ -135,8 +140,17 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     fp = fingerprint_tables(new_df, id_col, text_col, n, num_hashes,
                             bands, materialize=True)
     batch_ids = fp["sizes"].select(F.col("id").alias("dup_of")).distinct()
+    # shuffle_hash, batch side as build (r15): when the index tables are
+    # in-plan derivations over a materialized shingle pass (the l30
+    # registered form; read_index parquet tables are scan-derived and
+    # unaffected), BOTH sides of this join are estimator-blind — an
+    # unhinted plan may re-plan the corpus-scaled index side as a
+    # broadcast build on a warm re-run (the l04 x100 class).  The batch
+    # side is bounded by the ingest contract (per-batch work is
+    # O(batch)), so it is the safe per-partition hash build; no sorts.
     cand = (fp["buckets"].select(F.col("id").alias("doc_id"),
                                  "band", "bucket")
+            .hint("shuffle_hash")
             .join(index["buckets"].select(F.col("id").alias("dup_of"),
                                           "band", "bucket"),
                   ["band", "bucket"])
@@ -150,7 +164,8 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     # O(candidates), so materializing it once is cheap and makes the
     # final plan provably signature-free: everything below here is
     # equi-joins against the checkpointed pairs.
-    cand = cand.localCheckpoint(eager=True)
+    from .dedup import _materialize
+    cand = _materialize(cand)
     cand_old = cand.select(F.col("dup_of").alias("id")).distinct()
     old_sh = (index["shingles"]
               .join(cand_old, "id", "left_semi")
@@ -163,7 +178,11 @@ def incremental_dedup_pairs(new_df: DataFrame, id_col: str, text_col: str,
     cand_new = cand.select(F.col("doc_id").alias("id")).distinct()
     new_sh = (fp["shingles"].join(cand_new, "id", "left_semi")
               .select(F.col("id").alias("doc_id"), "shingle"))
+    # same two-blind-sides situation as the candidate join above once
+    # the index is in-plan-derived: hint the batch-bounded side as the
+    # hash build (candidate-restricted batch shingles, O(batch tokens))
     inter = (new_sh
+             .hint("shuffle_hash")
              .join(old_sh, "shingle")
              .join(cand, ["doc_id", "dup_of"], "left_semi")
              .groupBy("doc_id", "dup_of")

@@ -918,7 +918,7 @@ def _lsh_scored_pairs(df: DataFrame, id_col: str, vec_col: str,
     pairs = _bucket_pair_candidates(
         eb.select(F.col("id").alias("i"), *bcols),
         eb.select(F.col("id").alias("j"), *bcols),
-        n_tables, "i", "j", hint_join="merge")
+        n_tables, "i", "j", hint_join="shuffle_hash")
     return (pairs
             .join(base.select(F.col("id").alias("i"),
                               F.col("v").alias("vi"),
@@ -1028,7 +1028,7 @@ def ann_recall_eval(df: DataFrame, id_col: str, vec_col: str,
     # quadratic ever materialized (the l50 single-consumption shape;
     # result-identical by construction).
     cands = _bucket_pair_candidates(
-        q, eb, n_tables, "qid", "id", a_prefix="qb", hint_join="merge")
+        q, eb, n_tables, "qid", "id", a_prefix="qb", hint_join="shuffle_hash")
     scored = (cands.join(base.select("id", "v"), "id")
               .join(F.broadcast(qv), "qid")
               .withColumn("cos", F.round(cosine_expr("v", "qv"), 6)))

@@ -1109,7 +1109,14 @@ def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     old = docs.filter(F.col("doc_id") % 10 != 0)
-    idx = I.fingerprint_tables(old, "doc_id", "text")
+    # materialize=True (r15 materialize-once sweep): the three derived
+    # index tables each re-ran the old-corpus shingle pass (scan +
+    # explode + hash + distinct over 90% of the corpus, 3× — the plan
+    # read 8 scans / 40 Exchange / 543 lines).  Production reads the
+    # index from parquet (read_index), so the fixture-only lazy
+    # derivation was the last triple-pass; absorb_batch already
+    # materializes.
+    idx = I.fingerprint_tables(old, "doc_id", "text", materialize=True)
     return I.incremental_dedup_pairs(new, "doc_id", "text", idx,
                                      threshold=0.4)
 
