@@ -139,12 +139,42 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
     estimates are bit-identical across engines; only the final
     division is float, rounded at the edge.
 
-    Scale shape: the only corpus-sized work is one distinct-aggregate
-    per side; everything after operates on ≤k-row sketches (broadcast
-    joins).  The exact columns cost a distinct + an equi-join — on a
-    real 100 TB corpus you'd emit only the estimates."""
-    sa, sb = kmv_sketch(a, col, k), kmv_sketch(b, col, k)
-    su = (sa.union(sb).distinct().orderBy("h").limit(k))
+    Scale shape (r15 one-pass rework — result-identical): ONE
+    union+groupBy pass over both inputs builds a per-distinct-value
+    membership-flags table (h, fl) that feeds BOTH sketches AND all
+    three exact counts; the lazy form re-derived each side's corpus
+    distinct up to 3× (the registered q43 plan read 12 scans /
+    15 Exchange).  The flags table is linear in distinct keys (never
+    quadratic) and consumed three times, so it is checkpointed once —
+    the l32 materialize-once discipline; everything downstream is
+    ≤k-row algebra or a single aggregate over the checkpoint.
+    Equivalence: groupBy(v) dedups values exactly like the per-side
+    DISTINCTs (exact counts count VALUES); the sketch sides re-distinct
+    on h, preserving the original distinct-after-hash semantics; empty
+    inputs yield 0-counts via coalesce exactly like count(*)."""
+    from ..llm.dedup import _materialize
+    va = (a.filter(F.col(col).isNotNull())
+          .select(F.col(col).alias("v"), F.lit(1).alias("s")))
+    vb = (b.filter(F.col(col).isNotNull())
+          .select(F.col(col).alias("v"), F.lit(2).alias("s")))
+    flags = (va.unionAll(vb).groupBy("v")
+             .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+                  .alias("ca"),
+                  F.sum(F.when(F.col("s") == 2, 1).otherwise(0))
+                  .alias("cb"))
+             .select(md5_long60(F.col("v").cast("string")).alias("h"),
+                     (F.col("ca") > 0).alias("ina"),
+                     (F.col("cb") > 0).alias("inb")))
+    flags = _materialize(flags)
+    # sa/sb/su stay LAZY: they are ≤k-row TakeOrdered passes over the
+    # checkpoint (re-deriving one is a cheap columnar scan, and
+    # checkpointing each costs a whole extra job — pin-measured slower
+    # at fixture scale than the re-derivations)
+    sa = (flags.filter("ina").select("h").distinct()
+          .orderBy("h").limit(k))
+    sb = (flags.filter("inb").select("h").distinct()
+          .orderBy("h").limit(k))
+    su = sa.union(sb).distinct().orderBy("h").limit(k)
     rho = (su.join(F.broadcast(sa), "h", "left_semi")
            .join(F.broadcast(sb), "h", "left_semi")
            .agg(F.count(F.lit(1)).alias("rho")))
@@ -155,17 +185,18 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str,
              .crossJoin(_kmv_stats(su).select(F.col("n").alias("nu"),
                                               F.col("hk").alias("hu")))
              .crossJoin(rho))
-    # NULL-filtered like the sketches: count(DISTINCT) semantics — a
-    # NULL otherwise counted as one extra "value" on the exact side
-    # only, disagreeing with both the sketch and the oracle
-    da = (a.filter(F.col(col).isNotNull())
-          .select(F.col(col).alias("v")).distinct())
-    db = (b.filter(F.col(col).isNotNull())
-          .select(F.col(col).alias("v")).distinct())
-    exact = (da.agg(F.count(F.lit(1)).alias("n_a"))
-             .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
-             .crossJoin(da.join(db, "v", "left_semi")
-                        .agg(F.count(F.lit(1)).alias("n_intersect"))))
+    # exact count(DISTINCT) semantics in one aggregate over the flags
+    # checkpoint (rows are distinct values by construction); coalesce
+    # keeps the empty-input counts at 0 exactly like count(*)
+    zl = F.lit(0).cast("long")
+    exact = flags.agg(
+        F.coalesce(F.sum(F.when(F.col("ina"), 1).otherwise(0)), zl)
+         .cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("inb"), 1).otherwise(0)), zl)
+         .cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("ina") & F.col("inb"), 1)
+                         .otherwise(0)), zl)
+         .cast("long").alias("n_intersect"))
     est_u = _kmv_estimate(F.col("nu"), F.col("hu"), k)
     # try_divide: two EMPTY inputs (filtered-away partitions, NULL-only
     # columns) make the union sketch empty (nu = 0) and a plain

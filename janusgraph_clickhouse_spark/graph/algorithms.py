@@ -2933,7 +2933,8 @@ def maximal_independent_set(edges: DataFrame, src: str = "src",
 
 
 def bipartite_project(edges: DataFrame, left: str, right: str,
-                      max_right_degree: int | None = None) -> DataFrame:
+                      max_right_degree: int | None = None,
+                      hint_join: str | None = None) -> DataFrame:
     """Weighted one-mode projection of a bipartite edge list onto the
     `left` partition: rows (left_a, left_b, weight) where weight = the
     number of shared `right` neighbors (a < b once each).
@@ -2947,7 +2948,15 @@ def bipartite_project(edges: DataFrame, left: str, right: str,
     max_shingle_df discipline — hubs contribute pairs to everything
     and discriminate nothing, so capping costs little signal).  One
     shuffle on `right` for the join, one on the pair key for the
-    aggregate."""
+    aggregate.
+
+    `hint_join`: explicit strategy for the pair self-join.  Pass
+    "shuffle_hash"/"merge" when `edges` is checkpoint/pandas-UDF-fed
+    (estimator-blind fixed-small stats) — both self-join sides are
+    |E|-scaled by construction and an unhinted plan may re-plan one as
+    a broadcast build on a warm re-run (the l04 x100 class);
+    scan-derived inputs may stay unhinted (estimates grow with the
+    data)."""
     e = edges.select(left, right).distinct()
     if max_right_degree is not None:
         keep = (e.groupBy(right).agg(F.count(F.lit(1)).alias("__d"))
@@ -2956,6 +2965,8 @@ def bipartite_project(edges: DataFrame, left: str, right: str,
         e = e.join(keep, right, "left_semi")
     a = e.select(F.col(right).alias("__r"), F.col(left).alias("__a"))
     b = e.select(F.col(right).alias("__r"), F.col(left).alias("__b"))
+    if hint_join:
+        a = a.hint(hint_join)
     return (a.join(b, "__r")
             .filter(F.col("__a") < F.col("__b"))
             .groupBy(F.col("__a").alias(f"{left}_a"),

@@ -1147,6 +1147,14 @@ def lsh_banding_audit(df: DataFrame, id_col: str, text_col: str,
     skey = md5_long60(F.col(id_col).cast("string"))
     s = (df.select(F.col(id_col).alias(id_col), F.col(text_col), skey.alias("_sk"))
          .orderBy("_sk", id_col).limit(sample).drop("_sk"))
+    # materialize-once (r15): the sample is referenced by BOTH the
+    # banding pipeline and the exact-Jaccard side, so each lazy
+    # reference re-ran the corpus TakeOrdered (the registered l46
+    # plan read 25 Exchange / 4 corpus scans) — checkpointing the
+    # 200-row sample cuts the corpus passes to ONE at any scale.
+    # Candidate/truth frames stay lazy: they are sample-bounded, and
+    # eager checkpoints for them pin-measured as pure job overhead.
+    s = _materialize(s)
     sh = shingle_sets(s, id_col, text_col, n, hashed=False)
     aggs = [F.min(md5_long60(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
             .alias(f"h{i}") for i in range(num_hashes)]

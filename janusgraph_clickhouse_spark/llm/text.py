@@ -612,7 +612,19 @@ def vocab_js_drift(df: DataFrame, text_col: str,
     w = (df.select(F.col(source_col).alias("src"),
                    F.explode(F.split(F.col(text_col), " ")).alias("w"))
          .filter(F.col("w") != ""))
-    counts = w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c"))
+    # materialize-once (r15): the (src, word) count table fed totals
+    # AND both sides of the shared-word self-join, so the corpus
+    # word-explode + aggregate ran 3× (the registered l59 plan read
+    # 11 Exchange / 6 corpus scans).  The table is |vocab|·|sources|
+    # rows — linear, never quadratic.  The self-join's sides are then
+    # checkpoint-fed and vocab-scaled (estimator-blind fixed-small
+    # stats — the l04 x100 re-plan class), so the join carries an
+    # explicit shuffle_hash hint: narrow (src, w, c) legs hash cheaper
+    # than they sort, and neither side may be broadcast at corpus
+    # scale.
+    from .dedup import _materialize
+    counts = _materialize(
+        w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c")))
     totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
     a = counts.select(F.col("src").alias("source_a"), "w",
                       F.col("c").alias("ca"))
@@ -622,7 +634,7 @@ def vocab_js_drift(df: DataFrame, text_col: str,
                        F.col("n").alias("na"))
     tb = totals.select(F.col("src").alias("source_b"),
                        F.col("n").alias("nb"))
-    shared = (a.join(b, "w")
+    shared = (a.hint("shuffle_hash").join(b, "w")
               .filter(F.col("source_a") < F.col("source_b"))
               .join(F.broadcast(ta), "source_a")
               .join(F.broadcast(tb), "source_b"))
@@ -717,12 +729,21 @@ def source_keyness(df: DataFrame, text_col: str,
     w = (df.select(F.col(source_col).alias("src"),
                    F.explode(F.split(F.col(text_col), " ")).alias("w"))
          .filter(F.col("w") != ""))
-    c_ts = w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c_ts"))
+    # materialize-once (r15): the (src, word) aggregate fed c_t, n_s
+    # AND the scored join, so the corpus word-explode ran 3× (the
+    # registered l64 plan read 9 Exchange / 4 corpus scans); the table
+    # is |vocab|·|sources| rows — linear.  The scored↔c_t join is then
+    # checkpoint-fed and vocab-scaled on both sides (estimator-blind),
+    # so it carries the explicit shuffle_hash hint (never broadcast a
+    # vocab-scaled side on fixed-small stats — the l04 x100 class).
+    from .dedup import _materialize
+    c_ts = _materialize(
+        w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c_ts")))
     c_t = c_ts.groupBy("w").agg(F.sum("c_ts").alias("c_t"))
     n_s = c_ts.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
     n = n_s.agg(F.sum("n_s").alias("n"))
     scored = (c_ts.filter(F.col("c_ts") >= min_count)
-              .join(c_t, "w")
+              .join(c_t.hint("shuffle_hash"), "w")
               .join(F.broadcast(n_s), "src")
               .crossJoin(F.broadcast(n))
               .withColumn("pmi", F.round(
@@ -758,7 +779,16 @@ def length_ks_drift(df: DataFrame, text_col: str,
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = df.select(F.col(source_col).alias("src"),
                      F.size(words).alias("len"))
-    counts = base.groupBy("src", "len").agg(F.count(F.lit(1)).alias("c"))
+    # materialize-once (r15): the per-source length histogram fed
+    # totals, the length axis AND both cumulative sides, so the corpus
+    # word-split scan ran 4× (the registered l66 plan read 7 Exchange /
+    # 5 corpus scans).  The histogram is |sources|·|distinct lengths|
+    # rows — cardinality-bounded BY SEMANTICS, so unlike the
+    # vocab-scaled checkpoints the downstream joins may broadcast it
+    # at any corpus scale (no hints needed).
+    from .dedup import _materialize
+    counts = _materialize(
+        base.groupBy("src", "len").agg(F.count(F.lit(1)).alias("c")))
     totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
     lens = counts.select("len").distinct()
     ta = totals.select(F.col("src").alias("source_a"),

@@ -1282,11 +1282,21 @@ def g29_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject with the (count desc, part_a, part_b)
     unique tiebreak."""
     from ..graph.algorithms import bipartite_project
+    from ..llm.dedup import _materialize
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    proj = (bipartite_project(op, left="p", right="o")
+    # materialize-once (r15): the distinct (order, part) frame fed the
+    # projection's self-join (2×), the degree table and the order
+    # count, so the lineitem scan + distinct ran up to 5× (the
+    # registered g29 plan read 9 Exchange / 7 scans).  The frame is
+    # |E|-scaled and checkpoint-fed downstream, so the projection
+    # self-join carries an explicit shuffle_hash hint (narrow
+    # two-long legs; never broadcast an |E|-scaled side on
+    # fixed-small stats).
+    op = _materialize(li.select(F.col("l_orderkey").alias("o"),
+                                F.col("l_partkey").alias("p")).distinct())
+    proj = (bipartite_project(op, left="p", right="o",
+                              hint_join="shuffle_hash")
             .withColumnRenamed("p_a", "part_a")
             .withColumnRenamed("p_b", "part_b"))
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))

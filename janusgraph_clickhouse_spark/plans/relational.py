@@ -1467,6 +1467,14 @@ def q46_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.sketches.hll_registers / hll_estimate_from_registers)."""
     from ..functions.sketches import (hll_estimate_from_registers,
                                       hll_registers)
+    # r15 note: a one-pass rework (materialized distinct (priority,
+    # custkey) frame feeding registers + exact counts, orders scanned
+    # once instead of 4×) was built, parity-verified and MEASURED:
+    # x30 flat (1.60 → 1.70 s) and fixture 2× slower (0.31 → 0.57 s,
+    # the checkpoint-job constant) — the partial-aggregation forms
+    # below ship almost nothing to the shuffle, so the extra scans
+    # are cheaper than materializing |customers|·|priorities| rows.
+    # Reverted; do not retry without a ≥x30 win (the l17 discipline).
     orders = load_table(spark, sf_dir, "orders")
     regs = hll_registers(orders, "o_custkey", ["o_orderpriority"])
     per = hll_estimate_from_registers(regs, ["o_orderpriority"])
@@ -1929,7 +1937,14 @@ def q56_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hours = ev.withColumn(
         "h", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
-    regs = hll_registers(hours, "user_id", ["h"])
+    # materialize-once (r15): the register build is referenced 3× by
+    # the sliding window's shift-and-union plus once by the exact
+    # side's hour axis, so the corpus aggregate ran 4× (the registered
+    # q56 plan read 11 Exchange / 8 corpus scans).  States are
+    # |hours|·256 rows — the mergeable-sketch point is precisely that
+    # this frame is tiny at any corpus scale.
+    from ..llm.dedup import _materialize
+    regs = _materialize(hll_registers(hours, "user_id", ["h"]))
     est = hll_sliding_estimate(regs, "h", step=3600, window=3)
     # exact side: explode the 3 window offsets on the BROADCAST hour
     # frame and equi-join — an OR-of-equalities condition cannot
